@@ -1,0 +1,60 @@
+"""graph_data_science_ray — a Ray-Data-native link-graph analytics engine.
+
+A from-scratch engine with the query/data-processing capabilities of the
+Neo4j Graph Data Science reference (see SURVEY.md), re-expressed
+Ray-Data-first:
+
+- transcript tables (``conv_id, turn_idx, role, text, tool, ts``) are
+  derived into weighted actor-interaction edge tables with
+  ``read_parquet → map_batches → join → groupby`` pipelines;
+- the edge table is hash/range-partitioned into per-partition CSR blocks
+  (``state.graph.GraphStore``), persisted as the checkpoint substrate;
+- iterative algorithms (PageRank, WCC, label propagation) run on a BSP
+  gather-scatter kernel (``state.pregel``) whose supersteps are
+  partition-addressed pre-reduced message exchanges — the distributed
+  equivalent of the reference's Pregel ``ReducingMessenger``;
+- batch/data-prep operators (dedup, text analysis, similarity search,
+  scaling, sessionization) are vectorized ``map_batches`` stages.
+
+Nothing in here calls ``ray.init()``; callers own the Ray session.
+"""
+
+from graph_data_science_ray.sources.transcripts import (
+    TRANSCRIPT_SCHEMA,
+    read_transcripts,
+    synthesize_transcripts,
+    transcripts_from_edge_list,
+    events_as_transcripts,
+)
+from graph_data_science_ray.pipelines.edges import (
+    derive_turns,
+    derive_edges,
+    IdMap,
+    encode_edges,
+    symmetrize,
+)
+from graph_data_science_ray.state.graph import GraphStore
+from graph_data_science_ray.functions.pagerank import pagerank
+from graph_data_science_ray.functions.wcc import wcc
+from graph_data_science_ray.functions.labelprop import label_propagation
+from graph_data_science_ray.functions.triangles import triangle_count
+from graph_data_science_ray.functions.degree import degree_centrality
+
+__all__ = [
+    "TRANSCRIPT_SCHEMA",
+    "read_transcripts",
+    "synthesize_transcripts",
+    "transcripts_from_edge_list",
+    "events_as_transcripts",
+    "derive_turns",
+    "derive_edges",
+    "IdMap",
+    "encode_edges",
+    "symmetrize",
+    "GraphStore",
+    "pagerank",
+    "wcc",
+    "label_propagation",
+    "triangle_count",
+    "degree_centrality",
+]

@@ -1,0 +1,104 @@
+"""PageRank — delta-push (damped-delta) semantics, matching the reference.
+
+Reference: algo/src/main/java/org/neo4j/gds/pagerank/PageRankComputation.java:35-115,
+defaults tolerance=1e-7, maxIterations=20, damping=0.85
+(PageRankConfig.java:39-52).
+
+Semantics reproduced exactly:
+- every node starts at ``alpha = 1 - damping`` (personalized: alpha for
+  source nodes, 0 otherwise) — PageRankComputation.java:66-75;
+- per superstep ``delta = damping * sum(messages)``, ``rank += delta``;
+  a node sends ``delta / degree`` to out-neighbors only while
+  ``delta > tolerance`` (PageRankComputation.java:78-99). The final score
+  is a sum of damped deltas, **not** normalized — an isolated node scores
+  exactly ``1 - damping``;
+- weighted mode divides by the weighted out-degree and multiplies each
+  message by the relationship weight (PageRankComputation.java:107-109,
+  PageRankAlgorithmFactory.java:140-156);
+- convergence: no messages sent (PartitionedComputer.java:87-94).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from graph_data_science_ray.state.pregel import Pregel, PregelComputation
+
+
+class PageRankComputation(PregelComputation):
+    reducer = "sum"
+
+    def __init__(
+        self,
+        damping: float = 0.85,
+        tolerance: float = 1e-7,
+        weighted: bool = False,
+        source_nodes: np.ndarray | None = None,
+    ):
+        self.damping = float(damping)
+        self.tolerance = float(tolerance)
+        self.weighted = bool(weighted)
+        self.source_nodes = (
+            np.asarray(source_nodes, dtype=np.int64) if source_nodes is not None else None
+        )
+
+    def init_state(self, block: dict) -> dict:
+        n = block["end"] - block["start"]
+        alpha = 1.0 - self.damping
+        if self.source_nodes is None:
+            rank = np.full(n, alpha, dtype=np.float64)
+        else:
+            rank = np.zeros(n, dtype=np.float64)
+            local = self.source_nodes[
+                (self.source_nodes >= block["start"]) & (self.source_nodes < block["end"])
+            ]
+            rank[local - block["start"]] = alpha
+        return {"rank": rank, "delta": rank.copy()}
+
+    def message_values(self, state: dict, block: dict):
+        deg = block["wdegrees"] if self.weighted else block["degrees"]
+        safe = np.where(deg > 0, deg, 1).astype(np.float64)
+        vals = state["delta"] / safe
+        active = state["delta"] > self.tolerance
+        return vals, active
+
+    def apply_messages(self, state, acc, received, block):
+        delta = self.damping * acc
+        state["delta"] = delta
+        state["rank"] = state["rank"] + delta
+        active = delta > self.tolerance
+        return {
+            "active": int(active.sum()),
+            "max_delta": float(delta.max()) if len(delta) else 0.0,
+        }
+
+    def is_converged(self, stats: dict) -> bool:
+        return stats.get("active", stats.get("init", 1)) == 0 and "init" not in stats
+
+
+def pagerank(
+    graph,
+    damping: float = 0.85,
+    tolerance: float = 1e-7,
+    max_iterations: int = 20,
+    weighted: bool = False,
+    source_nodes=None,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 1,
+    resume: bool = True,
+) -> pd.DataFrame:
+    """Run PageRank over a projected ``GraphStore``.
+
+    Returns a DataFrame ``(node, score)`` where ``node`` is the original
+    actor key when the graph carries an IdMap, else the dense id —
+    mirroring ``gds.pageRank.stream``'s ``(toOriginalNodeId, score)`` rows
+    (proc/centrality/src/main/java/org/neo4j/gds/pagerank/PageRankStreamSpec.java:56-70).
+    """
+    comp = PageRankComputation(damping, tolerance, weighted, source_nodes)
+    engine = Pregel(graph, comp, checkpoint_dir, checkpoint_interval)
+    refs = engine.run(max_iterations=max_iterations, resume=resume)
+    scores = engine.gather(refs, "rank")
+    if graph.idmap is not None:
+        return pd.DataFrame({"node": graph.idmap.keys, "score": scores})
+    return pd.DataFrame({"node": np.arange(graph.node_count, dtype=np.int64), "score": scores})

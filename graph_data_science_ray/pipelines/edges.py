@@ -1,0 +1,268 @@
+"""Transcript → weighted edge-table derivation and dense id mapping.
+
+This is the engine's "graph projection" (the reference's
+``gds.graph.project`` native projection,
+native-projection/src/main/java/org/neo4j/gds/projection/NativeFactory.java:44):
+
+1. ``derive_turns``   — vectorized actor-key computation per turn
+   (``"tool:"+tool`` when tool is set, else ``"role:"+role``; FIXTURES.md §2).
+2. ``derive_edges``   — consecutive-turn pairing as a hash join of the slim
+   turn table with itself on ``(conv_id, turn_idx) = (conv_id, turn_idx+1)``
+   (turn_idx is the dense 0-based position within a conversation, so
+   position adjacency == turn_idx adjacency). Self-edges dropped; parallel
+   edges aggregated to ``weight = count`` — the reference's
+   parallel-edge Aggregation semantics
+   (graph-projection-api/src/main/java/org/neo4j/gds/core/Aggregation.java:31-85).
+   A map-side partial count runs inside ``map_batches`` before the global
+   groupby so the shuffle moves pre-combined rows, not raw pairs.
+3. ``IdMap``          — dense bidirectional id mapping, keys sorted
+   lexicographically (the reference's dense internal id space,
+   core/src/main/java/org/neo4j/gds/api/IdMap.java:34-106). Broadcast once
+   via ``ray.put``; lookups are vectorized ``np.searchsorted`` per batch.
+4. ``encode_edges``   — map string keys to dense int64 ids; dangling keys
+   raise by default (reference
+   core/src/main/java/org/neo4j/gds/core/loading/construction/RelationshipsBuilder.java:52-58).
+5. ``symmetrize``     — undirected view: union both directions, weights
+   summed (reference toUndirected,
+   algo/src/main/java/org/neo4j/gds/undirected/ToUndirected.java:48).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+_SLIM_COLS = ["conv_id", "turn_idx", "role", "tool"]
+
+
+def _actor_key(batch: pa.Table) -> pa.Array:
+    tool = batch["tool"]
+    has_tool = pc.and_(tool.combine_chunks().is_valid(), pc.not_equal(pc.coalesce(tool, ""), ""))
+    tool_key = pc.binary_join_element_wise("tool:", pc.coalesce(tool, ""), "")
+    role_key = pc.binary_join_element_wise("role:", batch["role"], "")
+    return pc.if_else(has_tool, tool_key, role_key)
+
+
+def derive_turns(transcripts: rd.Dataset) -> rd.Dataset:
+    """Slim per-turn table ``(conv_id, turn_idx, actor)``.
+
+    Drops the text payload immediately — edge derivation never ships it.
+    """
+
+    def to_turns(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": pc.cast(batch["turn_idx"], pa.int32()),
+                "actor": _actor_key(batch),
+            }
+        )
+
+    return transcripts.map_batches(to_turns, batch_format="pyarrow")
+
+
+def _partial_count(batch: pa.Table) -> pa.Table:
+    """Map-side combine: per-batch (src, dst) counts before the shuffle."""
+    g = batch.group_by(["src", "dst"]).aggregate([("src", "count")])
+    return g.rename_columns(["src", "dst", "partial"])
+
+
+def derive_edges(turns: rd.Dataset, num_partitions: int = 32) -> rd.Dataset:
+    """Weighted directed edge table ``(src, dst, weight)`` over actor keys.
+
+    Consecutive-turn pairing via self hash-join; ``weight`` is the number
+    of consecutive-turn interactions (parallel-edge aggregation = COUNT).
+    """
+    left = turns.map_batches(
+        lambda t: pa.table(
+            {"conv_id": t["conv_id"], "turn_idx": t["turn_idx"], "src": t["actor"]}
+        ),
+        batch_format="pyarrow",
+    )
+    # right side re-keyed to (conv_id, turn_idx - 1): joining left.turn_idx ==
+    # right.turn_idx-1 pairs turn i with turn i+1.
+    right = turns.map_batches(
+        lambda t: pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": pc.cast(pc.subtract(t["turn_idx"], 1), pa.int32()),
+                "dst": t["actor"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = left.join(
+        right,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("conv_id", "turn_idx"),
+    )
+    pairs = joined.map_batches(
+        lambda t: _partial_count(
+            t.filter(pc.not_equal(t["src"], t["dst"])).select(["src", "dst"])
+        ),
+        batch_format="pyarrow",
+    )
+    agg = pairs.groupby(["src", "dst"]).aggregate(Sum("partial", alias_name="weight"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "weight": pc.cast(t["weight"], pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+class IdMap:
+    """Dense id mapping: sorted distinct actor keys ↔ ``[0, V)``.
+
+    The key table is collected to the driver and broadcast via ``ray.put``
+    — actor keys are roles/tools, orders of magnitude fewer than turns.
+    (The fully distributed variant — sort + per-block offset assignment —
+    is the documented scale path; the broadcast table itself stays
+    valid because lookups only need the sorted key array.)
+    """
+
+    def __init__(self, keys: np.ndarray):
+        self.keys = np.asarray(keys)  # sorted unicode array
+        self._ref = None
+
+    @classmethod
+    def from_turns(cls, turns: rd.Dataset) -> "IdMap":
+        distinct = turns.unique("actor")
+        return cls(np.sort(np.asarray(distinct, dtype="U")))
+
+    @classmethod
+    def from_edges(cls, edges: rd.Dataset) -> "IdMap":
+        s = set(edges.unique("src"))
+        s.update(edges.unique("dst"))
+        return cls(np.sort(np.asarray(list(s), dtype="U")))
+
+    def __len__(self) -> int:
+        return len(self.keys)
+
+    @property
+    def ref(self):
+        if self._ref is None:
+            self._ref = ray.put(self.keys)
+        return self._ref
+
+    def to_ids(self, keys: np.ndarray) -> np.ndarray:
+        ids = np.searchsorted(self.keys, keys)
+        ids = np.minimum(ids, len(self.keys) - 1)
+        if not (self.keys[ids] == keys).all():
+            missing = np.asarray(keys)[self.keys[ids] != keys][:5]
+            raise KeyError(f"dangling actor keys not in IdMap, e.g. {missing!r}")
+        return ids.astype(np.int64)
+
+    def to_keys(self, ids: np.ndarray) -> np.ndarray:
+        return self.keys[np.asarray(ids, dtype=np.int64)]
+
+    def save(self, path: str) -> None:
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table({"key": pa.array(self.keys.astype(object), pa.string()),
+                      "id": pa.array(np.arange(len(self.keys), dtype=np.int64))}),
+            path,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "IdMap":
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path)
+        return cls(np.asarray(t["key"].to_numpy(zero_copy_only=False), dtype="U"))
+
+
+class _EncodeEdges:
+    """Actor-pool stage: broadcast key table fetched once per actor."""
+
+    def __init__(self, keys_ref, skip_dangling: bool):
+        self.keys = ray.get(keys_ref)
+        self.skip_dangling = skip_dangling
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch["src"].to_numpy(zero_copy_only=False), dtype="U")
+        dst = np.asarray(batch["dst"].to_numpy(zero_copy_only=False), dtype="U")
+        sid = np.searchsorted(self.keys, src)
+        did = np.searchsorted(self.keys, dst)
+        sid = np.minimum(sid, len(self.keys) - 1)
+        did = np.minimum(did, len(self.keys) - 1)
+        ok = (self.keys[sid] == src) & (self.keys[did] == dst)
+        if not ok.all():
+            if not self.skip_dangling:
+                bad = np.concatenate([src[self.keys[sid] != src], dst[self.keys[did] != dst]])
+                raise KeyError(f"dangling edge endpoints, e.g. {bad[:5]!r}")
+            sel = np.flatnonzero(ok)
+            sid, did = sid[sel], did[sel]
+            batch = batch.take(pa.array(sel))
+        return pa.table(
+            {
+                "src": pa.array(sid.astype(np.int64)),
+                "dst": pa.array(did.astype(np.int64)),
+                "weight": pc.cast(batch["weight"], pa.float64()),
+            }
+        )
+
+
+def encode_edges(
+    edges: rd.Dataset, idmap: IdMap, skip_dangling: bool = False, concurrency: int | None = None
+) -> rd.Dataset:
+    """Map ``(src, dst)`` actor keys to dense int64 ids via broadcast lookup."""
+    import functools
+
+    ref = idmap.ref
+    return edges.map_batches(
+        functools.partial(_encode_batch, keys_ref=ref, skip_dangling=skip_dangling),
+        batch_format="pyarrow",
+    )
+
+
+def _encode_batch(batch: pa.Table, *, keys_ref, skip_dangling: bool) -> pa.Table:
+    enc = _EncodeEdges(keys_ref, skip_dangling)
+    return enc(batch)
+
+
+def symmetrize(edges: rd.Dataset, num_partitions: int = 32) -> rd.Dataset:
+    """Undirected view: union of both directions, weights summed per pair.
+
+    ``(u,v)`` and ``(v,u)`` collapse into two symmetric rows with
+    ``weight = w_uv + w_vu``. Works on encoded (int64) edge tables.
+    """
+    fwd = edges.select_columns(["src", "dst", "weight"])
+    rev = edges.map_batches(
+        lambda t: pa.table({"src": t["dst"], "dst": t["src"], "weight": t["weight"]}),
+        batch_format="pyarrow",
+    )
+    both = fwd.union(rev)
+    pre = both.map_batches(
+        lambda t: t.group_by(["src", "dst"]).aggregate([("weight", "sum")]).rename_columns(
+            ["src", "dst", "partial"]
+        ),
+        batch_format="pyarrow",
+    )
+    agg = pre.groupby(["src", "dst"]).aggregate(Sum("partial", alias_name="weight"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"src": t["src"], "dst": t["dst"], "weight": pc.cast(t["weight"], pa.float64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def sorted_transcript_view(transcripts: rd.Dataset) -> rd.Dataset:
+    """Stable-ordered transcript view: sort by (conv_id, turn_idx).
+
+    ``(conv_id, turn_idx)`` is a primary key, so the sort is a total order;
+    the per-row invariant (text byte-equality under stable ordering,
+    BASELINE.json input_hint) is asserted against this view in tests.
+    """
+    return transcripts.sort(["conv_id", "turn_idx"])

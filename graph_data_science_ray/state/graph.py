@@ -1,0 +1,305 @@
+"""Partitioned CSR graph store — the engine's ``GraphStore``/``Graph``.
+
+The reference holds one in-memory ``CSRGraphStore`` per named graph
+(core/src/main/java/org/neo4j/gds/core/loading/CSRGraphStore.java:80-92)
+with a dense ``IdMap`` and per-type sorted adjacency
+(core/src/main/java/org/neo4j/gds/api/AdjacencyList.java:33-40). Our
+equivalent is:
+
+- a **directory layout** ``{path}/manifest.json, idmap.parquet,
+  csr/part-{p}.npz`` — the persisted projection *is* the checkpoint
+  substrate (a re-run skips completed partitions; manifests commit by
+  atomic rename);
+- **degree-balanced contiguous node ranges** as partitions: boundaries are
+  chosen on cumulative out-degree, the reference's degree-aware
+  partitioning (core/src/main/java/org/neo4j/gds/core/utils/partition/PartitionUtils.java:203-255);
+- per-partition CSR blocks (``indptr/indices/weights`` numpy arrays)
+  loaded once into the Ray object store and shared zero-copy by every
+  task on a node — plus a precomputed **scatter index**
+  (destination-sorted permutation + run boundaries) so each BSP superstep
+  is pure vectorized ``repeat → permute → reduceat`` work.
+
+Partition count is FIXED at projection time and independent of cluster
+size, so float reductions happen in identical order at any parallelism —
+the determinism contract (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from graph_data_science_ray._util import atomic_write_json, read_json
+from graph_data_science_ray.pipelines.edges import IdMap
+
+_FORMAT_VERSION = 1
+
+
+def _build_scatter_index(indices: np.ndarray, boundaries: np.ndarray) -> dict:
+    """Precompute destination-grouped reduction structure for one partition.
+
+    ``perm`` sorts the edge array by destination; ``run_starts`` delimits
+    equal-destination runs; ``uniq_dst`` is the run's destination id;
+    ``part_slices[q]:part_slices[q+1]`` selects the runs addressed to
+    partition q. This is the map-side pre-reduction of the reference's
+    ``ReducingMessenger`` (pregel/src/main/java/org/neo4j/gds/beta/pregel/ReducingMessenger.java:36-106)
+    done once per topology instead of per superstep.
+    """
+    perm = np.argsort(indices, kind="stable")
+    sorted_dst = indices[perm]
+    uniq_dst, run_starts = np.unique(sorted_dst, return_index=True)
+    part_slices = np.searchsorted(uniq_dst, boundaries).astype(np.int64)
+    return {
+        "perm": perm.astype(np.int64),
+        "run_starts": run_starts.astype(np.int64),
+        "uniq_dst": uniq_dst.astype(np.int64),
+        "part_slices": part_slices,
+    }
+
+
+@ray.remote
+def _load_csr_block(path: str | None, start: int, end: int, boundaries: np.ndarray) -> dict:
+    """Load one partition's CSR npz (or synthesize an empty block)."""
+    n_local = int(end - start)
+    if path is None or not os.path.exists(path):
+        indptr = np.zeros(n_local + 1, dtype=np.int64)
+        indices = np.zeros(0, dtype=np.int64)
+        weights = np.zeros(0, dtype=np.float64)
+    else:
+        with np.load(path) as z:
+            indptr, indices, weights = z["indptr"], z["indices"], z["weights"]
+    block = {
+        "start": int(start),
+        "end": int(end),
+        "indptr": indptr,
+        "indices": indices,
+        "weights": weights,
+        "degrees": np.diff(indptr),
+        "wdegrees": None,
+    }
+    if len(weights):
+        # weighted out-degree per local node (reference DegreeCentrality as
+        # PageRank's weighted divisor, PageRankAlgorithmFactory.java:140-156)
+        block["wdegrees"] = np.add.reduceat(
+            weights, np.minimum(indptr[:-1], max(len(weights) - 1, 0))
+        ) * (np.diff(indptr) > 0)
+    else:
+        block["wdegrees"] = np.zeros(n_local, dtype=np.float64)
+    block.update(_build_scatter_index(indices, boundaries))
+    return block
+
+
+class _CsrPartitionWriter:
+    """``map_groups`` callable: build + persist one partition's CSR block."""
+
+    def __init__(self, out_dir: str, boundaries: np.ndarray):
+        self.out_dir = out_dir
+        self.boundaries = boundaries
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g["part"].iloc[0])
+        start = int(self.boundaries[part])
+        end = int(self.boundaries[part + 1])
+        src = g["src"].to_numpy(dtype=np.int64) - start
+        dst = g["dst"].to_numpy(dtype=np.int64)
+        w = g["weight"].to_numpy(dtype=np.float64)
+        order = np.lexsort((dst, src))
+        src, dst, w = src[order], dst[order], w[order]
+        indptr = np.zeros(end - start + 1, dtype=np.int64)
+        np.cumsum(np.bincount(src, minlength=end - start), out=indptr[1:])
+        final = os.path.join(self.out_dir, f"part-{part}.npz")
+        tmp = final + ".tmp.npz"
+        np.savez(tmp, indptr=indptr, indices=dst, weights=w)
+        os.replace(tmp, final)
+        return pd.DataFrame({"part": [part], "edges": [len(dst)]})
+
+
+class GraphStore:
+    """A projected, partitioned, persisted graph.
+
+    Construction (``GraphStore.project``) is the engine's
+    ``gds.graph.project``: encoded edge Dataset → degree-balanced range
+    partitions → per-partition sorted CSR blocks on disk → manifest.
+    ``load`` restores from the directory; CSR blocks enter the object
+    store lazily (one remote load task per partition, refs held by the
+    driver, read zero-copy by algorithm tasks).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        node_count: int,
+        edge_count: int,
+        boundaries: np.ndarray,
+        directed: bool,
+        idmap: IdMap | None,
+    ):
+        self.path = path
+        self.node_count = int(node_count)
+        self.edge_count = int(edge_count)
+        self.boundaries = np.asarray(boundaries, dtype=np.int64)
+        self.directed = directed
+        self.idmap = idmap
+        self._block_refs: list | None = None
+
+    # -- construction -----------------------------------------------------
+
+    @staticmethod
+    def _choose_boundaries(outdeg: np.ndarray, num_partitions: int) -> np.ndarray:
+        """Degree-balanced contiguous ranges over [0, V).
+
+        Boundary p is placed where cumulative out-degree crosses
+        ``p * E / P`` (reference degree partitioning,
+        PartitionUtils.java:203-255). Duplicate boundaries (tiny graphs)
+        are collapsed, so P adapts downward for small inputs.
+        """
+        v = len(outdeg)
+        num_partitions = max(1, min(num_partitions, v))
+        cum = np.cumsum(outdeg, dtype=np.float64)
+        total = cum[-1] if v else 0.0
+        if total <= 0:
+            bounds = np.linspace(0, v, num_partitions + 1).astype(np.int64)
+        else:
+            targets = (np.arange(1, num_partitions) * total) / num_partitions
+            inner = np.searchsorted(cum, targets, side="left") + 1
+            bounds = np.concatenate(([0], inner, [v])).astype(np.int64)
+        return np.unique(bounds)
+
+    @classmethod
+    def project(
+        cls,
+        encoded_edges: rd.Dataset,
+        path: str,
+        idmap: IdMap | None = None,
+        node_count: int | None = None,
+        num_partitions: int = 32,
+        directed: bool = True,
+    ) -> "GraphStore":
+        import pyarrow.compute as pc
+
+        # The edge table is consumed twice (degree histogram, CSR build);
+        # materialize the already-aggregated slim table once instead of
+        # re-running the whole derivation pipeline per pass.
+        encoded_edges = encoded_edges.materialize()
+
+        if node_count is None:
+            if idmap is not None:
+                node_count = len(idmap)
+            else:
+                stats = encoded_edges.map_batches(
+                    lambda t: pa.table(
+                        {"m": [max(pc.max(t["src"]).as_py() or -1, pc.max(t["dst"]).as_py() or -1)]}
+                    ),
+                    batch_format="pyarrow",
+                ).max("m")
+                node_count = int(stats) + 1
+
+        # out-degree histogram: map-side partial bincounts summed on the
+        # driver (V ints — small next to E) to place partition boundaries.
+        def partial_outdeg(t: pa.Table) -> pa.Table:
+            counts = np.bincount(
+                t["src"].to_numpy(zero_copy_only=False), minlength=node_count
+            ).astype(np.int64)
+            return pa.table({"node": np.arange(node_count, dtype=np.int64), "cnt": counts})
+
+        outdeg = np.zeros(node_count, dtype=np.int64)
+        edge_count = 0
+        for b in encoded_edges.map_batches(partial_outdeg, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ):
+            c = np.zeros(node_count, dtype=np.int64)
+            np.add.at(c, b["node"].to_numpy(), b["cnt"].to_numpy())
+            outdeg += c
+        edge_count = int(outdeg.sum())
+
+        boundaries = cls._choose_boundaries(outdeg, num_partitions)
+        csr_dir = os.path.join(path, "csr")
+        os.makedirs(csr_dir, exist_ok=True)
+
+        bounds_ref = ray.put(boundaries)
+
+        def tag_part(t: pa.Table, *, bref=bounds_ref) -> pa.Table:
+            b = ray.get(bref)
+            part = np.searchsorted(
+                b[1:-1], t["src"].to_numpy(zero_copy_only=False), side="right"
+            ).astype(np.int64)
+            return t.append_column("part", pa.array(part))
+
+        tagged = encoded_edges.map_batches(tag_part, batch_format="pyarrow")
+        writer = _CsrPartitionWriter(csr_dir, boundaries)
+
+        def write_csr_partition(g):
+            return writer(g)
+
+        manifest_rows = (
+            tagged.groupby("part")
+            .map_groups(write_csr_partition, batch_format="pandas")
+            .to_pandas()
+        )
+
+        if idmap is not None:
+            idmap.save(os.path.join(path, "idmap.parquet"))
+        atomic_write_json(
+            os.path.join(path, "manifest.json"),
+            {
+                "version": _FORMAT_VERSION,
+                "node_count": int(node_count),
+                "edge_count": edge_count,
+                "directed": directed,
+                "boundaries": [int(x) for x in boundaries],
+                "partitions": sorted(
+                    {int(r.part): int(r.edges) for r in manifest_rows.itertuples()}.items()
+                ),
+                "has_idmap": idmap is not None,
+            },
+        )
+        return cls(path, node_count, edge_count, boundaries, directed, idmap)
+
+    @classmethod
+    def load(cls, path: str) -> "GraphStore":
+        m = read_json(os.path.join(path, "manifest.json"))
+        idmap = None
+        if m.get("has_idmap"):
+            idmap = IdMap.load(os.path.join(path, "idmap.parquet"))
+        return cls(
+            path,
+            m["node_count"],
+            m["edge_count"],
+            np.asarray(m["boundaries"], dtype=np.int64),
+            m["directed"],
+            idmap,
+        )
+
+    # -- access -----------------------------------------------------------
+
+    @property
+    def num_partitions(self) -> int:
+        return len(self.boundaries) - 1
+
+    def block_refs(self) -> list:
+        """Object refs of per-partition CSR blocks (loaded once, cached)."""
+        if self._block_refs is None:
+            bounds = self.boundaries
+            self._block_refs = [
+                _load_csr_block.remote(
+                    os.path.join(self.path, "csr", f"part-{p}.npz"),
+                    int(bounds[p]),
+                    int(bounds[p + 1]),
+                    bounds,
+                )
+                for p in range(self.num_partitions)
+            ]
+        return self._block_refs
+
+    def out_degrees(self) -> np.ndarray:
+        """Dense (unweighted) out-degree array, gathered from blocks."""
+        blocks = ray.get(self.block_refs())
+        deg = np.zeros(self.node_count, dtype=np.int64)
+        for b in blocks:
+            deg[b["start"] : b["end"]] = b["degrees"]
+        return deg

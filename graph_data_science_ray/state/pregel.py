@@ -1,0 +1,369 @@
+"""BSP gather-scatter kernel — the engine's Pregel.
+
+The reference's Pregel (pregel/src/main/java/org/neo4j/gds/beta/pregel/Pregel.java:61-216)
+runs shared-memory supersteps with a reducing messenger
+(ReducingMessenger.java:36-106) and vote-to-halt bits. The distributed
+re-expression here:
+
+- graph state lives in per-partition **numpy state dicts** held as Ray
+  object refs (functional BSP: each superstep maps old state refs to new
+  state refs; Ray lineage gives fault tolerance for free);
+- a superstep is ``P`` scatter tasks (vectorized contribution → map-side
+  pre-reduction via the partition's precomputed scatter index →
+  ``num_returns=P`` partition-addressed message arrays) followed by ``P``
+  apply tasks (each consuming exactly the refs addressed to it — messages
+  never touch the driver). This is the "partition-addressed reduce"
+  realization of the ``groupby(dst).aggregate(sum|min|max)`` shuffle
+  (SURVEY.md §2.2): the Reducer contract means messages are pre-combined
+  map-side, the single most important optimization at 10^12-edge scale;
+- messages are combined in **fixed partition order** with a fixed
+  partition count, so float64 reductions are bit-identical at any
+  parallelism level (the determinism contract, SURVEY.md §4);
+- every ``checkpoint_interval`` supersteps each partition persists its
+  state (npz, atomic rename) plus a lineage record
+  ``{iteration, partition, rows, blake2b digest}``; an iteration manifest
+  commits the superstep; ``run`` resumes from the newest committed
+  iteration. The reference has **no** mid-algorithm checkpointing
+  (SURVEY.md §3.3) — this is a north-rule addition.
+
+Reducer kinds:
+- ``sum`` / ``min``: dense float64/int64 exchange, ``np.add/np.minimum``
+  reduceat map-side and fixed-order combine apply-side.
+- ``vote``: (dst, label, weight) triples pre-combined per (dst, label)
+  map-side; apply-side tally with max-weight / min-label argmax — the one
+  non-reducer shuffle (label propagation).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+import numpy as np
+import ray
+
+from graph_data_science_ray._util import atomic_write_json, read_json
+
+
+class PregelComputation:
+    """Extension surface: subclass and plug into ``Pregel.run``.
+
+    Mirrors the reference's ``PregelComputation`` user API
+    (pregel/src/main/java/org/neo4j/gds/beta/pregel/PregelComputation.java).
+    Instances must be small and picklable (they ship to tasks).
+    """
+
+    reducer: str = "sum"  # "sum" | "min" | "vote"
+    weighted: bool = False
+
+    def init_state(self, block: dict) -> dict:
+        raise NotImplementedError
+
+    def message_values(self, state: dict, block: dict):
+        """Return (per-local-node value array, active bool mask)."""
+        raise NotImplementedError
+
+    def apply_messages(self, state: dict, acc, received, block: dict) -> dict:
+        """Mutate state with reduced messages; return per-partition stats."""
+        raise NotImplementedError
+
+    def is_converged(self, stats: dict) -> bool:
+        raise NotImplementedError
+
+
+# ---------------------------------------------------------------------------
+# remote kernels
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _init_state(comp: PregelComputation, block: dict) -> dict:
+    return comp.init_state(block)
+
+
+def _scatter_reduced(comp, block, state, num_parts):
+    vals, active = comp.message_values(state, block)
+    deg = block["degrees"]
+    perm, run_starts = block["perm"], block["run_starts"]
+    uniq_dst, part_slices = block["uniq_dst"], block["part_slices"]
+    n_msgs = int(deg[active].sum()) if active is not None else int(deg.sum())
+    if len(uniq_dst) == 0 or n_msgs == 0:
+        return [None] * num_parts + [0]
+    if comp.reducer == "sum":
+        identity = 0.0
+        send = np.where(active, vals, identity).astype(np.float64)
+        edge_vals = np.repeat(send, deg)[perm]
+        if comp.weighted:
+            edge_vals = edge_vals * block["weights"][perm]
+        reduced = np.add.reduceat(edge_vals, run_starts)
+    elif comp.reducer == "min":
+        identity = np.iinfo(np.int64).max
+        send = np.where(active, vals, identity).astype(np.int64)
+        edge_vals = np.repeat(send, deg)[perm]
+        reduced = np.minimum.reduceat(edge_vals, run_starts)
+    else:  # pragma: no cover
+        raise ValueError(comp.reducer)
+    out = []
+    for q in range(num_parts):
+        s, e = part_slices[q], part_slices[q + 1]
+        if s == e:
+            out.append(None)
+        else:
+            out.append((uniq_dst[s:e], reduced[s:e]))
+    out.append(n_msgs)
+    return out
+
+
+def _scatter_vote(comp, block, state, num_parts, bounds):
+    labels, active = comp.message_values(state, block)
+    deg = block["degrees"]
+    perm = block["perm"]
+    n_msgs = int(deg[active].sum())
+    if n_msgs == 0 or len(block["indices"]) == 0:
+        return [None] * num_parts + [0]
+    edge_labels = np.repeat(labels.astype(np.int64), deg)[perm]
+    sorted_dst = block["indices"][perm]
+    if comp.weighted and len(block["weights"]):
+        edge_w = block["weights"][perm]
+    else:
+        edge_w = np.ones(len(edge_labels), dtype=np.float64)
+    # pre-combine per (dst, label): stable sort by label within the
+    # already-destination-sorted layout
+    order = np.lexsort((edge_labels, sorted_dst))
+    d, l, w = sorted_dst[order], edge_labels[order], edge_w[order]
+    new_run = np.empty(len(d), dtype=bool)
+    new_run[0] = True
+    np.logical_or(d[1:] != d[:-1], l[1:] != l[:-1], out=new_run[1:])
+    starts = np.flatnonzero(new_run)
+    d_u, l_u = d[starts], l[starts]
+    w_u = np.add.reduceat(w, starts)
+    slices = np.searchsorted(d_u, bounds)
+    out = []
+    for q in range(num_parts):
+        s, e = slices[q], slices[q + 1]
+        out.append((d_u[s:e], l_u[s:e], w_u[s:e]) if s != e else None)
+    out.append(n_msgs)
+    return out
+
+
+@ray.remote
+def _scatter(comp, block, state, num_parts, bounds):
+    if comp.reducer == "vote":
+        return _scatter_vote(comp, block, state, num_parts, bounds)
+    return _scatter_reduced(comp, block, state, num_parts)
+
+
+@ray.remote
+def _apply(comp, block, state, *inbox):
+    """Combine partition-addressed messages (fixed order) and apply."""
+    start, end = block["start"], block["end"]
+    n_local = end - start
+    state = {k: v.copy() for k, v in state.items()}
+    if comp.reducer == "sum":
+        acc = np.zeros(n_local, dtype=np.float64)
+        received = np.zeros(n_local, dtype=bool)
+        for msg in inbox:  # fixed partition order => deterministic float sums
+            if msg is None:
+                continue
+            dst, vals = msg
+            idx = dst - start
+            acc[idx] += vals
+            received[idx] = True
+    elif comp.reducer == "min":
+        acc = np.full(n_local, np.iinfo(np.int64).max, dtype=np.int64)
+        received = np.zeros(n_local, dtype=bool)
+        for msg in inbox:
+            if msg is None:
+                continue
+            dst, vals = msg
+            idx = dst - start
+            np.minimum.at(acc, idx, vals)
+            received[idx] |= vals != np.iinfo(np.int64).max
+    else:  # vote: tally argmax(max weight, min label) per destination
+        ds, ls, ws = [], [], []
+        for msg in inbox:
+            if msg is None:
+                continue
+            d, l, w = msg
+            ds.append(d)
+            ls.append(l)
+            ws.append(w)
+        if ds:
+            d = np.concatenate(ds)
+            l = np.concatenate(ls)
+            w = np.concatenate(ws)
+            order = np.lexsort((l, d))  # deterministic merge order
+            d, l, w = d[order], l[order], w[order]
+            new_run = np.empty(len(d), dtype=bool)
+            new_run[0] = True
+            np.logical_or(d[1:] != d[:-1], l[1:] != l[:-1], out=new_run[1:])
+            starts = np.flatnonzero(new_run)
+            d_u, l_u = d[starts], l[starts]
+            w_u = np.add.reduceat(w, starts)
+            # winner per dst: max weight, ties -> min label. Sort by
+            # (dst, -w, label) and take first row of each dst run.
+            order2 = np.lexsort((l_u, -w_u, d_u))
+            d2, l2 = d_u[order2], l_u[order2]
+            first = np.empty(len(d2), dtype=bool)
+            if len(d2):
+                first[0] = True
+                first[1:] = d2[1:] != d2[:-1]
+            acc = np.full(n_local, -1, dtype=np.int64)
+            received = np.zeros(n_local, dtype=bool)
+            acc[d2[first] - start] = l2[first]
+            received[d2[first] - start] = True
+        else:
+            acc = np.full(n_local, -1, dtype=np.int64)
+            received = np.zeros(n_local, dtype=bool)
+    stats = comp.apply_messages(state, acc, received, block)
+    return state, stats
+
+
+@ray.remote
+def _save_state(state: dict, path: str, partition: int, iteration: int) -> dict:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **state)
+    os.replace(tmp, path)
+    h = hashlib.blake2b(digest_size=16)
+    for k in sorted(state):
+        h.update(k.encode())
+        h.update(np.ascontiguousarray(state[k]).tobytes())
+    rows = len(next(iter(state.values()))) if state else 0
+    return {"iteration": iteration, "partition": partition, "rows": rows, "digest": h.hexdigest()}
+
+
+@ray.remote
+def _load_state(path: str) -> dict:
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+
+def _agg_stats(per_part: list[dict]) -> dict:
+    agg: dict = {}
+    for s in per_part:
+        for k, v in s.items():
+            if k.startswith("max_"):
+                agg[k] = max(agg.get(k, 0.0), v)
+            else:
+                agg[k] = agg.get(k, 0) + v
+    return agg
+
+
+class Pregel:
+    """BSP driver over a ``GraphStore``'s partitioned CSR blocks."""
+
+    def __init__(self, graph, computation: PregelComputation, checkpoint_dir: str | None = None,
+                 checkpoint_interval: int = 1):
+        self.graph = graph
+        self.comp = computation
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_interval = checkpoint_interval
+        self.history: list[dict] = []
+
+    # checkpoint layout: {dir}/iter-{k}/part-{p}.npz + manifest-iter-{k}.json
+    def _ckpt_path(self, it: int, p: int) -> str:
+        return os.path.join(self.checkpoint_dir, f"iter-{it}", f"part-{p}.npz")
+
+    def _latest_complete_iteration(self) -> int | None:
+        if not self.checkpoint_dir or not os.path.isdir(self.checkpoint_dir):
+            return None
+        its = []
+        for f in os.listdir(self.checkpoint_dir):
+            if f.startswith("manifest-iter-") and f.endswith(".json"):
+                its.append(int(f[len("manifest-iter-") : -len(".json")]))
+        return max(its) if its else None
+
+    def _checkpoint(self, it: int, state_refs: list, stats: dict) -> None:
+        lineage = ray.get(
+            [
+                _save_state.remote(state_refs[p], self._ckpt_path(it, p), p, it)
+                for p in range(len(state_refs))
+            ]
+        )
+        atomic_write_json(
+            os.path.join(self.checkpoint_dir, f"manifest-iter-{it}.json"),
+            {"iteration": it, "stats": stats, "partitions": lineage},
+        )
+        with open(os.path.join(self.checkpoint_dir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps({"iteration": it, **{k: (float(v) if isinstance(v, np.floating) else v) for k, v in stats.items()}}) + "\n")
+
+    def run(self, max_iterations: int = 20, resume: bool = True) -> list:
+        """Run supersteps; return final per-partition state refs.
+
+        Superstep 0 initializes state (and, like the reference's initial
+        superstep, its messages are produced by the first scatter).
+        ``max_iterations`` bounds the TOTAL superstep count including
+        superstep 0 (reference Pregel.java:178-216 loop semantics).
+        """
+        blocks = self.graph.block_refs()
+        P = len(blocks)
+        bounds_ref = ray.put(self.graph.boundaries)
+        comp_ref = ray.put(self.comp)
+
+        start_iter = 0
+        state_refs = None
+        if resume and self.checkpoint_dir:
+            latest = self._latest_complete_iteration()
+            if latest is not None:
+                m = read_json(os.path.join(self.checkpoint_dir, f"manifest-iter-{latest}.json"))
+                if self.comp.is_converged(m["stats"]) or latest + 1 >= max_iterations:
+                    self.history.append(m["stats"])
+                    return [_load_state.remote(self._ckpt_path(latest, p)) for p in range(P)]
+                state_refs = [_load_state.remote(self._ckpt_path(latest, p)) for p in range(P)]
+                start_iter = latest + 1
+
+        if state_refs is None:
+            state_refs = [_init_state.remote(comp_ref, blocks[p]) for p in range(P)]
+            start_iter = 1
+            if self.checkpoint_dir:
+                self._checkpoint(0, state_refs, {"init": 1, "changed": 1})
+
+        for it in range(start_iter, max_iterations):
+            t0 = time.perf_counter()
+            scatter_out = [
+                _scatter.options(num_returns=P + 1).remote(
+                    comp_ref, blocks[p], state_refs[p], P, bounds_ref
+                )
+                for p in range(P)
+            ]
+            new_refs, stat_refs = [], []
+            for q in range(P):
+                inbox = [scatter_out[p][q] for p in range(P)]
+                out = _apply.options(num_returns=2).remote(
+                    comp_ref, blocks[q], state_refs[q], *inbox
+                )
+                new_refs.append(out[0])
+                stat_refs.append(out[1])
+            msgs = sum(ray.get([scatter_out[p][P] for p in range(P)]))
+            stats = _agg_stats(ray.get(stat_refs))
+            stats["messages"] = int(msgs)
+            stats["seconds"] = time.perf_counter() - t0
+            stats["iteration"] = it
+            state_refs = new_refs
+            self.history.append(stats)
+            if self.checkpoint_dir and (
+                it % self.checkpoint_interval == 0 or self.comp.is_converged(stats)
+            ):
+                self._checkpoint(it, state_refs, stats)
+            if self.comp.is_converged(stats):
+                break
+        return state_refs
+
+    def gather(self, state_refs: list, key: str) -> np.ndarray:
+        """Dense node-indexed array of one state slot across partitions."""
+        states = ray.get(state_refs)
+        out = None
+        for p, s in enumerate(states):
+            arr = s[key]
+            if out is None:
+                out = np.zeros(self.graph.node_count, dtype=arr.dtype)
+            out[self.graph.boundaries[p] : self.graph.boundaries[p + 1]] = arr
+        return out
