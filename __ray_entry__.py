@@ -1,44 +1,545 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``queries()`` exposes the engine's operators over the driver testdata;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for each (same column
+names, same rounding, same tie-breaks). The graph queries run the full
+pipeline: events → transcript view → actor-interaction edge table →
+dense ids → partitioned CSR → algorithm; the oracles re-derive the same
+graph in SQL (window + join + recursive CTEs).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+# --------------------------------------------------------------------------
+# shared graph-pipeline bundle per sf_dir (queries are called one by one)
+# --------------------------------------------------------------------------
+
+_BUNDLES: dict[str, dict] = {}
+
+# iteration synchronization with the SQL oracles:
+_PR_ITERS = 20  # Jacobi message rounds (engine max_iterations = _PR_ITERS + 1)
+_LP_ROUNDS = 10
+
+
+def _strip(keys) -> np.ndarray:
+    """'role:123' actor keys -> '123' (the events adapter uses role keys)."""
+    return np.array([k.split(":", 1)[1] for k in keys], dtype=object)
+
+
+def _bundle(sf_dir: str) -> dict:
+    if sf_dir in _BUNDLES:
+        return _BUNDLES[sf_dir]
+    import graph_data_science_ray as gdsr
+
+    ts = gdsr.events_as_transcripts(sf_dir)
+    turns = gdsr.derive_turns(ts).materialize()
+    edges = gdsr.derive_edges(turns, num_partitions=8)
+    idmap = gdsr.IdMap.from_turns(turns)
+    enc = gdsr.encode_edges(edges, idmap).materialize()
+    sym = gdsr.symmetrize(enc, num_partitions=8).materialize()
+    root = tempfile.mkdtemp(prefix="gdsr-entry-", dir="/tmp")
+    gd = gdsr.GraphStore.project(
+        enc, os.path.join(root, "gd"), idmap=idmap, num_partitions=8, directed=True
+    )
+    gu = gdsr.GraphStore.project(
+        sym, os.path.join(root, "gu"), idmap=idmap, num_partitions=8, directed=False
+    )
+    b = {"idmap": idmap, "enc": enc, "sym": sym, "gd": gd, "gu": gu}
+    _BUNDLES[sf_dir] = b
+    return b
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+# --------------------------------------------------------------------------
+# graph queries
+# --------------------------------------------------------------------------
+
+
+def _q_edges(sf_dir: str) -> pd.DataFrame:
+    b = _bundle(sf_dir)
+    df = b["enc"].to_pandas()
+    keys = b["idmap"].keys
+    return pd.DataFrame(
+        {
+            "src": _strip(keys[df["src"].to_numpy()]),
+            "dst": _strip(keys[df["dst"].to_numpy()]),
+            "weight": df["weight"].astype(np.float64),
+        }
+    )
+
+
+def _q_degree(sf_dir: str) -> pd.DataFrame:
+    import graph_data_science_ray as gdsr
+
+    b = _bundle(sf_dir)
+    deg = gdsr.degree_centrality(b["enc"], idmap=b["idmap"], weighted=True)
+    return pd.DataFrame(
+        {"node": _strip(deg["node"]), "wdeg": deg["degree"].astype(np.float64)}
+    )
+
+
+def _q_pagerank(sf_dir: str) -> pd.DataFrame:
+    import graph_data_science_ray as gdsr
+
+    b = _bundle(sf_dir)
+    res = gdsr.pagerank(
+        b["gd"], damping=0.85, tolerance=0.0, max_iterations=_PR_ITERS + 1, weighted=True
+    )
+    return pd.DataFrame(
+        {"node": _strip(res["node"]), "score": np.round(res["score"].to_numpy(), 6)}
+    )
+
+
+def _q_wcc(sf_dir: str) -> pd.DataFrame:
+    import graph_data_science_ray as gdsr
+
+    b = _bundle(sf_dir)
+    res = gdsr.wcc(b["gu"])
+    return pd.DataFrame(
+        {"node": _strip(res["node"]), "component": _strip(res["component"])}
+    )
+
+
+def _q_labelprop(sf_dir: str) -> pd.DataFrame:
+    import graph_data_science_ray as gdsr
+
+    b = _bundle(sf_dir)
+    res = gdsr.label_propagation(b["gu"], max_iterations=_LP_ROUNDS + 1, weighted=True)
+    return pd.DataFrame({"node": _strip(res["node"]), "label": _strip(res["label"])})
+
+
+def _q_triangles(sf_dir: str) -> pd.DataFrame:
+    from graph_data_science_ray.functions.triangles import triangle_count
+
+    b = _bundle(sf_dir)
+    tri, _total = triangle_count(b["sym"], idmap=b["idmap"], num_partitions=8)
+    return pd.DataFrame(
+        {"node": _strip(tri["node"]), "triangles": tri["triangles"].astype(np.int64)}
+    )
+
+
+def _q_triangles_global(sf_dir: str) -> pd.DataFrame:
+    from graph_data_science_ray.functions.triangles import triangle_count
+
+    b = _bundle(sf_dir)
+    _tri, total = triangle_count(b["sym"], idmap=b["idmap"], num_partitions=8)
+    return pd.DataFrame({"triangles": np.array([total], dtype=np.int64)})
+
+
+def _q_lcc(sf_dir: str) -> pd.DataFrame:
+    """LCC in exact parts-per-million (integer arithmetic -> hash-stable)."""
+    import graph_data_science_ray as gdsr
+    from graph_data_science_ray.functions.triangles import triangle_count
+
+    b = _bundle(sf_dir)
+    n = len(b["idmap"])
+    tri, _ = triangle_count(b["sym"], idmap=None, node_count=n, num_partitions=8)
+    deg = gdsr.degree_centrality(b["sym"], node_count=n, weighted=False)
+    t = tri["triangles"].to_numpy(dtype=np.int64)
+    d = deg["degree"].to_numpy(dtype=np.int64)
+    denom = d * (d - 1)
+    ppm = np.where(denom > 0, (2_000_000 * t) // np.where(denom > 0, denom, 1), 0)
+    return pd.DataFrame({"node": _strip(b["idmap"].keys), "lcc_ppm": ppm.astype(np.int64)})
+
+
+# --------------------------------------------------------------------------
+# data-prep queries (documents / embeddings / events)
+# --------------------------------------------------------------------------
+
+
+def _q_dedup_exact(sf_dir: str) -> pd.DataFrame:
+    from graph_data_science_ray.stages.dedup import dedup_exact
+
+    out = dedup_exact(_docs(sf_dir)).to_pandas()
+    return pd.DataFrame({"doc_id": np.sort(out["doc_id"].to_numpy(dtype=np.int64))})
+
+
+def _q_fingerprint(sf_dir: str) -> pd.DataFrame:
+    from graph_data_science_ray.stages.text import fingerprint
+
+    out = fingerprint(_docs(sf_dir)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_token_count(sf_dir: str) -> pd.DataFrame:
+    from graph_data_science_ray.stages.text import token_count
+
+    return token_count(_docs(sf_dir)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_quality(sf_dir: str) -> pd.DataFrame:
+    from graph_data_science_ray.stages.text import quality_stats
+
+    out = quality_stats(_docs(sf_dir)).to_pandas().sort_values("doc_id")
+    # integer columns only: exact value-hash equality with the SQL oracle
+    return out[["doc_id", "n_words", "n_alpha", "n_chars"]].reset_index(drop=True)
+
+
+def _q_lang_id(sf_dir: str) -> pd.DataFrame:
+    from graph_data_science_ray.stages.text import lang_id
+
+    return lang_id(_docs(sf_dir)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
+    from graph_data_science_ray.stages.dedup import dedup_minhash_lsh
+
+    out = dedup_minhash_lsh(_docs(sf_dir), threshold=0.5).to_pandas()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _q_simhash(sf_dir: str) -> pd.DataFrame:
+    from graph_data_science_ray.stages.dedup import simhash
+
+    return simhash(_docs(sf_dir)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_knn(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.similarity import knn_brute_force
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    res = knn_brute_force(emb, query_ids=np.arange(10), k=5)
+    # ids + rank only: the sim value is float and hash-fragile across engines
+    res = res[["query_id", "neighbor_id", "rank"]].copy()
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _q_embedding_near_dup(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.similarity import embedding_near_dup
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = embedding_near_dup(emb, threshold=0.35, id_limit=300)
+    out = out[["doc_a", "doc_b"]].astype(np.int64)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _q_scale_minmax(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.scale import scale_column
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "event_type", "value"]
+    )
+    out = scale_column(ev, "value", scaler="minmax", group_col="event_type").to_pandas()
+    return (
+        out[["event_id", "scaled"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+def _q_sessionize(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.sessions import sessionize
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    out = sessionize(ev, gap_seconds=1800.0).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _q_window_hourly(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.sessions import tumbling_window
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"])
+    out = tumbling_window(ev, window_seconds=3600).to_pandas()
+    out["value_sum"] = np.round(out["value_sum"].to_numpy(dtype=np.float64), 6)
+    return out.sort_values("window_start").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# contract functions
+# --------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: events → edge table → weighted
+    PageRank; returns (node, score) rows."""
+    return _q_pagerank("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "edges": _q_edges,
+        "degree": _q_degree,
+        "pagerank": _q_pagerank,
+        "wcc": _q_wcc,
+        "label_propagation": _q_labelprop,
+        "triangles": _q_triangles,
+        "triangles_global": _q_triangles_global,
+        "lcc": _q_lcc,
+        "dedup_exact": _q_dedup_exact,
+        "fingerprint": _q_fingerprint,
+        "token_count": _q_token_count,
+        "quality_stats": _q_quality,
+        "lang_id": _q_lang_id,
+        "minhash_near_dup": _q_minhash_pairs,
+        "simhash": _q_simhash,
+        "knn_cosine_topk": _q_knn,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "scale_minmax": _q_scale_minmax,
+        "sessionize": _q_sessionize,
+        "window_hourly": _q_window_hourly,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle SQL
+# --------------------------------------------------------------------------
+
+# shared derivation prelude: events -> turn table -> weighted edge table
+_GRAPH_CTE = """
+turns AS (
+    SELECT event_type AS conv,
+           row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS idx,
+           CAST(user_id AS VARCHAR) AS actor
+    FROM events
+),
+nodes AS (SELECT DISTINCT actor AS node FROM turns),
+pairs AS (
+    SELECT a.actor AS src, b.actor AS dst
+    FROM turns a JOIN turns b ON a.conv = b.conv AND b.idx = a.idx + 1
+    WHERE a.actor <> b.actor
+),
+edges AS (
+    SELECT src, dst, CAST(count(*) AS DOUBLE) AS weight FROM pairs GROUP BY src, dst
+)
+"""
+
+_UND_CTE = """
+undw AS (
+    SELECT src, dst, sum(weight) AS w FROM (
+        SELECT src, dst, weight FROM edges
+        UNION ALL
+        SELECT dst AS src, src AS dst, weight FROM edges
+    ) GROUP BY src, dst
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sqls: dict[str, str] = {}
+
+    sqls["edges"] = f"WITH {_GRAPH_CTE} SELECT src, dst, weight FROM edges"
+
+    sqls["degree"] = (
+        f"WITH {_GRAPH_CTE} "
+        "SELECT n.node AS node, CAST(coalesce(o.wdeg, 0) AS DOUBLE) AS wdeg "
+        "FROM nodes n LEFT JOIN (SELECT src AS node, sum(weight) AS wdeg "
+        "FROM edges GROUP BY src) o USING(node)"
+    )
+
+    sqls["pagerank"] = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+outdeg AS (SELECT src AS node, sum(weight) AS wdeg FROM edges GROUP BY src),
+fan AS (
+    SELECT e.src AS src, e.dst AS dst, e.weight / o.wdeg AS frac, FALSE AS is_self
+    FROM edges e JOIN outdeg o ON o.node = e.src
+    UNION ALL
+    SELECT node, node, 0.0, TRUE FROM nodes
+),
+pr AS (
+    SELECT 0 AS it, node, CAST(0.15 AS DOUBLE) AS rank FROM nodes
+    UNION ALL
+    SELECT p.it + 1 AS it, f.dst AS node,
+           0.15 + 0.85 * sum(CASE WHEN f.is_self THEN 0.0 ELSE p.rank * f.frac END) AS rank
+    FROM pr p JOIN fan f ON f.src = p.node
+    WHERE p.it < {_PR_ITERS}
+    GROUP BY p.it, f.dst
+)
+SELECT node, round(rank, 6) AS score FROM pr WHERE it = {_PR_ITERS}
+"""
+
+    sqls["wcc"] = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach AS (
+    SELECT node, node AS lab FROM nodes
+    UNION
+    SELECT u.dst AS node, r.lab FROM reach r JOIN und u ON u.src = r.node
+)
+SELECT node, min(lab) AS component FROM reach GROUP BY node
+"""
+
+    sqls["label_propagation"] = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+{_UND_CTE},
+fanlp AS (
+    SELECT src, dst, w FROM undw
+    UNION ALL
+    SELECT node AS src, node AS dst, 0.0 AS w FROM nodes
+),
+lp AS (
+    SELECT 0 AS it, node, node AS label FROM nodes
+    UNION ALL
+    SELECT it, dst AS node, label FROM (
+        SELECT p.it + 1 AS it, f.dst AS dst, p.label AS label, sum(f.w) AS wsum,
+               row_number() OVER (
+                   PARTITION BY p.it, f.dst
+                   ORDER BY sum(f.w) DESC, p.label ASC
+               ) AS rn
+        FROM lp p JOIN fanlp f ON f.src = p.node
+        WHERE p.it < {_LP_ROUNDS}
+        GROUP BY p.it, f.dst, p.label
+    ) WHERE rn = 1
+)
+SELECT node, label FROM lp WHERE it = {_LP_ROUNDS}
+"""
+
+    tri_cte = f"""
+WITH {_GRAPH_CTE},
+fwd AS (
+    SELECT DISTINCT
+        CASE WHEN src < dst THEN src ELSE dst END AS a,
+        CASE WHEN src < dst THEN dst ELSE src END AS b
+    FROM edges
+),
+tri AS (
+    SELECT e1.a AS x, e1.b AS y, e3.b AS z
+    FROM fwd e1
+    JOIN fwd e2 ON e2.a = e1.b
+    JOIN fwd e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+),
+cnt AS (SELECT node, count(*) AS c FROM corners GROUP BY node)
+"""
+    sqls["triangles"] = (
+        tri_cte
+        + "SELECT n.node AS node, CAST(coalesce(c.c, 0) AS BIGINT) AS triangles "
+        "FROM nodes n LEFT JOIN cnt c USING(node)"
+    )
+    sqls["triangles_global"] = tri_cte + "SELECT CAST(count(*) AS BIGINT) AS triangles FROM tri"
+
+    sqls["lcc"] = f"""
+WITH {_GRAPH_CTE},
+{_UND_CTE},
+fwd AS (
+    SELECT DISTINCT
+        CASE WHEN src < dst THEN src ELSE dst END AS a,
+        CASE WHEN src < dst THEN dst ELSE src END AS b
+    FROM edges
+),
+tri AS (
+    SELECT e1.a AS x, e1.b AS y, e3.b AS z
+    FROM fwd e1
+    JOIN fwd e2 ON e2.a = e1.b
+    JOIN fwd e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+),
+cnt AS (SELECT node, count(*) AS c FROM corners GROUP BY node),
+udeg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM undw GROUP BY src)
+SELECT n.node AS node,
+       CAST(CASE WHEN coalesce(u.d, 0) >= 2
+            THEN (2000000 * coalesce(c.c, 0)) // (u.d * (u.d - 1)) ELSE 0 END AS BIGINT) AS lcc_ppm
+FROM nodes n LEFT JOIN cnt c USING(node) LEFT JOIN udeg u USING(node)
+"""
+
+    sqls["dedup_exact"] = (
+        "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id"
+    )
+
+    sqls["fingerprint"] = "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"
+
+    sqls["token_count"] = (
+        "SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), "
+        "x -> x <> '')) AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id"
+    )
+
+    sqls["quality_stats"] = """
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+       CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents ORDER BY doc_id
+"""
+
+    sqls["scale_minmax"] = """
+SELECT event_id,
+       round(CASE WHEN mx <> mn THEN (value - mn) / (mx - mn) ELSE 0.0 END, 6) AS scaled
+FROM (
+    SELECT event_id, value,
+           min(value) OVER (PARTITION BY event_type) AS mn,
+           max(value) OVER (PARTITION BY event_type) AS mx
+    FROM events
+) ORDER BY event_id
+"""
+
+    sqls["sessionize"] = """
+SELECT user_id,
+       CAST(1 + sum(CASE WHEN gap > 1800.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM (
+    SELECT user_id,
+           epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+    FROM events
+) GROUP BY user_id ORDER BY user_id
+"""
+
+    sqls["window_hourly"] = """
+SELECT CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) * 3600000000 AS window_start,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS value_sum
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+    sqls["knn_cosine_topk"] = """
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.e, c.e), 6) AS sim
+    FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+    sqls["embedding_near_dup"] = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 300)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.35
+ORDER BY doc_a, doc_b
+"""
+
+    # lang_id, minhash_near_dup, simhash: heuristic / sketch operators with
+    # no faithful SQL equivalent -> rows-only checks (intentional).
+    return sqls

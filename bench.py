@@ -1,0 +1,207 @@
+"""Benchmark harness — headline pipeline + per-operator timings.
+
+Headline: deterministic synthetic transcripts at a scale proportional to
+$GRAFT_SF_DIR → edge derivation → partitioned CSR projection → PageRank
+to convergence. The target metric (BASELINE.json) is
+**edges-scattered/sec** over the PageRank superstep phase.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N,
+   "edges_scattered_per_sec": ...}
+
+``python bench.py --scaling`` runs the same job in fresh processes at
+num_cpus=8 and num_cpus=32 (same input, same fixed partition count),
+reports both throughputs, the scaling efficiency (target >= 0.8), and
+verifies the two runs' PageRank outputs are byte-identical (the
+deterministic-reduction contract).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import subprocess
+import sys
+import time
+
+BENCH_DIR = "/tmp/gdsr-bench"
+NUM_PARTITIONS = 64  # fixed: independent of cluster size (determinism)
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _synth_path(num_convs: int, num_actors: int) -> str:
+    return os.path.join(BENCH_DIR, f"transcripts-c{num_convs}-a{num_actors}")
+
+
+def _ensure_transcripts(num_convs: int, num_actors: int) -> str:
+    """Materialize the deterministic synthetic transcript table once."""
+    import graph_data_science_ray as gdsr
+
+    path = _synth_path(num_convs, num_actors)
+    done = os.path.join(path, "_SUCCESS")
+    if os.path.exists(done):
+        return path
+    ds = gdsr.synthesize_transcripts(
+        num_convs, num_actors=num_actors, seed=42, skew=2.0
+    )
+    ds.write_parquet(path)
+    with open(done, "w") as f:
+        f.write("ok")
+    return path
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import numpy as np
+
+    import graph_data_science_ray as gdsr
+    from graph_data_science_ray.functions.pagerank import PageRankComputation
+    from graph_data_science_ray.state.pregel import Pregel
+
+    sf = _sf_from_dir(sf_dir)
+    num_convs = max(2000, int(3_000_000 * sf))
+    num_actors = max(500, int(500_000 * sf))
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    tpath = _ensure_transcripts(num_convs, num_actors)
+    timings["synthesize"] = time.perf_counter() - t0
+
+    # warm the page cache so both parallelism levels measure compute
+    with open(os.path.join(tpath, sorted(os.listdir(tpath))[0]), "rb") as f:
+        f.read()
+
+    t0 = time.perf_counter()
+    ts = gdsr.read_transcripts(tpath, columns=["conv_id", "turn_idx", "role", "tool"])
+    turns = gdsr.derive_turns(ts)
+    idmap = gdsr.IdMap.from_turns(turns)
+    edges = gdsr.derive_edges(turns)
+    enc = gdsr.encode_edges(edges, idmap).materialize()
+    timings["derive_edges"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    gpath = os.path.join(BENCH_DIR, f"graph-c{num_convs}-cpu{num_cpus}")
+    import shutil
+
+    shutil.rmtree(gpath, ignore_errors=True)
+    graph = gdsr.GraphStore.project(
+        enc, gpath, idmap=idmap, num_partitions=NUM_PARTITIONS, directed=True
+    )
+    timings["project_csr"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    comp = PageRankComputation(damping=0.85, tolerance=1e-7)
+    engine = Pregel(graph, comp)
+    refs = engine.run(max_iterations=20)
+    ranks = engine.gather(refs, "rank")
+    timings["pagerank"] = time.perf_counter() - t0
+
+    superstep_sec = sum(h["seconds"] for h in engine.history)
+    edges_scattered = sum(h["messages"] for h in engine.history)
+    eps = edges_scattered / superstep_sec if superstep_sec > 0 else 0.0
+    rank_digest = hashlib.blake2b(ranks.tobytes(), digest_size=16).hexdigest()
+
+    # secondary per-operator timings over the driver testdata tables
+    queries: dict[str, float] = {}
+
+    def timed(name, fn):
+        t = time.perf_counter()
+        fn()
+        queries[name] = round(time.perf_counter() - t, 3)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import importlib
+
+    entry = importlib.import_module("__ray_entry__")
+    q = entry.queries()
+    for name in (
+        "pagerank", "wcc", "label_propagation", "triangles",
+        "dedup_exact", "token_count", "minhash_near_dup", "knn_cosine_topk",
+        "scale_minmax", "sessionize",
+    ):
+        timed(name, lambda n=name: q[n](sf_dir))
+
+    headline = timings["derive_edges"] + timings["project_csr"] + timings["pagerank"]
+    return {
+        "metric": "headline transcript->edges->CSR->PageRank wall sec "
+        "(edges-scattered/sec in edges_scattered_per_sec)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "timings": {k: round(v, 3) for k, v in timings.items()},
+        "graph": {"nodes": graph.node_count, "edges": graph.edge_count},
+        "pagerank_iterations": len(engine.history),
+        "edges_scattered": int(edges_scattered),
+        "superstep_sec": round(superstep_sec, 3),
+        "edges_scattered_per_sec": round(eps, 1),
+        "rank_digest": rank_digest,
+    }
+
+
+def _run_subprocess(ncpu: int, sf_dir: str) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        r_lo = _run_subprocess(lo, sf_dir)
+        r_hi = _run_subprocess(hi, sf_dir)
+        eff = (r_hi["edges_scattered_per_sec"] / r_lo["edges_scattered_per_sec"]) / (hi / lo)
+        print(
+            json.dumps(
+                {
+                    "eps_8": r_lo["edges_scattered_per_sec"],
+                    "eps_32": r_hi["edges_scattered_per_sec"],
+                    "sec_8": r_lo["value"],
+                    "sec_32": r_hi["value"],
+                    "scaling_efficiency": round(eff, 3),
+                    "outputs_identical": r_lo["rank_digest"] == r_hi["rank_digest"],
+                }
+            )
+        )
+        return
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    import warnings
+
+    warnings.filterwarnings("ignore")
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    try:
+        result = run_bench(sf_dir, num_cpus)
+    finally:
+        ray.shutdown()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

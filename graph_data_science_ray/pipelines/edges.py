@@ -40,8 +40,10 @@ _SLIM_COLS = ["conv_id", "turn_idx", "role", "tool"]
 
 
 def _actor_key(batch: pa.Table) -> pa.Array:
-    tool = batch["tool"]
-    has_tool = pc.and_(tool.combine_chunks().is_valid(), pc.not_equal(pc.coalesce(tool, ""), ""))
+    tool = batch["tool"].combine_chunks()
+    if pa.types.is_null(tool.type):
+        tool = tool.cast(pa.string())
+    has_tool = pc.and_(tool.is_valid(), pc.not_equal(pc.coalesce(tool, ""), ""))
     tool_key = pc.binary_join_element_wise("tool:", pc.coalesce(tool, ""), "")
     role_key = pc.binary_join_element_wise("role:", batch["role"], "")
     return pc.if_else(has_tool, tool_key, role_key)
@@ -71,12 +73,32 @@ def _partial_count(batch: pa.Table) -> pa.Table:
     return g.rename_columns(["src", "dst", "partial"])
 
 
-def derive_edges(turns: rd.Dataset, num_partitions: int = 32) -> rd.Dataset:
+def _auto_join_partitions() -> int:
+    """Join shuffle parallelism sized to the cluster.
+
+    The hash-shuffle join spins up one aggregator per partition; asking
+    for many more partitions than CPUs deadlocks the pool on a small
+    cluster. Join partitioning does NOT affect results (the determinism
+    contract lives in the fixed CSR partition count), so size it to the
+    cluster.
+    """
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, min(cpus, 64))
+
+
+def derive_edges(turns: rd.Dataset, num_partitions: int | None = None) -> rd.Dataset:
     """Weighted directed edge table ``(src, dst, weight)`` over actor keys.
 
     Consecutive-turn pairing via self hash-join; ``weight`` is the number
     of consecutive-turn interactions (parallel-edge aggregation = COUNT).
     """
+    if num_partitions is None:
+        num_partitions = _auto_join_partitions()
     left = turns.map_batches(
         lambda t: pa.table(
             {"conv_id": t["conv_id"], "turn_idx": t["turn_idx"], "src": t["actor"]}

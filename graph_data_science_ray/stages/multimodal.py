@@ -1,0 +1,80 @@
+"""Multimodal (image/audio/video) column plumbing — decode stubs.
+
+Treats media as opaque ``binary`` columns with typed metadata. The Ray
+side — schema, actor-pool stage shape, small batch sizes for wide binary
+rows, output layout — is real and tested; the actual codec work is
+stubbed (no image/audio libraries in this environment): ``decode_fn``
+defaults to a deterministic fake that derives a fixed-size feature vector
+from the bytes, and passing ``strict=True`` raises ``NotImplementedError``
+where a real decoder would run.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),  # "image" | "audio" | "video"
+        ("payload", pa.binary()),
+        ("mime", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+
+def fake_feature_extract(payload: bytes, dim: int = 16) -> np.ndarray:
+    """Deterministic stand-in for a real decoder+encoder: blake2b-seeded
+    pseudo-features. STUB — replace with PIL/torchvision/ffmpeg stages."""
+    h = hashlib.blake2b(payload, digest_size=8).digest()
+    rng = np.random.default_rng(int.from_bytes(h, "little"))
+    return rng.standard_normal(dim).astype(np.float32)
+
+
+class MediaFeatureExtractor:
+    """Actor-pool stage: model/codec init once per actor, per-batch decode.
+
+    Batch sizes must stay small for wide binary rows (a batch ×
+    concurrency must fit worker heap — see DataContext.target_max_block_size).
+    """
+
+    def __init__(self, dim: int = 16, strict: bool = False):
+        self.dim = dim
+        self.strict = strict
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if self.strict:
+            raise NotImplementedError(
+                "real media decoding requires image/audio libraries not present "
+                "in this environment; wire a decoder into MediaFeatureExtractor"
+            )
+        feats = [fake_feature_extract(p or b"", self.dim) for p in batch["payload"]]
+        return pd.DataFrame(
+            {
+                "media_id": batch["media_id"].astype(np.int64),
+                "kind": batch["kind"],
+                "feature": [f.tolist() for f in feats],
+            }
+        )
+
+
+def extract_media_features(
+    media: rd.Dataset, dim: int = 16, concurrency: int = 2, batch_size: int = 64
+) -> rd.Dataset:
+    """Decode/feature-extract media rows with an actor pool (small batches)."""
+    return media.map_batches(
+        MediaFeatureExtractor,
+        fn_constructor_kwargs={"dim": dim},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -1,0 +1,82 @@
+"""Property scaling — the reference's scale-properties operator family.
+
+Reference: scaleproperties/ScaleProperties.java:52 with scaler
+implementations under algo-common/src/main/java/org/neo4j/gds/scaling/
+(MinMax, Mean, Max, Log, Center, L1Norm, L2Norm, StdScore). Two-pass
+shape: a (grouped) statistics aggregate, then a vectorized map_batches
+applying the scaler with the broadcast stats.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+
+
+_SCALERS = ("minmax", "mean", "max", "log", "center", "stdscore")
+
+
+def scale_column(
+    ds: rd.Dataset,
+    value_col: str,
+    scaler: str = "minmax",
+    group_col: str | None = None,
+    out_col: str = "scaled",
+    round_to: int | None = 6,
+) -> rd.Dataset:
+    """Scale ``value_col``, optionally per ``group_col`` partition.
+
+    minmax: (x-min)/(max-min); mean: (x-mean)/(max-min); max: x/|max|;
+    log: ln(x); center: x-mean; stdscore: (x-mean)/std (population std).
+    Degenerate denominators (max==min, std==0) map to 0 — matching the
+    reference scalers' zero-fallback behavior.
+    """
+    if scaler not in _SCALERS:
+        raise ValueError(f"unknown scaler {scaler!r}; one of {_SCALERS}")
+    aggs = [
+        Min(value_col, alias_name="_min"),
+        Max(value_col, alias_name="_max"),
+        Mean(value_col, alias_name="_mean"),
+        Std(value_col, alias_name="_std", ddof=0),
+    ]
+    if group_col is not None:
+        stats = ds.groupby(group_col).aggregate(*aggs).to_pandas().set_index(group_col)
+    else:
+        row = ds.aggregate(*aggs)
+        stats = pd.DataFrame([row])
+    stats_ref = ray.put(stats)
+
+    def apply(batch: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(stats_ref)
+        x = batch[value_col].to_numpy(dtype=np.float64)
+        if group_col is not None:
+            sub = st.reindex(batch[group_col])
+            mn = sub["_min"].to_numpy()
+            mx = sub["_max"].to_numpy()
+            mean = sub["_mean"].to_numpy()
+            std = sub["_std"].to_numpy()
+        else:
+            mn, mx = st["_min"].iloc[0], st["_max"].iloc[0]
+            mean, std = st["_mean"].iloc[0], st["_std"].iloc[0]
+        rng = mx - mn
+        if scaler == "minmax":
+            y = np.where(rng != 0, (x - mn) / np.where(rng != 0, rng, 1), 0.0)
+        elif scaler == "mean":
+            y = np.where(rng != 0, (x - mean) / np.where(rng != 0, rng, 1), 0.0)
+        elif scaler == "max":
+            amax = np.abs(mx)
+            y = np.where(amax != 0, x / np.where(amax != 0, amax, 1), 0.0)
+        elif scaler == "log":
+            y = np.log(np.maximum(x, 1e-300))
+        elif scaler == "center":
+            y = x - mean
+        else:  # stdscore
+            y = np.where(std != 0, (x - mean) / np.where(std != 0, std, 1), 0.0)
+        out = batch.copy()
+        out[out_col] = np.round(y, round_to) if round_to is not None else y
+        return out
+
+    return ds.map_batches(apply, batch_format="pandas", batch_size=16384)

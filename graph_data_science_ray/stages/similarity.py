@@ -1,0 +1,192 @@
+"""Similarity search over embedding columns (``list<float>``).
+
+- ``knn_brute_force``: exact cosine top-k of every row against a broadcast
+  query matrix — one numpy matmul per batch (the baseline; scales linearly
+  in corpus size, constant in query count).
+- ``knn_lsh``: random-hyperplane LSH bucketing as the scale path — same
+  contract, approximate recall, shuffle is a groupby on bucket keys.
+- ``embedding_near_dup``: cosine >= threshold near-duplicate pairs.
+
+Mirrors the reference's similarity surface (NodeSimilarity / KNN,
+similarity/src/main/java/org/neo4j/gds/similarity/knn/Knn.java:37) in the
+embedding-column setting a training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(n > 0, n, 1.0)
+
+
+def _stack(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+class _BruteForceScorer:
+    """Actor-pool stage: query matrix fetched and normalized once per actor."""
+
+    def __init__(self, queries_ref, k: int, exclude_self: bool):
+        q = ray.get(queries_ref)
+        self.q_ids = q["ids"]
+        self.q_mat = _normalize(q["mat"])
+        self.k = k
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["vec_id"].to_numpy(dtype=np.int64)
+        mat = _normalize(_stack(batch["embedding"]))
+        sims = self.q_mat @ mat.T  # (Q, B)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(self.q_ids):
+            s = np.round(sims[qi], 6)
+            if self.exclude_self:
+                s = np.where(ids == qid, -np.inf, s)
+            # per-batch partial top-k (final top-k reduced later)
+            k = min(self.k, len(ids))
+            idx = np.argsort(np.lexsort((ids, -s)))  # stable (-sim, id) order
+            order = np.lexsort((ids, -s))[:k]
+            out_q.extend([qid] * len(order))
+            out_n.extend(ids[order])
+            out_s.extend(s[order])
+        return pd.DataFrame(
+            {
+                "query_id": np.asarray(out_q, dtype=np.int64),
+                "neighbor_id": np.asarray(out_n, dtype=np.int64),
+                "sim": np.asarray(out_s, dtype=np.float64),
+            }
+        )
+
+
+def knn_brute_force(
+    embeddings: rd.Dataset,
+    query_ids: np.ndarray,
+    k: int = 5,
+    exclude_self: bool = True,
+    concurrency: int = 4,
+) -> pd.DataFrame:
+    """Exact cosine top-k for the given query vec_ids.
+
+    Returns (query_id, neighbor_id, rank, sim): rank 1..k ordered by
+    (round(sim, 6) desc, neighbor_id asc) — a total, reproducible order.
+    Per-batch partial top-k rows are reduced on the driver (Q*k*blocks
+    rows — tiny).
+    """
+    query_ids = np.asarray(query_ids, dtype=np.int64)
+    qdf = (
+        embeddings.filter(expr=f"vec_id in {query_ids.tolist()}")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    queries_ref = ray.put(
+        {"ids": qdf["vec_id"].to_numpy(dtype=np.int64), "mat": _stack(qdf["embedding"])}
+    )
+    import functools
+
+    partials = embeddings.map_batches(
+        functools.partial(_score_batch, queries_ref=queries_ref, k=k, exclude_self=exclude_self),
+        batch_format="pandas",
+        batch_size=4096,
+    ).to_pandas()
+    out = []
+    for qid, g in partials.groupby("query_id"):
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="mergesort")
+        top = g.head(k).reset_index(drop=True)
+        top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+        out.append(top)
+    res = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+        columns=["query_id", "neighbor_id", "sim", "rank"]
+    )
+    return res[["query_id", "neighbor_id", "rank", "sim"]]
+
+
+def _score_batch(batch: pd.DataFrame, *, queries_ref, k: int, exclude_self: bool):
+    return _BruteForceScorer(queries_ref, k, exclude_self)(batch)
+
+
+class _HyperplaneBucketer:
+    """LSH bucket keys from seeded random hyperplanes (built once/actor)."""
+
+    def __init__(self, dim: int, num_planes: int = 12, seed: int = 5):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((num_planes, dim))
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        mat = _normalize(_stack(batch["embedding"]))
+        bits = (mat @ self.planes.T) > 0
+        keys = (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].astype(np.int64),
+                "bucket": keys,
+                "embedding": batch["embedding"],
+            }
+        )
+
+
+def knn_lsh(
+    embeddings: rd.Dataset,
+    k: int = 5,
+    num_planes: int = 10,
+    seed: int = 5,
+) -> rd.Dataset:
+    """Approximate all-pairs top-k inside LSH buckets (the scale path).
+
+    Returns (query_id, neighbor_id, rank, sim) per bucket — recall depends
+    on num_planes; candidates never cross buckets so the shuffle is one
+    groupby on uniformly distributed keys.
+    """
+    first = embeddings.take(1)[0]
+    dim = len(first["embedding"])
+    import functools
+
+    bucketed = embeddings.map_batches(
+        _HyperplaneBucketer(dim, num_planes, seed), batch_format="pandas", batch_size=4096
+    )
+
+    def topk_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        mat = _normalize(_stack(g["embedding"]))
+        sims = np.round(mat @ mat.T, 6)
+        np.fill_diagonal(sims, -np.inf)
+        rows = []
+        for i, qid in enumerate(ids):
+            order = np.lexsort((ids, -sims[i]))[: min(k, len(ids) - 1)]
+            for r, j in enumerate(order, 1):
+                rows.append((qid, ids[j], r, sims[i, j]))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank", "sim"])
+
+    return bucketed.groupby("bucket").map_groups(topk_in_bucket, batch_format="pandas")
+
+
+def embedding_near_dup(
+    embeddings: rd.Dataset,
+    threshold: float = 0.95,
+    id_limit: int | None = None,
+) -> pd.DataFrame:
+    """Cosine >= threshold pairs (doc_a < doc_b) — embedding near-dedup.
+
+    Brute-force within an id_limit prefix (oracle-checkable); the scale
+    path composes ``knn_lsh`` buckets with the same pair predicate.
+    """
+    ds = embeddings
+    if id_limit is not None:
+        ds = ds.filter(expr=f"vec_id < {id_limit}")
+    df = ds.to_pandas().sort_values("vec_id")
+    ids = df["vec_id"].to_numpy(dtype=np.int64)
+    mat = _normalize(_stack(df["embedding"]))
+    sims = np.round(mat @ mat.T, 6)
+    a, b = np.where(np.triu(sims >= threshold, k=1))
+    return pd.DataFrame(
+        {
+            "doc_a": ids[a],
+            "doc_b": ids[b],
+            "sim": sims[a, b],
+        }
+    )

@@ -1,0 +1,144 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+Vectorized ``map_batches`` stages over a document table
+``(doc_id:int64, text:string, ...)``: token counting, quality statistics,
+document fingerprinting, language identification. Regexes and models are
+compiled once per actor (callable classes → actor pools), work happens
+per batch in pandas/pyarrow kernels.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+def _stage(docs: rd.Dataset, cls, concurrency: int | None, batch_size: int = 8192) -> rd.Dataset:
+    """Run a stage as stateless tasks by default; as an actor pool only when
+    an explicit ``concurrency`` is given. An actor pool sized at the full
+    CPU count starves the other operators in the same pipeline (see
+    ray_guide "Stateful stages") — these stages hold no heavy state, so a
+    per-task instance (setup cost: one regex compile) is the right default.
+    """
+    if concurrency:
+        return docs.map_batches(
+            cls, batch_format="pandas", batch_size=batch_size,
+            concurrency=concurrency, num_cpus=1,
+        )
+    return docs.map_batches(cls(), batch_format="pandas", batch_size=batch_size)
+
+
+class TokenCount:
+    """tokens = maximal runs of non-whitespace (``\\S+``) — the exact
+    definition the SQL oracle mirrors with regexp_split + filter."""
+
+    def __init__(self):
+        self.pat = re.compile(r"\S+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "n_tokens": batch["text"].str.findall(self.pat).str.len().astype(np.int64),
+            }
+        )
+
+
+def token_count(docs: rd.Dataset, concurrency: int | None = None) -> rd.Dataset:
+    return _stage(docs, TokenCount, concurrency)
+
+
+class QualityStats:
+    """Deterministic quality columns: word count, alphabetic-character
+    ratio, mean word length — the length/punctuation-ratio style scoring
+    used for pretraining-data filtering (defined so the SQL oracle can
+    reproduce them exactly)."""
+
+    def __init__(self):
+        self.word = re.compile(r"\S+")
+        self.alpha = re.compile(r"[^a-zA-Z]")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        n_chars = text.str.len().astype(np.int64)
+        words = text.str.findall(self.word)
+        n_words = words.str.len().astype(np.int64)
+        n_alpha = text.str.replace(self.alpha, "", regex=True).str.len().astype(np.int64)
+        alpha_ratio = np.where(n_chars > 0, n_alpha / n_chars, 0.0)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "n_words": n_words,
+                "n_alpha": n_alpha,
+                "n_chars": n_chars,
+                "alpha_ratio": alpha_ratio,
+            }
+        )
+
+
+def quality_stats(docs: rd.Dataset, concurrency: int | None = None) -> rd.Dataset:
+    return _stage(docs, QualityStats, concurrency)
+
+
+class Fingerprint:
+    """Content fingerprint = md5(text) hex — exact-dedup key, replicable
+    by DuckDB's ``md5()``."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "fp": [
+                    hashlib.md5(t.encode("utf-8")).hexdigest()
+                    for t in batch["text"].fillna("")
+                ],
+            }
+        )
+
+
+def fingerprint(docs: rd.Dataset, concurrency: int | None = None) -> rd.Dataset:
+    return _stage(docs, Fingerprint, concurrency)
+
+
+_STOPWORDS = {
+    "en": {"the", "a", "of", "to", "and", "in", "is", "it", "that", "for"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "una", "es", "los"},
+    "de": {"der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist"},
+    "fr": {"le", "la", "de", "et", "les", "des", "un", "une", "est", "que"},
+}
+
+
+class LangId:
+    """Stopword-overlap language-ID heuristic (n-gram-free, deterministic).
+
+    Scores each language by stopword hit ratio; falls back to "unk" when
+    nothing matches. A heuristic stage, not a model — exercised as a
+    rows-only query (no SQL oracle)."""
+
+    def __init__(self):
+        self.word = re.compile(r"[a-zA-Zàâçéèêëîïôûùüáíóúñäöüß]+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        preds = []
+        for t in batch["text"].fillna(""):
+            toks = [w.lower() for w in self.word.findall(t)]
+            if not toks:
+                preds.append("unk")
+                continue
+            best, best_score = "unk", 0.0
+            for lang, sw in _STOPWORDS.items():
+                score = sum(1 for w in toks if w in sw) / len(toks)
+                if score > best_score:
+                    best, best_score = lang, score
+            preds.append(best if best_score > 0.02 else "unk")
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].astype(np.int64), "lang_pred": preds}
+        )
+
+
+def lang_id(docs: rd.Dataset, concurrency: int | None = None) -> rd.Dataset:
+    return _stage(docs, LangId, concurrency)

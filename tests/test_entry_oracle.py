@@ -1,0 +1,94 @@
+"""Driver-contract parity: queries() vs oracle_sql() through DuckDB.
+
+Runs the same comparison the driver performs (row count, column names,
+order-insensitive values) at sf0.001 for speed; the driver repeats it at
+sf0.01.
+"""
+
+import importlib
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+entry = importlib.import_module("__ray_entry__")
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = pd.DataFrame(df)
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+_ORACLE_CHECKED = [
+    "edges",
+    "degree",
+    "pagerank",
+    "wcc",
+    "label_propagation",
+    "triangles",
+    "triangles_global",
+    "lcc",
+    "dedup_exact",
+    "fingerprint",
+    "token_count",
+    "quality_stats",
+    "knn_cosine_topk",
+    "embedding_near_dup",
+    "scale_minmax",
+    "sessionize",
+    "window_hourly",
+]
+
+
+@pytest.mark.parametrize("name", _ORACLE_CHECKED)
+def test_query_matches_oracle(con, name):
+    mine = entry.queries()[name](SF_DIR)
+    if hasattr(mine, "to_pandas"):
+        mine = mine.to_pandas()
+    mine = _norm(mine)
+    orc = _norm(con.sql(entry.oracle_sql()[name]).df())
+    assert list(mine.columns) == list(orc.columns)
+    assert len(mine) == len(orc)
+    for c in mine.columns:
+        a, b = mine[c].to_numpy(), orc[c].to_numpy()
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            assert (a.astype(float) == b.astype(float)).all(), f"col {c}"
+        else:
+            assert (a.astype(str) == b.astype(str)).all(), f"col {c}"
+
+
+def test_rows_only_queries_produce_rows():
+    for name in ("lang_id", "simhash"):
+        out = entry.queries()[name](SF_DIR)
+        assert len(out) > 0
+
+
+def test_every_oracle_key_has_a_query():
+    qs, sqls = entry.queries(), entry.oracle_sql()
+    assert set(sqls) <= set(qs)
+
+
+def test_entry_smoke():
+    out = entry.entry()
+    assert len(out) > 0
+    assert set(out.columns) == {"node", "score"}
