@@ -27,7 +27,7 @@ import sys
 import time
 
 BENCH_DIR = "/tmp/gdsr-bench"
-NUM_PARTITIONS = 64  # fixed: independent of cluster size (determinism)
+NUM_PARTITIONS = 32  # fixed: independent of cluster size (determinism)
 
 
 def _sf_from_dir(sf_dir: str) -> float:

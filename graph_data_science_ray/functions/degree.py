@@ -36,10 +36,14 @@ def degree_centrality(
         g = t.group_by([key]).aggregate([(key, "count")])
         return g.rename_columns(["node", "partial"])
 
-    agg = (
-        encoded_edges.map_batches(partial, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Sum("partial", alias_name="degree"))
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+
+    agg = hash_aggregate(
+        encoded_edges.map_batches(partial, batch_format="pyarrow"),
+        ["node"],
+        "partial",
+        op="sum",
+        out_col="degree",
     )
     df = agg.to_pandas()
     n = node_count if node_count is not None else (len(idmap) if idmap is not None else None)

@@ -91,11 +91,115 @@ def _auto_join_partitions() -> int:
     return max(2, min(cpus, 64))
 
 
+@ray.remote(num_cpus=0)
+class _BoundaryCollector:
+    """Side-channel for block-boundary turns during sort-based pairing.
+
+    Each pairing task registers its batch's first and last rows; after the
+    pass, the driver sorts the collected rows by (conv_id, turn_idx) — a
+    total order, since that pair is a primary key — and emits the pairs
+    that span batch boundaries (a batch's last row immediately followed by
+    the next batch's first row of the same conversation). 2 rows per
+    batch: negligible at any scale.
+    """
+
+    def __init__(self):
+        self.rows: list[tuple] = []
+
+    def add(self, recs: list[tuple]) -> None:
+        self.rows.extend(recs)
+
+    def get(self) -> list[tuple]:
+        return self.rows
+
+
+def _pair_batch(t: pa.Table, *, collector) -> pa.Table:
+    if len(t) == 0:
+        return pa.table(
+            {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string()),
+             "partial": pa.array([], pa.int64())}
+        )
+    conv = t["conv_id"].to_numpy(zero_copy_only=False)
+    actor = t["actor"].to_numpy(zero_copy_only=False)
+    idx = t["turn_idx"].to_numpy(zero_copy_only=False)
+    n = len(conv)
+    recs = [(str(conv[0]), int(idx[0]), str(actor[0]), True, n == 1)]
+    if n > 1:
+        recs.append((str(conv[-1]), int(idx[-1]), str(actor[-1]), False, True))
+    collector.add.remote(recs)
+    same = conv[1:] == conv[:-1]
+    src = actor[:-1][same]
+    dst = actor[1:][same]
+    keep = src != dst
+    pairs = pa.table(
+        {"src": pa.array(src[keep], pa.string()), "dst": pa.array(dst[keep], pa.string())}
+    )
+    return _partial_count(pairs)
+
+
 def derive_edges(turns: rd.Dataset, num_partitions: int | None = None) -> rd.Dataset:
     """Weighted directed edge table ``(src, dst, weight)`` over actor keys.
 
-    Consecutive-turn pairing via self hash-join; ``weight`` is the number
-    of consecutive-turn interactions (parallel-edge aggregation = COUNT).
+    Consecutive-turn pairing via a range-partitioned sort on
+    ``(conv_id, turn_idx)`` + vectorized within-batch adjacency, with a
+    boundary side-channel for pairs that span blocks (exact). ~10x faster
+    than the self hash-join variant (kept as ``derive_edges_join``).
+    ``weight`` = number of consecutive-turn interactions (parallel-edge
+    aggregation = COUNT, reference Aggregation semantics).
+    """
+    import functools
+
+    collector = _BoundaryCollector.remote()
+    partials = turns.sort(["conv_id", "turn_idx"]).map_batches(
+        functools.partial(_pair_batch, collector=collector),
+        batch_format="pyarrow",
+        batch_size=256 * 1024,
+    )
+    # execute the pass (fills the collector); partials are pre-aggregated
+    # per batch, so this materializes at most ~edge-cardinality rows.
+    partials = partials.materialize()
+
+    rows = sorted(ray.get(collector.get.remote()))
+    ray.kill(collector)
+    b_src, b_dst = [], []
+    for a, b in zip(rows, rows[1:]):
+        # a = (conv, idx, actor, is_first, is_last)
+        if a[0] == b[0] and a[4] and b[3] and a[2] != b[2]:
+            b_src.append(a[2])
+            b_dst.append(b[2])
+    if b_src:
+        boundary = rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(b_src, pa.string()),
+                    "dst": pa.array(b_dst, pa.string()),
+                    "partial": pa.array(np.ones(len(b_src), dtype=np.int64)),
+                }
+            )
+        )
+        partials = partials.union(boundary)
+
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+
+    agg = hash_aggregate(partials, ["src", "dst"], "partial", op="sum", out_col="weight")
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "weight": pc.cast(t["weight"], pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def derive_edges_join(turns: rd.Dataset, num_partitions: int | None = None) -> rd.Dataset:
+    """Join-based variant of ``derive_edges`` (reference implementation).
+
+    Pairs turn i with i+1 via a self hash-join on (conv_id, turn_idx) —
+    simple and shuffle-native, but the hash join moves every row twice;
+    the sort-based default is ~10x faster at bench scale.
     """
     if num_partitions is None:
         num_partitions = _auto_join_partitions()
@@ -264,6 +368,8 @@ def symmetrize(edges: rd.Dataset, num_partitions: int = 32) -> rd.Dataset:
         lambda t: pa.table({"src": t["dst"], "dst": t["src"], "weight": t["weight"]}),
         batch_format="pyarrow",
     )
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+
     both = fwd.union(rev)
     pre = both.map_batches(
         lambda t: t.group_by(["src", "dst"]).aggregate([("weight", "sum")]).rename_columns(
@@ -271,7 +377,7 @@ def symmetrize(edges: rd.Dataset, num_partitions: int = 32) -> rd.Dataset:
         ),
         batch_format="pyarrow",
     )
-    agg = pre.groupby(["src", "dst"]).aggregate(Sum("partial", alias_name="weight"))
+    agg = hash_aggregate(pre, ["src", "dst"], "partial", op="sum", out_col="weight")
     return agg.map_batches(
         lambda t: pa.table(
             {"src": t["src"], "dst": t["dst"], "weight": pc.cast(t["weight"], pa.float64())}

@@ -46,11 +46,12 @@ def _token_hashes(text: str) -> np.ndarray:
 
 
 def dedup_exact(docs: rd.Dataset) -> rd.Dataset:
-    """Keep the smallest doc_id per identical text. Returns (doc_id, fp)."""
+    """Keep the smallest doc_id per identical text. Returns (fp, doc_id)."""
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
     from graph_data_science_ray.stages.text import Fingerprint
 
     fps = docs.map_batches(Fingerprint(), batch_format="pandas", batch_size=8192)
-    return fps.groupby("fp").aggregate(Min("doc_id", alias_name="doc_id"))
+    return hash_aggregate(fps, ["fp"], "doc_id", op="min")
 
 
 # ---------------------------------------------------------------------------
@@ -131,18 +132,35 @@ def dedup_minhash_lsh(
         batch_format="pandas",
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy(dtype=np.int64))
-        if len(ids) < 2 or len(ids) > 1000:  # skip degenerate mega-buckets
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+    from graph_data_science_ray.pipelines.agg import _stable_row_hash, hash_distinct
 
-    pairs = (
-        bands.groupby(["band", "key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    def tag_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__part"] = (_stable_row_hash(df, ["band", "key"]) % 64).astype(np.int64)
+        return df
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in g.groupby(["band", "key"], sort=False):
+            ids = np.sort(grp["doc_id"].to_numpy(dtype=np.int64))
+            if len(ids) < 2 or len(ids) > 1000:  # skip degenerate mega-buckets
+                continue
+            a, b = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[a])
+            out_b.append(ids[b])
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        )
+
+    pairs = hash_distinct(
+        bands.map_batches(tag_bucket, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(bucket_pairs, batch_format="pandas"),
+        ["doc_a", "doc_b"],
     )
     # verify candidates with exact shingle Jaccard. The doc texts are
     # broadcast once via ray.put (candidate verification is a small-side
