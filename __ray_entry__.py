@@ -160,6 +160,58 @@ def _q_lcc(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"node": _strip(b["idmap"].keys), "lcc_ppm": ppm.astype(np.int64)})
 
 
+_SSSP_ROUNDS = 30
+_KCORE_K = 10
+_KCORE_ROUNDS = 20
+
+
+def _q_sssp(sf_dir: str) -> pd.DataFrame:
+    from graph_data_science_ray.functions.sssp import shortest_paths
+
+    b = _bundle(sf_dir)
+    res = shortest_paths(b["gd"], source_id=0, weighted=True)
+    return pd.DataFrame(
+        {"node": _strip(res["node"]), "distance": res["distance"].astype(np.float64)}
+    )
+
+
+def _q_bfs(sf_dir: str) -> pd.DataFrame:
+    from graph_data_science_ray.functions.sssp import bfs_depths
+
+    b = _bundle(sf_dir)
+    res = bfs_depths(b["gd"], source_id=0)
+    return pd.DataFrame(
+        {"node": _strip(res["node"]), "depth": res["depth"].astype(np.float64)}
+    )
+
+
+def _q_kcore(sf_dir: str) -> pd.DataFrame:
+    from graph_data_science_ray.functions.kcore import k_core
+
+    b = _bundle(sf_dir)
+    res = k_core(
+        b["sym"], k=_KCORE_K, node_count=len(b["idmap"]), idmap=b["idmap"],
+        rounds=_KCORE_ROUNDS,
+    )
+    return pd.DataFrame(
+        {"node": _strip(res["node"]), "in_core": res["in_core"].astype(np.int64)}
+    )
+
+
+def _q_node_similarity(sf_dir: str) -> pd.DataFrame:
+    from graph_data_science_ray.functions.nodesim import node_similarity
+
+    b = _bundle(sf_dir)
+    res = node_similarity(b["sym"], node_count=len(b["idmap"]), idmap=b["idmap"])
+    return pd.DataFrame(
+        {
+            "node_a": _strip(res["node_a"]),
+            "node_b": _strip(res["node_b"]),
+            "sim_ppm": res["sim_ppm"].astype(np.int64),
+        }
+    )
+
+
 # --------------------------------------------------------------------------
 # data-prep queries (documents / embeddings / events)
 # --------------------------------------------------------------------------
@@ -293,6 +345,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles": _q_triangles,
         "triangles_global": _q_triangles_global,
         "lcc": _q_lcc,
+        "sssp": _q_sssp,
+        "bfs": _q_bfs,
+        "k_core": _q_kcore,
+        "node_similarity": _q_node_similarity,
         "dedup_exact": _q_dedup_exact,
         "fingerprint": _q_fingerprint,
         "token_count": _q_token_count,
@@ -465,6 +521,84 @@ SELECT n.node AS node,
        CAST(CASE WHEN coalesce(u.d, 0) >= 2
             THEN (2000000 * coalesce(c.c, 0)) // (u.d * (u.d - 1)) ELSE 0 END AS BIGINT) AS lcc_ppm
 FROM nodes n LEFT JOIN cnt c USING(node) LEFT JOIN udeg u USING(node)
+"""
+
+    sqls["sssp"] = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+fan AS (
+    SELECT src, dst, weight AS w FROM edges
+    UNION ALL
+    SELECT node, node, 0.0 FROM nodes
+),
+dist AS (
+    SELECT 0 AS it, (SELECT min(node) FROM nodes) AS node, CAST(0 AS DOUBLE) AS d
+    UNION ALL
+    SELECT p.it + 1 AS it, f.dst AS node, min(p.d + f.w) AS d
+    FROM dist p JOIN fan f ON f.src = p.node
+    WHERE p.it < {_SSSP_ROUNDS}
+    GROUP BY p.it, f.dst
+)
+SELECT node, d AS distance FROM dist WHERE it = {_SSSP_ROUNDS}
+"""
+
+    sqls["bfs"] = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+fan AS (
+    SELECT src, dst, 1.0 AS w FROM edges
+    UNION ALL
+    SELECT node, node, 0.0 FROM nodes
+),
+dist AS (
+    SELECT 0 AS it, (SELECT min(node) FROM nodes) AS node, CAST(0 AS DOUBLE) AS d
+    UNION ALL
+    SELECT p.it + 1 AS it, f.dst AS node, min(p.d + f.w) AS d
+    FROM dist p JOIN fan f ON f.src = p.node
+    WHERE p.it < {_SSSP_ROUNDS}
+    GROUP BY p.it, f.dst
+)
+SELECT node, d AS depth FROM dist WHERE it = {_SSSP_ROUNDS}
+"""
+
+    sqls["k_core"] = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+{_UND_CTE},
+fank AS (
+    SELECT src, dst, FALSE AS is_self FROM undw
+    UNION ALL
+    SELECT node, node, TRUE FROM nodes
+),
+alive AS (
+    SELECT 0 AS it, node FROM nodes
+    UNION ALL
+    SELECT it, node FROM (
+        SELECT p.it + 1 AS it, f.dst AS node,
+               sum(CASE WHEN f.is_self THEN 0 ELSE 1 END) AS d,
+               max(CASE WHEN f.is_self THEN 1 ELSE 0 END) AS was_alive
+        FROM alive p JOIN fank f ON f.src = p.node
+        WHERE p.it < {_KCORE_ROUNDS}
+        GROUP BY p.it, f.dst
+    ) WHERE was_alive = 1 AND d >= {_KCORE_K}
+)
+SELECT n.node AS node,
+       CAST(CASE WHEN a.node IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_core
+FROM nodes n LEFT JOIN (SELECT node FROM alive WHERE it = {_KCORE_ROUNDS}) a USING(node)
+"""
+
+    sqls["node_similarity"] = f"""
+WITH {_GRAPH_CTE},
+{_UND_CTE},
+deg AS (SELECT src AS node, count(*) AS d FROM undw GROUP BY src),
+common AS (
+    SELECT a.src AS node_a, b.src AS node_b, count(*) AS c
+    FROM undw a JOIN undw b ON a.dst = b.dst AND a.src < b.src
+    GROUP BY a.src, b.src
+)
+SELECT node_a, node_b,
+       CAST((1000000 * c) // (da.d + db.d - c) AS BIGINT) AS sim_ppm
+FROM common
+JOIN deg da ON da.node = node_a
+JOIN deg db ON db.node = node_b
+ORDER BY node_a, node_b
 """
 
     sqls["dedup_exact"] = (

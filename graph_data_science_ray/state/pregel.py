@@ -57,6 +57,14 @@ class PregelComputation:
 
     reducer: str = "sum"  # "sum" | "min" | "vote"
     weighted: bool = False
+    # how an edge transforms the message value in flight:
+    #   "none" (value as-is), "multiply" (value * weight  — e.g. weighted
+    #   PageRank), "add" (value + weight — shortest paths), "add_one"
+    #   (value + 1 — hop counts). ``weighted=True`` is shorthand kept for
+    #   multiply-style computations.
+    edge_combine: str = "none"
+    # message identity / dtype for the min reducer
+    message_dtype: str = "int64"
 
     def init_state(self, block: dict) -> dict:
         raise NotImplementedError
@@ -78,6 +86,10 @@ class PregelComputation:
 # ---------------------------------------------------------------------------
 
 
+def _min_identity(comp):
+    return np.inf if comp.message_dtype == "float64" else np.iinfo(np.int64).max
+
+
 @ray.remote
 def _init_state(comp: PregelComputation, block: dict) -> dict:
     return comp.init_state(block)
@@ -95,13 +107,21 @@ def _scatter_reduced(comp, block, state, num_parts, bounds):
         identity = 0.0
         send = np.where(active, vals, identity).astype(np.float64)
         edge_vals = np.repeat(send, deg)[perm]
-        if comp.weighted:
+        if comp.weighted or comp.edge_combine == "multiply":
             edge_vals = edge_vals * block["weights"][perm]
         reduced = np.add.reduceat(edge_vals, run_starts)
     elif comp.reducer == "min":
-        identity = np.iinfo(np.int64).max
-        send = np.where(active, vals, identity).astype(np.int64)
+        identity = _min_identity(comp)
+        if comp.message_dtype == "float64":
+            send = np.where(active, vals, identity).astype(np.float64)
+        else:
+            send = np.where(active, vals, identity).astype(np.int64)
         edge_vals = np.repeat(send, deg)[perm]
+        if comp.edge_combine == "add":
+            w = block["weights"][perm]
+            edge_vals = np.where(edge_vals == identity, identity, edge_vals + w)
+        elif comp.edge_combine == "add_one":
+            edge_vals = np.where(edge_vals == identity, identity, edge_vals + 1)
         reduced = np.minimum.reduceat(edge_vals, run_starts)
     else:  # pragma: no cover
         raise ValueError(comp.reducer)
@@ -228,7 +248,9 @@ def _apply(comp, block, state, q, *inbox):
             acc[idx] += msg["val"][s:e]
             received[idx] = True
     elif comp.reducer == "min":
-        acc = np.full(n_local, np.iinfo(np.int64).max, dtype=np.int64)
+        identity = _min_identity(comp)
+        dtype = np.float64 if comp.message_dtype == "float64" else np.int64
+        acc = np.full(n_local, identity, dtype=dtype)
         received = np.zeros(n_local, dtype=bool)
         for msg in inbox:
             if msg is None:
@@ -239,7 +261,7 @@ def _apply(comp, block, state, q, *inbox):
             idx = msg["dst"][s:e] - start
             vals = msg["val"][s:e]
             np.minimum.at(acc, idx, vals)
-            received[idx] |= vals != np.iinfo(np.int64).max
+            received[idx] |= vals != identity
     else:  # vote: tally argmax(max weight, min label) per destination
         ds, ls, ws = [], [], []
         for msg in inbox:
@@ -323,7 +345,7 @@ class Pregel:
 
     def __init__(self, graph, computation: PregelComputation, checkpoint_dir: str | None = None,
                  checkpoint_interval: int = 1, lookahead: int = 4,
-                 reduce_fanin: int | None = 8):
+                 reduce_fanin: int | None = None):
         self.graph = graph
         self.comp = computation
         self.checkpoint_dir = checkpoint_dir

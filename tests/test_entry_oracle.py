@@ -48,6 +48,10 @@ _ORACLE_CHECKED = [
     "triangles",
     "triangles_global",
     "lcc",
+    "sssp",
+    "bfs",
+    "k_core",
+    "node_similarity",
     "dedup_exact",
     "fingerprint",
     "token_count",

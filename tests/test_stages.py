@@ -1,0 +1,179 @@
+"""Data-prep stage semantics: dedup, similarity, text, multimodal, scaling."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from graph_data_science_ray.stages.dedup import (
+    SimHasher,
+    dedup_exact,
+    dedup_minhash_lsh,
+    jaccard,
+)
+from graph_data_science_ray.stages.multimodal import extract_media_features
+from graph_data_science_ray.stages.scale import scale_column
+from graph_data_science_ray.stages.sessions import sessionize, tumbling_window
+from graph_data_science_ray.stages.similarity import (
+    embedding_near_dup,
+    knn_brute_force,
+    knn_lsh,
+)
+from graph_data_science_ray.stages.text import lang_id, token_count
+
+
+def _docs(rows):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(rows)), pa.int64()),
+                "text": pa.array(rows, pa.string()),
+            }
+        )
+    )
+
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+
+
+def test_dedup_exact_keeps_min_doc_id():
+    ds = _docs([BASE, "other text entirely", BASE, BASE])
+    out = dedup_exact(ds).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 1]
+
+
+def test_minhash_lsh_finds_planted_near_dup():
+    near = BASE.replace("lazy", "sleepy")
+    far = "completely different words about spark shuffles and ray datasets here"
+    docs = [BASE, near, far] + [f"filler document number {i} with random words {i*7}" for i in range(20)]
+    ds = _docs(docs)
+    out = dedup_minhash_lsh(ds, threshold=0.3).to_pandas()
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 1) in pairs
+    assert all(2 not in p for p in pairs)
+    # reported jaccard equals the exact shingle jaccard
+    row = out[(out["doc_a"] == 0) & (out["doc_b"] == 1)].iloc[0]
+    assert row["jaccard"] == pytest.approx(jaccard(BASE, near), abs=1e-6)
+
+
+def test_simhash_similar_docs_have_close_fingerprints():
+    near = BASE.replace("lazy", "sleepy")
+    far = "completely different words about spark shuffles and ray datasets here"
+    df = SimHasher()(pd.DataFrame({"doc_id": [0, 1, 2], "text": [BASE, near, far]}))
+    f = df["simhash"].to_numpy(np.uint64)
+    ham = lambda a, b: bin(int(a) ^ int(b)).count("1")
+    assert ham(f[0], f[1]) < ham(f[0], f[2])
+
+
+def test_knn_brute_force_self_neighbors():
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((20, 8)).astype(np.float32)
+    vecs = np.concatenate([base, base + 1e-4])  # each i has near-twin i+20
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(40), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs]),
+            }
+        )
+    )
+    res = knn_brute_force(ds, query_ids=np.arange(5), k=1)
+    top = res[res["rank"] == 1].set_index("query_id")["neighbor_id"]
+    for q in range(5):
+        assert top[q] == q + 20
+
+
+def test_knn_lsh_buckets_return_rows():
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((100, 8))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(100), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs]),
+            }
+        )
+    )
+    out = knn_lsh(ds, k=3, num_planes=4).to_pandas()
+    assert len(out) > 0
+    assert set(out.columns) == {"query_id", "neighbor_id", "rank", "sim"}
+
+
+def test_embedding_near_dup_finds_twin():
+    rng = np.random.default_rng(2)
+    base = rng.standard_normal((10, 8))
+    vecs = np.concatenate([base, base[:1] + 1e-6])  # vec 10 duplicates vec 0
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(11), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs]),
+            }
+        )
+    )
+    out = embedding_near_dup(ds, threshold=0.999)
+    assert (0, 10) in set(zip(out["doc_a"], out["doc_b"]))
+
+
+def test_token_count_and_lang_id():
+    ds = _docs(["one two  three", "", "the of and to in a fox"])
+    tc = token_count(ds).to_pandas().sort_values("doc_id")
+    assert tc["n_tokens"].tolist() == [3, 0, 7]
+    li = lang_id(ds).to_pandas().sort_values("doc_id")
+    assert li["lang_pred"].tolist()[2] == "en"
+    assert li["lang_pred"].tolist()[1] == "unk"
+
+
+def test_scale_minmax_grouped():
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(["a", "a", "a", "b", "b"]),
+                "v": pa.array([0.0, 5.0, 10.0, 2.0, 2.0]),
+            }
+        )
+    )
+    out = scale_column(ds, "v", scaler="minmax", group_col="k").to_pandas()
+    a = out[out["k"] == "a"].sort_values("v")["scaled"].tolist()
+    assert a == [0.0, 0.5, 1.0]
+    b = out[out["k"] == "b"]["scaled"].tolist()
+    assert b == [0.0, 0.0]  # degenerate range -> 0
+
+
+def test_sessionize_and_window():
+    ts = np.array(
+        ["2024-01-01T00:00:00", "2024-01-01T00:10:00", "2024-01-01T02:00:00",
+         "2024-01-01T00:05:00"],
+        dtype="datetime64[us]",
+    )
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array(range(4), pa.int64()),
+                "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                "ts": pa.array(ts),
+                "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+            }
+        )
+    )
+    s = sessionize(ds, gap_seconds=1800).to_pandas().set_index("user_id")
+    assert s.loc[1, "n_sessions"] == 2 and s.loc[2, "n_sessions"] == 1
+    w = tumbling_window(ds, window_seconds=3600).to_pandas()
+    assert w["n"].sum() == 4 and len(w) == 2
+
+
+def test_multimodal_stub_deterministic():
+    media = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array(range(6), pa.int64()),
+                "kind": pa.array(["image"] * 6),
+                "payload": pa.array([bytes([i] * 50) for i in range(6)], pa.binary()),
+            }
+        )
+    )
+    a = extract_media_features(media, dim=4).to_pandas().sort_values("media_id")
+    b = extract_media_features(media, dim=4).to_pandas().sort_values("media_id")
+    for x, y in zip(a["feature"], b["feature"]):
+        assert np.allclose(x, y)
