@@ -55,7 +55,13 @@ def _bundle(sf_dir: str) -> dict:
     gu = gdsr.GraphStore.project(
         sym, os.path.join(root, "gu"), idmap=idmap, num_partitions=8, directed=False
     )
-    b = {"idmap": idmap, "enc": enc, "sym": sym, "gd": gd, "gu": gu}
+    from graph_data_science_ray.pipelines.transforms import reverse_edges
+
+    grev = gdsr.GraphStore.project(
+        reverse_edges(enc), os.path.join(root, "grev"), idmap=idmap,
+        directed=True, boundaries=gd.boundaries,
+    )
+    b = {"idmap": idmap, "enc": enc, "sym": sym, "gd": gd, "gu": gu, "grev": grev}
     _BUNDLES[sf_dir] = b
     return b
 
@@ -212,6 +218,48 @@ def _q_node_similarity(sf_dir: str) -> pd.DataFrame:
     )
 
 
+_HITS_ITERS = 3
+
+
+def _q_hits(sf_dir: str) -> pd.DataFrame:
+    from graph_data_science_ray.functions.hits import hits
+
+    b = _bundle(sf_dir)
+    res = hits(b["gd"], b["grev"], iterations=_HITS_ITERS, normalize=False)
+    return pd.DataFrame(
+        {
+            "node": _strip(res["node"]),
+            "hub": res["hub"].astype(np.float64),
+            "auth": res["auth"].astype(np.float64),
+        }
+    )
+
+
+def _q_collapse_path(sf_dir: str) -> pd.DataFrame:
+    """2-hop contraction of the interaction graph (collapsePath)."""
+    from graph_data_science_ray.pipelines.transforms import collapse_path
+
+    b = _bundle(sf_dir)
+    out = collapse_path(b["enc"], b["enc"], num_partitions=8).to_pandas()
+    keys = b["idmap"].keys
+    return pd.DataFrame(
+        {
+            "src": _strip(keys[out["src"].to_numpy(dtype=np.int64)]),
+            "dst": _strip(keys[out["dst"].to_numpy(dtype=np.int64)]),
+            "paths": out["weight"].astype(np.float64),
+        }
+    )
+
+
+def _q_random_walks(sf_dir: str) -> pd.DataFrame:
+    from graph_data_science_ray.functions.walks import random_walks
+
+    b = _bundle(sf_dir)
+    out = random_walks(b["gd"], walk_length=5, walks_per_node=1, seed=7)
+    out["node"] = _strip(out["node"])
+    return out
+
+
 # --------------------------------------------------------------------------
 # data-prep queries (documents / embeddings / events)
 # --------------------------------------------------------------------------
@@ -349,6 +397,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs": _q_bfs,
         "k_core": _q_kcore,
         "node_similarity": _q_node_similarity,
+        "hits": _q_hits,
+        "collapse_path": _q_collapse_path,
+        "random_walks": _q_random_walks,
         "dedup_exact": _q_dedup_exact,
         "fingerprint": _q_fingerprint,
         "token_count": _q_token_count,
@@ -599,6 +650,52 @@ FROM common
 JOIN deg da ON da.node = node_a
 JOIN deg db ON db.node = node_b
 ORDER BY node_a, node_b
+"""
+
+    sqls["hits"] = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+adj AS (SELECT DISTINCT src, dst FROM edges),
+fanf AS (
+    SELECT src, dst, FALSE AS is_self FROM adj
+    UNION ALL SELECT node, node, TRUE FROM nodes
+),
+fanr AS (
+    SELECT dst AS src, src AS dst, FALSE AS is_self FROM adj
+    UNION ALL SELECT node, node, TRUE FROM nodes
+),
+st AS (
+    SELECT 0 AS it, node, CAST(1 AS DOUBLE) AS hub FROM nodes
+    UNION ALL
+    SELECT it, node, hub FROM (
+        SELECT a.it AS it, fr.dst AS node,
+               sum(CASE WHEN fr.is_self THEN 0 ELSE a.auth END) AS hub
+        FROM (
+            SELECT p.it + 1 AS it, ff.dst AS node,
+                   sum(CASE WHEN ff.is_self THEN 0 ELSE p.hub END) AS auth
+            FROM st p JOIN fanf ff ON ff.src = p.node
+            WHERE p.it < {_HITS_ITERS}
+            GROUP BY p.it, ff.dst
+        ) a JOIN fanr fr ON fr.src = a.node
+        GROUP BY a.it, fr.dst
+    )
+),
+final_hub AS (SELECT node, hub FROM st WHERE it = {_HITS_ITERS}),
+prev_hub AS (SELECT node, hub FROM st WHERE it = {_HITS_ITERS} - 1),
+final_auth AS (
+    SELECT ff.dst AS node, sum(CASE WHEN ff.is_self THEN 0 ELSE p.hub END) AS auth
+    FROM prev_hub p JOIN fanf ff ON ff.src = p.node
+    GROUP BY ff.dst
+)
+SELECT h.node AS node, h.hub AS hub, a.auth AS auth
+FROM final_hub h JOIN final_auth a USING(node)
+"""
+
+    sqls["collapse_path"] = f"""
+WITH {_GRAPH_CTE}
+SELECT e1.src AS src, e2.dst AS dst, CAST(count(*) AS DOUBLE) AS paths
+FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+WHERE e1.src <> e2.dst
+GROUP BY e1.src, e2.dst
 """
 
     sqls["dedup_exact"] = (

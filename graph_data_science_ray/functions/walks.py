@@ -1,0 +1,96 @@
+"""Random walks over the partitioned CSR — the node2vec walk substrate.
+
+Reference: algo/src/main/java/org/neo4j/gds/traversal/RandomWalk.java:45
+(buffered per-thread walkers). Distributed shape: one task per partition
+walks all of its local nodes simultaneously (vectorized step loop);
+neighbor lookups cross partitions through the shared CSR block refs
+(zero-copy on a node; at cluster scale walkers cache remote blocks per
+node). Steps draw via splitmix64 of (seed, walk_id, step) — walks are a
+pure function of the seed, independent of parallelism.
+
+First-order (uniform) walks; the reference's 2nd-order p/q bias is a
+documented extension point (needs the previous step's neighbor set per
+walker).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+from graph_data_science_ray._util import mix2
+
+
+@ray.remote
+def _walk_partition(part: int, block_refs: list, walk_length: int,
+                    walks_per_node: int, seed: int) -> pd.DataFrame:
+    blocks = ray.get(list(block_refs))
+    me = blocks[part]
+    starts = np.repeat(
+        np.arange(me["start"], me["end"], dtype=np.int64), walks_per_node
+    )
+    n = len(starts)
+    if n == 0:
+        return pd.DataFrame({"walk_id": [], "step": [], "node": []})
+    walk_ids = me["start"] * walks_per_node + np.arange(n, dtype=np.int64)
+    part_starts = np.array([b["start"] for b in blocks], dtype=np.int64)
+    out = np.full((n, walk_length), -1, dtype=np.int64)
+    out[:, 0] = starts
+    cur = starts.copy()
+    alive = np.ones(n, dtype=bool)
+    for step in range(1, walk_length):
+        # degree + adjacency offset of each current node (cross-partition)
+        p_idx = np.searchsorted(part_starts, cur, side="right") - 1
+        deg = np.zeros(n, dtype=np.int64)
+        nxt = np.full(n, -1, dtype=np.int64)
+        draws = mix2(seed, walk_ids, step)
+        for p in np.unique(p_idx[alive]):
+            b = blocks[p]
+            sel = alive & (p_idx == p)
+            lo = cur[sel] - b["start"]
+            d = b["indptr"][lo + 1] - b["indptr"][lo]
+            has = d > 0
+            chosen = np.full(len(lo), -1, dtype=np.int64)
+            if len(b["indices"]):
+                offs = b["indptr"][lo] + (
+                    draws[sel] % np.maximum(d, 1).astype(np.uint64)
+                ).astype(np.int64)
+                idx = np.clip(offs, 0, len(b["indices"]) - 1)
+                chosen = np.where(has, b["indices"][idx], -1)
+            nxt[sel] = chosen
+            deg[sel] = d
+        alive = alive & (nxt >= 0)
+        cur = np.where(alive, nxt, cur)
+        out[alive, step] = nxt[alive]
+        if not alive.any():
+            break
+    rows = out.reshape(-1)
+    steps = np.tile(np.arange(walk_length, dtype=np.int64), n)
+    wids = np.repeat(walk_ids, walk_length)
+    m = rows >= 0
+    return pd.DataFrame({"walk_id": wids[m], "step": steps[m], "node": rows[m]})
+
+
+def random_walks(
+    graph,
+    walk_length: int = 10,
+    walks_per_node: int = 1,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Uniform random walks from every node; returns (walk_id, step, node).
+
+    Walks stop early at sink nodes (no out-edges). Deterministic for a
+    given seed at any parallelism.
+    """
+    blocks = graph.block_refs()
+    dfs = ray.get(
+        [
+            _walk_partition.remote(p, blocks, walk_length, walks_per_node, seed)
+            for p in range(graph.num_partitions)
+        ]
+    )
+    out = pd.concat(dfs, ignore_index=True)
+    if graph.idmap is not None:
+        out["node"] = graph.idmap.to_keys(out["node"].to_numpy(dtype=np.int64))
+    return out.sort_values(["walk_id", "step"]).reset_index(drop=True)

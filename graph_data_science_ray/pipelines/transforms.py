@@ -1,0 +1,112 @@
+"""Graph → graph transforms (the reference's graph-operation surface).
+
+- ``reverse_edges``      — the inverse relationship index
+  (algo/src/main/java/org/neo4j/gds/indexInverse/InverseRelationships.java:49);
+  ``symmetrize`` in pipelines.edges is ``toUndirected``
+  (algo/src/main/java/org/neo4j/gds/undirected/ToUndirected.java:48).
+- ``subgraph_filter``    — node/edge predicate filtering with id
+  re-densification (subgraph-filtering/src/main/java/org/neo4j/gds/beta/filter/GraphStoreFilter.java).
+- ``collapse_path``      — contract 2-hop paths into a new relationship
+  (algo/src/main/java/org/neo4j/gds/walking/CollapsePath.java:43).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from graph_data_science_ray.pipelines.agg import hash_aggregate
+from graph_data_science_ray.pipelines.edges import IdMap
+
+
+def reverse_edges(encoded_edges: rd.Dataset) -> rd.Dataset:
+    """Reverse orientation: (src, dst, w) -> (dst, src, w)."""
+    return encoded_edges.map_batches(
+        lambda t: pa.table({"src": t["dst"], "dst": t["src"], "weight": t["weight"]}),
+        batch_format="pyarrow",
+    )
+
+
+def subgraph_filter(
+    encoded_edges: rd.Dataset,
+    idmap: IdMap,
+    node_predicate=None,
+    min_weight: float | None = None,
+) -> tuple[rd.Dataset, IdMap]:
+    """Filter an encoded edge table; returns (re-densified edges, new IdMap).
+
+    ``node_predicate``: vectorized fn over a numpy array of actor keys →
+    bool keep-mask. Surviving nodes re-densify to a fresh ``[0, V')`` id
+    space (the reference rebuilds ids on filter,
+    subgraph-filtering/.../NodesFilter.java); the broadcast old→new map is
+    an int array lookup per batch.
+    """
+    ds = encoded_edges
+    if min_weight is not None:
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["weight"], min_weight)),
+            batch_format="pyarrow",
+        )
+    if node_predicate is None:
+        return ds, idmap
+    keep_mask = np.asarray(node_predicate(idmap.keys), dtype=bool)
+    keep_keys = idmap.keys[keep_mask]
+    old_to_new = np.full(len(idmap), -1, dtype=np.int64)
+    old_to_new[np.flatnonzero(keep_mask)] = np.arange(keep_mask.sum(), dtype=np.int64)
+    map_ref = ray.put(old_to_new)
+
+    def filt(t: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        src = m[t["src"].to_numpy(zero_copy_only=False)]
+        dst = m[t["dst"].to_numpy(zero_copy_only=False)]
+        ok = (src >= 0) & (dst >= 0)
+        return pa.table(
+            {
+                "src": src[ok],
+                "dst": dst[ok],
+                "weight": t["weight"].to_numpy(zero_copy_only=False)[ok],
+            }
+        )
+
+    return ds.map_batches(filt, batch_format="pyarrow"), IdMap(keep_keys)
+
+
+def collapse_path(
+    first_leg: rd.Dataset, second_leg: rd.Dataset, num_partitions: int | None = None
+) -> rd.Dataset:
+    """Contract A-[r1]->B-[r2]->C into A-[new]->C (2-hop template).
+
+    Weight of the collapsed edge = number of distinct 2-hop paths.
+    Self-paths (A == C) are dropped, mirroring the traversal semantics.
+    Implemented as a hash join on the mid node.
+    """
+    from graph_data_science_ray.pipelines.edges import _auto_join_partitions
+
+    if num_partitions is None:
+        num_partitions = _auto_join_partitions()
+    left = first_leg.map_batches(
+        lambda t: pa.table({"a": t["src"], "mid": t["dst"]}), batch_format="pyarrow"
+    )
+    right = second_leg.map_batches(
+        lambda t: pa.table({"mid": t["src"], "c": t["dst"]}), batch_format="pyarrow"
+    )
+    joined = left.join(right, join_type="inner", num_partitions=num_partitions, on=("mid",))
+    pairs = joined.map_batches(
+        lambda t: t.filter(pc.not_equal(t["a"], t["c"]))
+        .select(["a", "c"])
+        .group_by(["a", "c"])
+        .aggregate([("a", "count")])
+        .rename_columns(["src", "dst", "partial"]),
+        batch_format="pyarrow",
+    )
+    agg = hash_aggregate(pairs, ["src", "dst"], "partial", op="sum", out_col="weight")
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"src": t["src"], "dst": t["dst"], "weight": pc.cast(t["weight"], pa.float64())}
+        ),
+        batch_format="pyarrow",
+    )

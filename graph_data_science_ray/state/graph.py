@@ -179,6 +179,7 @@ class GraphStore:
         node_count: int | None = None,
         num_partitions: int = 32,
         directed: bool = True,
+        boundaries: np.ndarray | None = None,
     ) -> "GraphStore":
         import pyarrow.compute as pc
 
@@ -217,7 +218,13 @@ class GraphStore:
             outdeg += c
         edge_count = int(outdeg.sum())
 
-        boundaries = cls._choose_boundaries(outdeg, num_partitions)
+        if boundaries is None:
+            boundaries = cls._choose_boundaries(outdeg, num_partitions)
+        else:
+            # explicit boundaries: align a second projection (e.g. the
+            # reverse/inverse-indexed graph) with an existing one so both
+            # share the node-range partitioning
+            boundaries = np.asarray(boundaries, dtype=np.int64)
         csr_dir = os.path.join(path, "csr")
         os.makedirs(csr_dir, exist_ok=True)
 

@@ -470,6 +470,40 @@ class Pregel:
                 break
         return final_refs
 
+    def step(self, state_refs: list) -> tuple[list, dict]:
+        """Run ONE scatter+apply round; return (new_state_refs, stats).
+
+        Low-level building block for algorithms that alternate graphs or
+        interleave extra work between supersteps (e.g. HITS hubs/auths,
+        per-phase normalization).
+        """
+        blocks = self.graph.block_refs()
+        P = len(blocks)
+        bounds_ref = ray.put(self.graph.boundaries)
+        comp_ref = ray.put(self.comp)
+        scatter_out = [
+            _scatter.options(num_returns=2).remote(
+                comp_ref, blocks[p], state_refs[p], P, bounds_ref
+            )
+            for p in range(P)
+        ]
+        payloads = [scatter_out[p][0] for p in range(P)]
+        new_refs, stat_refs = [], []
+        for q in range(P):
+            out = _apply.options(num_returns=2).remote(
+                comp_ref, blocks[q], state_refs[q], q, *payloads
+            )
+            new_refs.append(out[0])
+            stat_refs.append(out[1])
+        stats = _agg_stats(ray.get(stat_refs))
+        stats["messages"] = int(sum(ray.get([scatter_out[p][1] for p in range(P)])))
+        return new_refs, stats
+
+    def init_states(self) -> list:
+        blocks = self.graph.block_refs()
+        comp_ref = ray.put(self.comp)
+        return [_init_state.remote(comp_ref, b) for b in blocks]
+
     def gather(self, state_refs: list, key: str) -> np.ndarray:
         """Dense node-indexed array of one state slot across partitions."""
         states = ray.get(state_refs)
