@@ -56,6 +56,7 @@ def _build_scatter_index(indices: np.ndarray, boundaries: np.ndarray) -> dict:
     part_slices = np.searchsorted(uniq_dst, boundaries).astype(np.int64)
     return {
         "perm": perm.astype(np.int64),
+        "dst_sorted": sorted_dst.astype(np.int64),
         "run_starts": run_starts.astype(np.int64),
         "uniq_dst": uniq_dst.astype(np.int64),
         "part_slices": part_slices,
@@ -91,6 +92,15 @@ def _load_csr_block(path: str | None, start: int, end: int, boundaries: np.ndarr
     else:
         block["wdegrees"] = np.zeros(n_local, dtype=np.float64)
     block.update(_build_scatter_index(indices, boundaries))
+    # destination-sorted gather index: per-superstep message construction is
+    # one int32 gather (``send[src_idx]``) instead of repeat + permute —
+    # the scatter kernel is memory-bandwidth-bound, this halves its traffic
+    block["src_idx"] = np.repeat(
+        np.arange(n_local, dtype=np.int32), block["degrees"]
+    )[block["perm"]]
+    block["w_sorted"] = (
+        weights[block["perm"]] if len(weights) else np.zeros(0, dtype=np.float64)
+    )
     return block
 
 

@@ -103,12 +103,13 @@ def _scatter_reduced(comp, block, state, num_parts, bounds):
     n_msgs = int(deg[active].sum()) if active is not None else int(deg.sum())
     if len(uniq_dst) == 0 or n_msgs == 0:
         return [None, 0]
+    src_idx = block["src_idx"]
     if comp.reducer == "sum":
         identity = 0.0
         send = np.where(active, vals, identity).astype(np.float64)
-        edge_vals = np.repeat(send, deg)[perm]
+        edge_vals = send[src_idx]
         if comp.weighted or comp.edge_combine == "multiply":
-            edge_vals = edge_vals * block["weights"][perm]
+            edge_vals = edge_vals * block["w_sorted"]
         reduced = np.add.reduceat(edge_vals, run_starts)
     elif comp.reducer == "min":
         identity = _min_identity(comp)
@@ -116,10 +117,9 @@ def _scatter_reduced(comp, block, state, num_parts, bounds):
             send = np.where(active, vals, identity).astype(np.float64)
         else:
             send = np.where(active, vals, identity).astype(np.int64)
-        edge_vals = np.repeat(send, deg)[perm]
+        edge_vals = send[src_idx]
         if comp.edge_combine == "add":
-            w = block["weights"][perm]
-            edge_vals = np.where(edge_vals == identity, identity, edge_vals + w)
+            edge_vals = np.where(edge_vals == identity, identity, edge_vals + block["w_sorted"])
         elif comp.edge_combine == "add_one":
             edge_vals = np.where(edge_vals == identity, identity, edge_vals + 1)
         reduced = np.minimum.reduceat(edge_vals, run_starts)
@@ -143,10 +143,10 @@ def _scatter_vote(comp, block, state, num_parts, bounds):
     n_msgs = int(deg[active].sum())
     if n_msgs == 0 or len(block["indices"]) == 0:
         return [None, 0]
-    edge_labels = np.repeat(labels.astype(np.int64), deg)[perm]
-    sorted_dst = block["indices"][perm]
-    if comp.weighted and len(block["weights"]):
-        edge_w = block["weights"][perm]
+    edge_labels = labels.astype(np.int64)[block["src_idx"]]
+    sorted_dst = block["dst_sorted"]
+    if comp.weighted and len(block["w_sorted"]):
+        edge_w = block["w_sorted"]
     else:
         edge_w = np.ones(len(edge_labels), dtype=np.float64)
     # pre-combine per (dst, label): stable sort by label within the
