@@ -260,6 +260,76 @@ def _q_random_walks(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _q_closeness(sf_dir: str) -> pd.DataFrame:
+    from graph_data_science_ray.functions.closeness import closeness_harmonic
+
+    b = _bundle(sf_dir)
+    out = closeness_harmonic(b["gu"])
+    return pd.DataFrame(
+        {
+            "node": _strip(out["node"]),
+            "closeness_ppm": out["closeness_ppm"].astype(np.int64),
+            "harmonic_ppm": out["harmonic_ppm"].astype(np.int64),
+            "reached": out["reached"].astype(np.int64),
+        }
+    )
+
+
+def _q_fastrp(sf_dir: str) -> pd.DataFrame:
+    from graph_data_science_ray.functions.fastrp import fastrp
+
+    b = _bundle(sf_dir)
+    out = fastrp(b["gu"], dim=32, seed=42)
+    out["node"] = _strip(out["node"])
+    # serialize vectors (rows-only check; list columns don't sort/hash)
+    out["embedding"] = [",".join(f"{x:.6f}" for x in v) for v in out["embedding"]]
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _mod5_labels(b) -> np.ndarray:
+    """Deterministic demo communities: user_id % 5 (SQL-replicable)."""
+    return np.array([int(k.split(":", 1)[1]) % 5 for k in b["idmap"].keys], dtype=np.int64)
+
+
+def _q_modularity(sf_dir: str) -> pd.DataFrame:
+    from graph_data_science_ray.functions.community_metrics import modularity
+
+    b = _bundle(sf_dir)
+    q = modularity(b["sym"], _mod5_labels(b))
+    return pd.DataFrame({"modularity": [round(q, 6)]})
+
+
+def _q_conductance(sf_dir: str) -> pd.DataFrame:
+    from graph_data_science_ray.functions.community_metrics import conductance
+
+    b = _bundle(sf_dir)
+    out = conductance(b["sym"], _mod5_labels(b))
+    return pd.DataFrame(
+        {
+            "community": out["community"].astype(np.int64),
+            "conductance_ppm": out["conductance_ppm"].astype(np.int64),
+        }
+    )
+
+
+def _q_kmeans_assign(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+
+    from graph_data_science_ray.functions.kmeans import kmeans_assign_fixed
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return kmeans_assign_fixed(emb, k=8)
+
+
+def _q_kmeans(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+
+    from graph_data_science_ray.functions.kmeans import kmeans
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return kmeans(emb, k=8, iterations=5)
+
+
 # --------------------------------------------------------------------------
 # data-prep queries (documents / embeddings / events)
 # --------------------------------------------------------------------------
@@ -400,6 +470,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": _q_hits,
         "collapse_path": _q_collapse_path,
         "random_walks": _q_random_walks,
+        "modularity": _q_modularity,
+        "conductance": _q_conductance,
+        "kmeans_assign": _q_kmeans_assign,
+        "kmeans": _q_kmeans,
+        "closeness": _q_closeness,
+        "fastrp": _q_fastrp,
         "dedup_exact": _q_dedup_exact,
         "fingerprint": _q_fingerprint,
         "token_count": _q_token_count,
@@ -688,6 +764,91 @@ final_auth AS (
 )
 SELECT h.node AS node, h.hub AS hub, a.auth AS auth
 FROM final_hub h JOIN final_auth a USING(node)
+"""
+
+    sqls["closeness"] = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+und AS (
+    SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+    )
+),
+r AS (
+    SELECT node AS s, node AS v, 0 AS d FROM nodes
+    UNION
+    SELECT r.s, u.dst AS v, r.d + 1 FROM r JOIN und u ON u.src = r.v WHERE r.d < 20
+),
+dm AS (SELECT s, v, min(d) AS d FROM r GROUP BY s, v),
+agg AS (
+    SELECT s, count(*) - 1 AS reached, sum(d) AS sumd,
+           sum(CASE WHEN d > 0 THEN 1000000 // d ELSE 0 END) AS harm
+    FROM dm GROUP BY s
+)
+SELECT s AS node,
+       CAST(CASE WHEN sumd > 0 THEN (1000000 * reached) // sumd ELSE 0 END AS BIGINT)
+           AS closeness_ppm,
+       CAST(harm AS BIGINT) AS harmonic_ppm,
+       CAST(reached AS BIGINT) AS reached
+FROM agg ORDER BY node
+"""
+
+    sqls["modularity"] = f"""
+WITH {_GRAPH_CTE},
+{_UND_CTE},
+lab AS (SELECT node, CAST(node AS BIGINT) % 5 AS community FROM nodes),
+es AS (
+    SELECT la.community AS c,
+           CASE WHEN la.community = lb.community THEN 1 ELSE 0 END AS same,
+           sum(u.w) AS w
+    FROM undw u
+    JOIN lab la ON la.node = u.src
+    JOIN lab lb ON lb.node = u.dst
+    GROUP BY 1, 2
+),
+tot AS (SELECT sum(w) AS m2 FROM es),
+per_c AS (
+    SELECT c, sum(CASE WHEN same = 1 THEN w ELSE 0 END) AS l_in, sum(w) AS d_c
+    FROM es GROUP BY c
+)
+SELECT round(sum(l_in / m2 - (d_c / m2) * (d_c / m2)), 6) AS modularity
+FROM per_c, tot
+"""
+
+    sqls["conductance"] = f"""
+WITH {_GRAPH_CTE},
+{_UND_CTE},
+lab AS (SELECT node, CAST(node AS BIGINT) % 5 AS community FROM nodes),
+es AS (
+    SELECT la.community AS c,
+           CASE WHEN la.community = lb.community THEN 1 ELSE 0 END AS same,
+           sum(u.w) AS w
+    FROM undw u
+    JOIN lab la ON la.node = u.src
+    JOIN lab lb ON lb.node = u.dst
+    GROUP BY 1, 2
+),
+tot AS (SELECT sum(w) AS total FROM es),
+per_c AS (
+    SELECT c, sum(CASE WHEN same = 0 THEN w ELSE 0 END) AS boundary, sum(w) AS vol
+    FROM es GROUP BY c
+)
+SELECT CAST(c AS BIGINT) AS community,
+       CAST(CASE WHEN least(vol, total - vol) > 0
+            THEN CAST(1000000 * boundary AS BIGINT) // CAST(least(vol, total - vol) AS BIGINT)
+            ELSE 0 END AS BIGINT) AS conductance_ppm
+FROM per_c, tot ORDER BY community
+"""
+
+    sqls["kmeans_assign"] = """
+WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 8),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (
+               PARTITION BY v.vec_id ORDER BY list_distance(v.e, c.e) ASC, c.cid ASC
+           ) AS rn
+    FROM v CROSS JOIN c
+) WHERE rn = 1 ORDER BY vec_id
 """
 
     sqls["collapse_path"] = f"""

@@ -105,12 +105,18 @@ def _scatter_reduced(comp, block, state, num_parts, bounds):
         return [None, 0]
     src_idx = block["src_idx"]
     if comp.reducer == "sum":
-        identity = 0.0
-        send = np.where(active, vals, identity).astype(np.float64)
-        edge_vals = send[src_idx]
-        if comp.weighted or comp.edge_combine == "multiply":
-            edge_vals = edge_vals * block["w_sorted"]
-        reduced = np.add.reduceat(edge_vals, run_starts)
+        if vals.ndim == 2:  # vector messages (e.g. FastRP embeddings)
+            send = vals.astype(np.float64) * active[:, None]
+            edge_vals = send[src_idx]
+            if comp.weighted or comp.edge_combine == "multiply":
+                edge_vals = edge_vals * block["w_sorted"][:, None]
+            reduced = np.add.reduceat(edge_vals, run_starts, axis=0)
+        else:
+            send = np.where(active, vals, 0.0).astype(np.float64)
+            edge_vals = send[src_idx]
+            if comp.weighted or comp.edge_combine == "multiply":
+                edge_vals = edge_vals * block["w_sorted"]
+            reduced = np.add.reduceat(edge_vals, run_starts)
     elif comp.reducer == "min":
         identity = _min_identity(comp)
         if comp.message_dtype == "float64":
@@ -123,6 +129,10 @@ def _scatter_reduced(comp, block, state, num_parts, bounds):
         elif comp.edge_combine == "add_one":
             edge_vals = np.where(edge_vals == identity, identity, edge_vals + 1)
         reduced = np.minimum.reduceat(edge_vals, run_starts)
+    elif comp.reducer == "or":
+        send = np.where(active, vals, 0).astype(np.uint64)
+        edge_vals = send[src_idx]
+        reduced = np.bitwise_or.reduceat(edge_vals, run_starts)
     else:  # pragma: no cover
         raise ValueError(comp.reducer)
     # ONE payload object per scatter (dst ids, reduced values, per-dest-
@@ -212,7 +222,12 @@ def _relay_merge(reducer: str, *payloads):
     new_run[1:] = d[1:] != d[:-1]
     starts = np.flatnonzero(new_run)
     d_u = d[starts]
-    v_u = np.add.reduceat(v, starts) if reducer == "sum" else np.minimum.reduceat(v, starts)
+    if reducer == "sum":
+        v_u = np.add.reduceat(v, starts)
+    elif reducer == "or":
+        v_u = np.bitwise_or.reduceat(v, starts)
+    else:
+        v_u = np.minimum.reduceat(v, starts)
     return {
         "dst": d_u, "val": v_u, "bounds": bounds,
         "slices": np.searchsorted(d_u, bounds),
@@ -236,7 +251,13 @@ def _apply(comp, block, state, q, *inbox):
         return s, e
 
     if comp.reducer == "sum":
-        acc = np.zeros(n_local, dtype=np.float64)
+        width = None
+        for msg in inbox:
+            if msg is not None and msg["val"].ndim == 2:
+                width = msg["val"].shape[1]
+                break
+        shape = (n_local,) if width is None else (n_local, width)
+        acc = np.zeros(shape, dtype=np.float64)
         received = np.zeros(n_local, dtype=bool)
         for msg in inbox:  # fixed partition order => deterministic float sums
             if msg is None:
@@ -246,6 +267,18 @@ def _apply(comp, block, state, q, *inbox):
                 continue
             idx = msg["dst"][s:e] - start
             acc[idx] += msg["val"][s:e]
+            received[idx] = True
+    elif comp.reducer == "or":
+        acc = np.zeros(n_local, dtype=np.uint64)
+        received = np.zeros(n_local, dtype=bool)
+        for msg in inbox:
+            if msg is None:
+                continue
+            s, e = my_slice(msg)
+            if s == e:
+                continue
+            idx = msg["dst"][s:e] - start
+            np.bitwise_or.at(acc, idx, msg["val"][s:e])
             received[idx] = True
     elif comp.reducer == "min":
         identity = _min_identity(comp)
@@ -374,12 +407,20 @@ class Pregel:
                 for p in range(len(state_refs))
             ]
         )
+        safe_stats = {
+            k: (v.tolist() if isinstance(v, np.ndarray) else v) for k, v in stats.items()
+        }
         atomic_write_json(
             os.path.join(self.checkpoint_dir, f"manifest-iter-{it}.json"),
-            {"iteration": it, "stats": stats, "partitions": lineage},
+            {"iteration": it, "stats": safe_stats, "partitions": lineage},
         )
         with open(os.path.join(self.checkpoint_dir, "metrics.jsonl"), "a") as f:
-            f.write(json.dumps({"iteration": it, **{k: (float(v) if isinstance(v, np.floating) else v) for k, v in stats.items()}}) + "\n")
+            row = {
+                k: (v.tolist() if isinstance(v, np.ndarray)
+                    else float(v) if isinstance(v, np.floating) else v)
+                for k, v in stats.items()
+            }
+            f.write(json.dumps({"iteration": it, **row}) + "\n")
 
     def run(self, max_iterations: int = 20, resume: bool = True) -> list:
         """Run supersteps; return final per-partition state refs.
