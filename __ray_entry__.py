@@ -260,6 +260,26 @@ def _q_random_walks(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _q_louvain(sf_dir: str) -> pd.DataFrame:
+    from graph_data_science_ray.functions.louvain import louvain
+
+    b = _bundle(sf_dir)
+    out = louvain(b["sym"], node_count=len(b["idmap"]), idmap=b["idmap"])
+    return pd.DataFrame(
+        {"node": _strip(out["node"]), "community": _strip(out["community"])}
+    )
+
+
+def _q_k1_coloring(sf_dir: str) -> pd.DataFrame:
+    from graph_data_science_ray.functions.coloring import k1_coloring
+
+    b = _bundle(sf_dir)
+    out = k1_coloring(b["sym"], node_count=len(b["idmap"]), idmap=b["idmap"])
+    return pd.DataFrame(
+        {"node": _strip(out["node"]), "color": out["color"].astype(np.int64)}
+    )
+
+
 def _q_closeness(sf_dir: str) -> pd.DataFrame:
     from graph_data_science_ray.functions.closeness import closeness_harmonic
 
@@ -476,6 +496,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans": _q_kmeans,
         "closeness": _q_closeness,
         "fastrp": _q_fastrp,
+        "louvain": _q_louvain,
+        "k1_coloring": _q_k1_coloring,
         "dedup_exact": _q_dedup_exact,
         "fingerprint": _q_fingerprint,
         "token_count": _q_token_count,

@@ -46,6 +46,9 @@ def degree_centrality(
         out_col="degree",
     )
     df = agg.to_pandas()
+    if "node" not in df.columns:  # fully-empty edge set loses the schema
+        df = pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                           "degree": pd.Series([], dtype=np.float64)})
     n = node_count if node_count is not None else (len(idmap) if idmap is not None else None)
     if n is not None:
         dense = np.zeros(n, dtype=np.float64)

@@ -1,0 +1,49 @@
+"""Louvain, K1-coloring, topological sort fixtures."""
+
+import itertools
+
+import numpy as np
+
+from graph_data_science_ray.functions.coloring import k1_coloring, topological_sort
+from graph_data_science_ray.functions.community_metrics import modularity
+from graph_data_science_ray.functions.louvain import louvain
+from tests.conftest import keys_to_ids
+
+
+def test_louvain_two_cliques_with_bridge(graph_from_edges):
+    k5a = list(itertools.combinations(range(5), 2))
+    k5b = list(itertools.combinations(range(5, 10), 2))
+    _, _, idmap, _, sym = graph_from_edges(k5a + k5b + [(4, 5)], undirected_only=True)
+    res = louvain(sym, node_count=10)
+    lab = dict(zip(res["node"], res["community"]))
+    assert len({lab[i] for i in range(5)}) == 1
+    assert len({lab[i] for i in range(5, 10)}) == 1
+    assert lab[0] != lab[9]
+    q = modularity(sym, res.sort_values("node")["community"].to_numpy())
+    assert q > 0.4
+
+
+def test_k1_coloring_proper(graph_from_edges):
+    edges = list(itertools.combinations(range(4), 2)) + [(3, 4), (4, 5)]
+    _, _, idmap, _, sym = graph_from_edges(edges, undirected_only=True)
+    res = k1_coloring(sym, node_count=len(idmap), idmap=idmap)
+    col = dict(zip(keys_to_ids(res["node"]), res["color"]))
+    for u, v in edges:
+        assert col[u] != col[v], f"conflict on edge {(u, v)}"
+    # K4 needs >= 4 colors
+    assert len({col[i] for i in range(4)}) == 4
+
+
+def test_topological_sort_dag(graph_from_edges):
+    # 0->1->3, 0->2->3, 3->4
+    _, _, idmap, enc, _ = graph_from_edges([(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)])
+    res = topological_sort(enc, node_count=len(idmap), idmap=idmap)
+    lay = dict(zip(keys_to_ids(res["node"]), res["layer"]))
+    assert lay == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+
+
+def test_topological_sort_cycle_marked(graph_from_edges):
+    _, _, idmap, enc, _ = graph_from_edges([(0, 1), (1, 2), (2, 0), (2, 3)])
+    res = topological_sort(enc, node_count=len(idmap), idmap=idmap)
+    lay = dict(zip(keys_to_ids(res["node"]), res["layer"]))
+    assert lay[0] == lay[1] == lay[2] == lay[3] == -1  # cycle + downstream
