@@ -260,6 +260,16 @@ def _q_random_walks(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _q_scc(sf_dir: str) -> pd.DataFrame:
+    from graph_data_science_ray.functions.scc import scc
+
+    b = _bundle(sf_dir)
+    out = scc(b["enc"], node_count=len(b["idmap"]), idmap=b["idmap"])
+    return pd.DataFrame(
+        {"node": _strip(out["node"]), "component": _strip(out["component"])}
+    )
+
+
 def _q_louvain(sf_dir: str) -> pd.DataFrame:
     from graph_data_science_ray.functions.louvain import louvain
 
@@ -498,6 +508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fastrp": _q_fastrp,
         "louvain": _q_louvain,
         "k1_coloring": _q_k1_coloring,
+        "scc": _q_scc,
         "dedup_exact": _q_dedup_exact,
         "fingerprint": _q_fingerprint,
         "token_count": _q_token_count,
@@ -786,6 +797,19 @@ final_auth AS (
 )
 SELECT h.node AS node, h.hub AS hub, a.auth AS auth
 FROM final_hub h JOIN final_auth a USING(node)
+"""
+
+    sqls["scc"] = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+adj AS (SELECT DISTINCT src, dst FROM edges),
+fwd AS (
+    SELECT node AS s, node AS v FROM nodes
+    UNION
+    SELECT f.s, a.dst AS v FROM fwd f JOIN adj a ON a.src = f.v
+)
+SELECT v1.s AS node, min(v1.v) AS component
+FROM fwd v1 JOIN fwd v2 ON v2.s = v1.v AND v2.v = v1.s
+GROUP BY v1.s
 """
 
     sqls["closeness"] = f"""

@@ -47,3 +47,22 @@ def test_topological_sort_cycle_marked(graph_from_edges):
     res = topological_sort(enc, node_count=len(idmap), idmap=idmap)
     lay = dict(zip(keys_to_ids(res["node"]), res["layer"]))
     assert lay[0] == lay[1] == lay[2] == lay[3] == -1  # cycle + downstream
+
+
+def test_scc_two_cycles_bridge(graph_from_edges):
+    from graph_data_science_ray.functions.scc import scc
+
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3), (5, 6)]
+    _, _, idmap, enc, _ = graph_from_edges(edges)
+    res = scc(enc, node_count=len(idmap), idmap=idmap)
+    comp = dict(zip(keys_to_ids(res["node"]), keys_to_ids(res["component"])))
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3, 6: 6}
+
+
+def test_scc_dag_is_all_singletons(graph_from_edges):
+    from graph_data_science_ray.functions.scc import scc
+
+    _, _, idmap, enc, _ = graph_from_edges([(0, 1), (1, 2), (0, 2)])
+    res = scc(enc, node_count=len(idmap), idmap=idmap)
+    comp = dict(zip(keys_to_ids(res["node"]), keys_to_ids(res["component"])))
+    assert comp == {0: 0, 1: 1, 2: 2}
