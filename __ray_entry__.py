@@ -316,6 +316,61 @@ def _q_fastrp(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("node").reset_index(drop=True)
 
 
+
+
+def _q_betweenness(sf_dir: str) -> pd.DataFrame:
+    """Sampled Brandes (8 deterministic sources) — rows-only check."""
+    from graph_data_science_ray.functions.betweenness import betweenness
+
+    b = _bundle(sf_dir)
+    res = betweenness(b["gd"], b["grev"], sources=np.arange(8))
+    return pd.DataFrame(
+        {
+            "node": _strip(res["node"]),
+            "betweenness": np.round(res["betweenness"].to_numpy(), 6),
+        }
+    )
+
+
+def _q_spanning_tree(sf_dir: str) -> pd.DataFrame:
+    from graph_data_science_ray.functions.spanning import minimum_spanning_forest
+
+    b = _bundle(sf_dir)
+    tree, total = minimum_spanning_forest(
+        b["sym"], node_count=len(b["idmap"]), idmap=b["idmap"]
+    )
+    tree = tree.copy()
+    tree["src"] = _strip(tree["src"])
+    tree["dst"] = _strip(tree["dst"])
+    return tree
+
+
+def _q_shortest_path_route(sf_dir: str) -> pd.DataFrame:
+    from graph_data_science_ray.functions.sssp import shortest_path_route
+
+    b = _bundle(sf_dir)
+    route = shortest_path_route(
+        b["gd"], source_id=0, target_id=len(b["idmap"]) - 1, weighted=True
+    )
+    if not len(route):
+        return pd.DataFrame({"position": [], "node": [], "distance": []})
+    return pd.DataFrame(
+        {
+            "position": route["position"].astype(np.int64),
+            "node": _strip(route["node"]),
+            "distance": route["distance"].astype(np.float64),
+        }
+    )
+
+
+def _q_rwr_sample(sf_dir: str) -> pd.DataFrame:
+    from graph_data_science_ray.functions.walks import rwr_sample
+
+    b = _bundle(sf_dir)
+    out = rwr_sample(b["gu"], sample_size=50, seed=11)
+    return pd.DataFrame({"node": _strip(out["node"])})
+
+
 def _mod5_labels(b) -> np.ndarray:
     """Deterministic demo communities: user_id % 5 (SQL-replicable)."""
     return np.array([int(k.split(":", 1)[1]) % 5 for k in b["idmap"].keys], dtype=np.int64)
@@ -509,6 +564,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "louvain": _q_louvain,
         "k1_coloring": _q_k1_coloring,
         "scc": _q_scc,
+        "betweenness": _q_betweenness,
+        "spanning_tree": _q_spanning_tree,
+        "shortest_path_route": _q_shortest_path_route,
+        "rwr_sample": _q_rwr_sample,
         "dedup_exact": _q_dedup_exact,
         "fingerprint": _q_fingerprint,
         "token_count": _q_token_count,
@@ -797,6 +856,42 @@ final_auth AS (
 )
 SELECT h.node AS node, h.hub AS hub, a.auth AS auth
 FROM final_hub h JOIN final_auth a USING(node)
+"""
+
+    sqls["shortest_path_route"] = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+fan AS (
+    SELECT src, dst, weight AS w FROM edges
+    UNION ALL
+    SELECT node, node, 0.0 FROM nodes
+),
+dist AS (
+    SELECT 0 AS it, (SELECT min(node) FROM nodes) AS node, CAST(0 AS DOUBLE) AS d
+    UNION ALL
+    SELECT p.it + 1 AS it, f.dst AS node, min(p.d + f.w) AS d
+    FROM dist p JOIN fan f ON f.src = p.node
+    WHERE p.it < {_SSSP_ROUNDS}
+    GROUP BY p.it, f.dst
+),
+dmin AS (SELECT node, d FROM dist WHERE it = {_SSSP_ROUNDS}),
+pred AS (
+    SELECT e.dst AS v, min(e.src) AS p
+    FROM edges e
+    JOIN dmin du ON du.node = e.src
+    JOIN dmin dv ON dv.node = e.dst
+    WHERE du.d + e.weight = dv.d
+    GROUP BY e.dst
+),
+walk AS (
+    SELECT (SELECT max(node) FROM nodes) AS v, 0 AS i
+    UNION ALL
+    SELECT p.p, w.i + 1 FROM walk w JOIN pred p ON p.v = w.v
+    WHERE w.v <> (SELECT min(node) FROM nodes) AND w.i < 100000
+)
+SELECT CAST((SELECT max(i) FROM walk) - i AS BIGINT) AS position,
+       v AS node, d.d AS distance
+FROM walk JOIN dmin d ON d.node = walk.v
+ORDER BY position
 """
 
     sqls["scc"] = f"""

@@ -78,3 +78,67 @@ def bfs_depths(graph, source_key=None, source_id=None, **kw) -> pd.DataFrame:
     """BFS depth from a source (unweighted shortest paths)."""
     out = shortest_paths(graph, source_key, source_id, weighted=False, **kw)
     return out.rename(columns={"distance": "depth"})
+
+
+import ray as _ray
+
+
+@_ray.remote
+def _pred_in_block(block, v, dist, weighted):
+    """Find min-id predecessor of v within one CSR block: binary-search the
+    destination-sorted edge layout, keep senders u with
+    dist(u) + w(u,v) == dist(v). ``dist`` arrives as an auto-resolved
+    broadcast ref (zero-copy)."""
+    import numpy as np
+
+    ds = block["dst_sorted"]
+    lo = np.searchsorted(ds, v, side="left")
+    hi = np.searchsorted(ds, v, side="right")
+    if lo == hi:
+        return -1
+    u = block["src_idx"][lo:hi].astype(np.int64) + block["start"]
+    w = block["w_sorted"][lo:hi] if weighted else np.ones(hi - lo)
+    ok = np.isfinite(dist[u]) & (dist[u] + w == dist[v])
+    return int(u[ok].min()) if ok.any() else -1
+
+
+def shortest_path_route(
+    graph, source_id: int, target_id: int, weighted: bool = True
+) -> pd.DataFrame:
+    """Reconstruct one shortest path (the Dijkstra/A* route contract,
+    paths/dijkstra/Dijkstra.java:45): distances via the relaxation
+    fixpoint, then a driver walk from the target — each step finds the
+    minimum-id tight predecessor (dist(u) + w == dist(v)) by
+    binary-searching the destination-sorted CSR blocks.
+
+    Returns (position, node, distance); empty when unreachable.
+    """
+    import ray
+
+    comp = SsspComputation(source_id, weighted=weighted)
+    engine = Pregel(graph, comp)
+    refs = engine.run(max_iterations=graph.node_count + 2)
+    dist = engine.gather(refs, "dist")
+    if not np.isfinite(dist[target_id]):
+        return pd.DataFrame({"position": [], "node": [], "distance": []})
+    dist_ref = ray.put(dist)
+    blocks = graph.block_refs()
+    path = [int(target_id)]
+    while path[-1] != source_id:
+        v = path[-1]
+        cands = ray.get(
+            [_pred_in_block.remote(b, v, dist_ref, weighted) for b in blocks]
+        )
+        cands = [c for c in cands if c >= 0]
+        if not cands:
+            break
+        path.append(min(cands))
+    path.reverse()
+    nodes = np.array(path, dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "position": np.arange(len(path), dtype=np.int64),
+            "node": graph.idmap.keys[nodes] if graph.idmap is not None else nodes,
+            "distance": dist[nodes],
+        }
+    )

@@ -94,3 +94,73 @@ def random_walks(
     if graph.idmap is not None:
         out["node"] = graph.idmap.to_keys(out["node"].to_numpy(dtype=np.int64))
     return out.sort_values(["walk_id", "step"]).reset_index(drop=True)
+
+
+@ray.remote
+def _rwr_task(block_refs: list, start_nodes: np.ndarray, sample_size: int,
+              restart_prob: float, seed: int, max_steps: int) -> np.ndarray:
+    """Random-walk-with-restarts node sampling in one task (seeded)."""
+    blocks = ray.get(list(block_refs))
+    part_starts = np.array([b["start"] for b in blocks], dtype=np.int64)
+    n_walkers = max(8, len(start_nodes))
+    cur = np.resize(np.asarray(start_nodes, dtype=np.int64), n_walkers)
+    home = cur.copy()
+    visited = set(int(x) for x in start_nodes)
+    wid = np.arange(n_walkers, dtype=np.int64)
+    for step in range(1, max_steps + 1):
+        draws = mix2(seed, wid, step)
+        restart = (draws % np.uint64(1_000_000)).astype(np.int64) < int(
+            restart_prob * 1_000_000
+        )
+        pick_draws = mix2(seed + 1, wid, step)
+        p_idx = np.searchsorted(part_starts, cur, side="right") - 1
+        nxt = cur.copy()
+        for p in np.unique(p_idx):
+            b = blocks[p]
+            sel = p_idx == p
+            lo = cur[sel] - b["start"]
+            d = b["indptr"][lo + 1] - b["indptr"][lo]
+            has = d > 0
+            if len(b["indices"]):
+                offs = b["indptr"][lo] + (
+                    pick_draws[sel] % np.maximum(d, 1).astype(np.uint64)
+                ).astype(np.int64)
+                idx = np.clip(offs, 0, len(b["indices"]) - 1)
+                nxt[sel] = np.where(has, b["indices"][idx], home[sel])
+            else:
+                nxt[sel] = home[sel]
+        cur = np.where(restart, home, nxt)
+        visited.update(int(x) for x in cur)
+        if len(visited) >= sample_size:
+            break
+    out = np.fromiter(visited, dtype=np.int64)
+    out.sort()
+    return out[:sample_size]
+
+
+def rwr_sample(
+    graph,
+    start_nodes=None,
+    sample_size: int = 100,
+    restart_prob: float = 0.15,
+    seed: int = 42,
+    max_steps: int = 100_000,
+):
+    """Random-walk-with-restarts node sampling → sampled node ids.
+
+    Reference: graph-sampling/src/main/java/org/neo4j/gds/graphsampling/
+    samplers/rw/rwr/RandomWalkWithRestarts.java. Compose with
+    ``pipelines.transforms.subgraph_filter`` to materialize the induced
+    subgraph (the reference's GraphSampleConstructor).
+    """
+    if start_nodes is None:
+        start_nodes = np.array([0], dtype=np.int64)
+    ids = ray.get(
+        _rwr_task.remote(
+            graph.block_refs(), np.asarray(start_nodes, dtype=np.int64),
+            int(sample_size), float(restart_prob), int(seed), int(max_steps),
+        )
+    )
+    if graph.idmap is not None:
+        return pd.DataFrame({"node": graph.idmap.to_keys(ids), "node_id": ids})
+    return pd.DataFrame({"node": ids, "node_id": ids})
