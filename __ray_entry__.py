@@ -371,6 +371,31 @@ def _q_rwr_sample(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"node": _strip(out["node"])})
 
 
+
+
+def _q_article_rank(sf_dir: str) -> pd.DataFrame:
+    from graph_data_science_ray.functions.pagerank import article_rank
+
+    b = _bundle(sf_dir)
+    res = article_rank(
+        b["gd"], damping=0.85, tolerance=0.0, max_iterations=_PR_ITERS + 1,
+        weighted=True,
+    )
+    return pd.DataFrame(
+        {"node": _strip(res["node"]), "score": np.round(res["score"].to_numpy(), 6)}
+    )
+
+
+def _q_eigenvector(sf_dir: str) -> pd.DataFrame:
+    from graph_data_science_ray.functions.pagerank import eigenvector
+
+    b = _bundle(sf_dir)
+    res = eigenvector(b["gd"], max_iterations=50)
+    return pd.DataFrame(
+        {"node": _strip(res["node"]), "score": np.round(res["score"].to_numpy(), 6)}
+    )
+
+
 def _mod5_labels(b) -> np.ndarray:
     """Deterministic demo communities: user_id % 5 (SQL-replicable)."""
     return np.array([int(k.split(":", 1)[1]) % 5 for k in b["idmap"].keys], dtype=np.int64)
@@ -543,6 +568,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edges": _q_edges,
         "degree": _q_degree,
         "pagerank": _q_pagerank,
+        "article_rank": _q_article_rank,
+        "eigenvector": _q_eigenvector,
         "wcc": _q_wcc,
         "label_propagation": _q_labelprop,
         "triangles": _q_triangles,
@@ -634,6 +661,35 @@ WITH RECURSIVE {_GRAPH_CTE},
 outdeg AS (SELECT src AS node, sum(weight) AS wdeg FROM edges GROUP BY src),
 fan AS (
     SELECT e.src AS src, e.dst AS dst, e.weight / o.wdeg AS frac, FALSE AS is_self
+    FROM edges e JOIN outdeg o ON o.node = e.src
+    UNION ALL
+    SELECT node, node, 0.0, TRUE FROM nodes
+),
+pr AS (
+    SELECT 0 AS it, node, CAST(0.15 AS DOUBLE) AS rank FROM nodes
+    UNION ALL
+    SELECT p.it + 1 AS it, f.dst AS node,
+           0.15 + 0.85 * sum(CASE WHEN f.is_self THEN 0.0 ELSE p.rank * f.frac END) AS rank
+    FROM pr p JOIN fan f ON f.src = p.node
+    WHERE p.it < {_PR_ITERS}
+    GROUP BY p.it, f.dst
+)
+SELECT node, round(rank, 6) AS score FROM pr WHERE it = {_PR_ITERS}
+"""
+
+    sqls["article_rank"] = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+outdeg AS (
+    SELECT n.node AS node, coalesce(o.wdeg, 0) AS wdeg
+    FROM nodes n LEFT JOIN (
+        SELECT src AS node, sum(weight) AS wdeg FROM edges GROUP BY src
+    ) o USING(node)
+),
+avgdeg AS (SELECT avg(wdeg) AS a FROM outdeg),
+fan AS (
+    SELECT e.src AS src, e.dst AS dst,
+           e.weight / (o.wdeg + (SELECT a FROM avgdeg)) AS frac,
+           FALSE AS is_self
     FROM edges e JOIN outdeg o ON o.node = e.src
     UNION ALL
     SELECT node, node, 0.0, TRUE FROM nodes

@@ -102,3 +102,67 @@ def pagerank(
     if graph.idmap is not None:
         return pd.DataFrame({"node": graph.idmap.keys, "score": scores})
     return pd.DataFrame({"node": np.arange(graph.node_count, dtype=np.int64), "score": scores})
+
+
+class ArticleRankComputation(PageRankComputation):
+    """ArticleRank variant: contributions divide by (degree + average
+    degree), damping the influence of low-degree hubs (reference
+    ArticleRankComputation.java). The average out-degree is a graph
+    constant computed at build time."""
+
+    def __init__(self, avg_degree: float, **kw):
+        super().__init__(**kw)
+        self.avg_degree = float(avg_degree)
+
+    def message_values(self, state, block):
+        deg = block["wdegrees"] if self.weighted else block["degrees"]
+        safe = deg.astype(np.float64) + self.avg_degree
+        vals = state["delta"] / np.where(safe > 0, safe, 1.0)
+        active = state["delta"] > self.tolerance
+        return vals, active
+
+
+def article_rank(graph, damping: float = 0.85, tolerance: float = 1e-7,
+                 max_iterations: int = 20, weighted: bool = False) -> pd.DataFrame:
+    """ArticleRank (reference algo/.../pagerank/ArticleRankComputation.java)."""
+    import ray
+
+    blocks = ray.get(graph.block_refs())
+    key = "wdegrees" if weighted else "degrees"
+    total = sum(float(b[key].sum()) for b in blocks)
+    avg = total / max(graph.node_count, 1)
+    comp = ArticleRankComputation(avg, damping=damping, tolerance=tolerance,
+                                  weighted=weighted)
+    engine = Pregel(graph, comp)
+    refs = engine.run(max_iterations=max_iterations)
+    scores = engine.gather(refs, "rank")
+    node = (graph.idmap.keys if graph.idmap is not None
+            else np.arange(graph.node_count, dtype=np.int64))
+    return pd.DataFrame({"node": node, "score": scores})
+
+
+def eigenvector(graph, max_iterations: int = 20, tolerance: float = 1e-7) -> pd.DataFrame:
+    """Eigenvector centrality: normalized power iteration
+    ``r <- A^T r / ||A^T r||_2`` (reference EigenvectorComputation.java —
+    PageRank-family variant without damping, scores L2-normalized)."""
+    import ray
+
+    from graph_data_science_ray.functions.hits import _PushSum, _scale
+    from graph_data_science_ray.state.pregel import Pregel as _P
+
+    # reuse the hub/auth push-sum computation on a single state slot
+    engine = _P(graph, _PushSum("hub", "hub"))
+    states = engine.init_states()
+    prev = None
+    for _ in range(max_iterations):
+        states, stats = engine.step(states)
+        norm = np.sqrt(stats["sumsq"]) or 1.0
+        states = _scale(states, "hub", 1.0 / norm)
+        cur = engine.gather(states, "hub")
+        if prev is not None and np.abs(cur - prev).max() <= tolerance:
+            prev = cur
+            break
+        prev = cur
+    node = (graph.idmap.keys if graph.idmap is not None
+            else np.arange(graph.node_count, dtype=np.int64))
+    return pd.DataFrame({"node": node, "score": prev})
