@@ -42,11 +42,12 @@ def _bundle(sf_dir: str) -> dict:
         return _BUNDLES[sf_dir]
     import graph_data_science_ray as gdsr
 
+    from graph_data_science_ray.pipelines.edges import derive_edges_encoded_grouped
+
     ts = gdsr.events_as_transcripts(sf_dir)
     turns = gdsr.derive_turns(ts).materialize()
-    edges = gdsr.derive_edges(turns, num_partitions=8)
     idmap = gdsr.IdMap.from_turns(turns)
-    enc = gdsr.encode_edges(edges, idmap).materialize()
+    enc = derive_edges_encoded_grouped(turns, idmap, num_partitions=8).materialize()
     sym = gdsr.symmetrize(enc, num_partitions=8).materialize()
     root = tempfile.mkdtemp(prefix="gdsr-entry-", dir="/tmp")
     gd = gdsr.GraphStore.project(

@@ -80,11 +80,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         f.read()
 
     t0 = time.perf_counter()
+    from graph_data_science_ray.pipelines.edges import derive_edges_encoded_grouped
+
     ts = gdsr.read_transcripts(tpath, columns=["conv_id", "turn_idx", "role", "tool"])
-    turns = gdsr.derive_turns(ts)
+    turns = gdsr.derive_turns(ts).materialize()
     idmap = gdsr.IdMap.from_turns(turns)
-    edges = gdsr.derive_edges(turns)
-    enc = gdsr.encode_edges(edges, idmap).materialize()
+    enc = derive_edges_encoded_grouped(turns, idmap).materialize()
     timings["derive_edges"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -177,11 +178,13 @@ def _ensure_scaling_graph() -> None:
     try:
         import graph_data_science_ray as gdsr
 
+        from graph_data_science_ray.pipelines.edges import derive_edges_encoded_grouped
+
         tpath = _ensure_transcripts_custom(SCALING_CONVS, SCALING_ACTORS, skew=1.1)
         ts = gdsr.read_transcripts(tpath, columns=["conv_id", "turn_idx", "role", "tool"])
         turns = gdsr.derive_turns(ts).materialize()
         idmap = gdsr.IdMap.from_turns(turns)
-        enc = gdsr.encode_edges(gdsr.derive_edges(turns), idmap).materialize()
+        enc = derive_edges_encoded_grouped(turns, idmap).materialize()
         shutil.rmtree(SCALING_GRAPH, ignore_errors=True)
         gdsr.GraphStore.project(
             enc, SCALING_GRAPH, idmap=None, node_count=len(idmap),
