@@ -190,8 +190,14 @@ class GraphStore:
         num_partitions: int = 32,
         directed: bool = True,
         boundaries: np.ndarray | None = None,
+        overwrite: bool = True,
     ) -> "GraphStore":
         import pyarrow.compute as pc
+
+        # resumable projection: a committed manifest means every partition
+        # file landed (manifest writes last, atomically) — skip the build
+        if not overwrite and os.path.exists(os.path.join(path, "manifest.json")):
+            return cls.load(path)
 
         # The edge table is consumed twice (degree histogram, CSR build);
         # materialize the already-aggregated slim table once instead of

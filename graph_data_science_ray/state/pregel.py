@@ -26,6 +26,17 @@ re-expression here:
   iteration. The reference has **no** mid-algorithm checkpointing
   (SURVEY.md §3.3) — this is a north-rule addition.
 
+Skew / hub handling (the north star's "mirror vertices"): source-side
+hubs are isolated by the degree-balanced partition boundaries (a hub's
+adjacency never exceeds one partition's edge budget by more than its own
+degree); destination-side hubs are bounded by construction — each source
+partition pre-reduces its messages per destination, so a hub receives at
+most P partials per superstep regardless of in-degree. That map-side
+pre-reduction IS the delta-encoded-mirror-vertex scheme: the P partials
+are the mirrors, and the fixed-order apply-side combine is the mirror
+merge; no separate mirror bookkeeping is needed because the reducer
+algebra (sum/min/or) is associative.
+
 Reducer kinds:
 - ``sum`` / ``min``: dense float64/int64 exchange, ``np.add/np.minimum``
   reduceat map-side and fixed-order combine apply-side.
