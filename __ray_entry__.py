@@ -505,6 +505,18 @@ def _q_knn(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _q_knn_descent(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.knn_descent import knn_descent
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = knn_descent(emb, k=5, max_rounds=4)
+    return out[["query_id", "neighbor_id", "rank"]].sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+
+
 def _q_embedding_near_dup(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
 
@@ -604,6 +616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": _q_minhash_pairs,
         "simhash": _q_simhash,
         "knn_cosine_topk": _q_knn,
+        "knn_descent": _q_knn_descent,
         "embedding_near_dup": _q_embedding_near_dup,
         "scale_minmax": _q_scale_minmax,
         "sessionize": _q_sessionize,

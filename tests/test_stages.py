@@ -177,3 +177,31 @@ def test_multimodal_stub_deterministic():
     b = extract_media_features(media, dim=4).to_pandas().sort_values("media_id")
     for x, y in zip(a["feature"], b["feature"]):
         assert np.allclose(x, y)
+
+
+def test_knn_descent_recall():
+    from graph_data_science_ray.stages.knn_descent import knn_descent
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((10, 16)) * 5
+    vecs = np.concatenate([c + 0.1 * rng.standard_normal((20, 16)) for c in centers])
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs]),
+            }
+        )
+    )
+    approx = knn_descent(ds, k=5, max_rounds=5, seed=1)
+    exact = knn_brute_force(ds, query_ids=np.arange(len(vecs)), k=5)
+    hits = 0
+    ap = approx.groupby("query_id")["neighbor_id"].apply(set)
+    ex = exact.groupby("query_id")["neighbor_id"].apply(set)
+    for q in ex.index:
+        hits += len(ap.get(q, set()) & ex[q]) / len(ex[q])
+    recall = hits / len(ex)
+    assert recall > 0.8, f"recall {recall:.2f}"
+    # determinism
+    again = knn_descent(ds, k=5, max_rounds=5, seed=1)
+    assert approx.equals(again)
