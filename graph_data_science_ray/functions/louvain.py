@@ -45,7 +45,7 @@ def _neighbor_community_weights(sym_edges: rd.Dataset, labels: np.ndarray) -> pd
     ).to_pandas()
 
 
-def _one_level(sym_edges: rd.Dataset, node_count: int, max_rounds: int = 10):
+def _one_level(sym_edges: rd.Dataset, node_count: int, max_rounds: int = 10, gamma: float = 1.0):
     """Local-move rounds on one level; returns (labels, improved)."""
     deg = np.zeros(node_count, dtype=np.float64)
     ncw0 = _neighbor_community_weights(sym_edges, np.arange(node_count, dtype=np.int64))
@@ -69,7 +69,7 @@ def _one_level(sym_edges: rd.Dataset, node_count: int, max_rounds: int = 10):
             # gain of joining comm (relative): w_to_c - deg_i * tot_c / 2m,
             # with own community's volume excluding the node itself
             tot_adj = tot[comm] - np.where(labels[node] == comm, deg[node], 0.0)
-            gain = w - deg[node] * tot_adj / two_m
+            gain = w - gamma * deg[node] * tot_adj / two_m
             order = np.lexsort((comm, -gain, node))
             n_s, c_s, g_s = node[order], comm[order], gain[order]
             first = np.empty(len(n_s), dtype=bool)
@@ -85,7 +85,7 @@ def _one_level(sym_edges: rd.Dataset, node_count: int, max_rounds: int = 10):
                 ["node", "comm"]
             )["w"]
             cur_w = cur_rows.reindex(list(zip(best_node, cur)), fill_value=0.0).to_numpy()
-            cur_gain = cur_w - deg[best_node] * (tot[cur] - deg[best_node]) / two_m
+            cur_gain = cur_w - gamma * deg[best_node] * (tot[cur] - deg[best_node]) / two_m
             do = (
                 (best_comm != cur)
                 & (best_gain > cur_gain + 1e-12)
@@ -139,15 +139,19 @@ def louvain(
     idmap=None,
     max_levels: int = 5,
     max_rounds: int = 10,
+    gamma: float = 1.0,
 ) -> pd.DataFrame:
     """Multi-level Louvain; returns (node, community) with community =
     the minimum original member id of the final community (normalized,
-    comparable to the reference's set-equivalence contract)."""
+    comparable to the reference's set-equivalence contract).
+
+    ``gamma`` is the resolution parameter (the knob Leiden exposes as
+    ``gamma``; >1 favors more/smaller communities)."""
     labels = np.arange(node_count, dtype=np.int64)
     edges = sym_edges
     n = node_count
     for _level in range(max_levels):
-        lvl_labels, improved = _one_level(edges, n, max_rounds=max_rounds)
+        lvl_labels, improved = _one_level(edges, n, max_rounds=max_rounds, gamma=gamma)
         labels = lvl_labels[labels]
         if not improved:
             break

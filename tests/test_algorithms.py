@@ -157,3 +157,39 @@ def test_degree_centrality(graph_from_edges):
     degr = gdsr.degree_centrality(enc, idmap=idmap, orientation="reverse")
     gotr = dict(zip(keys_to_ids(degr["node"]), degr["degree"]))
     assert gotr == {0: 0, 1: 1, 2: 2}
+
+
+def test_personalized_pagerank(graph_from_edges):
+    # personalization: only node 0 seeds rank mass
+    gd, _, idmap, _, _ = graph_from_edges([(0, 1), (1, 2), (3, 1)])
+    res = gdsr.pagerank(gd, source_nodes=np.array([0]), max_iterations=30)
+    got = dict(zip(keys_to_ids(res["node"]), res["score"]))
+    assert got[3] == 0.0  # unreachable from the source set, no base mass
+    assert got[0] == pytest.approx(0.15)
+    assert got[1] > 0 and got[2] > 0
+
+
+def test_seeded_label_propagation(graph_from_edges):
+    # seeds: both components pre-labeled with custom ids
+    _, gu, idmap, _, _ = graph_from_edges([(0, 1), (2, 3)])
+    seeds = np.array([100, 100, 200, 200], dtype=np.int64)
+    res = gdsr.label_propagation(gu, seeds=seeds, max_iterations=5)
+    assert set(res["label"]) == {100, 200}
+
+
+def test_write_results_roundtrip(tmp_path):
+    import pandas as pd
+
+    from graph_data_science_ray.sinks import write_results
+
+    df = pd.DataFrame({"node": [1, 2], "score": [0.5, 0.7]})
+    p = write_results(df, str(tmp_path / "out"))
+    import pyarrow.parquet as pq
+    import glob
+
+    files = glob.glob(p + "/*.parquet")
+    assert files
+    back = pq.read_table(files[0]).to_pandas()
+    assert len(back) == 2
+    # second call is a no-op (marker present)
+    assert write_results(df, p) == p
