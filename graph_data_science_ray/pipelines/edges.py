@@ -34,10 +34,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
-
-_SLIM_COLS = ["conv_id", "turn_idx", "role", "tool"]
-
 
 def _actor_key(batch: pa.Table) -> pa.Array:
     tool = batch["tool"].combine_chunks()

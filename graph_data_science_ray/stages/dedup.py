@@ -20,7 +20,6 @@ import re
 import numpy as np
 import pandas as pd
 import ray.data as rd
-from ray.data.aggregate import Min
 
 _WORD = re.compile(r"\S+")
 

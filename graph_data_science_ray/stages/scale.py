@@ -13,7 +13,7 @@ import numpy as np
 import pandas as pd
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+from ray.data.aggregate import Max, Mean, Min, Std
 
 
 _SCALERS = ("minmax", "mean", "max", "log", "center", "stdscore")
