@@ -84,24 +84,52 @@ def collapse_path(
     Self-paths (A == C) are dropped, mirroring the traversal semantics.
     Implemented as a hash join on the mid node.
     """
-    from graph_data_science_ray.pipelines.edges import _auto_join_partitions
+    from graph_data_science_ray.pipelines.agg import _stable_row_hash
 
     if num_partitions is None:
-        num_partitions = _auto_join_partitions()
+        num_partitions = 32
+    # manual hash-partitioned join on the mid node: both legs tagged by
+    # hash(mid), matched pairwise inside each partition (robust against
+    # empty-block schema loss that trips the built-in hash join)
     left = first_leg.map_batches(
-        lambda t: pa.table({"a": t["src"], "mid": t["dst"]}), batch_format="pyarrow"
+        lambda df: pd.DataFrame(
+            {"a": df["src"], "mid": df["dst"], "side": np.int8(0)}
+        ),
+        batch_format="pandas",
     )
     right = second_leg.map_batches(
-        lambda t: pa.table({"mid": t["src"], "c": t["dst"]}), batch_format="pyarrow"
+        lambda df: pd.DataFrame(
+            {"a": df["dst"], "mid": df["src"], "side": np.int8(1)}
+        ),
+        batch_format="pandas",
     )
-    joined = left.join(right, join_type="inner", num_partitions=num_partitions, on=("mid",))
-    pairs = joined.map_batches(
-        lambda t: t.filter(pc.not_equal(t["a"], t["c"]))
-        .select(["a", "c"])
-        .group_by(["a", "c"])
-        .aggregate([("a", "count")])
-        .rename_columns(["src", "dst", "partial"]),
-        batch_format="pyarrow",
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__part"] = (_stable_row_hash(df, ["mid"]) % num_partitions).astype(np.int64)
+        return df
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["side"] == 0]
+        rg = g[g["side"] == 1]
+        m = lg.merge(rg, on="mid", suffixes=("_l", "_r"))
+        m = m[m["a_l"] != m["a_r"]]
+        if not len(m):
+            return pd.DataFrame(
+                {"src": pd.Series([], dtype=np.int64),
+                 "dst": pd.Series([], dtype=np.int64),
+                 "partial": pd.Series([], dtype=np.int64)}
+            )
+        out = (
+            m.groupby(["a_l", "a_r"], sort=False).size().reset_index(name="partial")
+        )
+        return out.rename(columns={"a_l": "src", "a_r": "dst"})
+
+    pairs = (
+        left.union(right)
+        .map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(join_part, batch_format="pandas")
     )
     agg = hash_aggregate(pairs, ["src", "dst"], "partial", op="sum", out_col="weight")
     return agg.map_batches(
