@@ -281,6 +281,16 @@ def _q_louvain(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_leiden(sf_dir: str) -> pd.DataFrame:
+    from graph_data_science_ray.functions.louvain import leiden
+
+    b = _bundle(sf_dir)
+    out = leiden(b["sym"], node_count=len(b["idmap"]), idmap=b["idmap"])
+    return pd.DataFrame(
+        {"node": _strip(out["node"]), "community": _strip(out["community"])}
+    )
+
+
 def _q_k1_coloring(sf_dir: str) -> pd.DataFrame:
     from graph_data_science_ray.functions.coloring import k1_coloring
 
@@ -602,6 +612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "closeness": _q_closeness,
         "fastrp": _q_fastrp,
         "louvain": _q_louvain,
+        "leiden": _q_leiden,
         "k1_coloring": _q_k1_coloring,
         "scc": _q_scc,
         "betweenness": _q_betweenness,

@@ -66,3 +66,30 @@ def test_scc_dag_is_all_singletons(graph_from_edges):
     res = scc(enc, node_count=len(idmap), idmap=idmap)
     comp = dict(zip(keys_to_ids(res["node"]), keys_to_ids(res["component"])))
     assert comp == {0: 0, 1: 1, 2: 2}
+
+
+def test_leiden_two_cliques_and_connectivity(graph_from_edges):
+    from graph_data_science_ray.functions.louvain import leiden
+
+    k5a = list(itertools.combinations(range(5), 2))
+    k5b = list(itertools.combinations(range(5, 10), 2))
+    edges = k5a + k5b + [(4, 5)]
+    _, _, idmap, _, sym = graph_from_edges(edges, undirected_only=True)
+    res = leiden(sym, node_count=10)
+    lab = res.sort_values("node")["community"].to_numpy()
+    assert len({lab[i] for i in range(5)}) == 1
+    assert len({lab[i] for i in range(5, 10)}) == 1
+    assert lab[0] != lab[9]
+    # every community induces a connected subgraph
+    edge_set = {(a, b) for a, b in edges} | {(b, a) for a, b in edges}
+    for comm in set(lab):
+        members = [i for i in range(10) if lab[i] == comm]
+        seen = {members[0]}
+        frontier = [members[0]]
+        while frontier:
+            u = frontier.pop()
+            for v in members:
+                if v not in seen and (u, v) in edge_set:
+                    seen.add(v)
+                    frontier.append(v)
+        assert seen == set(members), f"community {comm} disconnected"
