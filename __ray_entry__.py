@@ -275,7 +275,7 @@ def _q_louvain(sf_dir: str) -> pd.DataFrame:
     from graph_data_science_ray.functions.louvain import louvain
 
     b = _bundle(sf_dir)
-    out = louvain(b["sym"], node_count=len(b["idmap"]), idmap=b["idmap"])
+    out = louvain(b["sym"], node_count=len(b["idmap"]), idmap=b["idmap"], max_levels=3, max_rounds=5)
     return pd.DataFrame(
         {"node": _strip(out["node"]), "community": _strip(out["community"])}
     )
@@ -285,7 +285,7 @@ def _q_leiden(sf_dir: str) -> pd.DataFrame:
     from graph_data_science_ray.functions.louvain import leiden
 
     b = _bundle(sf_dir)
-    out = leiden(b["sym"], node_count=len(b["idmap"]), idmap=b["idmap"])
+    out = leiden(b["sym"], node_count=len(b["idmap"]), idmap=b["idmap"], max_levels=3, max_rounds=5)
     return pd.DataFrame(
         {"node": _strip(out["node"]), "community": _strip(out["community"])}
     )
