@@ -4,16 +4,24 @@ Reference: algo/src/main/java/org/neo4j/gds/louvain/Louvain.java:48 (levels
 of ModularityOptimization + graph coarsening,
 modularityoptimization/ModularityOptimization.java:61). Distributed
 re-expression (SURVEY.md §2.5): per level, rounds of local moves — the
-per-node best-gain community is computed from a ``(node, neighbor
-community, weight)`` aggregate joined with broadcast community volumes;
-then the level's graph contracts by ``groupby (c_src, c_dst) sum`` and
-the next level repeats.
+per-node best-gain community is chosen INSIDE a hash-partitioned
+``map_groups`` (all of a node's neighbor-community rows co-located) with
+broadcast degree/volume vectors; the driver only ever sees the per-round
+**move set** (node, new_community), never the neighbor-community
+aggregate. The level's graph then contracts by ``groupby (c_src, c_dst)
+sum`` and the next level repeats.
 
 Determinism / oscillation control: moves are synchronous but restricted
 to alternating node-parity halves per sub-round (the same role as the
 reference's K1-coloring serialization of parallel moves — a deterministic
 schedule rather than a race), ties broken by the smaller community id,
 moves applied only on strict modularity gain.
+
+Self-loops (which appear after contraction and carry the community's
+internal weight) are excluded from the node↔community connection weights
+on BOTH sides of the gain comparison — they are internal either way and
+cancel — but still count toward weighted degree / 2m, matching the
+standard formulation.
 """
 
 from __future__ import annotations
@@ -27,31 +35,108 @@ import ray.data as rd
 from graph_data_science_ray.pipelines.agg import hash_aggregate
 
 
-def _neighbor_community_weights(sym_edges: rd.Dataset, labels: np.ndarray) -> pd.DataFrame:
+def _weighted_degrees(sym_edges: rd.Dataset, node_count: int) -> np.ndarray:
+    """Weighted degree per node (self-loops included once — after
+    contraction a (c,c) row already carries both directions' weight)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "node": t["src"].to_numpy(zero_copy_only=False),
+                "w": t["weight"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("node", sort=False)["w"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = hash_aggregate(
+        sym_edges.map_batches(partial, batch_format="pyarrow"), ["node"], "w", op="sum"
+    ).to_pandas()
+    deg = np.zeros(node_count, dtype=np.float64)
+    if len(agg):
+        deg[agg["node"].to_numpy(dtype=np.int64)] = agg["w"].to_numpy(dtype=np.float64)
+    return deg
+
+
+def _best_moves(
+    sym_edges: rd.Dataset,
+    labels: np.ndarray,
+    deg: np.ndarray,
+    tot: np.ndarray,
+    two_m: float,
+    gamma: float,
+    parity: int,
+    num_parts: int = 64,
+) -> pd.DataFrame:
+    """One distributed local-move sub-round: returns ONLY the movers
+    ``(node, community)`` — nodes of the given parity whose best candidate
+    community strictly beats staying put.
+
+    Stage 1 (map): per-batch partial (node, neighbor-community, w) sums,
+    self-loops dropped, non-parity nodes pruned before the shuffle.
+    Stage 2 (map_groups on hash(node)): per-node argmax gain with
+    broadcast labels/deg/tot.
+    """
     lref = ray.put(labels)
+    dref = ray.put(deg)
+    tref = ray.put(tot)
 
     def partial(t: pa.Table) -> pa.Table:
         lab = ray.get(lref)
         src = t["src"].to_numpy(zero_copy_only=False)
         dst = t["dst"].to_numpy(zero_copy_only=False)
         w = t["weight"].to_numpy(zero_copy_only=False)
-        df = pd.DataFrame({"node": src, "comm": lab[dst], "w": w})
+        keep = (src != dst) & ((src % 2) == parity)
+        df = pd.DataFrame({"node": src[keep], "comm": lab[dst[keep]], "w": w[keep]})
         g = df.groupby(["node", "comm"], sort=False)["w"].sum().reset_index()
+        g["__part"] = (g["node"].to_numpy() % num_parts).astype(np.int64)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    return hash_aggregate(
-        sym_edges.map_batches(partial, batch_format="pyarrow"),
-        ["node", "comm"], "w", op="sum",
+    def choose(g: pd.DataFrame) -> pd.DataFrame:
+        lab = ray.get(lref)
+        dg = ray.get(dref)
+        tt = ray.get(tref)
+        node = g["node"].to_numpy(dtype=np.int64)
+        comm = g["comm"].to_numpy(dtype=np.int64)
+        w = g["w"].to_numpy(dtype=np.float64)
+        cur = lab[node]
+        is_cur = comm == cur
+        # own-community connection weight per node (0 if no same-community
+        # neighbor); self-loops were already excluded map-side
+        nodes_u, inv = np.unique(node, return_inverse=True)
+        own_w = np.zeros(len(nodes_u), dtype=np.float64)
+        np.add.at(own_w, inv[is_cur], w[is_cur])
+        out_empty = pd.DataFrame(
+            {"node": np.zeros(0, dtype=np.int64), "community": np.zeros(0, dtype=np.int64)}
+        )
+        c_mask = ~is_cur
+        if not c_mask.any():
+            return out_empty
+        cn, cc, cw = node[c_mask], comm[c_mask], w[c_mask]
+        gain = cw - gamma * dg[cn] * tt[cc] / two_m
+        order = np.lexsort((cc, -gain, cn))
+        cn, cc, gain = cn[order], cc[order], gain[order]
+        first = np.empty(len(cn), dtype=bool)
+        first[0] = True
+        first[1:] = cn[1:] != cn[:-1]
+        bn, bc, bg = cn[first], cc[first], gain[first]
+        bcur = lab[bn]
+        own = own_w[np.searchsorted(nodes_u, bn)]
+        cur_gain = own - gamma * dg[bn] * (tt[bcur] - dg[bn]) / two_m
+        do = bg > cur_gain + 1e-12
+        return pd.DataFrame({"node": bn[do], "community": bc[do]})
+
+    movers = (
+        sym_edges.map_batches(partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(choose, batch_format="pandas")
     ).to_pandas()
+    return movers
 
 
 def _one_level(sym_edges: rd.Dataset, node_count: int, max_rounds: int = 10, gamma: float = 1.0):
     """Local-move rounds on one level; returns (labels, improved)."""
-    deg = np.zeros(node_count, dtype=np.float64)
-    ncw0 = _neighbor_community_weights(sym_edges, np.arange(node_count, dtype=np.int64))
-    # weighted degree = sum over all neighbor rows
-    dsum = ncw0.groupby("node")["w"].sum()
-    deg[dsum.index.to_numpy(dtype=np.int64)] = dsum.to_numpy()
+    deg = _weighted_degrees(sym_edges, node_count)
     two_m = deg.sum()
     if two_m == 0:
         return np.arange(node_count, dtype=np.int64), False
@@ -59,45 +144,17 @@ def _one_level(sym_edges: rd.Dataset, node_count: int, max_rounds: int = 10, gam
     labels = np.arange(node_count, dtype=np.int64)
     tot = deg.copy()  # community volumes
     improved_any = False
-    for rnd in range(max_rounds):
+    for _rnd in range(max_rounds):
         moved = 0
         for parity in (0, 1):
-            ncw = _neighbor_community_weights(sym_edges, labels)
-            node = ncw["node"].to_numpy(dtype=np.int64)
-            comm = ncw["comm"].to_numpy(dtype=np.int64)
-            w = ncw["w"].to_numpy(dtype=np.float64)
-            # gain of joining comm (relative): w_to_c - deg_i * tot_c / 2m,
-            # with own community's volume excluding the node itself
-            tot_adj = tot[comm] - np.where(labels[node] == comm, deg[node], 0.0)
-            gain = w - gamma * deg[node] * tot_adj / two_m
-            order = np.lexsort((comm, -gain, node))
-            n_s, c_s, g_s = node[order], comm[order], gain[order]
-            first = np.empty(len(n_s), dtype=bool)
-            if len(n_s):
-                first[0] = True
-                first[1:] = n_s[1:] != n_s[:-1]
-            best_node = n_s[first]
-            best_comm = c_s[first]
-            best_gain = g_s[first]
-            # current-community gain for comparison
-            cur = labels[best_node]
-            cur_rows = pd.DataFrame({"node": node, "comm": comm, "w": w}).set_index(
-                ["node", "comm"]
-            )["w"]
-            cur_w = cur_rows.reindex(list(zip(best_node, cur)), fill_value=0.0).to_numpy()
-            cur_gain = cur_w - gamma * deg[best_node] * (tot[cur] - deg[best_node]) / two_m
-            do = (
-                (best_comm != cur)
-                & (best_gain > cur_gain + 1e-12)
-                & (best_node % 2 == parity)
-            )
-            movers = best_node[do]
+            movers = _best_moves(sym_edges, labels, deg, tot, two_m, gamma, parity)
             if len(movers):
-                newc = best_comm[do]
-                np.subtract.at(tot, labels[movers], deg[movers])
-                np.add.at(tot, newc, deg[movers])
-                labels[movers] = newc
-                moved += len(movers)
+                mnode = movers["node"].to_numpy(dtype=np.int64)
+                newc = movers["community"].to_numpy(dtype=np.int64)
+                np.subtract.at(tot, labels[mnode], deg[mnode])
+                np.add.at(tot, newc, deg[mnode])
+                labels[mnode] = newc
+                moved += len(mnode)
         if moved == 0:
             break
         improved_any = True
@@ -179,17 +236,17 @@ def louvain(
 
 
 def _cc_within_communities(sym_edges: rd.Dataset, labels: np.ndarray) -> np.ndarray:
-    """Connected components restricted to same-community edges (numpy
-    frontier union-find over the filtered edge stream)."""
+    """Connected components restricted to same-community edges.
+
+    Hash-min BSP (the WCC kernel's contract, wcc/Wcc.java min-id) over the
+    community-filtered edge stream: per round a distributed
+    ``groupby(node).min(candidate)`` produces only the IMPROVED rows; the
+    driver applies them and pointer-jumps (``comp = comp[comp]``) to
+    collapse chains, so rounds are O(log diameter). No per-edge Python
+    loop, no driver edge table.
+    """
     n = len(labels)
-    parent = np.arange(n, dtype=np.int64)
-
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = int(parent[x])
-        return x
-
+    comp = np.arange(n, dtype=np.int64)
     lref = ray.put(labels)
 
     def same_comm(t: pa.Table) -> pa.Table:
@@ -197,21 +254,44 @@ def _cc_within_communities(sym_edges: rd.Dataset, labels: np.ndarray) -> np.ndar
         src = t["src"].to_numpy(zero_copy_only=False)
         dst = t["dst"].to_numpy(zero_copy_only=False)
         keep = lab[src] == lab[dst]
-        return pa.table({"src": src[keep], "dst": dst[keep]})
+        return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
 
-    for batch in sym_edges.map_batches(same_comm, batch_format="pyarrow").iter_batches(
-        batch_size=1 << 20, batch_format="pyarrow"
-    ):
-        if len(batch) == 0 or "src" not in batch.column_names:
-            continue
-        for u, v in zip(
-            batch["src"].to_numpy(zero_copy_only=False),
-            batch["dst"].to_numpy(zero_copy_only=False),
-        ):
-            a, b = find(int(u)), find(int(v))
-            if a != b:
-                parent[max(a, b)] = min(a, b)
-    return np.array([find(i) for i in range(n)], dtype=np.int64)
+    filtered = sym_edges.map_batches(same_comm, batch_format="pyarrow").materialize()
+
+    for _round in range(64):
+        cref = ray.put(comp)
+
+        def partial(t: pa.Table) -> pa.Table:
+            cp = ray.get(cref)
+            src = t["src"].to_numpy(zero_copy_only=False)
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            df = pd.DataFrame({"node": dst, "cand": cp[src]})
+            g = df.groupby("node", sort=False)["cand"].min().reset_index()
+            keep = g["cand"].to_numpy() < cp[g["node"].to_numpy(dtype=np.int64)]
+            return pa.Table.from_pandas(g[keep], preserve_index=False)
+
+        upd = hash_aggregate(
+            filtered.map_batches(partial, batch_format="pyarrow"),
+            ["node"], "cand", op="min",
+        ).to_pandas()
+        if len(upd):
+            un = upd["node"].to_numpy(dtype=np.int64)
+            uc = upd["cand"].to_numpy(dtype=np.int64)
+            better = uc < comp[un]
+            un, uc = un[better], uc[better]
+            if len(un) == 0:
+                break
+            comp[un] = np.minimum(comp[un], uc)
+        else:
+            break
+        # pointer jumping: comp values are node ids, so comp[comp] contracts
+        # min-chains without another edge pass
+        while True:
+            c2 = comp[comp]
+            if np.array_equal(c2, comp):
+                break
+            comp = c2
+    return comp
 
 
 def leiden(
@@ -228,10 +308,11 @@ def leiden(
     Reference: algo/src/main/java/org/neo4j/gds/leiden/Leiden.java:42.
     Per level: local moves (gamma-resolved modularity gain), then refine
     the partition to its connected components within each community (the
-    core Leiden guarantee Louvain lacks), then contract by the refined
-    partition. The full randomized refinement sampling is simplified to
-    its deterministic connectivity core (documented deviation).
-    Returns (node, community), community = min original member id.
+    core Leiden guarantee Louvain lacks) via distributed hash-min, then
+    contract by the refined partition. The full randomized refinement
+    sampling is simplified to its deterministic connectivity core
+    (documented deviation). Returns (node, community), community = min
+    original member id.
     """
     labels = np.arange(node_count, dtype=np.int64)
     edges = sym_edges

@@ -8,15 +8,19 @@ coloring algorithm (Orzan / FW-BW style):
 repeat until all nodes assigned:
  1. **color**: propagate min node id forward to fixpoint over the
     remaining subgraph — ``color(v)`` = min unassigned id that reaches v;
- 2. **trace back**: from each root (``color(v) == v``) walk the REVERSE
-    edges, staying inside the same color class — every node reached both
-    ways belongs to ``SCC(root)``;
+ 2. **trace back**: from each root (``color(v) == v``) run a reachability
+    fixpoint over the REVERSE edges restricted to the same color class —
+    every node reached both ways belongs to ``SCC(root)``;
  3. assign those nodes their root id and peel them out.
 
+Both fixpoints run on the BSP kernel (forward: min reducer; backward:
+or reducer over the reverse projection). The live edge set stays a Ray
+Dataset throughout — per round it is re-filtered by the broadcast
+assignment mask and re-projected; the driver only holds O(V) masks and
+color vectors, never the edge table.
+
 Component id = min member id (the min-id contract, matching WCC's
-Union-by-Min convention). Each round is two BSP fixpoints over
-re-projected remaining subgraphs — fine for moderate SCC DAG depth; the
-reference itself is sequential, so any distributed fixpoint is a step up.
+Union-by-Min convention).
 """
 
 from __future__ import annotations
@@ -30,8 +34,11 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from graph_data_science_ray.pipelines.agg import hash_distinct
 from graph_data_science_ray.state.graph import GraphStore
 from graph_data_science_ray.state.pregel import Pregel, PregelComputation
+
+_I64_MAX = np.iinfo(np.int64).max
 
 
 class _MinForward(PregelComputation):
@@ -45,7 +52,7 @@ class _MinForward(PregelComputation):
     def init_state(self, block: dict) -> dict:
         ids = np.arange(block["start"], block["end"], dtype=np.int64)
         local_active = self.active_mask[block["start"] : block["end"]]
-        color = np.where(local_active, ids, np.iinfo(np.int64).max)
+        color = np.where(local_active, ids, _I64_MAX)
         return {"color": color, "changed": local_active.copy()}
 
     def message_values(self, state, block):
@@ -63,71 +70,127 @@ class _MinForward(PregelComputation):
         return stats.get("init") is None and stats.get("changed", 1) == 0
 
 
-def _project_remaining(edges_df: pd.DataFrame, node_count: int, path: str, reverse: bool):
-    src, dst = ("dst", "src") if reverse else ("src", "dst")
-    t = pa.table(
-        {
-            "src": pa.array(edges_df[src].to_numpy(dtype=np.int64)),
-            "dst": pa.array(edges_df[dst].to_numpy(dtype=np.int64)),
-            "weight": pa.array(np.ones(len(edges_df), dtype=np.float64)),
-        }
-    )
-    return GraphStore.project(
-        rd.from_arrow(t), path, node_count=node_count,
-        num_partitions=min(8, max(1, node_count // 2)), directed=True,
-    )
+class _BackwardReach(PregelComputation):
+    """reached(v) = v is a color root, or any same-class successor reached.
+
+    Runs over the REVERSE projection of the same-color live edges, so a
+    scatter hop follows an original edge backwards.
+    """
+
+    reducer = "or"
+
+    def __init__(self, colors: np.ndarray):
+        self.colors = colors
+
+    def init_state(self, block: dict) -> dict:
+        ids = np.arange(block["start"], block["end"], dtype=np.int64)
+        reached = self.colors[block["start"] : block["end"]] == ids
+        return {"reached": reached.astype(np.uint64), "new": reached.copy()}
+
+    def message_values(self, state, block):
+        return state["reached"], state["new"]
+
+    def apply_messages(self, state, acc, received, block):
+        got = (acc & np.uint64(1)).astype(bool)
+        new = got & (state["reached"] == 0)
+        state["reached"] = state["reached"] | new.astype(np.uint64)
+        state["new"] = new
+        return {"changed": int(new.sum())}
+
+    def is_converged(self, stats):
+        return stats.get("init") is None and stats.get("changed", 1) == 0
 
 
 def scc(encoded_edges: rd.Dataset, node_count: int, idmap=None, max_rounds: int = 100) -> pd.DataFrame:
-    """Exact SCC ids (min member id). Returns (node, component).
-
-    The remaining-subgraph edge set is re-projected per round; the
-    forward coloring runs distributed on the BSP kernel, the backward
-    trace is a vectorized frontier sweep over the (driver-held) live edge
-    list — the documented scale path replaces it with a reverse-graph BSP
-    fixpoint per color wave. Suitable for graphs whose SCC condensation
-    has moderate depth.
-    """
-    edges = encoded_edges.select_columns(["src", "dst"]).to_pandas().drop_duplicates()
+    """Exact SCC ids (min member id). Returns (node, component)."""
+    num_partitions = min(8, max(1, node_count // 2))
+    live = hash_distinct(
+        encoded_edges.select_columns(["src", "dst"]), ["src", "dst"]
+    ).materialize()
     assigned = np.full(node_count, -1, dtype=np.int64)
-    root = tempfile.mkdtemp(prefix="gdsr-scc-", dir="/tmp")
+    root_dir = tempfile.mkdtemp(prefix="gdsr-scc-", dir="/tmp")
+
     for rnd in range(max_rounds):
         unassigned = assigned < 0
         if not unassigned.any():
             break
-        live = edges[unassigned[edges["src"]] & unassigned[edges["dst"]]]
-        # forward min-id coloring to fixpoint
-        gf = _project_remaining(live, node_count, os.path.join(root, f"f{rnd}"), reverse=False)
+        uref = ray.put(unassigned)
+
+        def live_filter(t: pa.Table) -> pa.Table:
+            un = ray.get(uref)
+            s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = un[s] & un[d]
+            s, d = s[keep], d[keep]
+            return pa.table(
+                {"src": pa.array(s), "dst": pa.array(d),
+                 "weight": pa.array(np.ones(len(s), dtype=np.float64))}
+            )
+
+        live = live.map_batches(live_filter, batch_format="pyarrow").materialize()
+        n_live = live.count()
+
+        # nodes with no live edge are singleton SCCs — peel immediately
+        touched = np.zeros(node_count, dtype=bool)
+        if n_live:
+            def touch_partial(t: pa.Table) -> pa.Table:
+                nodes = np.unique(
+                    np.concatenate(
+                        [
+                            t["src"].to_numpy(zero_copy_only=False),
+                            t["dst"].to_numpy(zero_copy_only=False),
+                        ]
+                    )
+                )
+                return pa.table({"node": pa.array(nodes.astype(np.int64))})
+
+            tdf = hash_distinct(
+                live.map_batches(touch_partial, batch_format="pyarrow"), ["node"]
+            ).to_pandas()
+            if len(tdf):
+                touched[tdf["node"].to_numpy(dtype=np.int64)] = True
+        solo = unassigned & ~touched
+        assigned[solo] = np.flatnonzero(solo)
+        if n_live == 0:
+            continue
+
+        # forward min-id coloring to fixpoint (BSP)
+        gf = GraphStore.project(
+            live, os.path.join(root_dir, f"f{rnd}"), node_count=node_count,
+            num_partitions=num_partitions, directed=True,
+        )
         engine = Pregel(gf, _MinForward(unassigned.copy()))
         refs = engine.run(max_iterations=node_count + 2)
         colors = engine.gather(refs, "color")
-        colors = np.where(unassigned, colors, np.iinfo(np.int64).max)
-        # backward trace: reached(v) iff v reaches its root within class
-        reached = colors == np.arange(node_count, dtype=np.int64)  # roots
-        live_rev = live
-        # iterate reverse reachability inside color classes (vectorized BFS
-        # over the pandas edge list — the per-round live set shrinks fast)
-        src = live_rev["src"].to_numpy(dtype=np.int64)
-        dst = live_rev["dst"].to_numpy(dtype=np.int64)
-        same_class = colors[src] == colors[dst]
-        s2, d2 = src[same_class], dst[same_class]
-        frontier = reached.copy()
-        while True:
-            hit = frontier[d2] & ~reached[s2]
-            if not hit.any():
-                break
-            reached[np.unique(s2[hit])] = True
-            frontier = np.zeros(node_count, dtype=bool)
-            frontier[np.unique(s2[hit])] = True
-        members = unassigned & reached & (colors < np.iinfo(np.int64).max)
+        colors = np.where(unassigned & touched, colors, _I64_MAX)
+
+        # backward reachability within color classes, on the reverse
+        # projection of the same-class edge subset (BSP, or-reducer)
+        cref = ray.put(colors)
+
+        def rev_same_class(t: pa.Table) -> pa.Table:
+            col = ray.get(cref)
+            s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = col[s] == col[d]
+            s, d = s[keep], d[keep]
+            return pa.table(
+                {"src": pa.array(d), "dst": pa.array(s),
+                 "weight": pa.array(np.ones(len(s), dtype=np.float64))}
+            )
+
+        rev = live.map_batches(rev_same_class, batch_format="pyarrow")
+        gr = GraphStore.project(
+            rev, os.path.join(root_dir, f"b{rnd}"), node_count=node_count,
+            num_partitions=num_partitions, directed=True,
+        )
+        engine_b = Pregel(gr, _BackwardReach(colors.copy()))
+        refs_b = engine_b.run(max_iterations=node_count + 2)
+        reached = engine_b.gather(refs_b, "reached").astype(bool)
+
+        members = unassigned & reached & (colors < _I64_MAX)
         assigned[members] = colors[members]
-        # isolated leftover nodes with no live edges become their own SCC
-        touched = np.zeros(node_count, dtype=bool)
-        if len(live):
-            touched[live["src"].to_numpy(dtype=np.int64)] = True
-            touched[live["dst"].to_numpy(dtype=np.int64)] = True
-        solo = unassigned & ~members & ~touched
-        assigned[solo] = np.flatnonzero(solo)
+
     node = idmap.keys if idmap is not None else np.arange(node_count, dtype=np.int64)
     comp = assigned
     if idmap is not None:

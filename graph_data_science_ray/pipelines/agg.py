@@ -60,6 +60,125 @@ def hash_aggregate(
     )
 
 
+def hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: list[str],
+    right_on: list[str] | None = None,
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """Inner hash-partitioned equi-join (pandas merge per partition).
+
+    Both sides are widened to a common schema with typed nulls and tagged
+    by ``stable_hash(keys) % P``; each partition merges its two sides.
+    Robust against the empty-block schema loss that trips Ray's built-in
+    hash join when a shuffle partition comes up empty. Right key columns
+    are renamed to the left names; non-key column names must be disjoint.
+    """
+    import pyarrow as pa
+
+    def _plain_type(t):
+        """Strip Ray tensor-extension types to plain variable lists."""
+        if isinstance(t, pa.ExtensionType):
+            st = t.storage_type
+            if pa.types.is_fixed_size_list(st):
+                return pa.list_(st.value_type)
+            return st
+        return t
+
+    def _resolve(ds):
+        """Arrow schema for ``ds`` — pandas-block datasets report ``object``
+        for string/list columns, so reroute through a pyarrow-format
+        identity map (schema inference then samples real Arrow types)."""
+        sch = ds.schema()
+        if any(not isinstance(t, pa.DataType) for t in sch.types):
+            ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
+            sch = ds.schema()
+        return ds, sch
+
+    right_on = list(right_on or on)
+    on = list(on)
+    left, lschema = _resolve(left)
+    right, rschema = _resolve(right)
+    lnames = list(lschema.names)
+    rename = dict(zip(right_on, on))
+    rnames = [rename.get(n, n) for n in rschema.names]
+    rvalue = [n for n in rnames if n not in on]
+    overlap = set(lnames) & set(rvalue)
+    if overlap:
+        raise ValueError(f"non-key column name collision in hash_join: {overlap}")
+    out_names = lnames + rvalue
+    lfields = {n: _plain_type(t) for n, t in zip(lschema.names, lschema.types)}
+    rfields = {rn: _plain_type(t) for rn, t in zip(rnames, rschema.types)}
+    all_fields = [(n, lfields.get(n) or rfields[n]) for n in out_names]
+    afields_l = [(n, lfields.get(n) or rfields[n], n in lnames) for n in out_names]
+    afields_r = [(n, lfields.get(n) or rfields[n], n in rnames) for n in out_names]
+
+    def widen(t: pa.Table, fields, side: int, colmap=None) -> pa.Table:
+        cols = {}
+        for name, typ, mine in fields:
+            src_name = (colmap or {}).get(name, name)
+            if mine:
+                col = t[src_name]
+                if isinstance(col.type, pa.ExtensionType):  # tensor ext → storage
+                    col = pa.chunked_array(
+                        [c.storage for c in col.chunks]
+                    ) if isinstance(col, pa.ChunkedArray) else col.storage
+                cols[name] = col.cast(typ)
+            else:
+                cols[name] = pa.nulls(len(t), typ)
+        cols["__side"] = pa.array(np.full(len(t), side, dtype=np.int8))
+        return pa.table(cols)
+
+    inv_rename = {v: k for k, v in rename.items()}
+    wl = left.map_batches(
+        lambda t: widen(t, afields_l, 0), batch_format="pyarrow"
+    )
+    wr = right.map_batches(
+        lambda t: widen(t, afields_r, 1, colmap=inv_rename), batch_format="pyarrow"
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        # stays in Arrow: pandas conversion would wrap list columns in
+        # Ray's tensor extension, whose all-null blocks break the shuffle
+        h = np.zeros(len(t), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for c in on:
+                h = h * np.uint64(0x9E3779B97F4A7C15) + pd.util.hash_array(
+                    np.asarray(t[c].to_numpy(zero_copy_only=False))
+                )
+        return t.append_column("__part", pa.array((h % num_parts).astype(np.int64)))
+
+    # pandas dtype targets for post-merge restoration (nullable-int columns
+    # widen to float inside mixed groups)
+    dtype_map = {}
+    for n, t in all_fields:
+        if pa.types.is_integer(t):
+            dtype_map[n] = np.int64
+        elif pa.types.is_floating(t):
+            dtype_map[n] = np.float64
+
+    def join_part(t: pa.Table) -> pd.DataFrame:
+        # per-column Arrow→pandas (plain object Series for lists/strings —
+        # bypasses Ray's tensor-extension pandas path)
+        g = pd.DataFrame({n: t[n].to_pandas() for n in out_names})
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        lg = g.loc[side == 0, lnames]
+        rg = g.loc[side == 1, on + rvalue]
+        m = lg.merge(rg, on=on, how="inner")
+        m = m[out_names]
+        for n, dt in dtype_map.items():
+            m[n] = m[n].astype(dt)
+        return m
+
+    return (
+        wl.union(wr)
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(join_part, batch_format="pyarrow")
+    )
+
+
 def hash_distinct(ds: rd.Dataset, key_cols: list[str], num_parts: int = 64) -> rd.Dataset:
     """DISTINCT over high-cardinality key columns (same two-step shape)."""
 

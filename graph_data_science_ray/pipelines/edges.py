@@ -34,6 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
+from ray.data.aggregate import Sum
 
 def _actor_key(batch: pa.Table) -> pa.Array:
     tool = batch["tool"].combine_chunks()
@@ -67,6 +68,20 @@ def _partial_count(batch: pa.Table) -> pa.Table:
     """Map-side combine: per-batch (src, dst) counts before the shuffle."""
     g = batch.group_by(["src", "dst"]).aggregate([("src", "count")])
     return g.rename_columns(["src", "dst", "partial"])
+
+
+def _check_packable(V: int) -> None:
+    """Guard the packed edge key ``src * V + dst`` against int64 overflow.
+
+    Packing requires ``(V-1) * V + (V-1) < 2^63`` i.e. V <= ~3.03e9. Above
+    that, callers must use the unpacked string/struct groupby path
+    (``derive_edges``).
+    """
+    if V > 0 and (V - 1) > ((2**63 - 1) - (V - 1)) // V:
+        raise OverflowError(
+            f"IdMap cardinality {V} too large for packed int64 edge keys; "
+            "use derive_edges() (unpacked groupby) instead"
+        )
 
 
 def _auto_join_partitions() -> int:
@@ -122,7 +137,10 @@ def _pair_batch(t: pa.Table, *, collector) -> pa.Table:
     recs = [(str(conv[0]), int(idx[0]), str(actor[0]), True, n == 1)]
     if n > 1:
         recs.append((str(conv[-1]), int(idx[-1]), str(actor[-1]), False, True))
-    collector.add.remote(recs)
+    # block until the collector acknowledges: materialize() only waits for
+    # map tasks, so a fire-and-forget add could land after the driver reads
+    # the collector (dropping boundary edges nondeterministically).
+    ray.get(collector.add.remote(recs))
     same = conv[1:] == conv[:-1]
     src = actor[:-1][same]
     dst = actor[1:][same]
@@ -415,6 +433,7 @@ def derive_edges_encoded(
     from graph_data_science_ray._util import splitmix64
 
     V = len(idmap)
+    _check_packable(V)
     keys_ref = idmap.ref
 
     def add_ids(t: pa.Table) -> pa.Table:
@@ -442,7 +461,9 @@ def derive_edges_encoded(
         recs = [(str(conv[0]), int(idx[0]), int(aid[0]), True, n == 1)]
         if n > 1:
             recs.append((str(conv[-1]), int(idx[-1]), int(aid[-1]), False, True))
-        collector.add.remote(recs)
+        # synchronous add: see _pair_batch — delivery must precede the
+        # driver's collector read after materialize().
+        ray.get(collector.add.remote(recs))
         same = conv[1:] == conv[:-1]
         s = aid[:-1][same]
         d = aid[1:][same]
@@ -520,6 +541,7 @@ def derive_edges_encoded_grouped(
     from graph_data_science_ray._util import splitmix64
 
     V = len(idmap)
+    _check_packable(V)
     keys_ref = idmap.ref
 
     def add_ids(t: pa.Table) -> pa.Table:

@@ -3,10 +3,14 @@
 Scale shapes:
 - exact: content-hash in a vectorized ``map_batches`` → hash-partitioned
   ``groupby(fp)`` keep-first (min doc_id — deterministic);
-- MinHash-LSH: shingle→minhash per batch (one permutation family,
-  vectorized) → explode to (band, band_hash, doc_id) rows → groupby band
-  buckets → candidate pairs → exact-Jaccard verification per pair;
-- SimHash: 64-bit hyperplane-free token-hash majority fingerprint.
+- MinHash-LSH: vectorized shingle hashing (token hashes mixed with a
+  splitmix finalizer — no per-shingle Python hashing) → per-doc signature
+  minima via ``reduceat`` → banded keys → groupby band buckets →
+  candidate pairs → **hash-join of the pairs back to the doc table**
+  (twice, on doc_a / doc_b) → per-batch exact-Jaccard verification. No
+  full-corpus driver broadcast anywhere.
+- SimHash: 64-bit token-hash majority fingerprint, bit counts via
+  ``reduceat`` over per-doc shingle segments.
 
 All stages treat the shuffle keys as content hashes — uniformly
 distributed, no skew handling needed.
@@ -14,29 +18,64 @@ distributed, no skew handling needed.
 
 from __future__ import annotations
 
-import hashlib
 import re
 
 import numpy as np
 import pandas as pd
 import ray.data as rd
 
+from graph_data_science_ray._util import splitmix64
+
 _WORD = re.compile(r"\S+")
 
 
+def _shingle_hashes_batch(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized 64-bit word-3-shingle hashes for a batch of texts.
+
+    Returns ``(hashes, indptr)``: per-doc segments
+    ``hashes[indptr[i]:indptr[i+1]]``. Token hashes come from pandas'
+    stable siphash (`hash_array`); a shingle hash mixes its three token
+    hashes through splitmix64 — no per-shingle Python loop. Docs with
+    fewer than 3 tokens collapse to one shingle over all their tokens.
+    """
+    tok_lists = [_WORD.findall(t or "") for t in texts]
+    counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+    flat = [w for toks in tok_lists for w in toks]
+    if not flat:
+        return np.zeros(0, dtype=np.uint64), np.zeros(len(texts) + 1, dtype=np.int64)
+    th = pd.util.hash_array(np.asarray(flat, dtype=object))  # uint64, stable
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    out_h = []
+    out_counts = np.zeros(len(texts), dtype=np.int64)
+    C1, C2 = np.uint64(0x9E3779B97F4A7C15), np.uint64(0xBF58476D1CE4E5B9)
+    with np.errstate(over="ignore"):
+        # big docs: triple-mix consecutive token hashes within each doc.
+        # Build a keep-mask that drops the last 2 positions of each doc.
+        n = len(th)
+        doc_of = np.repeat(np.arange(len(texts)), counts)
+        h1, h2, h3 = th[: n - 2], th[1 : n - 1], th[2:]
+        same = (doc_of[: n - 2] == doc_of[2:]) if n >= 3 else np.zeros(0, dtype=bool)
+        tri = splitmix64((h1 * C1 ^ h2) * C2 ^ h3)
+        for i, (s, c) in enumerate(zip(starts[:-1], counts)):
+            if c >= 3:
+                seg = tri[s : s + c - 2][same[s : s + c - 2]]
+                out_h.append(seg)
+                out_counts[i] = len(seg)
+            elif c > 0:
+                mix = th[s]
+                for j in range(1, c):
+                    mix = mix * C1 ^ th[s + j]
+                out_h.append(splitmix64(np.asarray([mix], dtype=np.uint64)))
+                out_counts[i] = 1
+    hashes = np.concatenate(out_h) if out_h else np.zeros(0, dtype=np.uint64)
+    indptr = np.concatenate([[0], np.cumsum(out_counts)]).astype(np.int64)
+    return hashes, indptr
+
+
 def _token_hashes(text: str) -> np.ndarray:
-    """Stable 64-bit hashes of word 3-shingles."""
-    toks = _WORD.findall(text)
-    if len(toks) < 3:
-        shingles = [" ".join(toks)] if toks else []
-    else:
-        shingles = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
-        )
-    return out
+    """Stable 64-bit hashes of word 3-shingles (single-doc view)."""
+    h, indptr = _shingle_hashes_batch([text])
+    return h[indptr[0] : indptr[1]]
 
 
 # ---------------------------------------------------------------------------
@@ -59,27 +98,35 @@ def dedup_exact(docs: rd.Dataset) -> rd.Dataset:
 
 
 class MinHasher:
-    """Per-batch MinHash signatures: ``sig[i] = min((a_i * h + b_i) mod p)``
-    over shingle hashes h, with a seeded permutation family built once per
-    actor."""
+    """Per-batch MinHash signatures.
+
+    ``sig[i] = min over shingles of splitmix64(h ^ seed_i)`` — one
+    independent 64-bit mix per hash function, minima taken per doc with
+    ``np.minimum.reduceat`` over the shingle segments. Entirely
+    vectorized; the seed family is built once per actor."""
 
     def __init__(self, num_hashes: int = 64, seed: int = 17):
         rng = np.random.default_rng(seed)
-        self.p = np.uint64((1 << 61) - 1)
-        self.a = rng.integers(1, self.p, size=num_hashes, dtype=np.uint64)
-        self.b = rng.integers(0, self.p, size=num_hashes, dtype=np.uint64)
+        self.seeds = rng.integers(0, np.iinfo(np.uint64).max, size=num_hashes, dtype=np.uint64)
         self.num_hashes = num_hashes
 
-    def signature(self, text: str) -> np.ndarray:
-        h = _token_hashes(text)
+    def signatures(self, texts) -> np.ndarray:
+        h, indptr = _shingle_hashes_batch(texts)
+        n_docs = len(indptr) - 1
+        sigs = np.zeros((n_docs, self.num_hashes), dtype=np.uint64)
         if len(h) == 0:
-            return np.zeros(self.num_hashes, dtype=np.uint64)
+            return sigs
+        seg_counts = np.diff(indptr)
+        nz = seg_counts > 0
+        starts = indptr[:-1][nz]
         with np.errstate(over="ignore"):
-            vals = (h[None, :] * self.a[:, None] + self.b[:, None]) % self.p
-        return vals.min(axis=1)
+            for i, s in enumerate(self.seeds):
+                mixed = splitmix64(h ^ s)
+                sigs[nz, i] = np.minimum.reduceat(mixed, starts)
+        return sigs
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack([self.signature(t) for t in batch["text"].fillna("")])
+        sigs = self.signatures(batch["text"].fillna("").tolist())
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].astype(np.int64),
@@ -89,16 +136,30 @@ class MinHasher:
 
 
 def _band_rows(batch: pd.DataFrame, num_bands: int, rows_per_band: int) -> pd.DataFrame:
-    doc_ids, bands, keys = [], [], []
-    for did, sig in zip(batch["doc_id"], batch["sig"]):
-        sig = np.asarray(sig, dtype=np.uint64)
+    """(doc_id, band, key) rows — band key mixes the band's signature
+    slots through splitmix64, vectorized across the whole batch."""
+    if not len(batch):
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype=np.int64),
+             "band": pd.Series([], dtype=np.int64),
+             "key": pd.Series([], dtype=np.int64)}
+        )
+    sig = np.stack([np.asarray(s, dtype=np.uint64) for s in batch["sig"]])
+    n = len(sig)
+    C = np.uint64(0x9E3779B97F4A7C15)
+    keys = np.empty((n, num_bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
         for b in range(num_bands):
-            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-            key = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-            doc_ids.append(did)
-            bands.append(b)
-            keys.append(key)
-    return pd.DataFrame({"doc_id": doc_ids, "band": bands, "key": keys})
+            chunk = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
+            acc = np.full(n, np.uint64(b) + np.uint64(1), dtype=np.uint64)
+            for r in range(chunk.shape[1]):
+                acc = splitmix64(acc * C ^ chunk[:, r])
+            keys[:, b] = acc
+    doc_ids = np.repeat(batch["doc_id"].to_numpy(dtype=np.int64), num_bands)
+    bands = np.tile(np.arange(num_bands, dtype=np.int64), n)
+    return pd.DataFrame(
+        {"doc_id": doc_ids, "band": bands, "key": keys.reshape(-1).astype(np.int64)}
+    )
 
 
 def jaccard(a: str, b: str) -> float:
@@ -106,6 +167,42 @@ def jaccard(a: str, b: str) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / max(1, len(sa | sb))
+
+
+def _verify_pairs(batch: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Exact shingle-Jaccard over joined (text_a, text_b) pair rows.
+
+    Shingle hashing is batched (one vectorized pass over all texts in the
+    batch); only the final per-pair set intersection is a loop over the
+    CANDIDATE PAIRS (already winnowed by LSH), not over the corpus."""
+    empty = pd.DataFrame(
+        {"doc_a": pd.Series([], dtype=np.int64),
+         "doc_b": pd.Series([], dtype=np.int64),
+         "jaccard": pd.Series([], dtype=np.float64)}
+    )
+    if not len(batch):
+        return empty
+    ta = batch["text_a"].fillna("").tolist()
+    tb = batch["text_b"].fillna("").tolist()
+    ha, ia = _shingle_hashes_batch(ta)
+    hb, ib = _shingle_hashes_batch(tb)
+    js = np.empty(len(batch), dtype=np.float64)
+    for i in range(len(batch)):
+        sa = np.unique(ha[ia[i] : ia[i + 1]])
+        sb = np.unique(hb[ib[i] : ib[i + 1]])
+        if len(sa) == 0 and len(sb) == 0:
+            js[i] = 1.0
+            continue
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        js[i] = inter / max(1, len(sa) + len(sb) - inter)
+    out = pd.DataFrame(
+        {
+            "doc_a": batch["doc_a"].astype(np.int64),
+            "doc_b": batch["doc_b"].astype(np.int64),
+            "jaccard": np.round(js, 6),
+        }
+    )
+    return out[out["jaccard"] >= threshold]
 
 
 def dedup_minhash_lsh(
@@ -118,14 +215,16 @@ def dedup_minhash_lsh(
     """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
+    Verification texts arrive by hash-joining the candidate pairs back to
+    the doc table (once per side) — the doc corpus is never collected.
     """
+    import functools
+
     rows_per_band = num_hashes // num_bands
     docs = docs.select_columns(["doc_id", "text"]).materialize()
     sigs = docs.map_batches(
         MinHasher(num_hashes, seed), batch_format="pandas", batch_size=4096,
     )
-    import functools
-
     bands = sigs.map_batches(
         functools.partial(_band_rows, num_bands=num_bands, rows_per_band=rows_per_band),
         batch_format="pandas",
@@ -161,31 +260,21 @@ def dedup_minhash_lsh(
         .map_groups(bucket_pairs, batch_format="pandas"),
         ["doc_a", "doc_b"],
     )
-    # verify candidates with exact shingle Jaccard. The doc texts are
-    # broadcast once via ray.put (candidate verification is a small-side
-    # lookup); at 100 TB scale this becomes a hash-join of the candidate
-    # pairs back to the doc table on doc_id instead.
-    import ray
 
-    tdf = docs.to_pandas()
-    texts_ref = ray.put(dict(zip(tdf["doc_id"].astype(np.int64), tdf["text"].fillna(""))))
+    # hash-join the pair list back to the doc table for both sides
+    from graph_data_science_ray.pipelines.agg import hash_join
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        if not len(batch):
-            return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype=np.int64),
-                 "doc_b": pd.Series([], dtype=np.int64),
-                 "jaccard": pd.Series([], dtype=np.float64)}
-            )
-        texts = ray.get(texts_ref)
-        js = [
-            jaccard(texts.get(a, ""), texts.get(b, ""))
-            for a, b in zip(batch["doc_a"], batch["doc_b"])
-        ]
-        out = batch.assign(jaccard=np.round(js, 6))
-        return out[out["jaccard"] >= threshold]
-
-    return pairs.map_batches(verify, batch_format="pandas")
+    side_a = docs.map_batches(
+        lambda df: df.rename(columns={"text": "text_a"}), batch_format="pandas"
+    )
+    side_b = docs.map_batches(
+        lambda df: df.rename(columns={"text": "text_b"}), batch_format="pandas"
+    )
+    joined = hash_join(pairs, side_a, on=["doc_a"], right_on=["doc_id"])
+    joined = hash_join(joined, side_b, on=["doc_b"], right_on=["doc_id"])
+    return joined.map_batches(
+        functools.partial(_verify_pairs, threshold=threshold), batch_format="pandas"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -195,21 +284,27 @@ def dedup_minhash_lsh(
 
 class SimHasher:
     """64-bit SimHash over word-shingle hashes: bit b of the fingerprint is
-    the majority vote of bit b across all shingle hashes."""
+    the majority vote of bit b across all shingle hashes. Bit counts are
+    one ``reduceat`` over the batch's per-doc shingle segments."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        fps = np.empty(len(batch), dtype=np.uint64)
-        for i, t in enumerate(batch["text"].fillna("")):
-            h = _token_hashes(t)
-            if len(h) == 0:
-                fps[i] = 0
-                continue
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).sum(axis=0)
-            fp = np.uint64(0)
-            for b in range(64):
-                if bits[b] * 2 >= len(h):
-                    fp |= np.uint64(1) << np.uint64(b)
-            fps[i] = fp
+        texts = batch["text"].fillna("").tolist()
+        h, indptr = _shingle_hashes_batch(texts)
+        n_docs = len(indptr) - 1
+        fps = np.zeros(n_docs, dtype=np.uint64)
+        if len(h):
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+                np.int32
+            )
+            seg_counts = np.diff(indptr)
+            nz = seg_counts > 0
+            starts = indptr[:-1][nz]
+            counts = np.add.reduceat(bits, starts, axis=0)  # (nz_docs, 64)
+            maj = (counts * 2 >= seg_counts[nz][:, None]).astype(np.uint64)
+            packed = (maj << np.arange(64, dtype=np.uint64)[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+            fps[nz] = packed
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].astype(np.int64),

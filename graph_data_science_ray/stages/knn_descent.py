@@ -5,15 +5,18 @@ Reference: similarity/src/main/java/org/neo4j/gds/similarity/knn/Knn.java:37
 
 1. init: every vector gets k random (seeded, deterministic) candidates;
 2. per round: propose neighbor-of-neighbor pairs (self-join of the
-   current candidate lists through the shared middle vector), score the
-   proposals per batch (vectorized cosine), keep the per-node top-k of
-   old ∪ new; stop when a round improves nothing (or max_rounds);
+   current candidate lists through the shared middle vector), fetch both
+   endpoint vectors by **hash-joining the pair list against the embedding
+   table** (by id — the vector matrix is never collected or broadcast),
+   score per batch (vectorized cosine), keep the per-node top-k of
+   old ∪ new via a hash-partitioned group top-k; stop when the candidate
+   set's digest stops changing (or max_rounds);
 3. output (query_id, neighbor_id, rank, sim).
 
-All heavy steps are Dataset ops: the proposal join is a groupby on the
-middle id; scoring is a broadcast-free pairwise batch kernel (vectors
-join back by id through a broadcast matrix — fine for embedding tables
-that fit the object store; the disk-backed variant shards the matrix).
+Everything is Dataset ops; the driver holds only per-round counters and
+a 64-bit digest. At 100 TB the vector payload rides the candidate-pair
+shuffles (2 vectors per proposal), the textbook distributed NN-Descent
+cost model.
 """
 
 from __future__ import annotations
@@ -23,13 +26,84 @@ import pandas as pd
 import ray
 import ray.data as rd
 
-from graph_data_science_ray._util import mix2
-from graph_data_science_ray.pipelines.agg import hash_distinct
+from graph_data_science_ray._util import mix2, splitmix64
+from graph_data_science_ray.pipelines.agg import (
+    _stable_row_hash,
+    hash_distinct,
+    hash_join,
+)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     return m / np.where(n > 0, n, 1.0)
+
+
+def _score_pairs(pairs: rd.Dataset, emb_a: rd.Dataset, emb_b: rd.Dataset) -> rd.Dataset:
+    """(a, b) id pairs → (a, b, sim) by joining both endpoint vectors."""
+    j = hash_join(pairs, emb_a, on=["a"])
+    j = hash_join(j, emb_b, on=["b"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=np.int64),
+                 "b": pd.Series([], dtype=np.int64),
+                 "sim": pd.Series([], dtype=np.float64)}
+            )
+        va = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in df["vec_a"]]))
+        vb = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in df["vec_b"]]))
+        sim = np.round(np.einsum("ij,ij->i", va, vb), 6)
+        return pd.DataFrame(
+            {"a": df["a"].astype(np.int64), "b": df["b"].astype(np.int64), "sim": sim}
+        )
+
+    return j.map_batches(score, batch_format="pandas")
+
+
+def _topk(scored: rd.Dataset, k: int, num_parts: int = 32) -> rd.Dataset:
+    """Per-node top-k of the symmetric closure of scored pairs."""
+
+    def symm_tag(df: pd.DataFrame) -> pd.DataFrame:
+        both = pd.concat(
+            [df, df.rename(columns={"a": "b", "b": "a"})], ignore_index=True
+        )
+        both["__part"] = (_stable_row_hash(both, ["a"]) % num_parts).astype(np.int64)
+        return both
+
+    def keep_k(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["a", "b"])
+        g = g.sort_values(["a", "sim", "b"], ascending=[True, False, True],
+                          kind="mergesort")
+        return g.groupby("a", sort=False).head(k)[["a", "b", "sim"]]
+
+    return (
+        scored.map_batches(symm_tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(keep_k, batch_format="pandas")
+    )
+
+
+def _digest(current: rd.Dataset) -> tuple[int, int]:
+    """(row_count, order-independent 64-bit digest) of the (a,b) set."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        with np.errstate(over="ignore"):
+            h = splitmix64(
+                df["a"].to_numpy(dtype=np.int64).astype(np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15)
+                ^ df["b"].to_numpy(dtype=np.int64).astype(np.uint64)
+            )
+            s = np.uint64(0)
+            for v in (np.bitwise_xor.reduce(h) if len(h) else np.uint64(0),):
+                s ^= v
+        return pd.DataFrame({"x": [int(s)], "n": [len(df)]})
+
+    agg = current.map_batches(partial, batch_format="pandas").to_pandas()
+    x = 0
+    for v in agg["x"]:
+        x ^= int(v)
+    return int(agg["n"].sum()), x
 
 
 def knn_descent(
@@ -42,41 +116,47 @@ def knn_descent(
 ) -> pd.DataFrame:
     """Approximate cosine top-k for every vector; returns
     (query_id, neighbor_id, rank, sim)."""
-    df = embeddings.select_columns([id_col, vec_col]).to_pandas().sort_values(id_col)
-    ids = df[id_col].to_numpy(dtype=np.int64)
-    mat = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]]))
+    emb = embeddings.select_columns([id_col, vec_col]).materialize()
+    # id vocabulary only (no vectors) — needed to draw random init partners
+    ids = np.sort(
+        emb.select_columns([id_col]).to_pandas()[id_col].to_numpy(dtype=np.int64)
+    )
     n = len(ids)
-    mat_ref = ray.put(mat)
-    id_pos = {int(v): i for i, v in enumerate(ids)}
+    ids_ref = ray.put(ids)
 
-    # deterministic random init: k draws per node
-    reps = np.repeat(np.arange(n, dtype=np.int64), k)
-    slots = np.tile(np.arange(k, dtype=np.int64), n)
-    cand = (mix2(seed, reps, slots) % np.uint64(n)).astype(np.int64)
-    good = cand != reps
-    pairs = pd.DataFrame({"a": reps[good], "b": cand[good]})
+    emb_a = emb.map_batches(
+        lambda df: pd.DataFrame({"a": df[id_col].astype(np.int64), "vec_a": df[vec_col]}),
+        batch_format="pandas",
+    ).materialize()
+    emb_b = emb.map_batches(
+        lambda df: pd.DataFrame({"b": df[id_col].astype(np.int64), "vec_b": df[vec_col]}),
+        batch_format="pandas",
+    ).materialize()
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(mat_ref)
-        a = batch["a"].to_numpy(dtype=np.int64)
-        b = batch["b"].to_numpy(dtype=np.int64)
-        sim = np.round(np.einsum("ij,ij->i", m[a], m[b]), 6)
-        return pd.DataFrame({"a": a, "b": b, "sim": sim})
+    # deterministic random init: k draws per node, generated distributedly
+    # over the id table (positions drawn via the seeded mix)
+    def init_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        all_ids = ray.get(ids_ref)
+        my = df[id_col].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(all_ids, my)
+        reps_pos = np.repeat(pos, k)
+        reps_id = np.repeat(my, k)
+        slots = np.tile(np.arange(k, dtype=np.int64), len(my))
+        cand_pos = (mix2(seed, reps_pos, slots) % np.uint64(len(all_ids))).astype(np.int64)
+        cand = all_ids[cand_pos]
+        good = cand != reps_id
+        return pd.DataFrame({"a": reps_id[good], "b": cand[good]})
 
-    def topk(scored: pd.DataFrame) -> pd.DataFrame:
-        # symmetric candidates: each scored pair serves both endpoints
-        both = pd.concat(
-            [scored, scored.rename(columns={"a": "b", "b": "a"})], ignore_index=True
-        )
-        both = both.drop_duplicates(subset=["a", "b"])
-        both = both.sort_values(["a", "sim", "b"], ascending=[True, False, True],
-                                kind="mergesort")
-        return both.groupby("a", sort=False).head(k)
+    pairs = emb.select_columns([id_col]).map_batches(init_pairs, batch_format="pandas")
+    current = _topk(_score_pairs(pairs, emb_a, emb_b), k).materialize()
+    cur_n, cur_digest = _digest(current)
 
-    current = topk(score(pairs))
     for _ in range(max_rounds):
         # neighbor-of-neighbor proposals through the shared middle node
-        ds = rd.from_pandas(current[["a", "b"]])
+        def tag_mid(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[["a", "b"]].copy()
+            df["__part"] = (_stable_row_hash(df, ["b"]) % 32).astype(np.int64)
+            return df
 
         def propose(g: pd.DataFrame) -> pd.DataFrame:
             outs = []
@@ -89,39 +169,28 @@ def knn_descent(
             if not outs:
                 return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
                                      "b": pd.Series([], dtype=np.int64)})
-            return pd.concat(outs, ignore_index=True)
+            out = pd.concat(outs, ignore_index=True)
+            return out[out["a"] != out["b"]]
 
-        import pandas as _pd
-
-        from graph_data_science_ray.pipelines.agg import _stable_row_hash
-
-        def tag(t: _pd.DataFrame) -> _pd.DataFrame:
-            t = t.copy()
-            t["__part"] = (_stable_row_hash(t, ["b"]) % 32).astype(np.int64)
-            return t
-
-        proposals = (
-            ds.map_batches(tag, batch_format="pandas")
+        proposals = hash_distinct(
+            current.map_batches(tag_mid, batch_format="pandas")
             .groupby("__part")
-            .map_groups(propose, batch_format="pandas")
+            .map_groups(propose, batch_format="pandas"),
+            ["a", "b"],
         )
-        proposals = hash_distinct(proposals, ["a", "b"]).to_pandas()
-        if not len(proposals) or "a" not in proposals.columns:
-            break
-        proposals = proposals[proposals["a"] != proposals["b"]]
-        scored_new = score(proposals)
-        merged = topk(pd.concat([current, scored_new], ignore_index=True))
-        # convergence: candidate sets unchanged
-        if len(merged) == len(current) and np.array_equal(
-            merged[["a", "b"]].to_numpy(), current[["a", "b"]].to_numpy()
-        ):
-            current = merged
-            break
+        scored_new = _score_pairs(proposals, emb_a, emb_b)
+        merged = _topk(current.select_columns(["a", "b", "sim"]).union(scored_new), k)
+        merged = merged.materialize()
+        new_n, new_digest = _digest(merged)
         current = merged
+        if (new_n, new_digest) == (cur_n, cur_digest):
+            break
+        cur_n, cur_digest = new_n, new_digest
 
-    out = current.rename(columns={"a": "query_id", "b": "neighbor_id"}).copy()
+    out = current.to_pandas().rename(columns={"a": "query_id", "b": "neighbor_id"})
+    out = out.sort_values(
+        ["query_id", "sim", "neighbor_id"], ascending=[True, False, True],
+        kind="mergesort",
+    ).reset_index(drop=True)
     out["rank"] = out.groupby("query_id").cumcount() + 1
-    # translate positions back to ids
-    out["query_id"] = ids[out["query_id"].to_numpy(dtype=np.int64)]
-    out["neighbor_id"] = ids[out["neighbor_id"].to_numpy(dtype=np.int64)]
-    return out[["query_id", "neighbor_id", "rank", "sim"]].reset_index(drop=True)
+    return out[["query_id", "neighbor_id", "rank", "sim"]]

@@ -48,9 +48,9 @@ class _BruteForceScorer:
             s = np.round(sims[qi], 6)
             if self.exclude_self:
                 s = np.where(ids == qid, -np.inf, s)
-            # per-batch partial top-k (final top-k reduced later)
+            # per-batch partial top-k (final top-k reduced later);
+            # stable (-sim, id) order
             k = min(self.k, len(ids))
-            idx = np.argsort(np.lexsort((ids, -s)))  # stable (-sim, id) order
             order = np.lexsort((ids, -s))[:k]
             out_q.extend([qid] * len(order))
             out_n.extend(ids[order])
@@ -165,6 +165,27 @@ def knn_lsh(
     return bucketed.groupby("bucket").map_groups(topk_in_bucket, batch_format="pandas")
 
 
+@ray.remote
+def _score_block_pair(df_i: pd.DataFrame, df_j: pd.DataFrame, same: bool, threshold: float):
+    """Cosine pairs >= threshold between two embedding blocks (exact)."""
+    ids_i = df_i["vec_id"].to_numpy(dtype=np.int64)
+    ids_j = df_j["vec_id"].to_numpy(dtype=np.int64)
+    m_i = _normalize(_stack(df_i["embedding"]))
+    m_j = _normalize(_stack(df_j["embedding"]))
+    sims = np.round(m_i @ m_j.T, 6)
+    hit = sims >= threshold
+    if same:
+        hit = np.triu(hit, k=1)  # each unordered in-block pair once
+    a, b = np.where(hit)
+    ia, jb = ids_i[a], ids_j[b]
+    lo = np.minimum(ia, jb)
+    hi = np.maximum(ia, jb)
+    keep = lo != hi
+    return pd.DataFrame(
+        {"doc_a": lo[keep], "doc_b": hi[keep], "sim": sims[a, b][keep]}
+    )
+
+
 def embedding_near_dup(
     embeddings: rd.Dataset,
     threshold: float = 0.95,
@@ -172,21 +193,56 @@ def embedding_near_dup(
 ) -> pd.DataFrame:
     """Cosine >= threshold pairs (doc_a < doc_b) — embedding near-dedup.
 
-    Brute-force within an id_limit prefix (oracle-checkable); the scale
-    path composes ``knn_lsh`` buckets with the same pair predicate.
+    Exact all-pairs via **block-pair tasks**: the embedding table's blocks
+    stay in the object store; one task per block pair (i <= j) computes a
+    chunk×chunk similarity matrix and returns only the above-threshold
+    pairs. Memory per task is O(chunk²); nothing materializes the corpus
+    on the driver. The sub-quadratic approximate path is
+    ``knn_lsh`` buckets + the same threshold predicate
+    (``embedding_near_dup_lsh``).
     """
-    ds = embeddings
+    ds = embeddings.select_columns(["vec_id", "embedding"])
     if id_limit is not None:
         ds = ds.filter(expr=f"vec_id < {id_limit}")
-    df = ds.to_pandas().sort_values("vec_id")
-    ids = df["vec_id"].to_numpy(dtype=np.int64)
-    mat = _normalize(_stack(df["embedding"]))
-    sims = np.round(mat @ mat.T, 6)
-    a, b = np.where(np.triu(sims >= threshold, k=1))
-    return pd.DataFrame(
-        {
-            "doc_a": ids[a],
-            "doc_b": ids[b],
-            "sim": sims[a, b],
-        }
+    refs = ds.materialize().to_pandas_refs()
+    tasks = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            tasks.append(_score_block_pair.remote(refs[i], refs[j], i == j, threshold))
+    parts = [p for p in ray.get(tasks) if len(p)]
+    if not parts:
+        return pd.DataFrame(
+            {"doc_a": pd.Series([], dtype=np.int64),
+             "doc_b": pd.Series([], dtype=np.int64),
+             "sim": pd.Series([], dtype=np.float64)}
+        )
+    out = pd.concat(parts, ignore_index=True)
+    return out.sort_values(["doc_a", "doc_b"], kind="mergesort").reset_index(drop=True)
+
+
+def embedding_near_dup_lsh(
+    embeddings: rd.Dataset,
+    threshold: float = 0.95,
+    num_planes: int = 10,
+    seed: int = 5,
+    k: int = 50,
+) -> rd.Dataset:
+    """Approximate near-dup pairs: LSH buckets + threshold filter.
+
+    The sub-quadratic scale path — candidates never cross buckets, so
+    recall depends on ``num_planes`` (fewer planes = bigger buckets =
+    higher recall, more compute)."""
+    knn = knn_lsh(embeddings, k=k, num_planes=num_planes, seed=seed)
+
+    def to_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["sim"] >= threshold]
+        lo = np.minimum(df["query_id"], df["neighbor_id"]).astype(np.int64)
+        hi = np.maximum(df["query_id"], df["neighbor_id"]).astype(np.int64)
+        out = pd.DataFrame({"doc_a": lo, "doc_b": hi, "sim": df["sim"]})
+        return out[out["doc_a"] != out["doc_b"]]
+
+    from graph_data_science_ray.pipelines.agg import hash_distinct
+
+    return hash_distinct(
+        knn.map_batches(to_pairs, batch_format="pandas"), ["doc_a", "doc_b"]
     )

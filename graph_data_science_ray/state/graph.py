@@ -83,14 +83,16 @@ def _load_csr_block(path: str | None, start: int, end: int, boundaries: np.ndarr
         "degrees": np.diff(indptr),
         "wdegrees": None,
     }
-    if len(weights):
-        # weighted out-degree per local node (reference DegreeCentrality as
-        # PageRank's weighted divisor, PageRankAlgorithmFactory.java:140-156)
-        block["wdegrees"] = np.add.reduceat(
-            weights, np.minimum(indptr[:-1], max(len(weights) - 1, 0))
-        ) * (np.diff(indptr) > 0)
-    else:
-        block["wdegrees"] = np.zeros(n_local, dtype=np.float64)
+    # weighted out-degree per local node (reference DegreeCentrality as
+    # PageRank's weighted divisor, PageRankAlgorithmFactory.java:140-156).
+    # reduceat only over non-empty segments: clamping start offsets instead
+    # would shorten the last non-empty node's segment whenever the partition
+    # ends with zero-out-degree nodes.
+    wdeg = np.zeros(n_local, dtype=np.float64)
+    nz = np.diff(indptr) > 0
+    if len(weights) and nz.any():
+        wdeg[nz] = np.add.reduceat(weights, indptr[:-1][nz])
+    block["wdegrees"] = wdeg
     block.update(_build_scatter_index(indices, boundaries))
     # destination-sorted gather index: per-superstep message construction is
     # one int32 gather (``send[src_idx]``) instead of repeat + permute —
