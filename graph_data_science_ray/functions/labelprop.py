@@ -32,9 +32,20 @@ from graph_data_science_ray.state.pregel import Pregel, PregelComputation
 class LabelPropagationComputation(PregelComputation):
     reducer = "vote"
 
-    def __init__(self, weighted: bool = True, seeds: np.ndarray | None = None):
+    def __init__(self, weighted: bool = True, seeds: np.ndarray | None = None,
+                 node_weights: np.ndarray | None = None):
         self.weighted = bool(weighted)
         self.seeds = np.asarray(seeds, dtype=np.int64) if seeds is not None else None
+        # the reference's nodeWeight(neighbor) factor
+        # (ComputeStepConsumer.java:49-58); defaults to 1 for every node
+        self.node_weights = (
+            np.asarray(node_weights, dtype=np.float64) if node_weights is not None else None
+        )
+
+    def vote_node_weights(self, state, block):
+        if self.node_weights is None:
+            return None
+        return self.node_weights[block["start"] : block["end"]]
 
     def init_state(self, block: dict) -> dict:
         n = block["end"] - block["start"]
@@ -65,6 +76,7 @@ def label_propagation(
     max_iterations: int = 10,
     weighted: bool = True,
     seeds=None,
+    node_weights=None,
     checkpoint_dir: str | None = None,
     checkpoint_interval: int = 1,
     resume: bool = True,
@@ -72,8 +84,11 @@ def label_propagation(
     """Synchronous label propagation over a ``GraphStore``.
 
     Returns ``(node, label)`` with labels mapped back to original keys.
+    ``node_weights``: optional per-node vote multiplier (the reference's
+    nodeWeight property).
     """
-    comp = LabelPropagationComputation(weighted=weighted, seeds=seeds)
+    comp = LabelPropagationComputation(weighted=weighted, seeds=seeds,
+                                       node_weights=node_weights)
     engine = Pregel(graph, comp, checkpoint_dir, checkpoint_interval)
     refs = engine.run(max_iterations=max_iterations, resume=resume)
     labels = engine.gather(refs, "label")

@@ -1,0 +1,385 @@
+"""Path catalog beyond SSSP: Yens K-shortest, A*, DFS, delta-stepping.
+
+Reference semantics:
+- Yens:  algo/src/main/java/org/neo4j/gds/paths/yens/Yens.java:41 —
+  K loopless shortest paths via spur-node deviation with edge/node
+  masking; candidates ranked by total cost.
+- A*:    algo/src/main/java/org/neo4j/gds/paths/astar/AStar.java:37 —
+  goal-directed Dijkstra; with an admissible heuristic the route equals
+  the true shortest path while pruning expansions.
+- DFS:   algo/src/main/java/org/neo4j/gds/paths/traverse/DFS.java —
+  inherently sequential traversal; runs in ONE task over the shared CSR
+  blocks (the reference itself is single-threaded here).
+- Delta-stepping: paths/delta/DeltaStepping.java:51 — bucketed SSSP.
+  Our kernel relaxes per-node (not per-edge-class), so buckets gate the
+  ACTIVE NODE set: only nodes with tentative distance below the bucket
+  bound scatter; the bound advances when a bucket settles. Same exact
+  distances as Bellman-Ford, far fewer wasted relaxations on weighted
+  graphs with spread-out distances.
+
+Masked SSSP for Yens re-projects the filtered edge Dataset per spur —
+correct and partition-parallel; the masked set is broadcast once per
+projection.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from graph_data_science_ray.functions.sssp import SsspComputation, shortest_path_route
+from graph_data_science_ray.state.graph import GraphStore
+from graph_data_science_ray.state.pregel import Pregel
+
+
+# ---------------------------------------------------------------------------
+# Yens K-shortest loopless paths
+# ---------------------------------------------------------------------------
+
+
+def _route_on_subgraph(
+    edges: rd.Dataset,
+    node_count: int,
+    source_id: int,
+    target_id: int,
+    banned_edges: set[tuple[int, int]],
+    banned_nodes: set[int],
+    path_dir: str,
+    weighted: bool,
+    num_partitions: int,
+) -> tuple[list[int], float]:
+    """Shortest route on the masked subgraph; ([], inf) if unreachable."""
+    be = np.array(sorted(banned_edges), dtype=np.int64).reshape(-1, 2)
+    bn = np.array(sorted(banned_nodes), dtype=np.int64)
+    be_ref = ray.put(be)
+    bn_ref = ray.put(bn)
+    V = node_count
+
+    def mask(t: pa.Table) -> pa.Table:
+        bed = ray.get(be_ref)
+        bnd = ray.get(bn_ref)
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = np.ones(len(s), dtype=bool)
+        if len(bnd):
+            keep &= ~(np.isin(s, bnd) | np.isin(d, bnd))
+        if len(bed):
+            packed = s * V + d
+            bpacked = bed[:, 0] * V + bed[:, 1]
+            keep &= ~np.isin(packed, bpacked)
+        return pa.table(
+            {"src": pa.array(s[keep]), "dst": pa.array(d[keep]),
+             "weight": pa.array(w[keep])}
+        )
+
+    sub = edges.map_batches(mask, batch_format="pyarrow")
+    g = GraphStore.project(
+        sub, path_dir, node_count=node_count, num_partitions=num_partitions,
+        directed=True,
+    )
+    route = shortest_path_route(g, source_id, target_id, weighted=weighted)
+    if not len(route):
+        return [], np.inf
+    nodes = route["node"].to_numpy()
+    if route["node"].dtype == object:  # idmap-free graphs return ints
+        nodes = nodes.astype(np.int64)
+    return [int(x) for x in nodes], float(route["distance"].iloc[-1])
+
+
+def yens_k_shortest(
+    edges: rd.Dataset,
+    node_count: int,
+    source_id: int,
+    target_id: int,
+    k: int = 3,
+    weighted: bool = True,
+    idmap=None,
+    num_partitions: int = 4,
+) -> pd.DataFrame:
+    """K loopless shortest paths; returns (path_rank, total_cost, position,
+    node). Ties between equal-cost candidates break on the lexicographically
+    smaller node sequence (deterministic).
+    """
+    root_dir = tempfile.mkdtemp(prefix="gdsr-yens-", dir="/tmp")
+    edges = edges.select_columns(["src", "dst", "weight"]).materialize()
+    first, cost0 = _route_on_subgraph(
+        edges, node_count, source_id, target_id, set(), set(),
+        os.path.join(root_dir, "p0"), weighted, num_partitions,
+    )
+    if not first:
+        return pd.DataFrame(
+            {"path_rank": pd.Series([], dtype=np.int64),
+             "total_cost": pd.Series([], dtype=np.float64),
+             "position": pd.Series([], dtype=np.int64),
+             "node": pd.Series([], dtype=np.int64)}
+        )
+    A: list[tuple[float, list[int]]] = [(cost0, first)]
+    B: list[tuple[float, list[int]]] = []
+    n_proj = 1
+    while len(A) < k:
+        prev_cost, prev = A[-1]
+        for i in range(len(prev) - 1):
+            root = prev[: i + 1]
+            spur = prev[i]
+            banned_edges = set()
+            for _, p in A:
+                if len(p) > i and p[: i + 1] == root:
+                    banned_edges.add((p[i], p[i + 1]))
+            banned_nodes = set(root[:-1])
+            sp, sp_cost = _route_on_subgraph(
+                edges, node_count, spur, target_id, banned_edges, banned_nodes,
+                os.path.join(root_dir, f"p{n_proj}"), weighted, num_partitions,
+            )
+            n_proj += 1
+            if not sp:
+                continue
+            cand = root[:-1] + sp
+            # root cost = sum of edge weights along the root prefix — read
+            # from the previous path's distances (monotone prefix)
+            root_cost = _prefix_cost(prev, i, edges, weighted)
+            total = root_cost + sp_cost
+            entry = (total, cand)
+            if entry not in B and all(cand != p for _, p in A):
+                B.append(entry)
+        if not B:
+            break
+        B.sort(key=lambda e: (e[0], e[1]))
+        A.append(B.pop(0))
+    rows = []
+    for rank, (cost, path) in enumerate(A, 1):
+        for pos, node in enumerate(path):
+            rows.append((rank, round(cost, 6), pos, node))
+    out = pd.DataFrame(rows, columns=["path_rank", "total_cost", "position", "node"])
+    if idmap is not None:
+        out["node"] = idmap.to_keys(out["node"].to_numpy(dtype=np.int64))
+    return out
+
+
+_EDGE_W_CACHE: dict[int, dict] = {}
+
+
+def _prefix_cost(path: list[int], upto: int, edges: rd.Dataset, weighted: bool) -> float:
+    """Cost of path[0..upto] — edge weights fetched once per edge Dataset."""
+    if not weighted:
+        return float(upto)
+    key = id(edges)
+    if key not in _EDGE_W_CACHE:
+        df = edges.to_pandas()
+        _EDGE_W_CACHE.clear()  # one live edge table at a time
+        _EDGE_W_CACHE[key] = {
+            (int(s), int(d)): float(w)
+            for s, d, w in zip(df["src"], df["dst"], df["weight"])
+        }
+    wmap = _EDGE_W_CACHE[key]
+    return float(sum(wmap[(path[j], path[j + 1])] for j in range(upto)))
+
+
+# ---------------------------------------------------------------------------
+# A* (goal-directed SSSP + route)
+# ---------------------------------------------------------------------------
+
+
+class _AStarComputation(SsspComputation):
+    """SSSP relaxation gated by f = dist + h(v) <= bound.
+
+    ``bound`` is the best known target distance (driver-updated between
+    supersteps); with an admissible heuristic, pruned nodes cannot lie on
+    a better path to the target, so final target distance is exact.
+    """
+
+    def __init__(self, source: int, heuristic: np.ndarray, weighted: bool = True):
+        super().__init__(source, weighted)
+        self.h = np.asarray(heuristic, dtype=np.float64)
+        self.bound = np.inf
+
+    def message_values(self, state, block):
+        h = self.h[block["start"] : block["end"]]
+        active = state["changed"] & (state["dist"] + h <= self.bound)
+        return state["dist"], active
+
+
+def astar_route(
+    graph,
+    source_id: int,
+    target_id: int,
+    heuristic: np.ndarray,
+    weighted: bool = True,
+    max_iterations: int | None = None,
+) -> pd.DataFrame:
+    """A* source→target route (position, node, distance).
+
+    ``heuristic[v]`` must be an admissible lower bound on dist(v, target)
+    (0 gives plain Dijkstra/Bellman-Ford behavior). Returns the same
+    contract as ``shortest_path_route``; prunes scatter work via the
+    evolving target bound.
+    """
+    from graph_data_science_ray.functions.sssp import _pred_in_block
+
+    comp = _AStarComputation(source_id, heuristic, weighted)
+    engine = Pregel(graph, comp)
+    states = engine.init_states()
+    max_iterations = max_iterations or graph.node_count + 2
+    dist = None
+    for _ in range(max_iterations):
+        states, stats = engine.step(states)
+        dist = engine.gather(states, "dist")
+        comp.bound = float(dist[target_id])  # inf until target reached
+        if stats.get("changed", 0) == 0:
+            break
+    if dist is None or not np.isfinite(dist[target_id]):
+        return pd.DataFrame({"position": [], "node": [], "distance": []})
+    dist_ref = ray.put(dist)
+    blocks = graph.block_refs()
+    path = [int(target_id)]
+    while path[-1] != source_id:
+        v = path[-1]
+        cands = ray.get(
+            [_pred_in_block.remote(b, v, dist_ref, weighted) for b in blocks]
+        )
+        cands = [c for c in cands if c >= 0]
+        if not cands:
+            break
+        path.append(min(cands))
+    path.reverse()
+    nodes = np.array(path, dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "position": np.arange(len(path), dtype=np.int64),
+            "node": graph.idmap.keys[nodes] if graph.idmap is not None else nodes,
+            "distance": dist[nodes],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# DFS (sequential traversal — one task over shared CSR blocks)
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _dfs_task(block_refs: list, source: int, max_nodes: int) -> np.ndarray:
+    blocks = ray.get(list(block_refs))
+    starts = np.array([b["start"] for b in blocks], dtype=np.int64)
+
+    def adj(v: int) -> np.ndarray:
+        p = int(np.searchsorted(starts, v, side="right") - 1)
+        b = blocks[p]
+        lo = v - b["start"]
+        return b["indices"][b["indptr"][lo] : b["indptr"][lo + 1]]
+
+    seen = set()
+    order = []
+    stack = [int(source)]
+    while stack and len(order) < max_nodes:
+        v = stack.pop()
+        if v in seen:
+            continue
+        seen.add(v)
+        order.append(v)
+        nbrs = np.asarray(adj(v), dtype=np.int64)
+        # push descending so the SMALLEST neighbor pops first (deterministic
+        # preorder; sorted-adjacency contract of the CSR)
+        for u in np.unique(nbrs)[::-1]:
+            if int(u) not in seen:
+                stack.append(int(u))
+    return np.asarray(order, dtype=np.int64)
+
+
+def dfs_preorder(graph, source_id: int, max_nodes: int | None = None) -> pd.DataFrame:
+    """Deterministic DFS preorder (smallest-id neighbor first); returns
+    (order, node). The traversal is sequential by nature (matching the
+    reference) and runs in one task with zero-copy block reads."""
+    order = ray.get(
+        _dfs_task.remote(
+            graph.block_refs(), int(source_id), int(max_nodes or graph.node_count)
+        )
+    )
+    node = graph.idmap.keys[order] if graph.idmap is not None else order
+    return pd.DataFrame(
+        {"order": np.arange(len(order), dtype=np.int64), "node": node}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Delta-stepping (bucketed SSSP)
+# ---------------------------------------------------------------------------
+
+
+class _BucketedSssp(SsspComputation):
+    """SSSP with a pending set gated by the current distance bucket.
+
+    ``pending`` marks nodes whose (improved) distance has not been
+    scattered yet; only pending nodes inside ``[0, (bucket+1)·delta)``
+    scatter. Apply clears pending for exactly the nodes that scattered
+    this phase (recomputable from the old state + the same bound) and
+    sets it for nodes that improved — so out-of-bucket improvements wait
+    for their bucket instead of being forgotten.
+    """
+
+    def __init__(self, source: int, delta: float, weighted: bool = True):
+        super().__init__(source, weighted)
+        self.delta = float(delta)
+        self.bucket = 0
+
+    def init_state(self, block: dict) -> dict:
+        base = super().init_state(block)
+        return {"dist": base["dist"], "pending": base["changed"]}
+
+    def message_values(self, state, block):
+        limit = (self.bucket + 1) * self.delta
+        active = state["pending"] & (state["dist"] < limit)
+        return state["dist"], active
+
+    def apply_messages(self, state, acc, received, block):
+        limit = (self.bucket + 1) * self.delta
+        scattered = state["pending"] & (state["dist"] < limit)
+        new = np.minimum(state["dist"], acc)
+        improved = new < state["dist"]
+        state["dist"] = new
+        state["pending"] = (state["pending"] & ~scattered) | improved
+        return {
+            "changed": int(improved.sum()),
+            "pending_nodes": int(state["pending"].sum()),
+        }
+
+
+def delta_stepping(
+    graph,
+    source_id: int,
+    delta: float = 2.0,
+    weighted: bool = True,
+    max_phases: int = 10_000,
+) -> pd.DataFrame:
+    """Bucketed SSSP (reference paths/delta/DeltaStepping.java:51).
+
+    Nodes scatter only while their tentative distance falls inside the
+    current bucket; a bucket settles when a phase improves nothing, then
+    the bound jumps to the smallest pending distance's bucket. Exact
+    distances (identical to Bellman-Ford), with relaxation work
+    concentrated on the expanding frontier. Returns (node, distance) for
+    reached nodes.
+    """
+    comp = _BucketedSssp(source_id, delta, weighted)
+    engine = Pregel(graph, comp)
+    states = engine.init_states()
+    for _ in range(max_phases):
+        states, stats = engine.step(states)
+        if stats.get("changed", 0) > 0:
+            continue
+        if stats.get("pending_nodes", 0) == 0:
+            break
+        dist = engine.gather(states, "dist")
+        pending = engine.gather(states, "pending").astype(bool)
+        comp.bucket = int(dist[pending].min() // comp.delta)
+    dist = engine.gather(states, "dist")
+    mask = np.isfinite(dist)
+    ids = np.flatnonzero(mask)
+    node = graph.idmap.keys[ids] if graph.idmap is not None else ids
+    return pd.DataFrame({"node": node, "distance": dist[mask]})

@@ -67,19 +67,30 @@ def minimum_spanning_forest(
         )
         if not len(picks) or "comp" not in picks.columns:
             break
-        merged = 0
-        for r in picks.itertuples():
-            a, b = _find(comp, int(r.src)), _find(comp, int(r.dst))
-            if a != b:
-                comp[max(a, b)] = min(a, b)
-                lo, hi = (int(r.src), int(r.dst)) if r.src < r.dst else (int(r.dst), int(r.src))
-                chosen.append((lo, hi, float(r.weight)))
-                merged += 1
-        # path-compress the component map
-        for i in range(node_count):
-            comp[i] = _find(comp, i)
-        if merged == 0:
+        src = picks["src"].to_numpy(dtype=np.int64)
+        dst = picks["dst"].to_numpy(dtype=np.int64)
+        w = picks["weight"].to_numpy(dtype=np.float64)
+        ca, cb = comp[src], comp[dst]
+        valid = ca != cb
+        if not valid.any():
             break
+        src, dst, w, ca, cb = src[valid], dst[valid], w[valid], ca[valid], cb[valid]
+        # vectorized union: every merge points the larger root at the
+        # smaller; the deterministic (weight, src, dst) pick order makes
+        # pick-graph cycles mutual pairs only, so min-assignment +
+        # pointer jumping closes all chains (no per-pick Python loop)
+        clo, chi = np.minimum(ca, cb), np.maximum(ca, cb)
+        parent = comp.copy()
+        np.minimum.at(parent, chi, clo)
+        while True:
+            p2 = parent[parent]
+            if np.array_equal(p2, parent):
+                break
+            parent = p2
+        comp = parent
+        elo, ehi = np.minimum(src, dst), np.maximum(src, dst)
+        for a, b, ww in zip(elo.tolist(), ehi.tolist(), w.tolist()):
+            chosen.append((a, b, ww))
     out = pd.DataFrame(chosen, columns=["src", "dst", "weight"]).drop_duplicates(
         subset=["src", "dst"]
     )
@@ -95,3 +106,111 @@ def _find(comp: np.ndarray, x: int) -> int:
         comp[x] = comp[comp[x]]
         x = comp[x]
     return int(x)
+
+
+def k_spanning_tree(
+    sym_edges: rd.Dataset, node_count: int, k: int = 2, idmap=None
+) -> pd.DataFrame:
+    """k-spanning clustering: MST minus its k-1 heaviest edges.
+
+    Reference: algo/src/main/java/org/neo4j/gds/kspanningtree/KSpanningTree.java
+    (min variant). Returns (node, cluster), cluster = min member id of the
+    node's tree component. Deterministic: the MST is unique under the
+    (weight, src, dst) tie-break, removals take the heaviest edges with
+    (weight desc, src, dst) order.
+    """
+    tree, _total = minimum_spanning_forest(sym_edges, node_count, idmap=None)
+    if len(tree):
+        order = tree.sort_values(
+            ["weight", "src", "dst"], ascending=[False, True, True], kind="mergesort"
+        )
+        keep = order.iloc[max(0, int(k) - 1):]
+    else:
+        keep = tree
+    comp = np.arange(node_count, dtype=np.int64)
+    if len(keep):
+        s = keep["src"].to_numpy(dtype=np.int64)
+        d = keep["dst"].to_numpy(dtype=np.int64)
+        while True:
+            before = comp.copy()
+            np.minimum.at(comp, s, comp[d])
+            np.minimum.at(comp, d, comp[s])
+            while True:
+                c2 = comp[comp]
+                if np.array_equal(c2, comp):
+                    break
+                comp = c2
+            if np.array_equal(before, comp):
+                break
+    node = idmap.keys if idmap is not None else np.arange(node_count, dtype=np.int64)
+    cluster = idmap.to_keys(comp) if idmap is not None else comp
+    return pd.DataFrame({"node": node, "cluster": cluster})
+
+
+def steiner_tree(
+    graph, source_id: int, terminals, weighted: bool = True
+) -> tuple[pd.DataFrame, float]:
+    """Steiner tree by the shortest-path heuristic.
+
+    Reference: algo/src/main/java/org/neo4j/gds/steiner/ShortestPathsSteinerAlgorithm.java:38
+    — grow the tree from the source; per round run a MULTI-SOURCE SSSP
+    from every tree node (one BSP fixpoint), connect the nearest
+    unconnected terminal along its tight-predecessor path. Returns
+    (DataFrame(src, dst, weight), total_weight); unreachable terminals
+    are skipped.
+    """
+    import ray as _r
+
+    from graph_data_science_ray.functions.sssp import SsspComputation, _pred_in_block
+    from graph_data_science_ray.state.pregel import Pregel
+
+    class _MultiSource(SsspComputation):
+        def __init__(self, sources: np.ndarray, weighted: bool):
+            super().__init__(int(sources[0]), weighted)
+            self.sources = np.asarray(sources, dtype=np.int64)
+
+        def init_state(self, block: dict) -> dict:
+            n = block["end"] - block["start"]
+            dist = np.full(n, np.inf, dtype=np.float64)
+            local = self.sources[
+                (self.sources >= block["start"]) & (self.sources < block["end"])
+            ]
+            dist[local - block["start"]] = 0.0
+            return {"dist": dist, "changed": dist < np.inf}
+
+    tree_nodes = {int(source_id)}
+    remaining = set(int(t) for t in terminals) - tree_nodes
+    edges: list[tuple[int, int, float]] = []
+    blocks = graph.block_refs()
+    while remaining:
+        comp = _MultiSource(np.array(sorted(tree_nodes)), weighted)
+        engine = Pregel(graph, comp)
+        refs = engine.run(max_iterations=graph.node_count + 2)
+        dist = engine.gather(refs, "dist")
+        reach = [(float(dist[t]), t) for t in sorted(remaining) if np.isfinite(dist[t])]
+        if not reach:
+            break
+        _, pick = min(reach)
+        dist_ref = _r.put(dist)
+        cur = pick
+        while dist[cur] > 0:
+            cands = _r.get(
+                [_pred_in_block.remote(b, cur, dist_ref, weighted) for b in blocks]
+            )
+            cands = [c for c in cands if c >= 0]
+            if not cands:
+                break
+            pred = min(cands)
+            edges.append((pred, cur, float(dist[cur] - dist[pred])))
+            tree_nodes.add(cur)
+            cur = pred
+        tree_nodes.add(pick)
+        remaining.discard(pick)
+    out = pd.DataFrame(edges, columns=["src", "dst", "weight"]).drop_duplicates(
+        subset=["src", "dst"]
+    )
+    if idmap := getattr(graph, "idmap", None):
+        out["src"] = idmap.to_keys(out["src"].to_numpy(dtype=np.int64))
+        out["dst"] = idmap.to_keys(out["dst"].to_numpy(dtype=np.int64))
+    out = out.sort_values(["src", "dst"]).reset_index(drop=True)
+    return out, round(float(out["weight"].sum()), 6)

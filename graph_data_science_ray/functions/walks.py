@@ -164,3 +164,76 @@ def rwr_sample(
     if graph.idmap is not None:
         return pd.DataFrame({"node": graph.idmap.to_keys(ids), "node_id": ids})
     return pd.DataFrame({"node": ids, "node_id": ids})
+
+
+@ray.remote
+def _cnarw_task(block_refs: list, start_nodes: np.ndarray, sample_size: int,
+                seed: int, max_steps: int) -> np.ndarray:
+    """Common-neighbour-aware random walk sampling in one task.
+
+    Reference: graph-sampling/src/main/java/org/neo4j/gds/graphsampling/
+    samplers/rw/cnarw/CommonNeighbourAwareRandomWalk.java — a candidate
+    step u→v is accepted with probability
+    ``1 - |N(u) ∩ N(v)| / min(|N(u)|, |N(v)|)``, steering the walk toward
+    structurally novel regions. Draws are splitmix-seeded (deterministic).
+    """
+    blocks = ray.get(list(block_refs))
+    part_starts = np.array([b["start"] for b in blocks], dtype=np.int64)
+
+    def adj(v: int) -> np.ndarray:
+        p = int(np.searchsorted(part_starts, v, side="right") - 1)
+        b = blocks[p]
+        lo = v - b["start"]
+        return b["indices"][b["indptr"][lo] : b["indptr"][lo + 1]]
+
+    n_walkers = max(8, len(start_nodes))
+    cur = np.resize(np.asarray(start_nodes, dtype=np.int64), n_walkers)
+    home = cur.copy()
+    visited = set(int(x) for x in start_nodes)
+    DEN = np.uint64(1 << 20)
+    for step in range(1, max_steps + 1):
+        pick = mix2(seed, np.arange(n_walkers, dtype=np.int64), step)
+        accept = mix2(seed + 1, np.arange(n_walkers, dtype=np.int64), step) % DEN
+        for wi in range(n_walkers):
+            u = int(cur[wi])
+            nu = adj(u)
+            if len(nu) == 0:
+                cur[wi] = home[wi]
+                continue
+            v = int(nu[int(pick[wi] % np.uint64(len(nu)))])
+            nv = adj(v)
+            common = len(np.intersect1d(nu, nv, assume_unique=True))
+            p_acc = 1.0 - common / max(1, min(len(nu), len(nv)))
+            if int(accept[wi]) < int(p_acc * float(int(DEN))):
+                cur[wi] = v
+                visited.add(v)
+        if len(visited) >= sample_size:
+            break
+    out = np.fromiter(visited, dtype=np.int64)
+    out.sort()
+    return out[:sample_size]
+
+
+def cnarw_sample(
+    graph,
+    start_nodes=None,
+    sample_size: int = 100,
+    seed: int = 42,
+    max_steps: int = 100_000,
+):
+    """CNARW node sampling → sampled node ids (see ``_cnarw_task``).
+
+    Compose with ``pipelines.transforms.subgraph_filter`` for the induced
+    subgraph, mirroring the reference's GraphSampleConstructor.
+    """
+    if start_nodes is None:
+        start_nodes = np.array([0], dtype=np.int64)
+    ids = ray.get(
+        _cnarw_task.remote(
+            graph.block_refs(), np.asarray(start_nodes, dtype=np.int64),
+            int(sample_size), int(seed), int(max_steps),
+        )
+    )
+    if graph.idmap is not None:
+        return pd.DataFrame({"node": graph.idmap.to_keys(ids), "node_id": ids})
+    return pd.DataFrame({"node": ids, "node_id": ids})

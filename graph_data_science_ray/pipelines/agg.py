@@ -66,6 +66,8 @@ def hash_join(
     on: list[str],
     right_on: list[str] | None = None,
     num_parts: int = 64,
+    left_schema=None,
+    right_schema=None,
 ) -> rd.Dataset:
     """Inner hash-partitioned equi-join (pandas merge per partition).
 
@@ -74,6 +76,10 @@ def hash_join(
     Robust against the empty-block schema loss that trips Ray's built-in
     hash join when a shuffle partition comes up empty. Right key columns
     are renamed to the left names; non-key column names must be disjoint.
+
+    Pass ``left_schema``/``right_schema`` (``pa.schema``) when known —
+    otherwise the sides' schemas are probed, which partially executes
+    their pipelines once before the real run.
     """
     import pyarrow as pa
 
@@ -98,8 +104,14 @@ def hash_join(
 
     right_on = list(right_on or on)
     on = list(on)
-    left, lschema = _resolve(left)
-    right, rschema = _resolve(right)
+    if left_schema is not None:
+        lschema = left_schema
+    else:
+        left, lschema = _resolve(left)
+    if right_schema is not None:
+        rschema = right_schema
+    else:
+        right, rschema = _resolve(right)
     lnames = list(lschema.names)
     rename = dict(zip(right_on, on))
     rnames = [rename.get(n, n) for n in rschema.names]

@@ -27,11 +27,7 @@ import ray
 import ray.data as rd
 
 from graph_data_science_ray._util import mix2, splitmix64
-from graph_data_science_ray.pipelines.agg import (
-    _stable_row_hash,
-    hash_distinct,
-    hash_join,
-)
+from graph_data_science_ray.pipelines.agg import _stable_row_hash, hash_join
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -39,10 +35,27 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.where(n > 0, n, 1.0)
 
 
-def _score_pairs(pairs: rd.Dataset, emb_a: rd.Dataset, emb_b: rd.Dataset) -> rd.Dataset:
-    """(a, b) id pairs → (a, b, sim) by joining both endpoint vectors."""
-    j = hash_join(pairs, emb_a, on=["a"])
-    j = hash_join(j, emb_b, on=["b"])
+def _score_pairs(pairs: rd.Dataset, emb_a: rd.Dataset, emb_b: rd.Dataset,
+                 num_parts: int, pair_schema, vec_type) -> rd.Dataset:
+    """(a, b) id pairs → (a, b, sim) by joining both endpoint vectors.
+
+    Schemas are passed explicitly so the joins never probe (probing would
+    partially execute the pair pipeline an extra time per round)."""
+    import pyarrow as pa
+
+    j = hash_join(
+        pairs, emb_a, on=["a"], num_parts=num_parts,
+        left_schema=pair_schema,
+        right_schema=pa.schema([("a", pa.int64()), ("vec_a", vec_type)]),
+    )
+    mid_schema = pa.schema(
+        list(zip(pair_schema.names, pair_schema.types)) + [("vec_a", vec_type)]
+    )
+    j = hash_join(
+        j, emb_b, on=["b"], num_parts=num_parts,
+        left_schema=mid_schema,
+        right_schema=pa.schema([("b", pa.int64()), ("vec_b", vec_type)]),
+    )
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -116,6 +129,13 @@ def knn_descent(
 ) -> pd.DataFrame:
     """Approximate cosine top-k for every vector; returns
     (query_id, neighbor_id, rank, sim)."""
+    import ray as _ray
+
+    try:
+        P = int(_ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        P = 4
+    P = max(4, min(32, P))  # shuffle width scaled to the cluster
     emb = embeddings.select_columns([id_col, vec_col]).materialize()
     # id vocabulary only (no vectors) — needed to draw random init partners
     ids = np.sort(
@@ -124,14 +144,26 @@ def knn_descent(
     n = len(ids)
     ids_ref = ray.put(ids)
 
+    import pyarrow as pa
+
+    def _rename(t: pa.Table, idn: str, vn: str) -> pa.Table:
+        vec = t[vec_col]
+        if isinstance(vec.type, pa.ExtensionType):
+            vec = pa.chunked_array([c.storage for c in vec.chunks])
+        if pa.types.is_fixed_size_list(vec.type):
+            vec = vec.cast(pa.list_(vec.type.value_type))
+        return pa.table({idn: t[id_col].cast(pa.int64()), vn: vec})
+
+    import functools
+
     emb_a = emb.map_batches(
-        lambda df: pd.DataFrame({"a": df[id_col].astype(np.int64), "vec_a": df[vec_col]}),
-        batch_format="pandas",
+        functools.partial(_rename, idn="a", vn="vec_a"), batch_format="pyarrow"
     ).materialize()
     emb_b = emb.map_batches(
-        lambda df: pd.DataFrame({"b": df[id_col].astype(np.int64), "vec_b": df[vec_col]}),
-        batch_format="pandas",
+        functools.partial(_rename, idn="b", vn="vec_b"), batch_format="pyarrow"
     ).materialize()
+    vec_type = emb_a.schema().types[1]
+    PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
 
     # deterministic random init: k draws per node, generated distributedly
     # over the id table (positions drawn via the seeded mix)
@@ -148,14 +180,14 @@ def knn_descent(
         return pd.DataFrame({"a": reps_id[good], "b": cand[good]})
 
     pairs = emb.select_columns([id_col]).map_batches(init_pairs, batch_format="pandas")
-    current = _topk(_score_pairs(pairs, emb_a, emb_b), k).materialize()
+    current = _topk(_score_pairs(pairs, emb_a, emb_b, P, PAIR_SCHEMA, vec_type), k, num_parts=P).materialize()
     cur_n, cur_digest = _digest(current)
 
     for _ in range(max_rounds):
         # neighbor-of-neighbor proposals through the shared middle node
         def tag_mid(df: pd.DataFrame) -> pd.DataFrame:
             df = df[["a", "b"]].copy()
-            df["__part"] = (_stable_row_hash(df, ["b"]) % 32).astype(np.int64)
+            df["__part"] = (_stable_row_hash(df, ["b"]) % P).astype(np.int64)
             return df
 
         def propose(g: pd.DataFrame) -> pd.DataFrame:
@@ -172,14 +204,15 @@ def knn_descent(
             out = pd.concat(outs, ignore_index=True)
             return out[out["a"] != out["b"]]
 
-        proposals = hash_distinct(
+        # no distinct pass: duplicate proposals re-score harmlessly and
+        # are dropped in _topk's per-group dedup — one fewer shuffle/round
+        proposals = (
             current.map_batches(tag_mid, batch_format="pandas")
             .groupby("__part")
-            .map_groups(propose, batch_format="pandas"),
-            ["a", "b"],
+            .map_groups(propose, batch_format="pandas")
         )
-        scored_new = _score_pairs(proposals, emb_a, emb_b)
-        merged = _topk(current.select_columns(["a", "b", "sim"]).union(scored_new), k)
+        scored_new = _score_pairs(proposals, emb_a, emb_b, P, PAIR_SCHEMA, vec_type)
+        merged = _topk(current.select_columns(["a", "b", "sim"]).union(scored_new), k, num_parts=P)
         merged = merged.materialize()
         new_n, new_digest = _digest(merged)
         current = merged

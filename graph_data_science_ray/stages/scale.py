@@ -16,7 +16,7 @@ import ray.data as rd
 from ray.data.aggregate import Max, Mean, Min, Std
 
 
-_SCALERS = ("minmax", "mean", "max", "log", "center", "stdscore")
+_SCALERS = ("minmax", "mean", "max", "log", "center", "stdscore", "l1norm", "l2norm")
 
 
 def scale_column(
@@ -30,22 +30,37 @@ def scale_column(
     """Scale ``value_col``, optionally per ``group_col`` partition.
 
     minmax: (x-min)/(max-min); mean: (x-mean)/(max-min); max: x/|max|;
-    log: ln(x); center: x-mean; stdscore: (x-mean)/std (population std).
-    Degenerate denominators (max==min, std==0) map to 0 — matching the
-    reference scalers' zero-fallback behavior.
+    log: ln(x); center: x-mean; stdscore: (x-mean)/std (population std);
+    l1norm: x/sum(|x|); l2norm: x/sqrt(sum(x²)) (reference
+    algo-common/.../scaling/L1Norm.java, L2Norm.java).
+    Degenerate denominators (max==min, std==0, zero norm) map to 0 —
+    matching the reference scalers' zero-fallback behavior.
     """
+    from ray.data.aggregate import Sum
+
     if scaler not in _SCALERS:
         raise ValueError(f"unknown scaler {scaler!r}; one of {_SCALERS}")
+    src = ds
     aggs = [
         Min(value_col, alias_name="_min"),
         Max(value_col, alias_name="_max"),
         Mean(value_col, alias_name="_mean"),
         Std(value_col, alias_name="_std", ddof=0),
     ]
+    if scaler in ("l1norm", "l2norm"):
+        def _norm_cols(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            x = df[value_col].to_numpy(dtype=np.float64)
+            df["_absv"] = np.abs(x)
+            df["_sqv"] = x * x
+            return df
+
+        src = ds.map_batches(_norm_cols, batch_format="pandas")
+        aggs += [Sum("_absv", alias_name="_l1"), Sum("_sqv", alias_name="_sq")]
     if group_col is not None:
-        stats = ds.groupby(group_col).aggregate(*aggs).to_pandas().set_index(group_col)
+        stats = src.groupby(group_col).aggregate(*aggs).to_pandas().set_index(group_col)
     else:
-        row = ds.aggregate(*aggs)
+        row = src.aggregate(*aggs)
         stats = pd.DataFrame([row])
     stats_ref = ray.put(stats)
 
@@ -58,9 +73,13 @@ def scale_column(
             mx = sub["_max"].to_numpy()
             mean = sub["_mean"].to_numpy()
             std = sub["_std"].to_numpy()
+            l1 = sub["_l1"].to_numpy() if "_l1" in sub else None
+            sq = sub["_sq"].to_numpy() if "_sq" in sub else None
         else:
             mn, mx = st["_min"].iloc[0], st["_max"].iloc[0]
             mean, std = st["_mean"].iloc[0], st["_std"].iloc[0]
+            l1 = st["_l1"].iloc[0] if "_l1" in st else None
+            sq = st["_sq"].iloc[0] if "_sq" in st else None
         rng = mx - mn
         if scaler == "minmax":
             y = np.where(rng != 0, (x - mn) / np.where(rng != 0, rng, 1), 0.0)
@@ -73,6 +92,11 @@ def scale_column(
             y = np.log(np.maximum(x, 1e-300))
         elif scaler == "center":
             y = x - mean
+        elif scaler == "l1norm":
+            y = np.where(l1 != 0, x / np.where(l1 != 0, l1, 1), 0.0)
+        elif scaler == "l2norm":
+            nrm = np.sqrt(sq)
+            y = np.where(nrm != 0, x / np.where(nrm != 0, nrm, 1), 0.0)
         else:  # stdscore
             y = np.where(std != 0, (x - mean) / np.where(std != 0, std, 1), 0.0)
         out = batch.copy()

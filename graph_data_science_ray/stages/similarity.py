@@ -168,6 +168,12 @@ def knn_lsh(
 @ray.remote
 def _score_block_pair(df_i: pd.DataFrame, df_j: pd.DataFrame, same: bool, threshold: float):
     """Cosine pairs >= threshold between two embedding blocks (exact)."""
+    if not len(df_i) or not len(df_j):
+        return pd.DataFrame(
+            {"doc_a": pd.Series([], dtype=np.int64),
+             "doc_b": pd.Series([], dtype=np.int64),
+             "sim": pd.Series([], dtype=np.float64)}
+        )
     ids_i = df_i["vec_id"].to_numpy(dtype=np.int64)
     ids_j = df_j["vec_id"].to_numpy(dtype=np.int64)
     m_i = _normalize(_stack(df_i["embedding"]))

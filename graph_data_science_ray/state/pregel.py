@@ -84,6 +84,15 @@ class PregelComputation:
         """Return (per-local-node value array, active bool mask)."""
         raise NotImplementedError
 
+    def vote_node_weights(self, state: dict, block: dict):
+        """Optional per-local-node vote multiplier (vote reducer only).
+
+        The reference's vote weight is ``relationshipWeight *
+        nodeWeight(neighbor)`` (labelpropagation/ComputeStepConsumer.java:49-58);
+        return the sender-side nodeWeight array to enable the second
+        factor, or None (default) for nodeWeight ≡ 1."""
+        return None
+
     def apply_messages(self, state: dict, acc, received, block: dict) -> dict:
         """Mutate state with reduced messages; return per-partition stats."""
         raise NotImplementedError
@@ -170,6 +179,9 @@ def _scatter_vote(comp, block, state, num_parts, bounds):
         edge_w = block["w_sorted"]
     else:
         edge_w = np.ones(len(edge_labels), dtype=np.float64)
+    nw = comp.vote_node_weights(state, block)
+    if nw is not None:
+        edge_w = edge_w * np.asarray(nw, dtype=np.float64)[block["src_idx"]]
     # pre-combine per (dst, label): stable sort by label within the
     # already-destination-sorted layout
     order = np.lexsort((edge_labels, sorted_dst))
@@ -192,6 +204,41 @@ def _scatter(comp, block, state, num_parts, bounds):
     if comp.reducer == "vote":
         return _scatter_vote(comp, block, state, num_parts, bounds)
     return _scatter_reduced(comp, block, state, num_parts, bounds)
+
+
+@ray.remote
+def _scatter_sliced(comp, block, state, num_parts, bounds):
+    """Scatter with per-destination-partition payload objects.
+
+    Returns ``num_parts + 1`` objects: one payload per destination
+    partition (``None`` when empty) plus the message count. On a
+    multi-node cluster each apply task then pulls ONLY its own slice from
+    each source partition — O(P) small objects per scatter instead of a
+    P× broadcast of the full payload (the flat mode's single object is
+    zero-copy on one node but ships everywhere on many). Values are
+    byte-identical to flat mode: the apply-side combine still walks
+    source partitions in fixed order.
+    """
+    if comp.reducer == "vote":
+        payload, n = _scatter_vote(comp, block, state, num_parts, bounds)
+    else:
+        payload, n = _scatter_reduced(comp, block, state, num_parts, bounds)
+    if payload is None:
+        return [None] * num_parts + [n]
+    sl = payload["slices"]
+    out = []
+    for q in range(num_parts):
+        s, e = int(sl[q]), int(sl[q + 1])
+        if s == e:
+            out.append(None)
+            continue
+        piece = {"dst": payload["dst"][s:e], "val": payload["val"][s:e],
+                 "bounds": bounds, "slices": None}
+        if "lab" in payload:
+            piece["lab"] = payload["lab"][s:e]
+        out.append(piece)
+    out.append(n)
+    return out
 
 
 @ray.remote
@@ -258,6 +305,8 @@ def _apply(comp, block, state, q, *inbox):
     state = {k: v.copy() for k, v in state.items()}
 
     def my_slice(msg):
+        if msg["slices"] is None:  # pre-sliced payload: it is all ours
+            return 0, len(msg["dst"])
         s, e = msg["slices"][q], msg["slices"][q + 1]
         return s, e
 
@@ -384,18 +433,62 @@ def _agg_stats(per_part: list[dict]) -> dict:
     return agg
 
 
+class TerminationFlag:
+    """External cancellation (reference termination/.../TerminationFlag.java).
+
+    ``stop()`` flips the in-process flag and (when a path is given)
+    touches a sentinel file so ANY process — another driver, an operator
+    watching the job — can request a graceful stop; the BSP loop checks
+    between supersteps and returns the last completed state.
+    """
+
+    def __init__(self, path: str | None = None):
+        self.path = path
+        self._stopped = False
+
+    def stop(self) -> None:
+        self._stopped = True
+        if self.path:
+            with open(self.path, "w") as f:
+                f.write("stop")
+
+    def running(self) -> bool:
+        if self._stopped:
+            return False
+        if self.path and os.path.exists(self.path):
+            return False
+        return True
+
+
 class Pregel:
     """BSP driver over a ``GraphStore``'s partitioned CSR blocks."""
 
     def __init__(self, graph, computation: PregelComputation, checkpoint_dir: str | None = None,
                  checkpoint_interval: int = 1, lookahead: int = 4,
-                 reduce_fanin: int | None = None):
+                 reduce_fanin: int | None = None, scatter_mode: str = "auto",
+                 termination_flag: TerminationFlag | None = None):
         self.graph = graph
         self.comp = computation
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_interval = checkpoint_interval
         self.lookahead = lookahead
         self.reduce_fanin = reduce_fanin
+        # "flat": one payload object per scatter, apply tasks slice their
+        #   range — zero-copy plasma reads on ONE node, but a P× payload
+        #   broadcast across a real cluster.
+        # "sliced": num_returns=P per-destination objects — each apply
+        #   pulls exactly its own slices over the network (the multi-node
+        #   mode). Outputs are byte-identical between modes (same values,
+        #   same fixed-order combine).
+        # "auto": sliced when the Ray cluster has >1 alive node.
+        if scatter_mode == "auto":
+            try:
+                alive = sum(1 for n in ray.nodes() if n.get("Alive", n.get("alive", True)))
+            except Exception:
+                alive = 1
+            scatter_mode = "sliced" if alive > 1 else "flat"
+        self.scatter_mode = scatter_mode
+        self.termination_flag = termination_flag
         self.history: list[dict] = []
 
     # checkpoint layout: {dir}/iter-{k}/part-{p}.npz + manifest-iter-{k}.json
@@ -477,8 +570,32 @@ class Pregel:
         final_refs = state_refs
         t_prev = time.perf_counter()
         for it in range(start_iter, max_iterations):
+            if self.termination_flag is not None and not self.termination_flag.running():
+                # graceful external stop: return last completed superstep's
+                # state (checkpointed iff the interval already persisted it)
+                break
             while next_submit < max_iterations and next_submit < it + lookahead:
                 prev = states_by_iter[next_submit - 1]
+                if self.scatter_mode == "sliced":
+                    scatter_out = [
+                        _scatter_sliced.options(num_returns=P + 1).remote(
+                            comp_ref, blocks[p], prev[p], P, bounds_ref
+                        )
+                        for p in range(P)
+                    ]
+                    new_refs, stat_refs = [], []
+                    for q in range(P):
+                        inbox = [scatter_out[p][q] for p in range(P)]
+                        out = _apply.options(num_returns=2).remote(
+                            comp_ref, blocks[q], prev[q], q, *inbox
+                        )
+                        new_refs.append(out[0])
+                        stat_refs.append(out[1])
+                    msg_refs = [scatter_out[p][P] for p in range(P)]
+                    pending[next_submit] = (new_refs, stat_refs, msg_refs)
+                    states_by_iter[next_submit] = new_refs
+                    next_submit += 1
+                    continue
                 scatter_out = [
                     _scatter.options(num_returns=2).remote(
                         comp_ref, blocks[p], prev[p], P, bounds_ref
@@ -533,6 +650,24 @@ class Pregel:
         P = len(blocks)
         bounds_ref = ray.put(self.graph.boundaries)
         comp_ref = ray.put(self.comp)
+        if self.scatter_mode == "sliced":
+            scatter_out = [
+                _scatter_sliced.options(num_returns=P + 1).remote(
+                    comp_ref, blocks[p], state_refs[p], P, bounds_ref
+                )
+                for p in range(P)
+            ]
+            new_refs, stat_refs = [], []
+            for q in range(P):
+                inbox = [scatter_out[p][q] for p in range(P)]
+                out = _apply.options(num_returns=2).remote(
+                    comp_ref, blocks[q], state_refs[q], q, *inbox
+                )
+                new_refs.append(out[0])
+                stat_refs.append(out[1])
+            stats = _agg_stats(ray.get(stat_refs))
+            stats["messages"] = int(sum(ray.get([scatter_out[p][P] for p in range(P)])))
+            return new_refs, stats
         scatter_out = [
             _scatter.options(num_returns=2).remote(
                 comp_ref, blocks[p], state_refs[p], P, bounds_ref

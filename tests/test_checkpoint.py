@@ -126,3 +126,29 @@ def test_hub_skew_partitioning_and_correctness(tmp_path):
     scores = res.set_index("node")["score"]
     # all leaves are symmetric: identical scores
     assert scores.loc[1:].nunique() <= 2  # leaf 1 may differ (ring wrap target)
+
+
+def test_scatter_mode_sliced_matches_flat(graph_from_edges):
+    """Per-destination sliced scatter (the multi-node mode) must be
+    byte-identical to the flat single-payload mode — same values combined
+    in the same fixed partition order."""
+    from graph_data_science_ray.functions.pagerank import PageRankComputation
+    from graph_data_science_ray.state.pregel import Pregel
+
+    gd, gu, _, _, _ = graph_from_edges(EDGES, num_partitions=3)
+    res = {}
+    for mode in ("flat", "sliced"):
+        engine = Pregel(gd, PageRankComputation(), scatter_mode=mode)
+        refs = engine.run(max_iterations=25)
+        res[mode] = engine.gather(refs, "rank")
+    assert np.array_equal(res["flat"], res["sliced"])
+
+    import graph_data_science_ray as gdsr
+    from graph_data_science_ray.functions.wcc import WccComputation
+
+    comps = {}
+    for mode in ("flat", "sliced"):
+        engine = Pregel(gu, WccComputation(), scatter_mode=mode)
+        refs = engine.run(max_iterations=50)
+        comps[mode] = engine.gather(refs, "component")
+    assert np.array_equal(comps["flat"], comps["sliced"])

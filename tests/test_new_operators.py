@@ -1,0 +1,220 @@
+"""Round-2 operators: node2vec, yens, A*, DFS, delta-stepping, SLLPA,
+CELF, HashGNN, max-k-cut, k-spanning, Steiner, CNARW, L1/L2 scalers,
+termination flag, weighted-node label propagation."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+import graph_data_science_ray as gdsr
+from tests.conftest import keys_to_ids
+
+
+def _two_clusters():
+    """Two 5-cliques joined by one bridge edge (nodes 0-4 and 5-9)."""
+    edges = []
+    for grp in (range(0, 5), range(5, 10)):
+        grp = list(grp)
+        for i in grp:
+            for j in grp:
+                if i < j:
+                    edges.append((i, j))
+    edges.append((4, 5))
+    return edges
+
+
+def test_node2vec_neighbors_closer_than_random(graph_from_edges):
+    from graph_data_science_ray.functions.node2vec import node2vec
+
+    _, gu, idmap, _, _ = graph_from_edges(_two_clusters())
+    out = node2vec(gu, dim=16, walk_length=10, walks_per_node=6, epochs=3, seed=3)
+    ids = keys_to_ids(out["node"])
+    emb = np.stack(out["embedding"].to_numpy())[np.argsort(ids)]
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    same = np.mean([emb[i] @ emb[j] for i in range(5) for j in range(5) if i != j])
+    cross = np.mean([emb[i] @ emb[j] for i in range(5) for j in range(5, 10)])
+    assert same > cross
+    # determinism
+    again = node2vec(gu, dim=16, walk_length=10, walks_per_node=6, epochs=3, seed=3)
+    assert np.allclose(np.stack(out["embedding"]), np.stack(again["embedding"]))
+
+
+def test_yens_k_shortest(graph_from_edges):
+    from graph_data_science_ray.functions.paths import yens_k_shortest
+
+    # diamond with a longer detour: 0->1->3 (2), 0->2->3 (2), 0->4->5->3 (3)
+    edges = [(0, 1), (1, 3), (0, 2), (2, 3), (0, 4), (4, 5), (5, 3)]
+    _, _, idmap, enc, _ = graph_from_edges(edges)
+    to_id = lambda k: int(idmap.to_ids(np.array([f"role:n{k:04d}"], dtype="U"))[0])
+    out = yens_k_shortest(enc, len(idmap), to_id(0), to_id(3), k=3, weighted=False)
+    costs = out.groupby("path_rank")["total_cost"].first().tolist()
+    assert costs == [2.0, 2.0, 3.0]
+    # third path routes through nodes 4 and 5
+    p3 = out[out["path_rank"] == 3]["node"].tolist()
+    assert len(p3) == 4
+
+
+def test_astar_matches_shortest_route(graph_from_edges):
+    from graph_data_science_ray.functions.paths import astar_route
+    from graph_data_science_ray.functions.sssp import shortest_path_route
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (0, 5), (5, 4)]
+    gd, _, idmap, _, _ = graph_from_edges(edges)
+    to_id = lambda k: int(idmap.to_ids(np.array([f"role:n{k:04d}"], dtype="U"))[0])
+    s, t = to_id(0), to_id(4)
+    base = shortest_path_route(gd, s, t, weighted=False)
+    h = np.zeros(gd.node_count)  # admissible trivially
+    out = astar_route(gd, s, t, heuristic=h, weighted=False)
+    assert out["node"].tolist() == base["node"].tolist()
+    assert np.allclose(out["distance"], base["distance"])
+
+
+def test_dfs_preorder_line(graph_from_edges):
+    from graph_data_science_ray.functions.paths import dfs_preorder
+
+    gd, _, idmap, _, _ = graph_from_edges([(0, 1), (0, 2), (1, 3)])
+    to_id = lambda k: int(idmap.to_ids(np.array([f"role:n{k:04d}"], dtype="U"))[0])
+    out = dfs_preorder(gd, to_id(0))
+    assert keys_to_ids(out["node"]).tolist() == [0, 1, 3, 2]
+
+
+def test_delta_stepping_equals_bellman_ford(graph_from_edges):
+    from graph_data_science_ray.functions.paths import delta_stepping
+    from graph_data_science_ray.functions.sssp import shortest_paths
+
+    edges = [(0, 1), (0, 1), (1, 2), (2, 3), (0, 3), (3, 4), (1, 4), (1, 4), (1, 4)]
+    gd, _, idmap, _, _ = graph_from_edges(edges)
+    to_id = lambda k: int(idmap.to_ids(np.array([f"role:n{k:04d}"], dtype="U"))[0])
+    a = shortest_paths(gd, source_id=to_id(0), weighted=True).sort_values("node")
+    b = delta_stepping(gd, source_id=to_id(0), delta=1.5, weighted=True).sort_values("node")
+    assert a["node"].tolist() == b["node"].tolist()
+    assert np.allclose(a["distance"].to_numpy(), b["distance"].to_numpy())
+
+
+def test_sllpa_overlapping_communities(graph_from_edges):
+    from graph_data_science_ray.functions.community2 import sllpa
+
+    _, gu, idmap, _, _ = graph_from_edges(_two_clusters())
+    out = sllpa(gu, rounds=20, threshold=0.15, seed=5)
+    ids = keys_to_ids(out["node"])
+    comms = keys_to_ids(out["community"])
+    # every node belongs to at least one community; the bridge endpoints
+    # may belong to more than one (overlap is permitted, not required)
+    assert set(ids) == set(range(10))
+    df = pd.DataFrame({"n": ids, "c": comms})
+    # nodes within a clique mostly share a dominant community
+    left = df[df["n"] < 5]["c"].value_counts().index[0]
+    right = df[df["n"] >= 5]["c"].value_counts().index[0]
+    assert left != right or len(df) > 10  # distinct, or overlap happened
+
+
+def test_celf_star_center_first(graph_from_edges):
+    from graph_data_science_ray.functions.influence import celf
+
+    star = [(0, i) for i in range(1, 9)]
+    gd, _, idmap, _, _ = graph_from_edges(star)
+    out = celf(gd, k=2, propagation_probability=0.5,
+               monte_carlo_simulations=20, seed=2)
+    assert keys_to_ids(out["node"])[0] == 0
+    assert out["spread_gain"].iloc[0] > out["spread_gain"].iloc[1]
+
+
+def test_hashgnn_neighborhood_similarity(graph_from_edges):
+    from graph_data_science_ray.functions.hashgnn import hash_gnn
+
+    _, gu, idmap, _, _ = graph_from_edges(_two_clusters())
+    out = hash_gnn(gu, dim=32, iterations=1, seed=4)
+    ids = keys_to_ids(out["node"])
+    sig = np.stack(out["signature"].to_numpy())[np.argsort(ids)]
+    same = np.mean([(sig[0] == sig[j]).mean() for j in range(1, 5)])
+    cross = np.mean([(sig[0] == sig[j]).mean() for j in range(6, 10)])
+    assert same > cross
+    again = hash_gnn(gu, dim=32, iterations=1, seed=4)
+    assert np.array_equal(np.stack(out["signature"]), np.stack(again["signature"]))
+
+
+def test_max_k_cut_bipartite(graph_from_edges):
+    from graph_data_science_ray.functions.community2 import approx_max_k_cut
+
+    # complete bipartite K3,3: optimal 2-cut = all 9 edges
+    edges = [(i, j) for i in range(3) for j in range(3, 6)]
+    _, _, idmap, _, sym = graph_from_edges(edges)
+    assign, cut = approx_max_k_cut(sym, len(idmap), k=2, rounds=10, seed=1, idmap=idmap)
+    assert cut == 9.0
+    ids = keys_to_ids(assign["node"])
+    part = assign["part"].to_numpy()[np.argsort(ids)]
+    assert len(set(part[:3])) == 1 and len(set(part[3:])) == 1
+    assert part[0] != part[3]
+
+
+def test_k_spanning_tree_split(graph_from_edges):
+    from graph_data_science_ray.functions.spanning import k_spanning_tree
+
+    # line 0-1-2-3 with a heavy middle edge (weight 3 via repetition)
+    edges = [(0, 1), (1, 2), (1, 2), (1, 2), (2, 3)]
+    _, _, idmap, _, sym = graph_from_edges(edges)
+    out = k_spanning_tree(sym, len(idmap), k=2)
+    ids = np.argsort(keys_to_ids(out["node"].astype(str))) if out["node"].dtype == object else None
+    df = pd.DataFrame({"n": keys_to_ids(out["node"]) if out["node"].dtype == object else out["node"],
+                       "c": out["cluster"]})
+    df = df.sort_values("n")
+    c = df["c"].to_numpy()
+    # heaviest edge (1,2) removed -> {0,1} and {2,3}
+    assert c[0] == c[1] and c[2] == c[3] and c[0] != c[2]
+
+
+def test_steiner_tree_line(graph_from_edges):
+    from graph_data_science_ray.functions.spanning import steiner_tree
+
+    _, gu, idmap, _, _ = graph_from_edges([(0, 1), (1, 2), (2, 3), (3, 4)])
+    to_id = lambda k: int(idmap.to_ids(np.array([f"role:n{k:04d}"], dtype="U"))[0])
+    tree, total = steiner_tree(gu, to_id(0), [to_id(2), to_id(4)], weighted=False)
+    assert total == 4.0  # the whole line
+    assert len(tree) == 4
+
+
+def test_cnarw_sample(graph_from_edges):
+    from graph_data_science_ray.functions.walks import cnarw_sample
+
+    _, gu, idmap, _, _ = graph_from_edges(_two_clusters())
+    out = cnarw_sample(gu, sample_size=6, seed=3)
+    assert 1 <= len(out) <= 6
+    again = cnarw_sample(gu, sample_size=6, seed=3)
+    assert out["node_id"].tolist() == again["node_id"].tolist()
+
+
+def test_l1_l2_scalers():
+    from graph_data_science_ray.stages.scale import scale_column
+
+    ds = rd.from_arrow(pa.table({"v": pa.array([3.0, -4.0, 0.0])}))
+    l1 = scale_column(ds, "v", scaler="l1norm").to_pandas().sort_values("v")
+    assert np.allclose(sorted(l1["scaled"]), sorted([3 / 7, -4 / 7, 0.0]), atol=1e-6)
+    l2 = scale_column(ds, "v", scaler="l2norm").to_pandas()
+    assert np.allclose(sorted(l2["scaled"]), sorted([0.6, -0.8, 0.0]), atol=1e-6)
+
+
+def test_termination_flag(graph_from_edges, tmp_path):
+    from graph_data_science_ray.functions.pagerank import PageRankComputation
+    from graph_data_science_ray.state.pregel import Pregel, TerminationFlag
+
+    gd, _, _, _, _ = graph_from_edges([(0, 1), (1, 2), (2, 0)])
+    flag = TerminationFlag(str(tmp_path / "stop"))
+    flag.stop()
+    engine = Pregel(gd, PageRankComputation(), termination_flag=flag)
+    refs = engine.run(max_iterations=25)
+    # stopped before any superstep ran: history is empty, states are init
+    assert engine.history == []
+    scores = engine.gather(refs, "rank")
+    assert np.allclose(scores, 0.15)
+
+
+def test_labelprop_node_weights(graph_from_edges):
+    # node 2 votes with huge node weight: nodes 0,1 adopt its label
+    gd, gu, idmap, _, _ = graph_from_edges([(0, 1), (1, 2), (0, 2)])
+    nw = np.ones(len(idmap))
+    nw[keys_to_ids(pd.Series(idmap.keys)) == 2] = 100.0
+    out = gdsr.label_propagation(gu, max_iterations=6, node_weights=nw)
+    labels = keys_to_ids(out["label"])
+    assert (labels == 2).sum() >= 2
