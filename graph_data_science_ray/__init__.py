@@ -34,13 +34,44 @@ from graph_data_science_ray.pipelines.edges import (
     symmetrize,
 )
 from graph_data_science_ray.state.graph import GraphStore
+from graph_data_science_ray.state.pregel import Pregel, PregelComputation, TerminationFlag
 from graph_data_science_ray.functions.pagerank import pagerank
 from graph_data_science_ray.functions.wcc import wcc
 from graph_data_science_ray.functions.labelprop import label_propagation
 from graph_data_science_ray.functions.triangles import triangle_count
 from graph_data_science_ray.functions.degree import degree_centrality
+from graph_data_science_ray.functions.node2vec import node2vec
+from graph_data_science_ray.functions.paths import (
+    astar_route,
+    delta_stepping,
+    dfs_preorder,
+    yens_k_shortest,
+)
+from graph_data_science_ray.functions.community2 import approx_max_k_cut, sllpa
+from graph_data_science_ray.functions.influence import celf
+from graph_data_science_ray.functions.hashgnn import hash_gnn
+from graph_data_science_ray.functions.spanning import (
+    k_spanning_tree,
+    minimum_spanning_forest,
+    steiner_tree,
+)
 
 __all__ = [
+    "Pregel",
+    "PregelComputation",
+    "TerminationFlag",
+    "node2vec",
+    "astar_route",
+    "delta_stepping",
+    "dfs_preorder",
+    "yens_k_shortest",
+    "approx_max_k_cut",
+    "sllpa",
+    "celf",
+    "hash_gnn",
+    "k_spanning_tree",
+    "minimum_spanning_forest",
+    "steiner_tree",
     "TRANSCRIPT_SCHEMA",
     "read_transcripts",
     "synthesize_transcripts",

@@ -20,20 +20,55 @@ import ray.data as rd
 from graph_data_science_ray.pipelines.agg import hash_aggregate
 
 
-def _neighbor_color_sets(sym_edges: rd.Dataset, colors: np.ndarray) -> pd.DataFrame:
+def _recolor_active(
+    sym_edges: rd.Dataset, colors: np.ndarray, active: np.ndarray, num_parts: int = 64
+) -> pd.DataFrame:
+    """Smallest free color per ACTIVE node, computed inside map_groups.
+
+    For sorted distinct neighbor colors ``used``, the smallest free color
+    is the first rank i with ``used[i] != i`` (else the run length) —
+    one vectorized ``minimum.reduceat``, no per-node Python loop.
+    """
     cref = ray.put(colors)
+    aref = ray.put(active)
 
     def partial(t: pa.Table) -> pa.Table:
         c = ray.get(cref)
+        a = ray.get(aref)
         src = t["src"].to_numpy(zero_copy_only=False)
         dst = t["dst"].to_numpy(zero_copy_only=False)
-        df = pd.DataFrame({"node": src, "color": c[dst]}).drop_duplicates()
-        df["partial"] = 1
+        keep = a[src]
+        df = pd.DataFrame({"node": src[keep], "color": c[dst[keep]]}).drop_duplicates()
+        df["__part"] = (df["node"].to_numpy() % num_parts).astype(np.int64)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    return hash_aggregate(
-        sym_edges.map_batches(partial, batch_format="pyarrow"),
-        ["node", "color"], "partial", op="min",
+    def choose(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["node", "color"]).sort_values(
+            ["node", "color"], kind="mergesort"
+        )
+        node = g["node"].to_numpy(dtype=np.int64)
+        color = g["color"].to_numpy(dtype=np.int64)
+        if len(node) == 0:
+            return pd.DataFrame(
+                {"node": pd.Series([], dtype=np.int64),
+                 "color": pd.Series([], dtype=np.int64)}
+            )
+        new = np.empty(len(node), dtype=bool)
+        new[0] = True
+        new[1:] = node[1:] != node[:-1]
+        starts = np.flatnonzero(new)
+        runlen = np.diff(np.append(starts, len(node)))
+        rank = np.arange(len(node), dtype=np.int64) - np.repeat(starts, runlen)
+        BIG = np.iinfo(np.int64).max
+        cand = np.where(color != rank, rank, BIG)
+        first = np.minimum.reduceat(cand, starts)
+        free = np.where(first == BIG, runlen, first)
+        return pd.DataFrame({"node": node[starts], "color": free.astype(np.int64)})
+
+    return (
+        sym_edges.map_batches(partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(choose, batch_format="pandas")
     ).to_pandas()
 
 
@@ -44,21 +79,12 @@ def k1_coloring(
     colors = np.zeros(node_count, dtype=np.int64)
     active = np.ones(node_count, dtype=bool)
     for _ in range(max_rounds):
-        ncs = _neighbor_color_sets(sym_edges, colors)
-        # smallest free color per active node
-        ncs = ncs.sort_values(["node", "color"], kind="mergesort")
+        picks = _recolor_active(sym_edges, colors, active)
         new_colors = colors.copy()
-        for nd, grp in ncs[np.isin(ncs["node"], np.flatnonzero(active))].groupby(
-            "node", sort=False
-        ):
-            used = grp["color"].to_numpy()
-            c = 0
-            for u in used:
-                if u == c:
-                    c += 1
-                elif u > c:
-                    break
-            new_colors[nd] = c
+        if len(picks):
+            new_colors[picks["node"].to_numpy(dtype=np.int64)] = picks[
+                "color"
+            ].to_numpy(dtype=np.int64)
         colors = new_colors
         # conflicts: adjacent equal colors -> higher id recolors next round
         cref = ray.put(colors)

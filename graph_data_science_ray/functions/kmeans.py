@@ -71,9 +71,9 @@ def kmeans(
             return res.sort_values("vec_id").reset_index(drop=True)
         sums = np.zeros_like(centroids)
         cnts = np.zeros(len(centroids), dtype=np.int64)
-        for _, row in res.iterrows():
-            sums[row["cluster"]] += np.asarray(row["sum"])
-            cnts[row["cluster"]] += row["cnt"]
+        lab = res["cluster"].to_numpy(dtype=np.int64)
+        np.add.at(sums, lab, np.stack([np.asarray(s) for s in res["sum"]]))
+        np.add.at(cnts, lab, res["cnt"].to_numpy(dtype=np.int64))
         keep = cnts > 0
         centroids = np.where(
             keep[:, None], sums / np.maximum(cnts, 1)[:, None], centroids

@@ -86,11 +86,11 @@ def _route_on_subgraph(
     )
     route = shortest_path_route(g, source_id, target_id, weighted=weighted)
     if not len(route):
-        return [], np.inf
+        return [], []
     nodes = route["node"].to_numpy()
     if route["node"].dtype == object:  # idmap-free graphs return ints
         nodes = nodes.astype(np.int64)
-    return [int(x) for x in nodes], float(route["distance"].iloc[-1])
+    return [int(x) for x in nodes], [float(d) for d in route["distance"]]
 
 
 def yens_k_shortest(
@@ -109,7 +109,7 @@ def yens_k_shortest(
     """
     root_dir = tempfile.mkdtemp(prefix="gdsr-yens-", dir="/tmp")
     edges = edges.select_columns(["src", "dst", "weight"]).materialize()
-    first, cost0 = _route_on_subgraph(
+    first, dists0 = _route_on_subgraph(
         edges, node_count, source_id, target_id, set(), set(),
         os.path.join(root_dir, "p0"), weighted, num_partitions,
     )
@@ -120,65 +120,47 @@ def yens_k_shortest(
              "position": pd.Series([], dtype=np.int64),
              "node": pd.Series([], dtype=np.int64)}
         )
-    A: list[tuple[float, list[int]]] = [(cost0, first)]
-    B: list[tuple[float, list[int]]] = []
+    # A/B entries: (total_cost, path_nodes, cumulative_dists) — cumulative
+    # distances let every spur read its root-prefix cost directly, no
+    # driver-held edge-weight map.
+    A: list[tuple[float, list[int], list[float]]] = [(dists0[-1], first, dists0)]
+    B: list[tuple[float, list[int], list[float]]] = []
     n_proj = 1
     while len(A) < k:
-        prev_cost, prev = A[-1]
+        _, prev, prev_d = A[-1]
         for i in range(len(prev) - 1):
             root = prev[: i + 1]
             spur = prev[i]
             banned_edges = set()
-            for _, p in A:
+            for _, p, _d in A:
                 if len(p) > i and p[: i + 1] == root:
                     banned_edges.add((p[i], p[i + 1]))
             banned_nodes = set(root[:-1])
-            sp, sp_cost = _route_on_subgraph(
+            sp, sp_d = _route_on_subgraph(
                 edges, node_count, spur, target_id, banned_edges, banned_nodes,
                 os.path.join(root_dir, f"p{n_proj}"), weighted, num_partitions,
             )
             n_proj += 1
             if not sp:
                 continue
+            root_cost = prev_d[i]
             cand = root[:-1] + sp
-            # root cost = sum of edge weights along the root prefix — read
-            # from the previous path's distances (monotone prefix)
-            root_cost = _prefix_cost(prev, i, edges, weighted)
-            total = root_cost + sp_cost
-            entry = (total, cand)
-            if entry not in B and all(cand != p for _, p in A):
-                B.append(entry)
+            cand_d = prev_d[:i] + [root_cost + d for d in sp_d]
+            total = cand_d[-1]
+            if all(cand != p for _, p, _d in B) and all(cand != p for _, p, _d in A):
+                B.append((total, cand, cand_d))
         if not B:
             break
         B.sort(key=lambda e: (e[0], e[1]))
         A.append(B.pop(0))
     rows = []
-    for rank, (cost, path) in enumerate(A, 1):
+    for rank, (cost, path, _d) in enumerate(A, 1):
         for pos, node in enumerate(path):
             rows.append((rank, round(cost, 6), pos, node))
     out = pd.DataFrame(rows, columns=["path_rank", "total_cost", "position", "node"])
     if idmap is not None:
         out["node"] = idmap.to_keys(out["node"].to_numpy(dtype=np.int64))
     return out
-
-
-_EDGE_W_CACHE: dict[int, dict] = {}
-
-
-def _prefix_cost(path: list[int], upto: int, edges: rd.Dataset, weighted: bool) -> float:
-    """Cost of path[0..upto] — edge weights fetched once per edge Dataset."""
-    if not weighted:
-        return float(upto)
-    key = id(edges)
-    if key not in _EDGE_W_CACHE:
-        df = edges.to_pandas()
-        _EDGE_W_CACHE.clear()  # one live edge table at a time
-        _EDGE_W_CACHE[key] = {
-            (int(s), int(d)): float(w)
-            for s, d, w in zip(df["src"], df["dst"], df["weight"])
-        }
-    wmap = _EDGE_W_CACHE[key]
-    return float(sum(wmap[(path[j], path[j + 1])] for j in range(upto)))
 
 
 # ---------------------------------------------------------------------------

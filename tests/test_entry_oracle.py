@@ -61,6 +61,11 @@ _ORACLE_CHECKED = [
     "scale_minmax",
     "sessionize",
     "window_hourly",
+    "yens_k3",
+    "delta_stepping",
+    "astar",
+    "scale_l2",
+    "lp_node_weighted",
 ]
 
 
