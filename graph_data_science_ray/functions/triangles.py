@@ -8,20 +8,27 @@ deduplicated. ``maxDegree`` excludes super-hub nodes: their count is the
 sentinel ``-1`` and they are skipped entirely
 (IntersectingTriangleCount.java:55,139-144).
 
-Distributed formulation (wedge hash-join, SURVEY.md §2.1): orient every
-undirected edge low→high into forward edges ``a < b``. Stage 1
-co-locates each node's forward neighbors by ``hash(src)`` and emits, per
-node ``a`` with sorted forward neighbors ``b1 < b2 < …``, all **wedge**
-pairs ``(bi, bj), i < j`` keyed ``bi*V + bj`` with corner ``a`` — pure
-repeat/arange vector ops, no Python loop. Stage 2 hash-joins wedge keys
-against the forward-edge key set: a match is exactly one triangle
-``a < bi < bj``; per-group corner tallies combine by a node groupby-sum.
-Each task holds only its hash partition (O(edges/P + wedges/P) memory,
-no whole-graph replication); ``max_degree`` is the hub-wedge safety
-valve, same role as the reference's config.
+Distributed formulation (SURVEY.md §2.1): orient every undirected edge by
+**degree order** — forward means ``(deg(u), u) < (deg(v), v)`` — so a
+node's forward degree is bounded by ~sqrt(2m) and total wedge work is
+O(m^1.5) even under power-law skew. Orientation is a consistent total
+order, so triangle counts are identical to the reference's ``c < b < a``
+id-ordering. One shuffle co-locates each node's forward neighbors by
+``hash(src)``; inside each partition, wedge pairs are generated with
+repeat/arange vector ops (no Python loop) and closed immediately against
+the BROADCAST sorted forward-edge key set (``ray.put`` once, binary
+search per chunk) — the wedge set itself never hits the object store.
+Per-node corner tallies combine via one small groupby-sum.
+
+The broadcast is O(E) int64 keys — the classic small-side broadcast; for
+edge sets beyond worker memory, ``strategy="shuffle"`` hash-joins the
+wedge stream against the edge keys instead (one extra all-to-all over
+the wedges). ``max_degree`` remains the reference's hub exclusion valve.
 """
 
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 import pandas as pd
@@ -33,47 +40,90 @@ import ray.data as rd
 from graph_data_science_ray._util import splitmix64
 from graph_data_science_ray.pipelines.agg import hash_aggregate
 
-
-def forward_edges(sym_edges: rd.Dataset) -> rd.Dataset:
-    """Distinct low→high pairs from a symmetrized encoded edge Dataset."""
-    return sym_edges.map_batches(
-        lambda t: t.filter(pc.less(t["src"], t["dst"])),
-        batch_format="pyarrow",
-    )
+_CHUNK_PAIRS = 4_000_000  # wedge pairs processed per vector chunk
 
 
-def _emit_wedges(g: pd.DataFrame, V: int) -> pd.DataFrame:
-    """All forward-neighbor pairs per src in this hash partition.
+def forward_edges(sym_edges: rd.Dataset, deg_ref=None) -> rd.Dataset:
+    """Degree-order-oriented pairs from a symmetrized edge Dataset.
 
-    For a node with forward neighbors ``b1 < … < bd`` emits the d(d-1)/2
-    pairs ``(bi, bj), i<j`` as packed keys ``bi*V + bj`` plus the corner
-    node — the candidate third edges of triangles cornered at src.
-    """
-    empty = pd.DataFrame(
-        {"key": np.zeros(0, dtype=np.int64), "corner": np.zeros(0, dtype=np.int64)}
-    )
-    if len(g) == 0:
-        return empty
-    g = g.sort_values(["src", "dst"], kind="mergesort")
+    Forward means ``(deg(src), src) < (deg(dst), dst)`` when ``deg_ref``
+    (a broadcast degree array) is given — the O(m^1.5) wedge bound —
+    else plain ``src < dst`` id order."""
+    if deg_ref is None:
+        return sym_edges.map_batches(
+            lambda t: t.filter(pc.less(t["src"], t["dst"])),
+            batch_format="pyarrow",
+        )
+
+    def fwd(t: pa.Table) -> pa.Table:
+        d = ray.get(deg_ref)
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (d[s] < d[v]) | ((d[s] == d[v]) & (s < v))
+        return t.take(pa.array(np.flatnonzero(keep)))
+
+    return sym_edges.map_batches(fwd, batch_format="pyarrow")
+
+
+def _wedge_arrays(g: pd.DataFrame, deg_ref):
+    """(corner, b_lo, b_hi) wedge arrays for one hash partition — per-src
+    forward adjacency sorted in degree order, pairs via repeat/arange."""
+    d = ray.get(deg_ref)
+    g = g.assign(_dd=d[g["dst"].to_numpy(dtype=np.int64)])
+    g = g.sort_values(["src", "_dd", "dst"], kind="mergesort")
     src = g["src"].to_numpy(dtype=np.int64)
     dst = g["dst"].to_numpy(dtype=np.int64)
     new = np.empty(len(src), dtype=bool)
     new[0] = True
     new[1:] = src[1:] != src[:-1]
     seg_start = np.flatnonzero(new)
-    d = np.diff(np.append(seg_start, len(src)))
-    within = np.arange(len(src), dtype=np.int64) - np.repeat(seg_start, d)
-    left_counts = np.repeat(d, d) - 1 - within
+    dcounts = np.diff(np.append(seg_start, len(src)))
+    within = np.arange(len(src), dtype=np.int64) - np.repeat(seg_start, dcounts)
+    left_counts = np.repeat(dcounts, dcounts) - 1 - within
     n_pairs = int(left_counts.sum())
     if n_pairs == 0:
-        return empty
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
     lefts = np.repeat(np.arange(len(src), dtype=np.int64), left_counts)
     cum = np.repeat(np.cumsum(left_counts) - left_counts, left_counts)
     k = np.arange(n_pairs, dtype=np.int64) - cum
     rights = lefts + 1 + k
-    corner = np.repeat(src, left_counts)
-    key = dst[lefts] * V + dst[rights]
-    return pd.DataFrame({"key": key, "corner": corner})
+    return np.repeat(src, left_counts), dst[lefts], dst[rights]
+
+
+def _count_in_part(
+    g: pd.DataFrame, V: int, deg_ref, ekeys_ref
+) -> pd.DataFrame:
+    """Generate this partition's wedges and close them in-task against the
+    broadcast sorted edge-key array; returns (node, cnt) corner partials."""
+    empty = pd.DataFrame(
+        {"node": np.zeros(0, dtype=np.int64), "cnt": np.zeros(0, dtype=np.int64)}
+    )
+    if len(g) == 0:
+        return empty
+    corner, blo, bhi = _wedge_arrays(g, deg_ref)
+    if len(corner) == 0:
+        return empty
+    ek = ray.get(ekeys_ref)
+    tallies = {}
+    parts = []
+    for s in range(0, len(corner), _CHUNK_PAIRS):
+        c = corner[s : s + _CHUNK_PAIRS]
+        lo = blo[s : s + _CHUNK_PAIRS]
+        hi = bhi[s : s + _CHUNK_PAIRS]
+        key = lo * V + hi
+        pos = np.searchsorted(ek, key)
+        pos = np.minimum(pos, len(ek) - 1)
+        match = ek[pos] == key if len(ek) else np.zeros(len(key), dtype=bool)
+        if not match.any():
+            continue
+        nodes = np.concatenate([c[match], lo[match], hi[match]])
+        u, cnt = np.unique(nodes, return_counts=True)
+        parts.append(pd.DataFrame({"node": u, "cnt": cnt.astype(np.int64)}))
+    if not parts:
+        return empty
+    out = pd.concat(parts, ignore_index=True)
+    return out.groupby("node", sort=False)["cnt"].sum().reset_index()
 
 
 def triangle_count(
@@ -83,6 +133,7 @@ def triangle_count(
     max_degree: int | None = None,
     path: str = None,
     num_partitions: int = 64,
+    strategy: str = "broadcast",
 ):
     """Exact per-node + global triangle counts.
 
@@ -92,10 +143,8 @@ def triangle_count(
 
     Returns ``(DataFrame(node, triangles), global_count)``; excluded
     super-hub nodes carry ``-1``. ``path`` is accepted for backward
-    compatibility and unused (the wedge-join needs no CSR projection).
+    compatibility and unused.
     """
-    import functools
-
     if node_count is None:
         if idmap is None:
             raise ValueError("need idmap or node_count")
@@ -103,15 +152,19 @@ def triangle_count(
     V = int(node_count)
     P = max(4, int(num_partitions))
 
-    # undirected (distinct-neighbor) degree per node, for maxDegree exclusion
+    # undirected (distinct-neighbor) degree per node: drives BOTH the
+    # degree-order orientation and maxDegree exclusion
+    from graph_data_science_ray.functions.degree import degree_centrality
+
+    deg_arr = degree_centrality(sym_edges, node_count=V, weighted=False)[
+        "degree"
+    ].to_numpy(dtype=np.int64)
+    deg_ref = ray.put(deg_arr)
     excluded = np.zeros(V, dtype=bool)
     if max_degree is not None:
-        from graph_data_science_ray.functions.degree import degree_centrality
+        excluded = deg_arr > int(max_degree)
 
-        deg = degree_centrality(sym_edges, node_count=V, weighted=False)
-        excluded = deg["degree"].to_numpy(dtype=np.int64) > int(max_degree)
-
-    fwd = forward_edges(sym_edges)
+    fwd = forward_edges(sym_edges, deg_ref=deg_ref)
     if max_degree is not None and excluded.any():
         exc_ref = ray.put(np.flatnonzero(excluded))
 
@@ -124,42 +177,65 @@ def triangle_count(
 
         fwd = fwd.map_batches(drop_excluded, batch_format="pyarrow")
 
-    fwd = fwd.materialize()  # consumed twice: wedge emission + edge-key side
+    fwd = fwd.materialize()  # consumed twice: wedge side + edge-key side
 
-    # Stage 1: wedges, co-located by hash(src)
+    def edge_keys(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"key": pa.array(s * V + d)})
+
     def tag_src(t: pa.Table) -> pa.Table:
         s = t["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
         part = (splitmix64(s) % np.uint64(P)).astype(np.int64)
         return pa.table({"src": t["src"], "dst": t["dst"], "part": pa.array(part)})
 
-    wedges = (
-        fwd.map_batches(tag_src, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(functools.partial(_emit_wedges, V=V), batch_format="pandas")
-    )
+    if strategy == "broadcast":
+        kdf = fwd.map_batches(edge_keys, batch_format="pyarrow").to_pandas()
+        ekeys = (
+            np.sort(kdf["key"].to_numpy(dtype=np.int64))
+            if "key" in kdf.columns and len(kdf)
+            else np.zeros(0, dtype=np.int64)
+        )
+        ekeys_ref = ray.put(ekeys)
+        partials = (
+            fwd.map_batches(tag_src, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(
+                functools.partial(_count_in_part, V=V, deg_ref=deg_ref,
+                                  ekeys_ref=ekeys_ref),
+                batch_format="pandas",
+            )
+        )
+    else:  # "shuffle": hash-join wedges against edge keys (huge-E path)
+        def emit_wedges(g: pd.DataFrame) -> pd.DataFrame:
+            corner, blo, bhi = _wedge_arrays(g, deg_ref) if len(g) else (
+                np.zeros(0, dtype=np.int64),) * 3
+            return pd.DataFrame({"key": blo * V + bhi, "corner": corner})
 
-    # Stage 2: hash-join wedges ∩ forward-edge keys on hash(key)
-    def edge_keys(t: pa.Table) -> pa.Table:
-        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-        key = s * V + d
-        return pa.table(
-            {"key": pa.array(key), "corner": pa.array(np.full(len(key), -1, dtype=np.int64))}
+        wedges = (
+            fwd.map_batches(tag_src, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(emit_wedges, batch_format="pandas")
+        )
+        ekds = fwd.map_batches(
+            lambda t: edge_keys(t).append_column(
+                "corner", pa.array(np.full(len(t), -1, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+        both = wedges.union(ekds)
+
+        def tag_key(t: pa.Table) -> pa.Table:
+            k = t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            part = (splitmix64(k) % np.uint64(P)).astype(np.int64)
+            return t.append_column("kpart", pa.array(part))
+
+        partials = (
+            both.map_batches(tag_key, batch_format="pyarrow")
+            .groupby("kpart")
+            .map_groups(functools.partial(_close_with_v, V=V), batch_format="pandas")
         )
 
-    both = wedges.union(fwd.map_batches(edge_keys, batch_format="pyarrow"))
-
-    def tag_key(t: pa.Table) -> pa.Table:
-        k = t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        part = (splitmix64(k) % np.uint64(P)).astype(np.int64)
-        return t.append_column("kpart", pa.array(part))
-
-    closer = functools.partial(_close_with_v, V=V)
-    partials = (
-        both.map_batches(tag_key, batch_format="pyarrow")
-        .groupby("kpart")
-        .map_groups(closer, batch_format="pandas")
-    )
     agg = hash_aggregate(partials, ["node"], "cnt", op="sum").to_pandas()
     counts = np.zeros(V, dtype=np.int64)
     if len(agg):
@@ -171,7 +247,8 @@ def triangle_count(
 
 
 def _close_with_v(g: pd.DataFrame, V: int) -> pd.DataFrame:
-    """`_close_wedges` with V passed explicitly (partial-friendly)."""
+    """Shuffle-strategy closer: match wedge keys against edge keys
+    (corner = -1 marks edge rows) within one hash partition."""
     key = g["key"].to_numpy(dtype=np.int64)
     corner = g["corner"].to_numpy(dtype=np.int64)
     is_edge = corner < 0

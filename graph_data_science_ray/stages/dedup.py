@@ -211,12 +211,17 @@ def dedup_minhash_lsh(
     num_bands: int = 16,
     threshold: float = 0.7,
     seed: int = 17,
+    broadcast_limit: int = 100_000,
 ) -> rd.Dataset:
     """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
-    Verification texts arrive by hash-joining the candidate pairs back to
-    the doc table (once per side) — the doc corpus is never collected.
+    Verification texts arrive either by BROADCASTING the candidate docs
+    (when the CANDIDATE id set — not the corpus — is at most
+    ``broadcast_limit``: semi-join filter + ``ray.put`` once, the
+    small-side-broadcast pattern) or by hash-joining the candidate pairs
+    back to the doc table (once per side) — the corpus itself is never
+    collected on the driver in either path.
     """
     import functools
 
@@ -261,17 +266,79 @@ def dedup_minhash_lsh(
         ["doc_a", "doc_b"],
     )
 
-    # hash-join the pair list back to the doc table for both sides
-    from graph_data_science_ray.pipelines.agg import hash_join
+    import pyarrow as pa
+    import ray
 
+    from graph_data_science_ray.pipelines.agg import hash_join
+    from graph_data_science_ray.pipelines.edges import _auto_join_partitions
+
+    nparts = _auto_join_partitions()
+    pairs = pairs.materialize()
+
+    # candidate doc-id set (distributed partial-unique, driver holds ids only)
+    def _ids(df: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(
+            np.concatenate(
+                [df["doc_a"].to_numpy(dtype=np.int64), df["doc_b"].to_numpy(dtype=np.int64)]
+            )
+        ) if len(df) else np.zeros(0, dtype=np.int64)
+        return pd.DataFrame({"id": u})
+    cand_df = pairs.map_batches(_ids, batch_format="pandas").to_pandas()
+    cand_ids = (
+        np.unique(cand_df["id"].to_numpy(dtype=np.int64))
+        if "id" in cand_df.columns and len(cand_df)
+        else np.zeros(0, dtype=np.int64)
+    )
+
+    if len(cand_ids) <= broadcast_limit:
+        # small candidate set: semi-join the doc table down to candidates
+        # (distributed filter) and broadcast just those texts once
+        ids_ref = ray.put(cand_ids)
+
+        def only_cands(df: pd.DataFrame) -> pd.DataFrame:
+            want = ray.get(ids_ref)
+            return df[np.isin(df["doc_id"].to_numpy(dtype=np.int64), want)]
+
+        tdf = docs.map_batches(only_cands, batch_format="pandas").to_pandas()
+        texts_ref = ray.put(
+            dict(zip(tdf["doc_id"].astype(np.int64), tdf["text"].fillna("")))
+        )
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            texts = ray.get(texts_ref)
+            df = df.copy()
+            df["text_a"] = [texts.get(int(a), "") for a in df["doc_a"]]
+            df["text_b"] = [texts.get(int(b), "") for b in df["doc_b"]]
+            return df
+
+        return pairs.map_batches(attach, batch_format="pandas").map_batches(
+            functools.partial(_verify_pairs, threshold=threshold),
+            batch_format="pandas",
+        )
+
+    # large candidate set: hash-join the pair list back to the doc table
+    # for both sides. Schemas are passed explicitly (probing would
+    # re-execute the whole LSH pipeline once per join).
     side_a = docs.map_batches(
         lambda df: df.rename(columns={"text": "text_a"}), batch_format="pandas"
     )
     side_b = docs.map_batches(
         lambda df: df.rename(columns={"text": "text_b"}), batch_format="pandas"
     )
-    joined = hash_join(pairs, side_a, on=["doc_a"], right_on=["doc_id"])
-    joined = hash_join(joined, side_b, on=["doc_b"], right_on=["doc_id"])
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    doc_schema_a = pa.schema([("doc_id", pa.int64()), ("text_a", pa.string())])
+    doc_schema_b = pa.schema([("doc_id", pa.int64()), ("text_b", pa.string())])
+    joined = hash_join(
+        pairs, side_a, on=["doc_a"], right_on=["doc_id"], num_parts=nparts,
+        left_schema=pair_schema, right_schema=doc_schema_a,
+    )
+    mid_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("text_a", pa.string())]
+    )
+    joined = hash_join(
+        joined, side_b, on=["doc_b"], right_on=["doc_id"], num_parts=nparts,
+        left_schema=mid_schema, right_schema=doc_schema_b,
+    )
     return joined.map_batches(
         functools.partial(_verify_pairs, threshold=threshold), batch_format="pandas"
     )
