@@ -3,20 +3,23 @@
 Reference: similarity/src/main/java/org/neo4j/gds/similarity/knn/Knn.java:37
 (NN-Descent with random init and sampling, Dong et al. WWW'11). Shape:
 
-1. init: every vector gets k random (seeded, deterministic) candidates;
-2. per round: propose neighbor-of-neighbor pairs (self-join of the
-   current candidate lists through the shared middle vector), fetch both
-   endpoint vectors by **hash-joining the pair list against the embedding
-   table** (by id — the vector matrix is never collected or broadcast),
-   score per batch (vectorized cosine), keep the per-node top-k of
-   old ∪ new via a hash-partitioned group top-k; stop when the candidate
-   set's digest stops changing (or max_rounds);
-3. output (query_id, neighbor_id, rank, sim).
+1. the embedding table is split into ``S`` hash blocks; each block's
+   (sorted ids, normalized matrix) lives in the object store (one
+   ``ray.put`` per block — sharded, never the whole matrix);
+2. init: every vector gets k random (seeded, deterministic) candidates;
+3. per round: propose neighbor-of-neighbor pairs (self-join of the
+   current candidate lists through the shared middle vector, sampled to
+   ``cap`` members per middle — Dong's candidate sampling), then score by
+   grouping pairs on ``(block(a), block(b))``: each group task reads
+   EXACTLY TWO vector blocks zero-copy from plasma and runs one gather +
+   einsum. Only integer pair rows ever enter a shuffle — vectors never
+   ride the exchange. Per-node top-k of old ∪ new via a hash-partitioned
+   group top-k; stop when the candidate set's digest stops changing.
+4. output (query_id, neighbor_id, rank, sim).
 
-Everything is Dataset ops; the driver holds only per-round counters and
-a 64-bit digest. At 100 TB the vector payload rides the candidate-pair
-shuffles (2 vectors per proposal), the textbook distributed NN-Descent
-cost model.
+The driver holds only the id vocabulary, per-round counters and a 64-bit
+digest. Group-task memory is O(2 · block). Deterministic for a seed at
+any parallelism.
 """
 
 from __future__ import annotations
@@ -27,7 +30,7 @@ import ray
 import ray.data as rd
 
 from graph_data_science_ray._util import mix2, splitmix64
-from graph_data_science_ray.pipelines.agg import _stable_row_hash, hash_join
+from graph_data_science_ray.pipelines.agg import _stable_row_hash
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -35,43 +38,74 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.where(n > 0, n, 1.0)
 
 
-def _score_pairs(pairs: rd.Dataset, emb_a: rd.Dataset, emb_b: rd.Dataset,
-                 num_parts: int, pair_schema, vec_type) -> rd.Dataset:
-    """(a, b) id pairs → (a, b, sim) by joining both endpoint vectors.
+@ray.remote(num_returns=2)
+def _prep_block(df: pd.DataFrame, id_col: str, vec_col: str):
+    """One vector block → (ids, {ids, mat}) with ids sorted, mat normalized."""
+    ids = df[id_col].to_numpy(dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    mat = _normalize(
+        np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col].to_numpy()[order]])
+    ) if len(df) else np.zeros((0, 1))
+    return ids, {"ids": ids, "mat": mat}
 
-    Schemas are passed explicitly so the joins never probe (probing would
-    partially execute the pair pipeline an extra time per round)."""
-    import pyarrow as pa
 
-    j = hash_join(
-        pairs, emb_a, on=["a"], num_parts=num_parts,
-        left_schema=pair_schema,
-        right_schema=pa.schema([("a", pa.int64()), ("vec_a", vec_type)]),
-    )
-    mid_schema = pa.schema(
-        list(zip(pair_schema.names, pair_schema.types)) + [("vec_a", vec_type)]
-    )
-    j = hash_join(
-        j, emb_b, on=["b"], num_parts=num_parts,
-        left_schema=mid_schema,
-        right_schema=pa.schema([("b", pa.int64()), ("vec_b", vec_type)]),
-    )
+def _build_blocks(emb: rd.Dataset, S: int, id_col: str, vec_col: str):
+    """Shard the embedding table into S plasma blocks.
 
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame(
-                {"a": pd.Series([], dtype=np.int64),
-                 "b": pd.Series([], dtype=np.int64),
-                 "sim": pd.Series([], dtype=np.float64)}
-            )
-        va = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in df["vec_a"]]))
-        vb = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in df["vec_b"]]))
-        sim = np.round(np.einsum("ij,ij->i", va, vb), 6)
-        return pd.DataFrame(
-            {"a": df["a"].astype(np.int64), "b": df["b"].astype(np.int64), "sim": sim}
+    Returns (block_refs list, sorted all-ids array, block index per id)."""
+    emb = emb.repartition(S).materialize()
+    outs = [_prep_block.remote(r, id_col, vec_col) for r in emb.to_pandas_refs()]
+    id_lists = ray.get([o[0] for o in outs])
+    block_refs = [o[1] for o in outs]
+    all_ids = np.concatenate(id_lists) if id_lists else np.zeros(0, dtype=np.int64)
+    block_of = np.concatenate(
+        [np.full(len(l), i, dtype=np.int64) for i, l in enumerate(id_lists)]
+    ) if id_lists else np.zeros(0, dtype=np.int64)
+    order = np.argsort(all_ids, kind="stable")
+    return block_refs, all_ids[order], block_of[order]
+
+
+def _score_pairs(
+    pairs: rd.Dataset, refs_ref, sid_ref, bof_ref, S: int
+) -> rd.Dataset:
+    """(a, b) id pairs → (a, b, sim): group by (block(a), block(b)); each
+    group task zero-copy-reads its two blocks and scores in one einsum."""
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        sid = ray.get(sid_ref)
+        bof = ray.get(bof_ref)
+        a = df["a"].to_numpy(dtype=np.int64)
+        b = df["b"].to_numpy(dtype=np.int64)
+        ba = bof[np.searchsorted(sid, a)]
+        bb = bof[np.searchsorted(sid, b)]
+        return pd.DataFrame({"a": a, "b": b, "__part": ba * S + bb})
+
+    def score_group(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": pd.Series([], dtype=np.int64),
+             "b": pd.Series([], dtype=np.int64),
+             "sim": pd.Series([], dtype=np.float64)}
         )
+        if not len(g):
+            return empty
+        refs = ray.get(refs_ref)
+        part = int(g["__part"].iloc[0])
+        ba, bb = divmod(part, S)
+        A = ray.get(refs[ba])
+        B = ray.get(refs[bb])
+        a = g["a"].to_numpy(dtype=np.int64)
+        b = g["b"].to_numpy(dtype=np.int64)
+        pa_ = np.searchsorted(A["ids"], a)
+        pb_ = np.searchsorted(B["ids"], b)
+        sim = np.round(np.einsum("ij,ij->i", A["mat"][pa_], B["mat"][pb_]), 6)
+        return pd.DataFrame({"a": a, "b": b, "sim": sim})
 
-    return j.map_batches(score, batch_format="pandas")
+    return (
+        pairs.map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(score_group, batch_format="pandas")
+    )
 
 
 def _topk(scored: rd.Dataset, k: int, num_parts: int = 32) -> rd.Dataset:
@@ -79,7 +113,9 @@ def _topk(scored: rd.Dataset, k: int, num_parts: int = 32) -> rd.Dataset:
 
     def symm_tag(df: pd.DataFrame) -> pd.DataFrame:
         both = pd.concat(
-            [df, df.rename(columns={"a": "b", "b": "a"})], ignore_index=True
+            [df[["a", "b", "sim"]],
+             df[["a", "b", "sim"]].rename(columns={"a": "b", "b": "a"})],
+            ignore_index=True,
         )
         both["__part"] = (_stable_row_hash(both, ["a"]) % num_parts).astype(np.int64)
         return both
@@ -107,9 +143,7 @@ def _digest(current: rd.Dataset) -> tuple[int, int]:
                 * np.uint64(0x9E3779B97F4A7C15)
                 ^ df["b"].to_numpy(dtype=np.int64).astype(np.uint64)
             )
-            s = np.uint64(0)
-            for v in (np.bitwise_xor.reduce(h) if len(h) else np.uint64(0),):
-                s ^= v
+            s = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
         return pd.DataFrame({"x": [int(s)], "n": [len(df)]})
 
     agg = current.map_batches(partial, batch_format="pandas").to_pandas()
@@ -126,64 +160,41 @@ def knn_descent(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_cap: int | None = None,
 ) -> pd.DataFrame:
     """Approximate cosine top-k for every vector; returns
     (query_id, neighbor_id, rank, sim)."""
-    import ray as _ray
-
     try:
-        P = int(_ray.cluster_resources().get("CPU", 4))
+        P = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         P = 4
     P = max(4, min(32, P))  # shuffle width scaled to the cluster
-    emb = embeddings.select_columns([id_col, vec_col]).materialize()
-    # id vocabulary only (no vectors) — needed to draw random init partners
-    ids = np.sort(
-        emb.select_columns([id_col]).to_pandas()[id_col].to_numpy(dtype=np.int64)
-    )
+    S = max(2, min(16, P))  # vector blocks (S² score groups)
+    emb = embeddings.select_columns([id_col, vec_col])
+    block_refs, sorted_ids, block_of = _build_blocks(emb, S, id_col, vec_col)
+    refs_ref = ray.put(block_refs)
+    sid_ref = ray.put(sorted_ids)
+    bof_ref = ray.put(block_of)
+    ids = sorted_ids
     n = len(ids)
     ids_ref = ray.put(ids)
 
-    import pyarrow as pa
+    # deterministic random init: k draws per node (driver-built id pairs —
+    # O(n·k) ints, the same footprint class as the id vocabulary)
+    reps_pos = np.repeat(np.arange(n, dtype=np.int64), k)
+    reps_id = np.repeat(ids, k)
+    slots = np.tile(np.arange(k, dtype=np.int64), n)
+    cand = ids[(mix2(seed, reps_pos, slots) % np.uint64(max(n, 1))).astype(np.int64)]
+    good = cand != reps_id
+    pairs = rd.from_pandas(pd.DataFrame({"a": reps_id[good], "b": cand[good]}))
 
-    def _rename(t: pa.Table, idn: str, vn: str) -> pa.Table:
-        vec = t[vec_col]
-        if isinstance(vec.type, pa.ExtensionType):
-            vec = pa.chunked_array([c.storage for c in vec.chunks])
-        if pa.types.is_fixed_size_list(vec.type):
-            vec = vec.cast(pa.list_(vec.type.value_type))
-        return pa.table({idn: t[id_col].cast(pa.int64()), vn: vec})
-
-    import functools
-
-    emb_a = emb.map_batches(
-        functools.partial(_rename, idn="a", vn="vec_a"), batch_format="pyarrow"
+    current = _topk(
+        _score_pairs(pairs, refs_ref, sid_ref, bof_ref, S), k, num_parts=P
     ).materialize()
-    emb_b = emb.map_batches(
-        functools.partial(_rename, idn="b", vn="vec_b"), batch_format="pyarrow"
-    ).materialize()
-    vec_type = emb_a.schema().types[1]
-    PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
-
-    # deterministic random init: k draws per node, generated distributedly
-    # over the id table (positions drawn via the seeded mix)
-    def init_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        all_ids = ray.get(ids_ref)
-        my = df[id_col].to_numpy(dtype=np.int64)
-        pos = np.searchsorted(all_ids, my)
-        reps_pos = np.repeat(pos, k)
-        reps_id = np.repeat(my, k)
-        slots = np.tile(np.arange(k, dtype=np.int64), len(my))
-        cand_pos = (mix2(seed, reps_pos, slots) % np.uint64(len(all_ids))).astype(np.int64)
-        cand = all_ids[cand_pos]
-        good = cand != reps_id
-        return pd.DataFrame({"a": reps_id[good], "b": cand[good]})
-
-    pairs = emb.select_columns([id_col]).map_batches(init_pairs, batch_format="pandas")
-    current = _topk(_score_pairs(pairs, emb_a, emb_b, P, PAIR_SCHEMA, vec_type), k, num_parts=P).materialize()
     cur_n, cur_digest = _digest(current)
+    cap = int(sample_cap) if sample_cap else max(20, 2 * k)
 
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         # neighbor-of-neighbor proposals through the shared middle node
         def tag_mid(df: pd.DataFrame) -> pd.DataFrame:
             df = df[["a", "b"]].copy()
@@ -191,11 +202,18 @@ def knn_descent(
             return df
 
         def propose(g: pd.DataFrame) -> pd.DataFrame:
+            # Dong et al.'s candidate SAMPLING: popular middles capped to
+            # ``cap`` deterministically chosen members — proposals per mid
+            # stay O(cap²) instead of O(deg²)
             outs = []
-            for _, grp in g.groupby("b", sort=False):
-                nodes = grp["a"].to_numpy(dtype=np.int64)
-                if len(nodes) < 2 or len(nodes) > 200:
+            for mid, grp in g.groupby("b", sort=False):
+                nodes = np.unique(grp["a"].to_numpy(dtype=np.int64))
+                if len(nodes) < 2:
                     continue
+                if len(nodes) > cap:
+                    pick = np.argsort(mix2(seed + 31 * rnd, nodes, int(mid)),
+                                      kind="stable")[:cap]
+                    nodes = np.sort(nodes[pick])
                 x, y = np.triu_indices(len(nodes), k=1)
                 outs.append(pd.DataFrame({"a": nodes[x], "b": nodes[y]}))
             if not outs:
@@ -211,8 +229,10 @@ def knn_descent(
             .groupby("__part")
             .map_groups(propose, batch_format="pandas")
         )
-        scored_new = _score_pairs(proposals, emb_a, emb_b, P, PAIR_SCHEMA, vec_type)
-        merged = _topk(current.select_columns(["a", "b", "sim"]).union(scored_new), k, num_parts=P)
+        scored_new = _score_pairs(proposals, refs_ref, sid_ref, bof_ref, S)
+        merged = _topk(
+            current.select_columns(["a", "b", "sim"]).union(scored_new), k, num_parts=P
+        )
         merged = merged.materialize()
         new_n, new_digest = _digest(merged)
         current = merged
