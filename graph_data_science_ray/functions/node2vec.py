@@ -30,17 +30,32 @@ import ray
 from graph_data_science_ray._util import mix2
 
 
-def _walk_matrix(graph, walk_length: int, walks_per_node: int, seed: int) -> np.ndarray:
+def _walk_matrix(graph, walk_length: int, walks_per_node: int, seed: int,
+                 p: float = 1.0, q: float = 1.0) -> np.ndarray:
     """Walks as a dense (n_walks, walk_length) int64 matrix, -1 padded."""
-    from graph_data_science_ray.functions.walks import _walk_partition
+    from graph_data_science_ray.functions.walks import (
+        _walk_partition,
+        _walk_partition_biased,
+    )
 
     blocks = graph.block_refs()
-    dfs = ray.get(
-        [
-            _walk_partition.remote(p, blocks, walk_length, walks_per_node, seed)
-            for p in range(graph.num_partitions)
-        ]
-    )
+    if p != 1.0 or q != 1.0:
+        dfs = ray.get(
+            [
+                _walk_partition_biased.remote(
+                    pi, blocks, graph.node_count, walk_length, walks_per_node,
+                    float(p), float(q), seed,
+                )
+                for pi in range(graph.num_partitions)
+            ]
+        )
+    else:
+        dfs = ray.get(
+            [
+                _walk_partition.remote(pi, blocks, walk_length, walks_per_node, seed)
+                for pi in range(graph.num_partitions)
+            ]
+        )
     df = pd.concat(dfs, ignore_index=True)
     n_walks = graph.node_count * walks_per_node
     mat = np.full((n_walks, walk_length), -1, dtype=np.int64)
@@ -128,9 +143,13 @@ def node2vec(
     lr: float = 0.025,
     num_shards: int = 8,
     seed: int = 42,
+    p: float = 1.0,
+    q: float = 1.0,
 ) -> pd.DataFrame:
     """Node embeddings; returns (node, embedding list<float64>).
 
+    ``p``/``q`` are the reference's return / in-out walk-bias parameters
+    (second-order rejection-sampled walks; 1/1 = uniform first-order).
     Deterministic for a given seed at any parallelism (fixed shards,
     seeded draws, order-independent average combine).
     """
@@ -139,7 +158,7 @@ def node2vec(
     emb_in = ((rng.random((V, dim)) - 0.5) / dim).astype(np.float64)
     emb_out = np.zeros((V, dim), dtype=np.float64)
 
-    walks = _walk_matrix(graph, walk_length, walks_per_node, seed)
+    walks = _walk_matrix(graph, walk_length, walks_per_node, seed, p=p, q=q)
     centers, contexts = _pairs_from_walks(walks, window)
     # fixed shard split by pair index (deterministic, cluster-size free)
     shard_of = (

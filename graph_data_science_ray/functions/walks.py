@@ -237,3 +237,148 @@ def cnarw_sample(
     if graph.idmap is not None:
         return pd.DataFrame({"node": graph.idmap.to_keys(ids), "node_id": ids})
     return pd.DataFrame({"node": ids, "node_id": ids})
+
+
+@ray.remote
+def _walk_partition_biased(part: int, block_refs: list, node_count: int,
+                           walk_length: int, walks_per_node: int,
+                           p: float, q: float, seed: int,
+                           max_tries: int = 16) -> pd.DataFrame:
+    """Second-order (p/q-biased) walks for one partition's start nodes.
+
+    node2vec bias (reference embeddings/node2vec/Node2Vec.java:38): from
+    (prev → cur), candidate x gets weight 1/p if x == prev, 1 if
+    x ∈ N(prev), 1/q otherwise. Sampled by vectorized REJECTION: each
+    round draws a uniform neighbor candidate and an acceptance coin
+    against bias/max_bias; walkers that exhaust ``max_tries`` rounds keep
+    their last candidate (bounded approximation, documented). Membership
+    x ∈ N(prev) is a binary search over the block's packed (src*V + dst)
+    edge keys — sorted by CSR construction, built once per task.
+    """
+    blocks = ray.get(list(block_refs))
+    me = blocks[part]
+    part_starts = np.array([b["start"] for b in blocks], dtype=np.int64)
+    V = np.int64(node_count)
+    packed = []
+    for b in blocks:
+        n_local = b["end"] - b["start"]
+        pk = (np.repeat(np.arange(n_local, dtype=np.int64), b["degrees"]) * V
+              + b["indices"])
+        packed.append(pk)  # ascending: src asc, targets asc within src
+
+    starts = np.repeat(
+        np.arange(me["start"], me["end"], dtype=np.int64), walks_per_node
+    )
+    n = len(starts)
+    if n == 0:
+        return pd.DataFrame({"walk_id": [], "step": [], "node": []})
+    walk_ids = me["start"] * walks_per_node + np.arange(n, dtype=np.int64)
+    out = np.full((n, walk_length), -1, dtype=np.int64)
+    out[:, 0] = starts
+    cur = starts.copy()
+    prev = np.full(n, -1, dtype=np.int64)
+    alive = np.ones(n, dtype=bool)
+    max_bias = max(1.0, 1.0 / p, 1.0 / q)
+    DEN = np.uint64(1 << 20)
+
+    def neighbor_of(pv: np.ndarray, x: np.ndarray) -> np.ndarray:
+        """x ∈ N(pv), vectorized over walkers (grouped by pv's block)."""
+        res = np.zeros(len(pv), dtype=bool)
+        ok = pv >= 0
+        if not ok.any():
+            return res
+        pidx = np.searchsorted(part_starts, pv, side="right") - 1
+        for bi in np.unique(pidx[ok]):
+            sel = ok & (pidx == bi)
+            b = blocks[bi]
+            keys = (pv[sel] - b["start"]) * V + x[sel]
+            pk = packed[bi]
+            if len(pk) == 0:
+                continue
+            pos = np.minimum(np.searchsorted(pk, keys), len(pk) - 1)
+            res[sel] = pk[pos] == keys
+        return res
+
+    for step in range(1, walk_length):
+        accepted = np.zeros(n, dtype=bool)
+        cand = np.full(n, -1, dtype=np.int64)
+        for r in range(max_tries):
+            need = alive & ~accepted
+            if not need.any():
+                break
+            draws = mix2(seed + r, walk_ids, step)
+            coins = (mix2(seed + 7919 + r, walk_ids, step) % DEN).astype(np.int64)
+            p_idx = np.searchsorted(part_starts, cur, side="right") - 1
+            trial = np.full(n, -1, dtype=np.int64)
+            for bi in np.unique(p_idx[need]):
+                b = blocks[bi]
+                sel = need & (p_idx == bi)
+                lo = cur[sel] - b["start"]
+                d = b["indptr"][lo + 1] - b["indptr"][lo]
+                has = d > 0
+                if len(b["indices"]):
+                    offs = b["indptr"][lo] + (
+                        draws[sel] % np.maximum(d, 1).astype(np.uint64)
+                    ).astype(np.int64)
+                    idx = np.clip(offs, 0, len(b["indices"]) - 1)
+                    trial[sel] = np.where(has, b["indices"][idx], -1)
+            ok = need & (trial >= 0)
+            # bias class
+            bias = np.full(n, 1.0 / q)
+            bias[trial == prev] = 1.0 / p
+            is_nbr = np.zeros(n, dtype=bool)
+            chk = ok & (prev >= 0) & (trial != prev)
+            if chk.any():
+                is_nbr[chk] = neighbor_of(prev[chk], trial[chk])
+            bias[is_nbr] = 1.0
+            first_hop = ok & (prev < 0)
+            acc = ok & (
+                first_hop
+                | (coins < (bias / max_bias * float(int(DEN))).astype(np.int64))
+            )
+            cand[ok] = np.where(acc[ok], trial[ok], np.where(cand[ok] < 0, trial[ok], cand[ok]))
+            accepted |= acc
+            dead = need & (trial < 0)
+            alive &= ~dead
+        nxt = np.where(alive, cand, -1)
+        moved = alive & (nxt >= 0)
+        prev = np.where(moved, cur, prev)
+        cur = np.where(moved, nxt, cur)
+        out[moved, step] = nxt[moved]
+        alive &= moved
+        if not alive.any():
+            break
+    rows = out.reshape(-1)
+    steps = np.tile(np.arange(walk_length, dtype=np.int64), n)
+    wids = np.repeat(walk_ids, walk_length)
+    m = rows >= 0
+    return pd.DataFrame({"walk_id": wids[m], "step": steps[m], "node": rows[m]})
+
+
+def biased_random_walks(
+    graph,
+    walk_length: int = 10,
+    walks_per_node: int = 1,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """node2vec second-order walks (return parameter ``p``, in-out ``q``).
+
+    ``p == q == 1`` reduces to uniform first-order behavior. Deterministic
+    for a seed at any parallelism. Returns (walk_id, step, node).
+    """
+    blocks = graph.block_refs()
+    dfs = ray.get(
+        [
+            _walk_partition_biased.remote(
+                pi, blocks, graph.node_count, walk_length, walks_per_node,
+                float(p), float(q), seed,
+            )
+            for pi in range(graph.num_partitions)
+        ]
+    )
+    out = pd.concat(dfs, ignore_index=True)
+    if graph.idmap is not None:
+        out["node"] = graph.idmap.to_keys(out["node"].to_numpy(dtype=np.int64))
+    return out.sort_values(["walk_id", "step"]).reset_index(drop=True)

@@ -36,21 +36,48 @@ def subgraph_filter(
     idmap: IdMap,
     node_predicate=None,
     min_weight: float | None = None,
+    edge_expr: str | None = None,
+    node_expr: str | None = None,
 ) -> tuple[rd.Dataset, IdMap]:
     """Filter an encoded edge table; returns (re-densified edges, new IdMap).
 
-    ``node_predicate``: vectorized fn over a numpy array of actor keys →
-    bool keep-mask. Surviving nodes re-densify to a fresh ``[0, V')`` id
-    space (the reference rebuilds ids on filter,
+    Predicate surface (the reference's filter expression language,
+    subgraph-filtering/.../expression/ExpressionParser.java — we expose a
+    documented subset instead of the full AST):
+    - ``edge_expr``: Ray Dataset filter expression over the edge columns
+      (``src``, ``dst``, ``weight``), e.g. ``"weight >= 3"``;
+    - ``node_expr``: pandas ``query`` expression over a ``key`` column of
+      actor keys, e.g. ``key.str.startswith("tool:")``;
+    - ``node_predicate``: vectorized fn over a numpy array of actor keys
+      → bool keep-mask (the programmatic escape hatch);
+    - ``min_weight``: shorthand for the common weight threshold.
+
+    Surviving nodes re-densify to a fresh ``[0, V')`` id space (the
+    reference rebuilds ids on filter,
     subgraph-filtering/.../NodesFilter.java); the broadcast old→new map is
     an int array lookup per batch.
     """
+    import pandas as pd
+
     ds = encoded_edges
     if min_weight is not None:
         ds = ds.map_batches(
             lambda t: t.filter(pc.greater_equal(t["weight"], min_weight)),
             batch_format="pyarrow",
         )
+    if edge_expr is not None:
+        ds = ds.filter(expr=edge_expr)
+    if node_expr is not None:
+        if node_predicate is not None:
+            raise ValueError("pass node_expr or node_predicate, not both")
+
+        def node_predicate(keys: np.ndarray):  # noqa: F811 — intentional
+            df = pd.DataFrame({"key": pd.Series(keys).astype(str)})
+            kept = df.query(node_expr, engine="python")
+            mask = np.zeros(len(df), dtype=bool)
+            mask[kept.index.to_numpy()] = True
+            return mask
+
     if node_predicate is None:
         return ds, idmap
     keep_mask = np.asarray(node_predicate(idmap.keys), dtype=bool)

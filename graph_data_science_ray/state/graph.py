@@ -328,3 +328,70 @@ class GraphStore:
         for b in blocks:
             deg[b["start"] : b["end"]] = b["degrees"]
         return deg
+
+    # -- mutate mode (property catalog) -----------------------------------
+    #
+    # The reference's ``.mutate`` writes algorithm results back as named
+    # in-memory node properties (CSRGraphStore.addNodeProperty,
+    # core/src/main/java/org/neo4j/gds/core/loading/CSRGraphStore.java:295)
+    # and exposes drop/stream ops on them
+    # (doc/modules/ROOT/pages/operations-reference/graph-operation-references.adoc:12-77).
+    # Our properties are parquet files under ``{path}/props/`` tracked in a
+    # ``props.json`` sidecar — part of the persisted projection, so a
+    # reloaded GraphStore keeps its mutated properties.
+
+    def _props_meta_path(self) -> str:
+        return os.path.join(self.path, "props.json")
+
+    def node_property_names(self) -> list[str]:
+        import os as _os
+
+        if not _os.path.exists(self._props_meta_path()):
+            return []
+        return sorted(read_json(self._props_meta_path()).get("node", []))
+
+    def add_node_property(self, name: str, values: np.ndarray) -> None:
+        """Register a dense node property (len == node_count)."""
+        import pyarrow.parquet as pq
+
+        values = np.asarray(values)
+        if len(values) != self.node_count:
+            raise ValueError(
+                f"property {name!r}: {len(values)} values for {self.node_count} nodes"
+            )
+        pdir = os.path.join(self.path, "props")
+        os.makedirs(pdir, exist_ok=True)
+        pq.write_table(
+            pa.table({"node": np.arange(self.node_count, dtype=np.int64),
+                      name: values}),
+            os.path.join(pdir, f"{name}.parquet"),
+        )
+        names = set(self.node_property_names())
+        names.add(name)
+        atomic_write_json(self._props_meta_path(), {"node": sorted(names)})
+
+    def node_property(self, name: str) -> np.ndarray:
+        """Dense node property values (ordered by node id)."""
+        import pyarrow.parquet as pq
+
+        if name not in self.node_property_names():
+            raise KeyError(f"unknown node property {name!r}")
+        t = pq.read_table(os.path.join(self.path, "props", f"{name}.parquet"))
+        order = np.argsort(t["node"].to_numpy(), kind="stable")
+        return t[name].to_numpy(zero_copy_only=False)[order]
+
+    def drop_node_property(self, name: str) -> None:
+        if name not in self.node_property_names():
+            raise KeyError(f"unknown node property {name!r}")
+        os.remove(os.path.join(self.path, "props", f"{name}.parquet"))
+        names = set(self.node_property_names()) - {name}
+        atomic_write_json(self._props_meta_path(), {"node": sorted(names)})
+
+    def stream_node_property(self, name: str):
+        """Property as (node, value) rows — the reference's ``.stream``."""
+        import pandas as pd
+
+        vals = self.node_property(name)
+        node = (self.idmap.keys if self.idmap is not None
+                else np.arange(self.node_count, dtype=np.int64))
+        return pd.DataFrame({"node": node, name: vals})

@@ -218,3 +218,78 @@ def test_labelprop_node_weights(graph_from_edges):
     out = gdsr.label_propagation(gu, max_iterations=6, node_weights=nw)
     labels = keys_to_ids(out["label"])
     assert (labels == 2).sum() >= 2
+
+
+def test_node_similarity_cosine_and_filtered(graph_from_edges):
+    from graph_data_science_ray.functions.nodesim import node_similarity
+
+    # square 0-1-2-3-0: 0 and 2 share neighbors {1,3} with unit weights
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    _, _, idmap, _, sym = graph_from_edges(edges, undirected_only=True)
+    cos = node_similarity(sym, len(idmap), metric="cosine")
+    jac = node_similarity(sym, len(idmap), metric="jaccard")
+    # unit weights: cosine == jaccard == 1.0 for the (0,2) and (1,3) pairs
+    assert set(cos["sim_ppm"]) == {1_000_000}
+    assert len(cos) == len(jac) == 2
+    # filtered: only pairs touching node 0
+    filt = node_similarity(sym, len(idmap), metric="jaccard", source_nodes=[0])
+    assert len(filt) == 1
+
+
+def test_graphstore_mutate_properties(graph_from_edges):
+    gd, _, idmap, _, _ = graph_from_edges([(0, 1), (1, 2)])
+    scores = gdsr.pagerank(gd, max_iterations=10)["score"].to_numpy()
+    gd.add_node_property("pagerank", scores)
+    assert gd.node_property_names() == ["pagerank"]
+    assert np.allclose(gd.node_property("pagerank"), scores)
+    # survives reload (persisted projection carries the mutation)
+    g2 = gdsr.GraphStore.load(gd.path)
+    assert np.allclose(g2.node_property("pagerank"), scores)
+    streamed = g2.stream_node_property("pagerank")
+    assert set(streamed.columns) == {"node", "pagerank"}
+    g2.drop_node_property("pagerank")
+    assert g2.node_property_names() == []
+
+
+def test_subgraph_filter_expressions(graph_from_edges):
+    from graph_data_science_ray.pipelines.transforms import subgraph_filter
+
+    edges = [(0, 1), (0, 1), (0, 1), (1, 2), (2, 3)]
+    _, _, idmap, enc, _ = graph_from_edges(edges)
+    # edge expression: weight >= 3 keeps only the tripled edge
+    sub, _ = subgraph_filter(enc, idmap, edge_expr="weight >= 3")
+    assert sub.count() == 1
+    # node expression over actor keys
+    sub2, im2 = subgraph_filter(enc, idmap, node_expr="key != 'role:n0003'")
+    assert len(im2) == len(idmap) - 1
+    # aggregated table had 3 rows ((0,1) w=3, (1,2), (2,3)); dropping n3
+    # removes (2,3)
+    assert sub2.count() == 2
+
+
+def test_biased_walks_return_parameter(graph_from_edges):
+    """p controls backtracking: huge p suppresses immediate returns,
+    tiny p encourages them (node2vec second-order semantics)."""
+    from graph_data_science_ray.functions.walks import biased_random_walks
+
+    _, gu, idmap, _, _ = graph_from_edges([(0, 1), (1, 2), (2, 3), (3, 4)])
+
+    def return_rate(p):
+        w = biased_random_walks(gu, walk_length=12, walks_per_node=8, p=p, q=1.0, seed=9)
+        w = w.copy()
+        w["nid"] = keys_to_ids(w["node"])
+        rate_n = 0
+        rate_d = 0
+        for _, g in w.groupby("walk_id"):
+            seq = g.sort_values("step")["nid"].to_numpy()
+            for i in range(2, len(seq)):
+                rate_d += 1
+                if seq[i] == seq[i - 2]:
+                    rate_n += 1
+        return rate_n / max(rate_d, 1)
+
+    assert return_rate(0.01) > return_rate(100.0) + 0.2
+    # determinism
+    a = biased_random_walks(gu, walk_length=8, walks_per_node=2, p=2.0, q=0.5, seed=4)
+    b = biased_random_walks(gu, walk_length=8, walks_per_node=2, p=2.0, q=0.5, seed=4)
+    assert a.equals(b)
