@@ -763,6 +763,25 @@ def _q_lp_node_weighted(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"node": _strip(res["node"]), "label": _strip(labels)})
 
 
+def _q_nodesim_cosine(sf_dir: str) -> pd.DataFrame:
+    """Cosine NodeSimilarity over the weight vectors (exact ppm: integer
+    weights make every sum exact in float64, so numpy and DuckDB compute
+    identical IEEE values)."""
+    from graph_data_science_ray.functions.nodesim import node_similarity
+
+    b = _bundle(sf_dir)
+    res = node_similarity(
+        b["sym"], node_count=len(b["idmap"]), idmap=b["idmap"], metric="cosine"
+    )
+    return pd.DataFrame(
+        {
+            "node_a": _strip(res["node_a"]),
+            "node_b": _strip(res["node_b"]),
+            "sim_ppm": res["sim_ppm"].astype(np.int64),
+        }
+    )
+
+
 def _q_louvain_modularity(sf_dir: str) -> pd.DataFrame:
     """Modularity of the distributed Louvain partition (rows-only)."""
     from graph_data_science_ray.functions.community_metrics import modularity
@@ -844,6 +863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scale_l2": _q_scale_l2,
         "lp_node_weighted": _q_lp_node_weighted,
         "louvain_modularity": _q_louvain_modularity,
+        "node_similarity_cosine": _q_nodesim_cosine,
     }
 
 
@@ -1446,6 +1466,20 @@ lp AS (
     ) WHERE rn = 1
 )
 SELECT node, label FROM lp WHERE it = {_LP_ROUNDS}
+"""
+
+    sqls["node_similarity_cosine"] = f"""
+WITH {_GRAPH_CTE},
+{_UND_CTE},
+norms AS (SELECT src AS node, sqrt(sum(w * w)) AS nrm FROM undw GROUP BY src),
+pairs2 AS (
+    SELECT a.src AS na, b.src AS nb, sum(a.w * b.w) AS num
+    FROM undw a JOIN undw b ON a.dst = b.dst AND a.src < b.src
+    GROUP BY a.src, b.src
+)
+SELECT na AS node_a, nb AS node_b,
+       CAST(floor(1000000.0 * num / (x.nrm * y.nrm) + 0.5) AS BIGINT) AS sim_ppm
+FROM pairs2 JOIN norms x ON x.node = na JOIN norms y ON y.node = nb
 """
 
     # lang_id, minhash_near_dup, simhash, dfs, node2vec, sllpa, max_k_cut,

@@ -66,6 +66,7 @@ _ORACLE_CHECKED = [
     "astar",
     "scale_l2",
     "lp_node_weighted",
+    "node_similarity_cosine",
 ]
 
 
