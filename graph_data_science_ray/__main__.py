@@ -66,16 +66,25 @@ def _load(args):
 
 def cmd_pagerank(args) -> dict:
     import graph_data_science_ray as gdsr
+    from graph_data_science_ray.functions.pagerank import PageRankComputation
     from graph_data_science_ray.sinks import write_results
+    from graph_data_science_ray.state.pregel import Pregel, TerminationFlag
 
     g = _load(args)
-    res = gdsr.pagerank(
-        g, damping=args.damping, tolerance=args.tolerance,
-        max_iterations=args.max_iterations, weighted=args.weighted,
-        checkpoint_dir=args.checkpoint, resume=True,
-    )
+    flag = TerminationFlag(args.stop_file) if args.stop_file else None
+    comp = PageRankComputation(args.damping, args.tolerance, args.weighted)
+    engine = Pregel(g, comp, args.checkpoint, termination_flag=flag)
+    refs = engine.run(max_iterations=args.max_iterations, resume=True)
+    import numpy as np
+    import pandas as pd
+
+    scores = engine.gather(refs, "rank")
+    node = g.idmap.keys if g.idmap is not None else np.arange(g.node_count)
+    res = pd.DataFrame({"node": node, "score": scores})
     write_results(res, args.out)
-    return {"out": args.out, "rows": len(res)}
+    return {"out": args.out, "rows": len(res),
+            "iterations": len(engine.history),
+            "stopped": bool(flag and not flag.running())}
 
 
 def cmd_wcc(args) -> dict:
@@ -139,6 +148,9 @@ def main(argv=None) -> None:
             sp.add_argument("--damping", type=float, default=0.85)
             sp.add_argument("--tolerance", type=float, default=1e-7)
             sp.add_argument("--weighted", action="store_true")
+            # external cancellation: touch this file to stop gracefully
+            # between supersteps (reference TerminationFlag)
+            sp.add_argument("--stop-file", default=None, dest="stop_file")
         sp.set_defaults(fn=fn)
 
     st = sub.add_parser("triangles")

@@ -67,6 +67,7 @@ def _best_moves(
     gamma: float,
     parity: int,
     num_parts: int = 64,
+    constraint: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """One distributed local-move sub-round: returns ONLY the movers
     ``(node, community)`` — nodes of the given parity whose best candidate
@@ -76,10 +77,15 @@ def _best_moves(
     self-loops dropped, non-parity nodes pruned before the shuffle.
     Stage 2 (map_groups on hash(node)): per-node argmax gain with
     broadcast labels/deg/tot.
+
+    ``constraint`` (Leiden refinement): per-node parent-community array —
+    a node may only consider candidate communities whose members share
+    its parent (moves stay WITHIN the parent community).
     """
     lref = ray.put(labels)
     dref = ray.put(deg)
     tref = ray.put(tot)
+    cref = ray.put(constraint) if constraint is not None else None
 
     def partial(t: pa.Table) -> pa.Table:
         lab = ray.get(lref)
@@ -87,6 +93,9 @@ def _best_moves(
         dst = t["dst"].to_numpy(zero_copy_only=False)
         w = t["weight"].to_numpy(zero_copy_only=False)
         keep = (src != dst) & ((src % 2) == parity)
+        if cref is not None:
+            par = ray.get(cref)
+            keep &= par[src] == par[dst]  # candidates within the parent only
         df = pd.DataFrame({"node": src[keep], "comm": lab[dst[keep]], "w": w[keep]})
         g = df.groupby(["node", "comm"], sort=False)["w"].sum().reset_index()
         g["__part"] = (g["node"].to_numpy() % num_parts).astype(np.int64)
@@ -235,6 +244,41 @@ def louvain(
     return out
 
 
+def _refine_within(sym_edges: rd.Dataset, parent: np.ndarray, node_count: int,
+                   gamma: float, max_rounds: int = 3) -> np.ndarray:
+    """Leiden refinement: constrained local moves inside each parent
+    community (nodes start as singletons and may only merge with
+    same-parent communities), then hash-min connectivity so every refined
+    community is internally connected. Deterministic (parity schedule);
+    the reference's randomized merge sampling is replaced by the greedy
+    gain argmax — a documented simplification that keeps both Leiden
+    guarantees (well-connected via gain, connected via the CC pass)."""
+    deg = _weighted_degrees(sym_edges, node_count)
+    two_m = deg.sum()
+    if two_m == 0:
+        return np.arange(node_count, dtype=np.int64)
+    labels = np.arange(node_count, dtype=np.int64)  # singletons
+    tot = deg.copy()
+    for _ in range(max_rounds):
+        moved = 0
+        for parity in (0, 1):
+            movers = _best_moves(
+                sym_edges, labels, deg, tot, two_m, gamma, parity,
+                constraint=parent,
+            )
+            if len(movers):
+                mnode = movers["node"].to_numpy(dtype=np.int64)
+                newc = movers["community"].to_numpy(dtype=np.int64)
+                np.subtract.at(tot, labels[mnode], deg[mnode])
+                np.add.at(tot, newc, deg[mnode])
+                labels[mnode] = newc
+                moved += len(mnode)
+        if moved == 0:
+            break
+    # connectivity guarantee on the refined partition
+    return _cc_within_communities(sym_edges, labels)
+
+
 def _cc_within_communities(sym_edges: rd.Dataset, labels: np.ndarray) -> np.ndarray:
     """Connected components restricted to same-community edges.
 
@@ -306,20 +350,22 @@ def leiden(
     refinement phase guaranteeing internally CONNECTED communities.
 
     Reference: algo/src/main/java/org/neo4j/gds/leiden/Leiden.java:42.
-    Per level: local moves (gamma-resolved modularity gain), then refine
-    the partition to its connected components within each community (the
-    core Leiden guarantee Louvain lacks) via distributed hash-min, then
-    contract by the refined partition. The full randomized refinement
-    sampling is simplified to its deterministic connectivity core
-    (documented deviation). Returns (node, community), community = min
-    original member id.
+    Per level: local moves (gamma-resolved modularity gain), then the
+    REFINEMENT phase — constrained local moves from singletons inside
+    each community (well-connected subcommunities) followed by a
+    distributed hash-min connectivity pass (internally connected
+    communities, the core Leiden guarantee Louvain lacks) — then contract
+    by the refined partition. The reference's randomized merge sampling
+    is replaced by the deterministic greedy gain argmax (documented
+    deviation). Returns (node, community), community = min original
+    member id.
     """
     labels = np.arange(node_count, dtype=np.int64)
     edges = sym_edges
     n = node_count
     for _level in range(max_levels):
         lvl_labels, improved = _one_level(edges, n, max_rounds=max_rounds, gamma=gamma)
-        refined = _cc_within_communities(edges, lvl_labels)
+        refined = _refine_within(edges, lvl_labels, n, gamma)
         labels = refined[labels]
         if not improved:
             break
