@@ -782,6 +782,32 @@ def _q_nodesim_cosine(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_louvain_round1(sf_dir: str) -> pd.DataFrame:
+    """ONE parity-0 local-move sub-round from singleton communities —
+    the distributed argmax-gain kernel, exactly reproducible in SQL
+    (identical float expression w - (d_n*d_c)/2m, identical > 1e-12 move
+    test, dense-rank parity and min-community tie-break)."""
+    from graph_data_science_ray.functions.louvain import (
+        _best_moves,
+        _weighted_degrees,
+    )
+
+    b = _bundle(sf_dir)
+    n = len(b["idmap"])
+    deg = _weighted_degrees(b["sym"], n)
+    two_m = deg.sum()
+    labels = np.arange(n, dtype=np.int64)
+    movers = _best_moves(b["sym"], labels, deg, deg.copy(), two_m, 1.0, parity=0)
+    if len(movers):
+        labels[movers["node"].to_numpy(dtype=np.int64)] = movers[
+            "community"
+        ].to_numpy(dtype=np.int64)
+    keys = b["idmap"].keys
+    return pd.DataFrame(
+        {"node": _strip(keys), "community": _strip(keys[labels])}
+    )
+
+
 def _q_louvain_modularity(sf_dir: str) -> pd.DataFrame:
     """Modularity of the distributed Louvain partition (rows-only)."""
     from graph_data_science_ray.functions.community_metrics import modularity
@@ -863,6 +889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scale_l2": _q_scale_l2,
         "lp_node_weighted": _q_lp_node_weighted,
         "louvain_modularity": _q_louvain_modularity,
+        "louvain_round1": _q_louvain_round1,
         "node_similarity_cosine": _q_nodesim_cosine,
     }
 
@@ -1466,6 +1493,31 @@ lp AS (
     ) WHERE rn = 1
 )
 SELECT node, label FROM lp WHERE it = {_LP_ROUNDS}
+"""
+
+    sqls["louvain_round1"] = f"""
+WITH {_GRAPH_CTE},
+{_UND_CTE},
+ranked AS (SELECT node, row_number() OVER (ORDER BY node) - 1 AS rk FROM nodes),
+deg AS (SELECT src AS node, sum(w) AS d FROM undw GROUP BY src),
+m2 AS (SELECT sum(d) AS two_m FROM deg),
+cand AS (
+    SELECT e.src AS node, e.dst AS comm,
+           e.w - (dn.d * dc.d) / (SELECT two_m FROM m2) AS gain
+    FROM undw e
+    JOIN deg dn ON dn.node = e.src
+    JOIN deg dc ON dc.node = e.dst
+    JOIN ranked r ON r.node = e.src
+    WHERE r.rk % 2 = 0 AND e.src <> e.dst
+),
+best AS (
+    SELECT node, comm, gain,
+           row_number() OVER (PARTITION BY node ORDER BY gain DESC, comm ASC) AS rn
+    FROM cand
+)
+SELECT n.node AS node,
+       CASE WHEN b.gain > 1e-12 THEN b.comm ELSE n.node END AS community
+FROM nodes n LEFT JOIN best b ON b.node = n.node AND b.rn = 1
 """
 
     sqls["node_similarity_cosine"] = f"""

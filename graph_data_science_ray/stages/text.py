@@ -116,25 +116,39 @@ class LangId:
     """Stopword-overlap language-ID heuristic (n-gram-free, deterministic).
 
     Scores each language by stopword hit ratio; falls back to "unk" when
-    nothing matches. A heuristic stage, not a model — exercised as a
-    rows-only query (no SQL oracle)."""
+    nothing matches. Vectorized across the batch: one tokenize pass, one
+    exploded token table, per-language membership via ``np.isin`` and
+    per-doc ratios via ``bincount``. A heuristic stage, not a model —
+    exercised as a rows-only query (no SQL oracle)."""
 
     def __init__(self):
         self.word = re.compile(r"[a-zA-Zàâçéèêëîïôûùüáíóúñäöüß]+")
+        self.langs = sorted(_STOPWORDS)
+        self.sw = {
+            lang: np.sort(np.array(sorted(_STOPWORDS[lang]), dtype="U"))
+            for lang in self.langs
+        }
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        preds = []
-        for t in batch["text"].fillna(""):
-            toks = [w.lower() for w in self.word.findall(t)]
-            if not toks:
-                preds.append("unk")
-                continue
-            best, best_score = "unk", 0.0
-            for lang, sw in _STOPWORDS.items():
-                score = sum(1 for w in toks if w in sw) / len(toks)
-                if score > best_score:
-                    best, best_score = lang, score
-            preds.append(best if best_score > 0.02 else "unk")
+        n = len(batch)
+        tok_lists = [self.word.findall(t) for t in batch["text"].fillna("")]
+        counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+        flat = np.array(
+            [w.lower() for toks in tok_lists for w in toks], dtype="U"
+        )
+        scores = np.zeros((n, len(self.langs)), dtype=np.float64)
+        if len(flat):
+            doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+            denom = np.maximum(counts, 1).astype(np.float64)
+            for li, lang in enumerate(self.langs):
+                hit = np.isin(flat, self.sw[lang])
+                scores[:, li] = np.bincount(
+                    doc_of[hit], minlength=n
+                ).astype(np.float64) / denom
+        best = np.argmax(scores, axis=1)
+        best_score = scores[np.arange(n), best]
+        langs_arr = np.array(self.langs, dtype=object)
+        preds = np.where(best_score > 0.02, langs_arr[best], "unk")
         return pd.DataFrame(
             {"doc_id": batch["doc_id"].astype(np.int64), "lang_pred": preds}
         )

@@ -67,6 +67,7 @@ _ORACLE_CHECKED = [
     "scale_l2",
     "lp_node_weighted",
     "node_similarity_cosine",
+    "louvain_round1",
 ]
 
 
