@@ -78,3 +78,108 @@ def extract_media_features(
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class ImageResizer:
+    """Actor-pool resize stage. Plumbing real (schema, metadata update,
+    per-actor init, small batches); the pixel work is a deterministic
+    byte-level stand-in — ``strict=True`` raises where PIL would run."""
+
+    def __init__(self, width: int, height: int, strict: bool = False):
+        self.width = int(width)
+        self.height = int(height)
+        self.strict = strict
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if self.strict:
+            raise NotImplementedError(
+                "real image resizing requires PIL/torchvision, absent here"
+            )
+        out_payload = [
+            hashlib.blake2b(
+                (p or b"") + self.width.to_bytes(4, "little")
+                + self.height.to_bytes(4, "little"),
+                digest_size=32,
+            ).digest()
+            for p in batch["payload"]
+        ]
+        return pd.DataFrame(
+            {
+                "media_id": batch["media_id"].astype(np.int64),
+                "kind": batch["kind"],
+                "payload": out_payload,
+                "width": np.full(len(batch), self.width, dtype=np.int32),
+                "height": np.full(len(batch), self.height, dtype=np.int32),
+            }
+        )
+
+
+def resize_images(
+    media: rd.Dataset, width: int, height: int,
+    concurrency: int = 2, batch_size: int = 64,
+) -> rd.Dataset:
+    """Resize image rows (actor pool, small batches for wide binary rows)."""
+    return media.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"width": width, "height": height},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+class FrameSampler:
+    """Video → frame rows at a fixed period: one input row expands to
+    ``duration_ms // every_ms`` output rows (media_id, frame_idx, ts_ms,
+    payload). Row expansion, ordering and batch sizing are real; frame
+    extraction is a deterministic fake — ``strict=True`` raises where
+    ffmpeg would run."""
+
+    def __init__(self, every_ms: int = 1000, strict: bool = False):
+        self.every_ms = int(every_ms)
+        self.strict = strict
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if self.strict:
+            raise NotImplementedError(
+                "real frame sampling requires ffmpeg/av, absent here"
+            )
+        ids, idxs, tss, payloads = [], [], [], []
+        for mid, dur, p in zip(
+            batch["media_id"], batch["duration_ms"], batch["payload"]
+        ):
+            n = max(0, int(dur or 0) // self.every_ms)
+            for i in range(n):
+                ids.append(int(mid))
+                idxs.append(i)
+                tss.append(i * self.every_ms)
+                payloads.append(
+                    hashlib.blake2b(
+                        (p or b"") + i.to_bytes(4, "little"), digest_size=24
+                    ).digest()
+                )
+        return pd.DataFrame(
+            {
+                "media_id": pd.Series(ids, dtype=np.int64),
+                "frame_idx": pd.Series(idxs, dtype=np.int64),
+                "ts_ms": pd.Series(tss, dtype=np.int64),
+                "payload": payloads,
+            }
+        )
+
+
+def sample_frames(
+    media: rd.Dataset, every_ms: int = 1000,
+    concurrency: int = 2, batch_size: int = 16,
+) -> rd.Dataset:
+    """Sample frames from video rows (actor pool; expansion-aware tiny
+    batches — each input row can emit many wide binary rows)."""
+    return media.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"every_ms": every_ms},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

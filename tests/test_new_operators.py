@@ -293,3 +293,33 @@ def test_biased_walks_return_parameter(graph_from_edges):
     a = biased_random_walks(gu, walk_length=8, walks_per_node=2, p=2.0, q=0.5, seed=4)
     b = biased_random_walks(gu, walk_length=8, walks_per_node=2, p=2.0, q=0.5, seed=4)
     assert a.equals(b)
+
+
+def test_multimodal_resize_and_frame_sample():
+    import pyarrow as pa
+
+    from graph_data_science_ray.stages.multimodal import (
+        resize_images,
+        sample_frames,
+    )
+
+    media = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([1, 2], pa.int64()),
+                "kind": pa.array(["image", "video"], pa.string()),
+                "payload": pa.array([b"img-bytes", b"vid-bytes"], pa.binary()),
+                "mime": pa.array(["image/png", "video/mp4"], pa.string()),
+                "width": pa.array([640, 1280], pa.int32()),
+                "height": pa.array([480, 720], pa.int32()),
+                "duration_ms": pa.array([0, 3500], pa.int32()),
+            }
+        )
+    )
+    resized = resize_images(media, 64, 64).to_pandas().sort_values("media_id")
+    assert (resized["width"] == 64).all() and (resized["height"] == 64).all()
+    again = resize_images(media, 64, 64).to_pandas().sort_values("media_id")
+    assert list(resized["payload"]) == list(again["payload"])  # deterministic
+    frames = sample_frames(media, every_ms=1000).to_pandas()
+    assert len(frames) == 3  # 3500ms // 1000
+    assert frames["frame_idx"].tolist() == [0, 1, 2]
