@@ -101,13 +101,6 @@ def minimum_spanning_forest(
     return out, float(out["weight"].sum())
 
 
-def _find(comp: np.ndarray, x: int) -> int:
-    while comp[x] != x:
-        comp[x] = comp[comp[x]]
-        x = comp[x]
-    return int(x)
-
-
 def k_spanning_tree(
     sym_edges: rd.Dataset, node_count: int, k: int = 2, idmap=None
 ) -> pd.DataFrame:

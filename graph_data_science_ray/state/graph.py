@@ -54,11 +54,16 @@ def _build_scatter_index(indices: np.ndarray, boundaries: np.ndarray) -> dict:
     sorted_dst = indices[perm]
     uniq_dst, run_starts = np.unique(sorted_dst, return_index=True)
     part_slices = np.searchsorted(uniq_dst, boundaries).astype(np.int64)
+    # int32 destination ids when they fit (V < 2^31): halves the dst-index
+    # bytes in every superstep payload — the scatter/apply exchange is
+    # DRAM/network-bound, so smaller ids are direct throughput
+    n_total = int(boundaries[-1]) if len(boundaries) else 0
+    dst_dtype = np.int32 if n_total < 2**31 else np.int64
     return {
         "perm": perm.astype(np.int64),
         "dst_sorted": sorted_dst.astype(np.int64),
         "run_starts": run_starts.astype(np.int64),
-        "uniq_dst": uniq_dst.astype(np.int64),
+        "uniq_dst": uniq_dst.astype(dst_dtype),
         "part_slices": part_slices,
     }
 
