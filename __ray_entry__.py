@@ -782,6 +782,34 @@ def _q_nodesim_cosine(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_pagerank_personalized(sf_dir: str) -> pd.DataFrame:
+    """Personalized PageRank from the 3 lexicographically-smallest users
+    (dense ids 0..2 — the IdMap sorts keys, so both sides pick the same
+    sources)."""
+    import graph_data_science_ray as gdsr
+
+    b = _bundle(sf_dir)
+    res = gdsr.pagerank(
+        b["gd"], damping=0.85, tolerance=0.0, max_iterations=_PR_ITERS + 1,
+        weighted=True, source_nodes=np.array([0, 1, 2], dtype=np.int64),
+    )
+    return pd.DataFrame(
+        {"node": _strip(res["node"]), "score": np.round(res["score"].to_numpy(), 6)}
+    )
+
+
+def _q_modularity_optimization(sf_dir: str) -> pd.DataFrame:
+    from graph_data_science_ray.functions.louvain import modularity_optimization
+
+    b = _bundle(sf_dir)
+    out, q = modularity_optimization(
+        b["sym"], node_count=len(b["idmap"]), idmap=b["idmap"], max_rounds=5
+    )
+    return pd.DataFrame(
+        {"node": _strip(out["node"]), "community": _strip(out["community"])}
+    )
+
+
 def _q_louvain_round1(sf_dir: str) -> pd.DataFrame:
     """ONE parity-0 local-move sub-round from singleton communities —
     the distributed argmax-gain kernel, exactly reproducible in SQL
@@ -890,6 +918,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lp_node_weighted": _q_lp_node_weighted,
         "louvain_modularity": _q_louvain_modularity,
         "louvain_round1": _q_louvain_round1,
+        "pagerank_personalized": _q_pagerank_personalized,
+        "modularity_optimization": _q_modularity_optimization,
         "node_similarity_cosine": _q_nodesim_cosine,
     }
 
@@ -1493,6 +1523,31 @@ lp AS (
     ) WHERE rn = 1
 )
 SELECT node, label FROM lp WHERE it = {_LP_ROUNDS}
+"""
+
+    sqls["pagerank_personalized"] = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+srcs AS (SELECT node FROM nodes ORDER BY node LIMIT 3),
+outdeg AS (SELECT src AS node, sum(weight) AS wdeg FROM edges GROUP BY src),
+fan AS (
+    SELECT e.src AS src, e.dst AS dst, e.weight / o.wdeg AS frac, FALSE AS is_self
+    FROM edges e JOIN outdeg o ON o.node = e.src
+    UNION ALL
+    SELECT node, node, 0.0, TRUE FROM nodes
+),
+pr AS (
+    SELECT 0 AS it, node,
+           CAST(CASE WHEN node IN (SELECT node FROM srcs) THEN 0.15 ELSE 0.0 END AS DOUBLE) AS rank
+    FROM nodes
+    UNION ALL
+    SELECT p.it + 1 AS it, f.dst AS node,
+           CASE WHEN f.dst IN (SELECT node FROM srcs) THEN 0.15 ELSE 0.0 END
+           + 0.85 * sum(CASE WHEN f.is_self THEN 0.0 ELSE p.rank * f.frac END) AS rank
+    FROM pr p JOIN fan f ON f.src = p.node
+    WHERE p.it < {_PR_ITERS}
+    GROUP BY p.it, f.dst
+)
+SELECT node, round(rank, 6) AS score FROM pr WHERE it = {_PR_ITERS}
 """
 
     sqls["louvain_round1"] = f"""

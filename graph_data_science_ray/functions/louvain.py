@@ -386,3 +386,32 @@ def leiden(
         out["node"] = idmap.to_keys(out["node"].to_numpy(dtype=np.int64))
         out["community"] = idmap.to_keys(out["community"].to_numpy(dtype=np.int64))
     return out
+
+
+def modularity_optimization(
+    sym_edges: rd.Dataset,
+    node_count: int,
+    idmap=None,
+    max_rounds: int = 10,
+    gamma: float = 1.0,
+) -> tuple[pd.DataFrame, float]:
+    """Single-level modularity optimization (no coarsening).
+
+    Reference: modularityoptimization/ModularityOptimization.java:61 —
+    color-scheduled parallel local moves to a local modularity optimum;
+    our parity schedule plays the K1-coloring serialization role. Returns
+    ((node, community), modularity); community = min member id.
+    """
+    from graph_data_science_ray.functions.community_metrics import modularity
+
+    labels, _ = _one_level(sym_edges, node_count, max_rounds=max_rounds, gamma=gamma)
+    out = pd.DataFrame(
+        {"node": np.arange(node_count, dtype=np.int64), "community": labels}
+    )
+    mins = out.groupby("community")["node"].transform("min")
+    out["community"] = mins
+    q = modularity(sym_edges, out["community"].to_numpy())
+    if idmap is not None:
+        out["node"] = idmap.to_keys(out["node"].to_numpy(dtype=np.int64))
+        out["community"] = idmap.to_keys(out["community"].to_numpy(dtype=np.int64))
+    return out, round(float(q), 6)

@@ -68,6 +68,7 @@ _ORACLE_CHECKED = [
     "lp_node_weighted",
     "node_similarity_cosine",
     "louvain_round1",
+    "pagerank_personalized",
 ]
 
 
