@@ -782,6 +782,20 @@ def _q_nodesim_cosine(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_bpe_token_count(sf_dir: str) -> pd.DataFrame:
+    from graph_data_science_ray.stages.text import bpe_token_count
+
+    out = bpe_token_count(_docs(sf_dir)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_winnow_fp(sf_dir: str) -> pd.DataFrame:
+    from graph_data_science_ray.stages.text import winnow_fingerprints
+
+    out = winnow_fingerprints(_docs(sf_dir), k=8, window=16).to_pandas()
+    return out.sort_values(["doc_id", "fp"]).reset_index(drop=True)
+
+
 def _q_pagerank_personalized(sf_dir: str) -> pd.DataFrame:
     """Personalized PageRank from the 3 lexicographically-smallest users
     (dense ids 0..2 — the IdMap sorts keys, so both sides pick the same
@@ -919,6 +933,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "louvain_modularity": _q_louvain_modularity,
         "louvain_round1": _q_louvain_round1,
         "pagerank_personalized": _q_pagerank_personalized,
+        "bpe_token_count": _q_bpe_token_count,
+        "winnow_fingerprints": _q_winnow_fp,
         "modularity_optimization": _q_modularity_optimization,
         "node_similarity_cosine": _q_nodesim_cosine,
     }
@@ -1523,6 +1539,13 @@ lp AS (
     ) WHERE rn = 1
 )
 SELECT node, label FROM lp WHERE it = {_LP_ROUNDS}
+"""
+
+    sqls["bpe_token_count"] = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+')) AS BIGINT)
+           AS n_bpe_tokens
+FROM documents ORDER BY doc_id
 """
 
     sqls["pagerank_personalized"] = f"""

@@ -156,3 +156,89 @@ class LangId:
 
 def lang_id(docs: rd.Dataset, concurrency: int | None = None) -> rd.Dataset:
     return _stage(docs, LangId, concurrency)
+
+
+class BpeishTokenCount:
+    """BPE-style pre-tokenizer count: letter runs, single digits, and
+    punctuation runs (the GPT-2 pre-tokenizer's ASCII core). The pattern
+    is deliberately RE2-compatible so DuckDB's ``regexp_extract_all``
+    reproduces it exactly for the oracle."""
+
+    PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+    def __init__(self):
+        self.pat = re.compile(self.PATTERN)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "n_bpe_tokens": batch["text"].fillna("")
+                .str.findall(self.pat).str.len().astype(np.int64),
+            }
+        )
+
+
+def bpe_token_count(docs: rd.Dataset, concurrency: int | None = None) -> rd.Dataset:
+    return _stage(docs, BpeishTokenCount, concurrency)
+
+
+class WinnowFingerprint:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken '03):
+    rolling hashes of char k-grams, minimum per sliding window — the
+    substring-level near-duplicate key set. Vectorized per doc: byte
+    array → polynomial rolling hash via cumulative powers → windowed min
+    via a stride trick. Emits (doc_id, fp) rows, one per selected
+    fingerprint (deduplicated within a doc)."""
+
+    def __init__(self, k: int = 8, window: int = 16):
+        self.k = int(k)
+        self.window = int(window)
+        self.base = np.uint64(257)
+        self.mask = np.uint64((1 << 61) - 1)
+
+    def _grams(self, data: np.ndarray) -> np.ndarray:
+        """Rolling hashes of all k-grams of a uint8 array (vectorized)."""
+        k = self.k
+        n = len(data)
+        if n < k:
+            return np.zeros(0, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            powers = np.ones(k, dtype=np.uint64)
+            for i in range(1, k):
+                powers[i] = powers[i - 1] * self.base
+            # windows as a (n-k+1, k) view, dot with powers mod 2^64
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            win = sliding_window_view(data.astype(np.uint64), k)
+            return (win * powers[::-1][None, :]).sum(axis=1, dtype=np.uint64)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, fps = [], []
+        for did, t in zip(batch["doc_id"], batch["text"].fillna("")):
+            data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            g = self._grams(data)
+            if len(g) == 0:
+                continue
+            w = min(self.window, len(g))
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            sel = np.unique(sliding_window_view(g, w).min(axis=1))
+            ids.extend([int(did)] * len(sel))
+            fps.extend(sel.astype(np.int64).tolist())
+        return pd.DataFrame(
+            {"doc_id": pd.Series(ids, dtype=np.int64),
+             "fp": pd.Series(fps, dtype=np.int64)}
+        )
+
+
+def winnow_fingerprints(
+    docs: rd.Dataset, k: int = 8, window: int = 16, concurrency: int | None = None
+) -> rd.Dataset:
+    """Winnowing fingerprint rows (doc_id, fp). Docs sharing fingerprints
+    share k-char substrings; group by fp for substring-duplicate
+    candidate pairs (same shuffle shape as MinHash bands)."""
+    import functools
+
+    cls = functools.partial(WinnowFingerprint, k=k, window=window)
+    return _stage(docs, cls, concurrency, batch_size=2048)

@@ -69,6 +69,7 @@ _ORACLE_CHECKED = [
     "node_similarity_cosine",
     "louvain_round1",
     "pagerank_personalized",
+    "bpe_token_count",
 ]
 
 

@@ -323,3 +323,40 @@ def test_multimodal_resize_and_frame_sample():
     frames = sample_frames(media, every_ms=1000).to_pandas()
     assert len(frames) == 3  # 3500ms // 1000
     assert frames["frame_idx"].tolist() == [0, 1, 2]
+
+
+def test_bpe_token_count_and_winnowing():
+    from graph_data_science_ray.stages.text import bpe_token_count, winnow_fingerprints
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    ["Hello, world! 42", "", "the quick brown fox jumps over it"],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    tc = bpe_token_count(docs).to_pandas().sort_values("doc_id")
+    # Hello | , | world | ! | 4 | 2  -> 6
+    assert tc["n_bpe_tokens"].tolist() == [6, 0, 7]
+    fps = winnow_fingerprints(docs, k=4, window=4).to_pandas()
+    assert set(fps["doc_id"]) == {0, 2}
+    # shared substrings -> shared fingerprints: duplicate text matches
+    dup = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(
+                    ["the quick brown fox jumps", "xx the quick brown fox jumps yy"],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    f2 = winnow_fingerprints(dup, k=4, window=4).to_pandas()
+    a = set(f2[f2["doc_id"] == 0]["fp"])
+    b = set(f2[f2["doc_id"] == 1]["fp"])
+    assert len(a & b) / len(a) > 0.5
