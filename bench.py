@@ -148,7 +148,21 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "superstep_sec": round(superstep_sec, 3),
         "edges_scattered_per_sec": round(eps, 1),
         "rank_digest": rank_digest,
+        # host-speed calibration: single-core 1500² matmul seconds. The
+        # sandbox host is sometimes heavily contended (observed 4-6x);
+        # compare this across BENCH_r*.json before reading wall-time deltas
+        # as code regressions. ~0.1-0.2s on an uncontended core.
+        "calib_matmul_sec": _calibrate(),
     }
+
+
+def _calibrate() -> float:
+    import numpy as np
+
+    a = np.random.default_rng(0).random((1500, 1500))
+    t0 = time.perf_counter()
+    a @ a
+    return round(time.perf_counter() - t0, 3)
 
 
 SCALING_GRAPH = os.path.join(BENCH_DIR, "scaling-graph-xl")
