@@ -360,3 +360,13 @@ def test_bpe_token_count_and_winnowing():
     a = set(f2[f2["doc_id"] == 0]["fp"])
     b = set(f2[f2["doc_id"] == 1]["fp"])
     assert len(a & b) / len(a) > 0.5
+
+
+def test_triangle_strategies_agree(graph_from_edges):
+    from graph_data_science_ray.functions.triangles import triangle_count
+
+    _, _, idmap, _, sym = graph_from_edges(_two_clusters())
+    a, ta = triangle_count(sym, idmap=idmap, strategy="broadcast")
+    b, tb = triangle_count(sym, idmap=idmap, strategy="shuffle")
+    assert ta == tb
+    assert a.sort_values("node")["triangles"].tolist() == b.sort_values("node")["triangles"].tolist()
