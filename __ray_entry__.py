@@ -601,8 +601,18 @@ def _q_yens_k3(sf_dir: str) -> pd.DataFrame:
     from graph_data_science_ray.pipelines.transforms import collapse_path
 
     b = _bundle(sf_dir)
-    sub = b["enc"].filter(expr=f"weight >= {_YENS_MINW}").materialize()
+    # adaptive threshold (mirrored in SQL): at scales where no edge
+    # reaches _YENS_MINW the filter would empty the subgraph, so clamp to
+    # the global max weight
+    max_w = float(b["enc"].max("weight"))
+    minw = min(_YENS_MINW, max_w)
+    sub = b["enc"].filter(expr=f"weight >= {minw}").materialize()
     th = collapse_path(sub, sub, num_partitions=8).to_pandas()
+    if not len(th) or "weight" not in th.columns:
+        return pd.DataFrame(
+            {"path_rank": pd.Series([], dtype=np.int64),
+             "total_cost": pd.Series([], dtype=np.float64)}
+        )
     th = th.sort_values(
         ["weight", "src", "dst"], ascending=[False, True, True], kind="mergesort"
     )
@@ -1461,7 +1471,8 @@ ORDER BY doc_a, doc_b
 
     sqls["yens_k3"] = f"""
 WITH RECURSIVE {_GRAPH_CTE},
-f AS (SELECT src, dst, weight FROM edges WHERE weight >= {_YENS_MINW}),
+f AS (SELECT src, dst, weight FROM edges
+       WHERE weight >= LEAST({_YENS_MINW}, (SELECT max(weight) FROM edges))),
 twohop AS (
     SELECT a.src AS src, b.dst AS dst, count(*) AS c
     FROM f a JOIN f b ON b.src = a.dst AND a.src <> b.dst
