@@ -792,6 +792,16 @@ def _q_nodesim_cosine(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_dedup_exact_table(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.dedup import dedup_exact_filter
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = dedup_exact_filter(docs).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_bpe_token_count(sf_dir: str) -> pd.DataFrame:
     from graph_data_science_ray.stages.text import bpe_token_count
 
@@ -944,6 +954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "louvain_round1": _q_louvain_round1,
         "pagerank_personalized": _q_pagerank_personalized,
         "bpe_token_count": _q_bpe_token_count,
+        "dedup_exact_table": _q_dedup_exact_table,
         "winnow_fingerprints": _q_winnow_fp,
         "modularity_optimization": _q_modularity_optimization,
         "node_similarity_cosine": _q_nodesim_cosine,
@@ -1550,6 +1561,12 @@ lp AS (
     ) WHERE rn = 1
 )
 SELECT node, label FROM lp WHERE it = {_LP_ROUNDS}
+"""
+
+    sqls["dedup_exact_table"] = """
+SELECT * FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+ORDER BY doc_id
 """
 
     sqls["bpe_token_count"] = """

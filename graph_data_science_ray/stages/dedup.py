@@ -92,6 +92,28 @@ def dedup_exact(docs: rd.Dataset) -> rd.Dataset:
     return hash_aggregate(fps, ["fp"], "doc_id", op="min")
 
 
+def dedup_exact_filter(docs: rd.Dataset) -> rd.Dataset:
+    """The deduplicated document TABLE (all columns, keepers only).
+
+    The keeper set rides a hash-join back to the doc table — no driver
+    state, so the filter streams at corpus scale. This is the operator a
+    training-data pipeline actually chains (dedup → downstream stages);
+    ``dedup_exact`` is its (fp, keeper) key view."""
+    import pyarrow as pa
+
+    from graph_data_science_ray.pipelines.agg import hash_join
+
+    keepers = dedup_exact(docs).map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["doc_id"].astype(np.int64)}),
+        batch_format="pandas",
+    )
+    return hash_join(
+        docs, keepers, on=["doc_id"],
+        left_schema=None,  # resolved from the doc table
+        right_schema=pa.schema([("doc_id", pa.int64())]),
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

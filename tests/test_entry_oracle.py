@@ -70,6 +70,7 @@ _ORACLE_CHECKED = [
     "louvain_round1",
     "pagerank_personalized",
     "bpe_token_count",
+    "dedup_exact_table",
 ]
 
 

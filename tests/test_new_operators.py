@@ -370,3 +370,20 @@ def test_triangle_strategies_agree(graph_from_edges):
     b, tb = triangle_count(sym, idmap=idmap, strategy="shuffle")
     assert ta == tb
     assert a.sort_values("node")["triangles"].tolist() == b.sort_values("node")["triangles"].tolist()
+
+
+def test_dedup_exact_filter_returns_table():
+    from graph_data_science_ray.stages.dedup import dedup_exact_filter
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(["same", "same", "other", "same"], pa.string()),
+                "lang": pa.array(["en"] * 4, pa.string()),
+            }
+        )
+    )
+    out = dedup_exact_filter(docs).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [0, 2]
+    assert set(out.columns) == {"doc_id", "text", "lang"}
