@@ -175,7 +175,9 @@ def approx_max_k_cut(
                 # have weight 0 — build the dense (unique-node × k) matrix
                 nodes_u, inv = np.unique(node, return_inverse=True)
                 mat = np.zeros((len(nodes_u), k), dtype=np.float64)
-                mat[inv, part] = w
+                # duplicate (node, part) partial rows from different map
+                # batches must ACCUMULATE, not overwrite
+                np.add.at(mat, (inv, part), w)
                 best = np.argmin(mat, axis=1)  # ties -> smaller part id
                 cur = a[nodes_u]
                 cur_w = mat[np.arange(len(nodes_u)), cur]

@@ -102,6 +102,11 @@ def _best_moves(
         return pa.Table.from_pandas(g, preserve_index=False)
 
     def choose(g: pd.DataFrame) -> pd.DataFrame:
+        # partial() emits PER-BATCH sums and sym_edges is hash-partitioned
+        # by (src,dst), so a node's weight to one candidate community can
+        # arrive split across rows — re-aggregate before gain/argmax or
+        # moves depend on Ray block boundaries.
+        g = g.groupby(["node", "comm"], sort=False)["w"].sum().reset_index()
         lab = ray.get(lref)
         dg = ray.get(dref)
         tt = ray.get(tref)

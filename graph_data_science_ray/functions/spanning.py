@@ -75,22 +75,38 @@ def minimum_spanning_forest(
         if not valid.any():
             break
         src, dst, w, ca, cb = src[valid], dst[valid], w[valid], ca[valid], cb[valid]
-        # vectorized union: every merge points the larger root at the
-        # smaller; the deterministic (weight, src, dst) pick order makes
-        # pick-graph cycles mutual pairs only, so min-assignment +
-        # pointer jumping closes all chains (no per-pick Python loop)
-        clo, chi = np.minimum(ca, cb), np.maximum(ca, cb)
+        # union-find over the <= #components picks in sorted
+        # (weight, lo, hi) order. Equal-weight ties (weights are integer
+        # counts here) can otherwise let two components each pick a
+        # DIFFERENT edge between the same component pair — or a pick-cycle
+        # across 3+ components — which would put a cycle in the forest;
+        # only picks that still merge two distinct roots are appended.
+        elo, ehi = np.minimum(src, dst), np.maximum(src, dst)
+        order = np.lexsort((ehi, elo, w))
         parent = comp.copy()
-        np.minimum.at(parent, chi, clo)
+
+        def _find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        merged = 0
+        for i in order.tolist():
+            ra, rb = _find(int(ca[i])), _find(int(cb[i]))
+            if ra == rb:
+                continue
+            parent[max(ra, rb)] = min(ra, rb)  # union-by-min keeps min-id roots
+            chosen.append((int(elo[i]), int(ehi[i]), float(w[i])))
+            merged += 1
+        if merged == 0:
+            break
         while True:
             p2 = parent[parent]
             if np.array_equal(p2, parent):
                 break
             parent = p2
         comp = parent
-        elo, ehi = np.minimum(src, dst), np.maximum(src, dst)
-        for a, b, ww in zip(elo.tolist(), ehi.tolist(), w.tolist()):
-            chosen.append((a, b, ww))
     out = pd.DataFrame(chosen, columns=["src", "dst", "weight"]).drop_duplicates(
         subset=["src", "dst"]
     )

@@ -20,10 +20,15 @@ the BROADCAST sorted forward-edge key set (``ray.put`` once, binary
 search per chunk) — the wedge set itself never hits the object store.
 Per-node corner tallies combine via one small groupby-sum.
 
-The broadcast is O(E) int64 keys — the classic small-side broadcast; for
-edge sets beyond worker memory, ``strategy="shuffle"`` hash-joins the
-wedge stream against the edge keys instead (one extra all-to-all over
-the wedges). ``max_degree`` remains the reference's hub exclusion valve.
+The broadcast is O(E) int64 keys — the classic small-side broadcast —
+built WITHOUT driver materialization: per-block key arrays go straight
+from the object store into one sorting Ray task (``to_numpy_refs`` →
+remote concat+sort), the driver only ever holds the ObjectRef. For edge
+sets beyond a worker-memory budget, ``strategy="shuffle"`` hash-joins
+the wedge stream against the edge keys instead (one extra all-to-all
+over the wedges); the default ``strategy="auto"`` picks shuffle when the
+forward-edge count exceeds ``broadcast_edge_budget``. ``max_degree``
+remains the reference's hub exclusion valve.
 """
 
 from __future__ import annotations
@@ -41,6 +46,17 @@ from graph_data_science_ray._util import splitmix64
 from graph_data_science_ray.pipelines.agg import hash_aggregate
 
 _CHUNK_PAIRS = 4_000_000  # wedge pairs processed per vector chunk
+
+
+@ray.remote
+def _sorted_key_array(*chunks: np.ndarray) -> np.ndarray:
+    """Concat + sort per-block edge-key arrays OFF the driver; the result
+    lives in the object store and is read by every closing task."""
+    if not chunks:
+        return np.zeros(0, dtype=np.int64)
+    return np.sort(
+        np.concatenate([np.asarray(c, dtype=np.int64).ravel() for c in chunks])
+    )
 
 
 def forward_edges(sym_edges: rd.Dataset, deg_ref=None) -> rd.Dataset:
@@ -133,7 +149,8 @@ def triangle_count(
     max_degree: int | None = None,
     path: str = None,
     num_partitions: int = 64,
-    strategy: str = "broadcast",
+    strategy: str = "auto",
+    broadcast_edge_budget: int = 150_000_000,
 ):
     """Exact per-node + global triangle counts.
 
@@ -189,14 +206,19 @@ def triangle_count(
         part = (splitmix64(s) % np.uint64(P)).astype(np.int64)
         return pa.table({"src": t["src"], "dst": t["dst"], "part": pa.array(part)})
 
+    if strategy == "auto":
+        # broadcast while the sorted key array fits a worker's heap
+        # (~1.2 GB at the default budget); beyond that, the wedge-side
+        # hash-join avoids any single-task edge-key materialization
+        strategy = "broadcast" if fwd.count() <= broadcast_edge_budget else "shuffle"
+
     if strategy == "broadcast":
-        kdf = fwd.map_batches(edge_keys, batch_format="pyarrow").to_pandas()
-        ekeys = (
-            np.sort(kdf["key"].to_numpy(dtype=np.int64))
-            if "key" in kdf.columns and len(kdf)
-            else np.zeros(0, dtype=np.int64)
+        # build the sorted key array WITHOUT driver pandas: per-block key
+        # arrays flow as ObjectRefs into one remote concat+sort task
+        refs = fwd.map_batches(edge_keys, batch_format="pyarrow").to_numpy_refs(
+            column="key"
         )
-        ekeys_ref = ray.put(ekeys)
+        ekeys_ref = _sorted_key_array.remote(*refs)
         partials = (
             fwd.map_batches(tag_src, batch_format="pyarrow")
             .groupby("part")

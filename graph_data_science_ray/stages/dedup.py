@@ -213,7 +213,11 @@ def _verify_pairs(batch: pd.DataFrame, threshold: float) -> pd.DataFrame:
         sa = np.unique(ha[ia[i] : ia[i + 1]])
         sb = np.unique(hb[ib[i] : ib[i + 1]])
         if len(sa) == 0 and len(sb) == 0:
-            js[i] = 1.0
+            # empty-vs-empty is NOT a near-duplicate (matches the jaccard()
+            # helper's convention): empty/whitespace docs share identical
+            # all-zero MinHash signatures and always bucket together, and
+            # would otherwise all be emitted as pairs
+            js[i] = 0.0
             continue
         inter = len(np.intersect1d(sa, sb, assume_unique=True))
         js[i] = inter / max(1, len(sa) + len(sb) - inter)
@@ -265,14 +269,28 @@ def dedup_minhash_lsh(
         return df
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        import logging
+
         out_a, out_b = [], []
+        dropped_buckets = 0
+        dropped_docs = 0
         for _, grp in g.groupby(["band", "key"], sort=False):
             ids = np.sort(grp["doc_id"].to_numpy(dtype=np.int64))
-            if len(ids) < 2 or len(ids) > 1000:  # skip degenerate mega-buckets
+            if len(ids) > 1000:  # degenerate mega-bucket: log the drop
+                dropped_buckets += 1
+                dropped_docs += len(ids)
+                continue
+            if len(ids) < 2:
                 continue
             a, b = np.triu_indices(len(ids), k=1)
             out_a.append(ids[a])
             out_b.append(ids[b])
+        if dropped_buckets:
+            logging.getLogger("graph_data_science_ray.dedup").warning(
+                "minhash LSH: dropped %d mega-bucket(s) (>1000 members, %d docs) "
+                "— near-dup pairs inside them are NOT emitted",
+                dropped_buckets, dropped_docs,
+            )
         if not out_a:
             return pd.DataFrame(
                 {"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64)}

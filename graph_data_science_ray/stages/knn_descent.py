@@ -153,7 +153,7 @@ def _digest(current: rd.Dataset) -> tuple[int, int]:
     return int(agg["n"].sum()), x
 
 
-def knn_descent(
+def knn_descent_ds(
     embeddings: rd.Dataset,
     k: int = 10,
     max_rounds: int = 6,
@@ -161,16 +161,25 @@ def knn_descent(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_cap: int | None = None,
-) -> pd.DataFrame:
-    """Approximate cosine top-k for every vector; returns
-    (query_id, neighbor_id, rank, sim)."""
+    target_block_rows: int = 65_536,
+) -> rd.Dataset:
+    """Approximate cosine top-k for every vector as a DATASET of
+    (query_id, neighbor_id, rank, sim) — the n·k result never collects on
+    the driver; consume with write_parquet / iter_batches.
+
+    The vector-block count S scales with the corpus
+    (``ceil(rows / target_block_rows)``), so per-block matrices stay
+    bounded (~64 MB at dim 128 float64) no matter how large n grows."""
     try:
         P = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         P = 4
     P = max(4, min(32, P))  # shuffle width scaled to the cluster
-    S = max(2, min(16, P))  # vector blocks (S² score groups)
     emb = embeddings.select_columns([id_col, vec_col])
+    n_rows = emb.count()
+    # blocks sized to the data (bounded per-block matrices) with a
+    # parallelism floor of min(16, P) so small corpora still fan out
+    S = max(2, min(16, P), int(np.ceil(n_rows / max(1, int(target_block_rows)))))
     block_refs, sorted_ids, block_of = _build_blocks(emb, S, id_col, vec_col)
     refs_ref = ray.put(block_refs)
     sid_ref = ray.put(sorted_ids)
@@ -240,10 +249,45 @@ def knn_descent(
             break
         cur_n, cur_digest = new_n, new_digest
 
-    out = current.to_pandas().rename(columns={"a": "query_id", "b": "neighbor_id"})
-    out = out.sort_values(
-        ["query_id", "sim", "neighbor_id"], ascending=[True, False, True],
-        kind="mergesort",
-    ).reset_index(drop=True)
-    out["rank"] = out.groupby("query_id").cumcount() + 1
-    return out[["query_id", "neighbor_id", "rank", "sim"]]
+    # rank assignment stays distributed: one more hash(a) group pass
+    def tag_a(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["a", "b", "sim"]].copy()
+        df["__part"] = (_stable_row_hash(df, ["a"]) % P).astype(np.int64)
+        return df
+
+    def add_rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["a", "sim", "b"], ascending=[True, False, True], kind="mergesort"
+        )
+        g = g.rename(columns={"a": "query_id", "b": "neighbor_id"})
+        g["rank"] = g.groupby("query_id", sort=False).cumcount() + 1
+        return g[["query_id", "neighbor_id", "rank", "sim"]]
+
+    return (
+        current.map_batches(tag_a, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(add_rank, batch_format="pandas")
+    )
+
+
+def knn_descent(
+    embeddings: rd.Dataset,
+    k: int = 10,
+    max_rounds: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int | None = None,
+    target_block_rows: int = 65_536,
+) -> pd.DataFrame:
+    """DataFrame convenience wrapper over :func:`knn_descent_ds` —
+    collects the n·k result; at scale consume the Dataset variant."""
+    ds = knn_descent_ds(
+        embeddings, k=k, max_rounds=max_rounds, seed=seed, id_col=id_col,
+        vec_col=vec_col, sample_cap=sample_cap,
+        target_block_rows=target_block_rows,
+    )
+    out = ds.to_pandas()
+    return out.sort_values(
+        ["query_id", "rank"], kind="mergesort"
+    ).reset_index(drop=True)[["query_id", "neighbor_id", "rank", "sim"]]

@@ -223,22 +223,25 @@ class GraphStore:
                 ).max("m")
                 node_count = int(stats) + 1
 
-        # out-degree histogram: map-side partial bincounts summed on the
-        # driver (V ints — small next to E) to place partition boundaries.
+        # out-degree histogram: SPARSE per-batch partials — each batch
+        # emits only its touched (node, cnt) pairs (not a V-length table),
+        # a distributed groupby-sum combines them, and the driver fills
+        # one dense V-array to place partition boundaries.
         def partial_outdeg(t: pa.Table) -> pa.Table:
-            counts = np.bincount(
-                t["src"].to_numpy(zero_copy_only=False), minlength=node_count
-            ).astype(np.int64)
-            return pa.table({"node": np.arange(node_count, dtype=np.int64), "cnt": counts})
+            u, c = np.unique(t["src"].to_numpy(zero_copy_only=False), return_counts=True)
+            return pa.table({"node": u.astype(np.int64), "cnt": c.astype(np.int64)})
 
+        from graph_data_science_ray.pipelines.agg import hash_aggregate
+
+        agg = hash_aggregate(
+            encoded_edges.map_batches(partial_outdeg, batch_format="pyarrow"),
+            ["node"], "cnt", op="sum",
+        ).to_pandas()
         outdeg = np.zeros(node_count, dtype=np.int64)
-        edge_count = 0
-        for b in encoded_edges.map_batches(partial_outdeg, batch_format="pyarrow").iter_batches(
-            batch_size=None, batch_format="pyarrow"
-        ):
-            c = np.zeros(node_count, dtype=np.int64)
-            np.add.at(c, b["node"].to_numpy(), b["cnt"].to_numpy())
-            outdeg += c
+        if len(agg) and "node" in agg.columns:
+            outdeg[agg["node"].to_numpy(dtype=np.int64)] = agg["cnt"].to_numpy(
+                dtype=np.int64
+            )
         edge_count = int(outdeg.sum())
 
         if boundaries is None:

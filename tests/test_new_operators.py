@@ -387,3 +387,98 @@ def test_dedup_exact_filter_returns_table():
     out = dedup_exact_filter(docs).to_pandas().sort_values("doc_id")
     assert out["doc_id"].tolist() == [0, 2]
     assert set(out.columns) == {"doc_id", "text", "lang"}
+
+
+def test_boruvka_equal_weight_tie_no_cycle(graph_from_edges):
+    """Equal-weight cross edges between three 2-node components form a
+    3-cycle of picks; the union-find pick filter must keep the forest
+    acyclic (V-1 edges for a connected graph)."""
+    from graph_data_science_ray.functions.spanning import minimum_spanning_forest
+
+    # pair edges weight 1, cross edges weight 2 (duplicated): round 1
+    # merges the pairs, round 2's three equal-weight picks form the cycle
+    edges = [(0, 3), (1, 4), (2, 5),
+             (3, 1), (3, 1), (4, 2), (4, 2), (5, 0), (5, 0)]
+    _, _, idmap, _, sym = graph_from_edges(edges)
+    tree, total = minimum_spanning_forest(sym, len(idmap))
+    assert len(tree) == 5  # 6 nodes, connected -> exactly V-1 edges
+    assert total == 3 * 1 + 2 * 2
+
+
+def test_louvain_block_layout_invariance(graph_from_edges):
+    """Louvain moves must not depend on Ray block boundaries: per-batch
+    partial (node, comm) rows are re-aggregated before the gain argmax."""
+    from graph_data_science_ray.functions.louvain import louvain
+
+    _, _, idmap, _, sym = graph_from_edges(_two_clusters())
+    a = louvain(sym.repartition(1).materialize(), len(idmap))
+    b = louvain(sym.repartition(16).materialize(), len(idmap))
+    pd.testing.assert_frame_equal(a, b)
+    # and the expected structure: the two cliques are separate communities
+    c = a.sort_values("node")["community"].to_numpy()
+    assert len(set(c[:5])) == 1 and len(set(c[5:])) == 1 and c[0] != c[5]
+
+
+def test_max_k_cut_block_layout_invariance(graph_from_edges):
+    from graph_data_science_ray.functions.community2 import approx_max_k_cut
+
+    edges = [(i, j) for i in range(3) for j in range(3, 6)] + [(0, 1), (3, 4)]
+    _, _, idmap, _, sym = graph_from_edges(edges)
+    a1, cut1 = approx_max_k_cut(sym.repartition(1).materialize(), len(idmap), k=2, seed=3)
+    a2, cut2 = approx_max_k_cut(sym.repartition(16).materialize(), len(idmap), k=2, seed=3)
+    pd.testing.assert_frame_equal(a1, a2)
+    assert cut1 == cut2
+
+
+def test_node_similarity_topk_topn(graph_from_edges):
+    """top_k bounds results per node (directed, sim desc / min-id ties);
+    top_n bounds globally — both match a pandas reference on the full
+    pair table."""
+    from graph_data_science_ray.functions.nodesim import node_similarity
+
+    _, _, idmap, _, sym = graph_from_edges(_two_clusters())
+    n = len(idmap)
+    full = node_similarity(sym, n)  # unordered pairs node_a < node_b
+    directed = pd.concat(
+        [full, full.rename(columns={"node_a": "node_b", "node_b": "node_a"})],
+        ignore_index=True,
+    )
+    k = 2
+    exp = (
+        directed.sort_values(["node_a", "sim_ppm", "node_b"],
+                             ascending=[True, False, True], kind="mergesort")
+        .groupby("node_a", sort=False).head(k)
+        .sort_values(["node_a", "node_b"]).reset_index(drop=True)
+    )
+    got = node_similarity(sym, n, top_k=k)
+    pd.testing.assert_frame_equal(
+        got[["node_a", "node_b", "sim_ppm"]].reset_index(drop=True),
+        exp[["node_a", "node_b", "sim_ppm"]],
+    )
+    # global top-N over the top-K table
+    got_n = node_similarity(sym, n, top_k=k, top_n=5)
+    exp_n = (
+        exp.sort_values(["sim_ppm", "node_a", "node_b"],
+                        ascending=[False, True, True], kind="mergesort")
+        .head(5).sort_values(["node_a", "node_b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got_n[["node_a", "node_b", "sim_ppm"]].reset_index(drop=True),
+        exp_n[["node_a", "node_b", "sim_ppm"]],
+    )
+
+
+def test_minhash_empty_docs_not_near_dups():
+    """Empty/whitespace docs share all-zero signatures and always bucket
+    together; the verify step must NOT emit them as pairs."""
+    from graph_data_science_ray.stages.dedup import dedup_minhash_lsh
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["", "   ", "\n", "the quick brown fox jumps over the lazy dog today",
+                 "the quick brown fox jumps over the lazy dog today!", "zz"],
+    }))
+    pairs = dedup_minhash_lsh(docs, threshold=0.3).to_pandas()
+    empties = {0, 1, 2, 5}
+    for _, r in pairs.iterrows():
+        assert not (int(r["doc_a"]) in empties and int(r["doc_b"]) in empties)
