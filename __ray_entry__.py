@@ -220,6 +220,10 @@ def _q_node_similarity(sf_dir: str) -> pd.DataFrame:
 
 
 _HITS_ITERS = 3
+_EIG_ITERS = 16  # eigenvector power-iteration rounds (fixed, tolerance 0)
+_BC_MAXD = 40    # BFS depth bound for the Brandes oracle
+_KMEANS_ITERS = 5
+_NODESIM_TOPK = 3
 
 
 def _q_hits(sf_dir: str) -> pd.DataFrame:
@@ -298,6 +302,44 @@ def _q_k1_coloring(sf_dir: str) -> pd.DataFrame:
     out = k1_coloring(b["sym"], node_count=len(b["idmap"]), idmap=b["idmap"])
     return pd.DataFrame(
         {"node": _strip(out["node"]), "color": out["color"].astype(np.int64)}
+    )
+
+
+def _q_k1_valid(sf_dir: str) -> pd.DataFrame:
+    """K1-coloring validity invariant (exact, oracle-checkable): zero
+    adjacent equal-color pairs AND every color within the greedy bound
+    color(v) <= degree(v). The coloring itself is schedule-specific
+    (covered rows-only by `k1_coloring`); the invariant is what the
+    reference's tests assert (K1ColoringTest: proper coloring)."""
+    import pyarrow as pa
+    import ray as _ray
+
+    from graph_data_science_ray.functions.coloring import k1_coloring
+    from graph_data_science_ray.functions.degree import degree_centrality
+
+    b = _bundle(sf_dir)
+    n = len(b["idmap"])
+    out = k1_coloring(b["sym"], node_count=n)
+    colors = np.zeros(n, dtype=np.int64)
+    colors[out["node"].to_numpy(dtype=np.int64)] = out["color"].to_numpy(dtype=np.int64)
+    cref = _ray.put(colors)
+
+    def viol(t: pa.Table) -> pa.Table:
+        c = _ray.get(cref)
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        bad = int(((c[src] == c[dst]) & (src != dst)).sum())
+        return pa.table({"v": pa.array([bad], type=pa.int64())})
+
+    violations = int(b["sym"].map_batches(viol, batch_format="pyarrow").sum("v") or 0)
+    deg = degree_centrality(b["sym"], node_count=n, weighted=False)["degree"].to_numpy(
+        dtype=np.int64
+    )
+    return pd.DataFrame(
+        {
+            "violations": np.array([violations], dtype=np.int64),
+            "bound_ok": np.array([int(bool((colors <= deg).all()))], dtype=np.int64),
+        }
     )
 
 
@@ -401,7 +443,7 @@ def _q_eigenvector(sf_dir: str) -> pd.DataFrame:
     from graph_data_science_ray.functions.pagerank import eigenvector
 
     b = _bundle(sf_dir)
-    res = eigenvector(b["gd"], max_iterations=50)
+    res = eigenvector(b["gd"], max_iterations=_EIG_ITERS, tolerance=0.0)
     return pd.DataFrame(
         {"node": _strip(res["node"]), "score": np.round(res["score"].to_numpy(), 6)}
     )
@@ -448,7 +490,7 @@ def _q_kmeans(sf_dir: str) -> pd.DataFrame:
     from graph_data_science_ray.functions.kmeans import kmeans
 
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return kmeans(emb, k=8, iterations=5)
+    return kmeans(emb, k=8, iterations=_KMEANS_ITERS)
 
 
 # --------------------------------------------------------------------------
@@ -773,6 +815,27 @@ def _q_lp_node_weighted(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"node": _strip(res["node"]), "label": _strip(labels)})
 
 
+def _q_nodesim_topk(sf_dir: str) -> pd.DataFrame:
+    """Per-node top-K node similarity (the reference's topK contract):
+    DIRECTED rows, each node keeps its K most similar others (sim desc,
+    smaller other id on ties) — computed inside the distributed pipeline,
+    never via a full-pair collect."""
+    from graph_data_science_ray.functions.nodesim import node_similarity
+
+    b = _bundle(sf_dir)
+    res = node_similarity(
+        b["sym"], node_count=len(b["idmap"]), idmap=b["idmap"],
+        top_k=_NODESIM_TOPK,
+    )
+    return pd.DataFrame(
+        {
+            "node_a": _strip(res["node_a"]),
+            "node_b": _strip(res["node_b"]),
+            "sim_ppm": res["sim_ppm"].astype(np.int64),
+        }
+    )
+
+
 def _q_nodesim_cosine(sf_dir: str) -> pd.DataFrame:
     """Cosine NodeSimilarity over the weight vectors (exact ppm: integer
     weights make every sum exact in float64, so numpy and DuckDB compute
@@ -918,6 +981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "louvain": _q_louvain,
         "leiden": _q_leiden,
         "k1_coloring": _q_k1_coloring,
+        "k1_coloring_valid": _q_k1_valid,
         "scc": _q_scc,
         "betweenness": _q_betweenness,
         "spanning_tree": _q_spanning_tree,
@@ -958,6 +1022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": _q_winnow_fp,
         "modularity_optimization": _q_modularity_optimization,
         "node_similarity_cosine": _q_nodesim_cosine,
+        "node_similarity_topk": _q_nodesim_topk,
     }
 
 
@@ -1644,4 +1709,207 @@ FROM pairs2 JOIN norms x ON x.node = na JOIN norms y ON y.node = nb
     # celf, hashgnn, k_spanning, steiner, cnarw_sample, louvain_modularity:
     # heuristic / seeded / traversal-order operators with no faithful SQL
     # equivalent -> rows-only checks (intentional).
+
+    sqls["eigenvector"] = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+adj AS (SELECT DISTINCT src, dst FROM edges),
+fan AS (
+    SELECT src, dst, FALSE AS is_self FROM adj
+    UNION ALL SELECT node, node, TRUE FROM nodes
+),
+st AS (
+    SELECT 0 AS it, node, CAST(1 AS DOUBLE) AS r FROM nodes
+    UNION ALL
+    SELECT it, node, raw / greatest(sqrt(sum(raw * raw) OVER ()), 1e-300) AS r
+    FROM (
+        SELECT p.it + 1 AS it, f.dst AS node,
+               sum(CASE WHEN f.is_self THEN 0.0 ELSE p.r END) AS raw
+        FROM st p JOIN fan f ON f.src = p.node
+        WHERE p.it < {_EIG_ITERS}
+        GROUP BY p.it + 1, f.dst
+    )
+)
+SELECT node, round(r, 6) AS score FROM st WHERE it = {_EIG_ITERS}
+"""
+
+    sqls["betweenness"] = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+adj AS (SELECT DISTINCT src, dst FROM edges),
+srcs AS (SELECT node AS s FROM nodes ORDER BY node LIMIT 8),
+reach AS (
+    SELECT s AS src, s AS node, 0 AS it FROM srcs
+    UNION
+    SELECT r.src, a.dst AS node, r.it + 1 AS it
+    FROM reach r JOIN adj a ON a.src = r.node
+    WHERE r.it < {_BC_MAXD}
+),
+dist AS (SELECT src, node, min(it) AS dist FROM reach GROUP BY src, node),
+sig AS (
+    SELECT s AS src, s AS node, 0 AS dist, CAST(1 AS DOUBLE) AS sigma FROM srcs
+    UNION ALL
+    SELECT g.src, d.node, d.dist, sum(g.sigma) AS sigma
+    FROM sig g
+    JOIN adj a ON a.src = g.node
+    JOIN dist d ON d.src = g.src AND d.node = a.dst AND d.dist = g.dist + 1
+    GROUP BY g.src, d.node, d.dist
+),
+maxd AS (SELECT src, max(dist) AS m FROM dist GROUP BY src),
+del AS (
+    SELECT d.src, d.node, d.dist, CAST(0 AS DOUBLE) AS delta, 0 AS it
+    FROM dist d JOIN maxd m ON m.src = d.src AND d.dist = m.m
+    UNION ALL
+    SELECT d.src, d.node, d.dist,
+           max(sv.sigma) * sum(CASE WHEN a.src IS NULL THEN 0.0
+                                    ELSE (1.0 + p.delta) / sw.sigma END) AS delta,
+           p.it + 1 AS it
+    FROM del p
+    JOIN maxd m ON m.src = p.src
+    JOIN dist d ON d.src = p.src AND d.dist = m.m - p.it - 1
+    JOIN sig sv ON sv.src = d.src AND sv.node = d.node
+    JOIN sig sw ON sw.src = p.src AND sw.node = p.node
+    LEFT JOIN adj a ON a.src = d.node AND a.dst = p.node
+    GROUP BY d.src, d.node, d.dist, p.it + 1
+),
+bc AS (SELECT node, sum(delta) AS b FROM del WHERE node <> src GROUP BY node)
+SELECT n.node AS node, round(coalesce(b.b, 0), 6) AS betweenness
+FROM nodes n LEFT JOIN bc b USING(node)
+"""
+
+    # Kruskal under the strict total order (weight, lo, hi): an edge is in
+    # the unique MSF of that order iff its endpoints are NOT connected by
+    # strictly-smaller edges (cycle property). The engine's Boruvka uses
+    # the same order, so the edge SETS match exactly.
+    sqls["spanning_tree"] = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+{_UND_CTE},
+ue AS (SELECT src AS lo, dst AS hi, w FROM undw WHERE src < dst),
+ranked AS (SELECT lo, hi, w, row_number() OVER (ORDER BY w, lo, hi) AS rk FROM ue),
+reach AS (
+    SELECT rk AS eid, lo AS node FROM ranked
+    UNION
+    SELECT r.eid, CASE WHEN u.lo = r.node THEN u.hi ELSE u.lo END AS node
+    FROM reach r
+    JOIN ranked u ON (u.lo = r.node OR u.hi = r.node) AND u.rk < r.eid
+)
+SELECT e.lo AS src, e.hi AS dst, e.w AS weight
+FROM ranked e
+WHERE NOT EXISTS (SELECT 1 FROM reach r WHERE r.eid = e.rk AND r.node = e.hi)
+ORDER BY src, dst
+"""
+
+    sqls["k1_coloring_valid"] = (
+        "SELECT CAST(0 AS BIGINT) AS violations, CAST(1 AS BIGINT) AS bound_ok"
+    )
+
+    sqls["kmeans"] = f"""
+WITH RECURSIVE
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+vd AS (
+    SELECT vec_id, dim, e[dim] AS val
+    FROM (SELECT vec_id, e, unnest(generate_series(1, len(e))) AS dim FROM v)
+),
+cent AS (
+    SELECT 0 AS it, vec_id AS cid, dim, val FROM vd WHERE vec_id < 8
+    UNION ALL
+    SELECT asg.it, asg.cid, x2.dim, avg(x2.val) AS val
+    FROM (
+        SELECT it, vec_id, cid FROM (
+            SELECT dd.it, dd.vec_id, dd.cid,
+                   row_number() OVER (
+                       PARTITION BY dd.it, dd.vec_id ORDER BY dd.d2 ASC, dd.cid ASC
+                   ) AS rn
+            FROM (
+                SELECT p.it + 1 AS it, x.vec_id, p.cid,
+                       sum((x.val - p.val) * (x.val - p.val)) AS d2
+                FROM cent p JOIN vd x ON x.dim = p.dim
+                WHERE p.it < {_KMEANS_ITERS}
+                GROUP BY p.it + 1, x.vec_id, p.cid
+            ) dd
+        ) WHERE rn = 1
+    ) asg
+    JOIN vd x2 ON x2.vec_id = asg.vec_id
+    GROUP BY asg.it, asg.cid, x2.dim
+),
+fin AS (
+    SELECT x.vec_id, p.cid, sum((x.val - p.val) * (x.val - p.val)) AS d2
+    FROM cent p JOIN vd x ON x.dim = p.dim
+    WHERE p.it = {_KMEANS_ITERS}
+    GROUP BY x.vec_id, p.cid
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+    FROM fin
+) WHERE rn = 1 ORDER BY vec_id
+"""
+
+    from graph_data_science_ray.stages.text import _STOPWORDS as _TEXT_STOPWORDS
+
+    _sw_vals = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(_TEXT_STOPWORDS)
+        for w in sorted(_TEXT_STOPWORDS[lang])
+    )
+    sqls["lang_id"] = f"""
+WITH toks AS (
+    SELECT doc_id,
+           lower(unnest(regexp_extract_all(coalesce(text, ''),
+               '[a-zA-Zàâçéèêëîïôûùüáíóúñäöüß]+'))) AS tok
+    FROM documents
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+sw(lang, w) AS (VALUES {_sw_vals}),
+hits AS (
+    SELECT t.doc_id, s.lang, count(*) AS h
+    FROM toks t JOIN sw s ON s.w = t.tok
+    GROUP BY t.doc_id, s.lang
+),
+langs(lang) AS (VALUES ('de'), ('en'), ('es'), ('fr')),
+scores AS (
+    SELECT d.doc_id, l.lang,
+           coalesce(h.h, 0) * 1.0 / greatest(coalesce(c.n, 0), 1) AS score
+    FROM documents d CROSS JOIN langs l
+    LEFT JOIN cnt c ON c.doc_id = d.doc_id
+    LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.lang = l.lang
+)
+SELECT doc_id, CASE WHEN score > 0.02 THEN lang ELSE 'unk' END AS lang_pred
+FROM (
+    SELECT doc_id, lang, score,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+    FROM scores
+) WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+    sqls["node_similarity_topk"] = f"""
+WITH {_GRAPH_CTE},
+{_UND_CTE},
+deg AS (SELECT src AS node, count(*) AS d FROM undw GROUP BY src),
+common AS (
+    SELECT a.src AS node_a, b.src AS node_b, count(*) AS c
+    FROM undw a JOIN undw b ON a.dst = b.dst AND a.src < b.src
+    GROUP BY a.src, b.src
+),
+simpairs AS (
+    SELECT node_a, node_b,
+           CAST((1000000 * c) // (da.d + db.d - c) AS BIGINT) AS sim_ppm
+    FROM common
+    JOIN deg da ON da.node = node_a
+    JOIN deg db ON db.node = node_b
+),
+directed AS (
+    SELECT node_a, node_b, sim_ppm FROM simpairs
+    UNION ALL
+    SELECT node_b AS node_a, node_a AS node_b, sim_ppm FROM simpairs
+)
+SELECT node_a, node_b, sim_ppm FROM (
+    SELECT node_a, node_b, sim_ppm,
+           row_number() OVER (
+               PARTITION BY node_a ORDER BY sim_ppm DESC, node_b ASC
+           ) AS rn
+    FROM directed
+) WHERE rn <= {_NODESIM_TOPK}
+ORDER BY node_a, node_b
+"""
+
     return sqls

@@ -6,7 +6,7 @@ component. Borůvka preserves it with shuffle-native rounds (SURVEY.md
 §2.5 "Borůvka via groupby-min"):
 
 repeat O(log V) times: every component picks its minimum outgoing edge
-(groupby-min with deterministic (weight, src, dst) tie-break), the picked
+(groupby-min with the global undirected (weight, lo, hi) tie-break), the picked
 edges merge components (pointer-jumping on the driver-held component
 map), and internal edges drop out.
 """
@@ -46,12 +46,20 @@ def minimum_spanning_forest(
                     {"comp": pd.Series([], dtype=np.int64),
                      "src": pd.Series([], dtype=np.int64),
                      "dst": pd.Series([], dtype=np.int64),
-                     "weight": pd.Series([], dtype=np.float64)}
+                     "weight": pd.Series([], dtype=np.float64),
+                     "lo": pd.Series([], dtype=np.int64),
+                     "hi": pd.Series([], dtype=np.int64)}
                 )
             src, dst, w = src[keep], dst[keep], w[keep]
             df2 = pd.DataFrame({"comp": c[src], "src": src, "dst": dst, "weight": w})
-            # deterministic per-batch minimum: (weight, src, dst)
-            df2 = df2.sort_values(["comp", "weight", "src", "dst"], kind="mergesort")
+            # deterministic per-batch minimum under the GLOBAL undirected
+            # total order (weight, lo, hi): every component ranks edges
+            # identically, so the Boruvka result equals the unique MSF of
+            # that order (= Kruskal with the same tie-break) — this is
+            # what makes the forest SQL-oracle-comparable edge by edge
+            df2["lo"] = np.minimum(src, dst)
+            df2["hi"] = np.maximum(src, dst)
+            df2 = df2.sort_values(["comp", "weight", "lo", "hi"], kind="mergesort")
             return df2.groupby("comp", sort=False).head(1)
 
         picks = (
@@ -59,7 +67,7 @@ def minimum_spanning_forest(
             .groupby("comp")
             .map_groups(
                 lambda g: g.sort_values(
-                    ["weight", "src", "dst"], kind="mergesort"
+                    ["weight", "lo", "hi"], kind="mergesort"
                 ).head(1),
                 batch_format="pandas",
             )
