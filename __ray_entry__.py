@@ -815,6 +815,24 @@ def _q_lp_node_weighted(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"node": _strip(res["node"]), "label": _strip(labels)})
 
 
+def _q_edges_max(sf_dir: str) -> pd.DataFrame:
+    """Parallel-edge MAX aggregation at derivation (reference Aggregation
+    modes): weight = max inter-turn gap (microseconds) per (src, dst)."""
+    import graph_data_science_ray as gdsr
+    from graph_data_science_ray.pipelines.edges import derive_edges_agg
+
+    ts = gdsr.events_as_transcripts(sf_dir)
+    turns = gdsr.derive_turns(ts, keep_ts=True)
+    df = derive_edges_agg(turns, aggregation="max", num_partitions=8).to_pandas()
+    return pd.DataFrame(
+        {
+            "src": _strip(df["src"]),
+            "dst": _strip(df["dst"]),
+            "weight": df["weight"].astype(np.float64),
+        }
+    )
+
+
 def _q_nodesim_topk(sf_dir: str) -> pd.DataFrame:
     """Per-node top-K node similarity (the reference's topK contract):
     DIRECTED rows, each node keeps its K most similar others (sim desc,
@@ -1023,6 +1041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modularity_optimization": _q_modularity_optimization,
         "node_similarity_cosine": _q_nodesim_cosine,
         "node_similarity_topk": _q_nodesim_topk,
+        "edges_max": _q_edges_max,
     }
 
 
@@ -1910,6 +1929,24 @@ SELECT node_a, node_b, sim_ppm FROM (
     FROM directed
 ) WHERE rn <= {_NODESIM_TOPK}
 ORDER BY node_a, node_b
+"""
+
+
+    sqls["edges_max"] = """
+WITH turns AS (
+    SELECT event_type AS conv,
+           row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS idx,
+           CAST(user_id AS VARCHAR) AS actor, ts
+    FROM events
+),
+gaps AS (
+    SELECT a.actor AS src, b.actor AS dst,
+           date_diff('microseconds', a.ts, b.ts) AS gap
+    FROM turns a JOIN turns b ON a.conv = b.conv AND b.idx = a.idx + 1
+    WHERE a.actor <> b.actor
+)
+SELECT src, dst, CAST(max(gap) AS DOUBLE) AS weight
+FROM gaps GROUP BY src, dst ORDER BY src, dst
 """
 
     return sqls

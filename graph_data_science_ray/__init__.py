@@ -29,6 +29,7 @@ from graph_data_science_ray.sources.transcripts import (
 from graph_data_science_ray.pipelines.edges import (
     derive_turns,
     derive_edges,
+    derive_edges_agg,
     IdMap,
     encode_edges,
     symmetrize,
@@ -79,6 +80,7 @@ __all__ = [
     "events_as_transcripts",
     "derive_turns",
     "derive_edges",
+    "derive_edges_agg",
     "IdMap",
     "encode_edges",
     "symmetrize",

@@ -5,8 +5,10 @@ Reference: algo/src/main/java/org/neo4j/gds/paths/bellmanford/BellmanFord.java:4
 relaxation ``dist(v) = min(dist(v), min_u(dist(u) + w(u,v)))`` is exactly
 the BSP min-reducer with additive edge combine — groupby-min per
 superstep (SURVEY.md §2.5 "iterative edge-relax via groupby-min").
-Negative weights are rejected (our derived weights are counts >= 1; the
-reference's negative-cycle detection is out of scope).
+Derived interaction weights are counts >= 1, but arbitrary projections
+may carry negative weights: ``bellman_ford`` adds the reference's
+negative-cycle detection (improvement after V rounds seeds a forward
+taint propagation).
 """
 
 from __future__ import annotations
@@ -72,6 +74,81 @@ def shortest_paths(
     ids = np.flatnonzero(mask)
     node = graph.idmap.keys[ids] if graph.idmap is not None else ids
     return pd.DataFrame({"node": node, "distance": dist[mask]})
+
+
+class _TaintProp(PregelComputation):
+    """Forward OR-propagation from seed nodes (negative-cycle taint)."""
+
+    reducer = "or"
+
+    def __init__(self, seeds: np.ndarray):
+        self.seeds = seeds
+
+    def init_state(self, block: dict) -> dict:
+        t = self.seeds[block["start"] : block["end"]].astype(bool)
+        return {"taint": t.astype(np.uint64), "new": t.copy()}
+
+    def message_values(self, state, block):
+        return state["taint"], state["new"]
+
+    def apply_messages(self, state, acc, received, block):
+        got = (acc & np.uint64(1)).astype(bool)
+        new = got & (state["taint"] == 0)
+        state["taint"] = state["taint"] | new.astype(np.uint64)
+        state["new"] = new
+        return {"changed": int(new.sum())}
+
+    def is_converged(self, stats):
+        return stats.get("init") is None and stats.get("changed", 1) == 0
+
+
+def bellman_ford(
+    graph, source_key=None, source_id: int | None = None, weighted: bool = True
+) -> pd.DataFrame:
+    """Bellman-Ford with NEGATIVE-CYCLE detection.
+
+    Reference: paths/bellmanford/BellmanFord.java:47 — the reference
+    reports whether negative cycles are reachable and which results they
+    poison. Relaxation runs at most V rounds (enough for any shortest
+    path); if round V+1 still improves a distance, those nodes lie on a
+    reachable negative cycle and seed a forward OR-propagation, so every
+    node on or downstream of a cycle is flagged. Returns
+    ``(node, distance, negative_cycle)`` for reached nodes — flagged rows'
+    distances are NOT shortest-path values (they would diverge to -inf).
+    """
+    if source_id is None:
+        if source_key is None or graph.idmap is None:
+            raise ValueError("need source_id or (source_key + idmap)")
+        source_id = int(graph.idmap.to_ids(np.array([source_key], dtype="U"))[0])
+    comp = SsspComputation(int(source_id), weighted=weighted)
+    engine = Pregel(graph, comp)
+    states = engine.init_states()
+    V = graph.node_count
+    converged = False
+    for _ in range(V):
+        states, stats = engine.step(states)
+        if stats.get("changed", 1) == 0:
+            converged = True
+            break
+    taint = np.zeros(V, dtype=bool)
+    if not converged:
+        states, _stats = engine.step(states)  # the detection round
+        seeds = engine.gather(states, "changed").astype(bool)
+        if seeds.any():
+            tp = Pregel(graph, _TaintProp(seeds))
+            trefs = tp.run(max_iterations=V + 2)
+            taint = tp.gather(trefs, "taint").astype(bool)
+    dist = engine.gather(states, "dist")
+    mask = np.isfinite(dist)
+    ids = np.flatnonzero(mask)
+    node = graph.idmap.keys[ids] if graph.idmap is not None else ids
+    return pd.DataFrame(
+        {
+            "node": node,
+            "distance": dist[mask],
+            "negative_cycle": taint[ids].astype(np.int64),
+        }
+    )
 
 
 def bfs_depths(graph, source_key=None, source_id=None, **kw) -> pd.DataFrame:

@@ -46,20 +46,23 @@ def _actor_key(batch: pa.Table) -> pa.Array:
     return pc.if_else(has_tool, tool_key, role_key)
 
 
-def derive_turns(transcripts: rd.Dataset) -> rd.Dataset:
-    """Slim per-turn table ``(conv_id, turn_idx, actor)``.
+def derive_turns(transcripts: rd.Dataset, keep_ts: bool = False) -> rd.Dataset:
+    """Slim per-turn table ``(conv_id, turn_idx, actor[, ts])``.
 
     Drops the text payload immediately — edge derivation never ships it.
+    ``keep_ts`` carries the turn timestamp through for property-aggregated
+    derivation (``derive_edges_agg``).
     """
 
     def to_turns(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "conv_id": batch["conv_id"],
-                "turn_idx": pc.cast(batch["turn_idx"], pa.int32()),
-                "actor": _actor_key(batch),
-            }
-        )
+        cols = {
+            "conv_id": batch["conv_id"],
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int32()),
+            "actor": _actor_key(batch),
+        }
+        if keep_ts:
+            cols["ts"] = batch["ts"]
+        return pa.table(cols)
 
     return transcripts.map_batches(to_turns, batch_format="pyarrow")
 
@@ -203,6 +206,83 @@ def derive_edges(turns: rd.Dataset, num_partitions: int | None = None) -> rd.Dat
                 "dst": t["dst"],
                 "weight": pc.cast(t["weight"], pa.float64()),
             }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def derive_edges_agg(
+    turns: rd.Dataset, aggregation: str = "count", num_partitions: int = 64
+) -> rd.Dataset:
+    """Directed edge table with the reference's parallel-edge Aggregation
+    modes over the inter-turn GAP property.
+
+    Reference: graph-projection-api/src/main/java/org/neo4j/gds/core/Aggregation.java:31-85
+    — SINGLE, SUM, MIN, MAX, COUNT applied to parallel relationships at
+    projection time. Here each consecutive-turn interaction is one
+    parallel edge whose property is its gap (microseconds between the two
+    turns); modes: ``count`` = interaction count (identical to
+    ``derive_edges``), ``sum``/``min``/``max`` aggregate the gap,
+    ``single`` = deterministic stand-in MIN (the reference's SINGLE
+    assumes equal parallel properties; min keeps it storage-order-free).
+
+    ``turns`` must carry ``ts`` (``derive_turns(..., keep_ts=True)``) for
+    the gap modes. Conversation-hash partitioning (no global sort, no
+    boundary side-channel) — the ``derive_edges_encoded_grouped`` shape.
+    """
+    agg = aggregation.lower()
+    if agg not in ("count", "sum", "min", "max", "single"):
+        raise ValueError(f"unknown aggregation {aggregation!r}")
+    inner = {"count": "sum", "sum": "sum", "min": "min", "max": "max", "single": "min"}[agg]
+    group_op = {"count": "count", "sum": "sum", "min": "min", "max": "max", "single": "min"}[agg]
+    import pandas as pd
+
+    def tag_conv(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(conv, dtype=object))
+        cols = {
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"],
+            "actor": t["actor"],
+            "part": pa.array((h % np.uint64(num_partitions)).astype(np.int64)),
+        }
+        if agg != "count":
+            cols["ts"] = t["ts"]
+        return pa.table(cols)
+
+    def pair_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy()
+        actor = g["actor"].to_numpy()
+        same = conv[1:] == conv[:-1]
+        s = actor[:-1][same]
+        d = actor[1:][same]
+        keep = s != d
+        df = pd.DataFrame({"src": s[keep], "dst": d[keep]})
+        if agg == "count":
+            out = df.groupby(["src", "dst"], sort=False).size().reset_index(name="partial")
+            out["partial"] = out["partial"].astype(np.float64)
+            return out
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gap = (ts[1:] - ts[:-1])[same][keep].astype(np.float64)
+        df["gap"] = gap
+        return (
+            df.groupby(["src", "dst"], sort=False)["gap"]
+            .agg(group_op)
+            .reset_index(name="partial")
+        )
+
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+
+    partials = (
+        turns.map_batches(tag_conv, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pair_group, batch_format="pandas")
+    )
+    out = hash_aggregate(partials, ["src", "dst"], "partial", op=inner, out_col="weight")
+    return out.map_batches(
+        lambda t: pa.table(
+            {"src": t["src"], "dst": t["dst"], "weight": pc.cast(t["weight"], pa.float64())}
         ),
         batch_format="pyarrow",
     )
@@ -395,12 +475,20 @@ def _encode_batch(batch: pa.Table, *, keys_ref, skip_dangling: bool) -> pa.Table
     return enc(batch)
 
 
-def symmetrize(edges: rd.Dataset, num_partitions: int = 32) -> rd.Dataset:
-    """Undirected view: union of both directions, weights summed per pair.
+def symmetrize(
+    edges: rd.Dataset, num_partitions: int = 32, aggregation: str = "sum"
+) -> rd.Dataset:
+    """Undirected view: union of both directions, weights aggregated per pair.
 
     ``(u,v)`` and ``(v,u)`` collapse into two symmetric rows with
-    ``weight = w_uv + w_vu``. Works on encoded (int64) edge tables.
+    ``weight = agg(w_uv, w_vu)``; ``aggregation`` in {sum, min, max}
+    (reference Aggregation.java modes at undirected projection; sum is
+    the default the rest of the engine assumes). Works on encoded (int64)
+    edge tables.
     """
+    op = aggregation.lower()
+    if op not in ("sum", "min", "max"):
+        raise ValueError(f"unknown aggregation {aggregation!r}")
     fwd = edges.select_columns(["src", "dst", "weight"])
     rev = edges.map_batches(
         lambda t: pa.table({"src": t["dst"], "dst": t["src"], "weight": t["weight"]}),
@@ -410,12 +498,12 @@ def symmetrize(edges: rd.Dataset, num_partitions: int = 32) -> rd.Dataset:
 
     both = fwd.union(rev)
     pre = both.map_batches(
-        lambda t: t.group_by(["src", "dst"]).aggregate([("weight", "sum")]).rename_columns(
+        lambda t: t.group_by(["src", "dst"]).aggregate([("weight", op)]).rename_columns(
             ["src", "dst", "partial"]
         ),
         batch_format="pyarrow",
     )
-    agg = hash_aggregate(pre, ["src", "dst"], "partial", op="sum", out_col="weight")
+    agg = hash_aggregate(pre, ["src", "dst"], "partial", op=op, out_col="weight")
     out = agg.map_batches(
         lambda t: pa.table(
             {"src": t["src"], "dst": t["dst"], "weight": pc.cast(t["weight"], pa.float64())}

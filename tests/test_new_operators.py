@@ -482,3 +482,88 @@ def test_minhash_empty_docs_not_near_dups():
     empties = {0, 1, 2, 5}
     for _, r in pairs.iterrows():
         assert not (int(r["doc_a"]) in empties and int(r["doc_b"]) in empties)
+
+
+def test_derive_edges_aggregation_modes():
+    """Reference Aggregation modes (SINGLE/SUM/MIN/MAX/COUNT) over the
+    inter-turn gap property; count must equal the default derivation."""
+    import ray.data as rd
+
+    from graph_data_science_ray.pipelines.edges import derive_edges_agg
+
+    t = gdsr.transcripts_from_edge_list([(0, 1), (0, 1), (1, 2)])
+    turns = gdsr.derive_turns(rd.from_arrow(t), keep_ts=True)
+    base = gdsr.derive_edges(gdsr.derive_turns(rd.from_arrow(t))).to_pandas()
+    cnt = derive_edges_agg(turns, "count").to_pandas()
+    merged = base.merge(cnt, on=["src", "dst"], suffixes=("_b", "_c"))
+    assert (merged["weight_b"] == merged["weight_c"]).all() and len(merged) == len(base)
+    mn = derive_edges_agg(turns, "min").to_pandas().set_index(["src", "dst"])["weight"]
+    mx = derive_edges_agg(turns, "max").to_pandas().set_index(["src", "dst"])["weight"]
+    sm = derive_edges_agg(turns, "sum").to_pandas().set_index(["src", "dst"])["weight"]
+    sg = derive_edges_agg(turns, "single").to_pandas().set_index(["src", "dst"])["weight"]
+    assert (mn <= mx).all() and (sm >= mx).all()
+    assert (sg == mn).all()  # documented deterministic SINGLE = MIN
+    # the duplicated (0,1) conversation contributes two parallel gaps
+    key = mn.index[mn.index.get_level_values(0).str.endswith("0000")][0]
+    assert sm[key] == mn[key] + mx[key]
+
+
+def test_symmetrize_aggregation_modes(graph_from_edges):
+    import pandas as pd
+
+    _, _, idmap, enc, _ = graph_from_edges([(0, 1), (1, 0), (1, 0), (1, 2)])
+    s_sum = gdsr.symmetrize(enc, num_partitions=2).to_pandas()
+    s_max = gdsr.symmetrize(enc, num_partitions=2, aggregation="max").to_pandas()
+    s_min = gdsr.symmetrize(enc, num_partitions=2, aggregation="min").to_pandas()
+    key = ["src", "dst"]
+    m = (
+        s_sum.set_index(key)["weight"].rename("s")
+        .to_frame()
+        .join(s_max.set_index(key)["weight"].rename("mx"))
+        .join(s_min.set_index(key)["weight"].rename("mn"))
+    )
+    # (0,1): w_fwd=1, w_rev=2 -> sum 3, max 2, min 1; (1,2): single dir -> all 1
+    assert (m["mn"] <= m["mx"]).all() and (m["s"] >= m["mx"]).all()
+    pair = m[m["s"] == 3.0]
+    assert len(pair) == 2 and (pair["mx"] == 2.0).all() and (pair["mn"] == 1.0).all()
+
+
+def test_bellman_ford_negative_cycle(tmp_path):
+    """Negative-cycle detection: nodes on or downstream of a reachable
+    negative cycle are flagged; clean branches keep exact distances."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graph_data_science_ray.functions.sssp import bellman_ford
+
+    # 0 -> 1 -> 2 -> 1 (cycle 1-2 total weight -1), plus clean 0 -> 3 -> 4
+    src = [0, 1, 2, 0, 3]
+    dst = [1, 2, 1, 3, 4]
+    w = [1.0, 1.0, -2.0, 5.0, 1.0]
+    enc = rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64()),
+                  "weight": pa.array(w, pa.float64())})
+    )
+    g = gdsr.GraphStore.project(
+        enc, str(tmp_path / "neg"), node_count=5, num_partitions=2, directed=True
+    )
+    out = bellman_ford(g, source_id=0).set_index("node")
+    assert out.loc[1, "negative_cycle"] == 1
+    assert out.loc[2, "negative_cycle"] == 1
+    assert out.loc[0, "negative_cycle"] == 0
+    assert out.loc[3, "negative_cycle"] == 0 and out.loc[3, "distance"] == 5.0
+    assert out.loc[4, "negative_cycle"] == 0 and out.loc[4, "distance"] == 6.0
+
+    # no negative cycle -> all flags zero, plain shortest paths
+    enc2 = rd.from_arrow(
+        pa.table({"src": pa.array([0, 1], pa.int64()),
+                  "dst": pa.array([1, 2], pa.int64()),
+                  "weight": pa.array([-1.0, 2.0], pa.float64())})
+    )
+    g2 = gdsr.GraphStore.project(
+        enc2, str(tmp_path / "neg2"), node_count=3, num_partitions=2, directed=True
+    )
+    out2 = bellman_ford(g2, source_id=0).set_index("node")
+    assert (out2["negative_cycle"] == 0).all()
+    assert out2.loc[2, "distance"] == 1.0
