@@ -148,6 +148,297 @@ def _best_moves(
     return movers
 
 
+_PARTITIONED_V_CUTOFF = 5_000_000  # broadcast label arrays below, joins above
+
+
+def _one_level_partitioned(
+    sym_edges: rd.Dataset,
+    node_count: int,
+    max_rounds: int = 10,
+    gamma: float = 1.0,
+    constraint_ref=None,
+    num_parts: int = 64,
+):
+    """Local-move rounds with PARTITION-HELD community state — the scale
+    path: labels live in a hash-partitioned ``(node, lab)`` Dataset and
+    community volumes in a ``(comm, tot)`` Dataset; every sub-round is
+    joins + groupby-sums, with NO per-sub-round O(V) ``ray.put``. The
+    driver holds only scalars (two_m, move counts); labels are gathered
+    ONCE at level end (result-sized, the same class as returning the
+    labeling). Byte-identical to the broadcast path: weights are integer
+    counts, so every sum is exact regardless of combine order.
+
+    ``constraint_ref`` (Leiden refinement): a ray.put parent array, put
+    ONCE per level by the caller and read map-side.
+    """
+    import pyarrow as _pa
+
+    from graph_data_science_ray.pipelines.agg import hash_join
+
+    # Scale the shuffle width to the graph; block counts are re-bounded
+    # (repartition) before every materialize — unions/sorts otherwise grow
+    # the block count geometrically across sub-rounds (each round's state
+    # feeds the next round's joins) and tiny blocks drown the scheduler.
+    num_parts = int(max(4, min(num_parts, node_count // 50_000 + 4)))
+
+    deg_ds = hash_aggregate(
+        sym_edges.map_batches(
+            lambda t: pa.table(
+                {"node": t["src"], "deg": pc_cast_f64(t["weight"])}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["node"], "deg", op="sum", num_parts=num_parts,
+    ).repartition(num_parts).materialize()
+    two_m = float(deg_ds.sum("deg") or 0.0)
+    if two_m == 0:
+        return np.arange(node_count, dtype=np.int64), False
+
+    lab_ds = rd.range(node_count).map_batches(
+        lambda t: pa.table({"node": t["id"], "lab": t["id"]}),
+        batch_format="pyarrow",
+    ).repartition(num_parts).materialize()
+
+    S_LAB = _pa.schema([("node", _pa.int64()), ("lab", _pa.int64())])
+    S_DEG = _pa.schema([("node", _pa.int64()), ("deg", _pa.float64())])
+    S_TOT = _pa.schema([("comm", _pa.int64()), ("tot", _pa.float64())])
+    S_CAND = _pa.schema(
+        [("src", _pa.int64()), ("comm", _pa.int64()), ("w", _pa.float64())]
+    )
+
+    def _tot_from(lab_ds_):
+        joined = hash_join(
+            lab_ds_, deg_ds, on=["node"], left_schema=S_LAB, right_schema=S_DEG,
+            num_parts=num_parts,
+        )
+        return hash_aggregate(
+            joined.map_batches(
+                lambda t: pa.table({"comm": t["lab"], "deg": t["deg"]}),
+                batch_format="pyarrow",
+            ),
+            ["comm"], "deg", op="sum", out_col="tot", num_parts=num_parts,
+        ).repartition(num_parts).materialize()
+
+    tot_ds = _tot_from(lab_ds)
+
+    improved_any = False
+    for _rnd in range(max_rounds):
+        moved = 0
+        for parity in (0, 1):
+            def half(t: pa.Table, *, par=parity) -> pa.Table:
+                src = t["src"].to_numpy(zero_copy_only=False)
+                dst = t["dst"].to_numpy(zero_copy_only=False)
+                w = t["weight"].to_numpy(zero_copy_only=False)
+                keep = (src != dst) & ((src % 2) == par)
+                if constraint_ref is not None:
+                    parent = ray.get(constraint_ref)
+                    keep &= parent[src] == parent[dst]
+                return pa.table(
+                    {"src": pa.array(src[keep]), "dst": pa.array(dst[keep]),
+                     "w": pa.array(w[keep].astype(np.float64))}
+                )
+
+            half_ds = sym_edges.map_batches(half, batch_format="pyarrow")
+            # attach the NEIGHBOR's community by joining on dst
+            cand0 = hash_join(
+                half_ds, lab_ds, on=["dst"], right_on=["node"],
+                left_schema=_pa.schema(
+                    [("src", _pa.int64()), ("dst", _pa.int64()), ("w", _pa.float64())]
+                ),
+                right_schema=S_LAB,
+                num_parts=num_parts,
+            )
+            cand1 = cand0.map_batches(
+                lambda t: _partial_src_comm(t), batch_format="pyarrow"
+            )
+            # guaranteed own-community row per active node (w=0) so tot_cur
+            # rides the tot join even when a node has no same-comm neighbor
+            def zero_rows(t: pa.Table, *, par=parity) -> pa.Table:
+                node = t["node"].to_numpy(zero_copy_only=False)
+                lab = t["lab"].to_numpy(zero_copy_only=False)
+                keep = (node % 2) == par
+                return pa.table(
+                    {"src": pa.array(node[keep]), "comm": pa.array(lab[keep]),
+                     "w": pa.array(np.zeros(int(keep.sum()), dtype=np.float64))}
+                )
+
+            cand2 = hash_aggregate(
+                cand1.union(lab_ds.map_batches(zero_rows, batch_format="pyarrow")),
+                ["src", "comm"], "w", op="sum", num_parts=num_parts,
+            )
+            cand3 = hash_join(
+                cand2, tot_ds, on=["comm"], left_schema=S_CAND, right_schema=S_TOT,
+                num_parts=num_parts,
+            )
+            info = hash_join(
+                lab_ds, deg_ds, on=["node"], left_schema=S_LAB, right_schema=S_DEG,
+                num_parts=num_parts,
+            )
+
+            def cand_rows(t: pa.Table) -> pa.Table:
+                n = t.num_rows
+                return pa.table(
+                    {
+                        "src": t["src"], "comm": t["comm"], "w": t["w"],
+                        "tot": t["tot"],
+                        "cur": pa.array(np.full(n, -1, dtype=np.int64)),
+                        "deg": pa.array(np.zeros(n, dtype=np.float64)),
+                        "kind": pa.array(np.zeros(n, dtype=np.int64)),
+                    }
+                )
+
+            def info_rows(t: pa.Table, *, par=parity) -> pa.Table:
+                node = t["node"].to_numpy(zero_copy_only=False)
+                keep = (node % 2) == par
+                n = int(keep.sum())
+                return pa.table(
+                    {
+                        "src": pa.array(node[keep]),
+                        "comm": pa.array(np.full(n, -1, dtype=np.int64)),
+                        "w": pa.array(np.zeros(n, dtype=np.float64)),
+                        "tot": pa.array(np.zeros(n, dtype=np.float64)),
+                        "cur": t["lab"].to_numpy(zero_copy_only=False)[keep],
+                        "deg": t["deg"].to_numpy(zero_copy_only=False)[keep],
+                        "kind": pa.array(np.ones(n, dtype=np.int64)),
+                    }
+                )
+
+            stream = cand3.map_batches(cand_rows, batch_format="pyarrow").union(
+                info.map_batches(info_rows, batch_format="pyarrow")
+            )
+
+            def tag_src(df: pd.DataFrame) -> pd.DataFrame:
+                df = df.copy()
+                df["__part"] = (df["src"].to_numpy() % num_parts).astype(np.int64)
+                return df
+
+            def choose_part(g: pd.DataFrame, *, gm=gamma, tm=two_m) -> pd.DataFrame:
+                out_empty = pd.DataFrame(
+                    {"node": np.zeros(0, dtype=np.int64),
+                     "community": np.zeros(0, dtype=np.int64)}
+                )
+                inf = g[g["kind"] == 1]
+                rows = g[g["kind"] == 0]
+                if not len(inf) or not len(rows):
+                    return out_empty
+                m = rows.merge(inf[["src", "cur", "deg"]], on="src", suffixes=("", "_i"))
+                if not len(m):
+                    return out_empty
+                node = m["src"].to_numpy(dtype=np.int64)
+                comm = m["comm"].to_numpy(dtype=np.int64)
+                w = m["w"].to_numpy(dtype=np.float64)
+                tot = m["tot"].to_numpy(dtype=np.float64)
+                cur = m["cur_i"].to_numpy(dtype=np.int64)
+                dg = m["deg_i"].to_numpy(dtype=np.float64)
+                is_cur = comm == cur
+                # per-node own-community stats (guaranteed present)
+                own = pd.DataFrame(
+                    {"src": node[is_cur], "own_w": w[is_cur],
+                     "tot_cur": tot[is_cur], "deg": dg[is_cur]}
+                ).groupby("src", sort=False).agg(
+                    own_w=("own_w", "sum"), tot_cur=("tot_cur", "max"),
+                    deg=("deg", "max"),
+                ).reset_index()
+                c_mask = ~is_cur
+                if not c_mask.any():
+                    return out_empty
+                cn, cc, cw, ct, cd = (
+                    node[c_mask], comm[c_mask], w[c_mask], tot[c_mask], dg[c_mask]
+                )
+                gain = cw - gm * cd * ct / tm
+                order = np.lexsort((cc, -gain, cn))
+                cn, cc, gain = cn[order], cc[order], gain[order]
+                first = np.empty(len(cn), dtype=bool)
+                first[0] = True
+                first[1:] = cn[1:] != cn[:-1]
+                bn, bc, bg = cn[first], cc[first], gain[first]
+                o = own.set_index("src").reindex(bn)
+                cur_gain = (
+                    o["own_w"].to_numpy()
+                    - gm * o["deg"].to_numpy()
+                    * (o["tot_cur"].to_numpy() - o["deg"].to_numpy()) / tm
+                )
+                do = bg > cur_gain + 1e-12
+                return pd.DataFrame({"node": bn[do], "community": bc[do]})
+
+            movers = (
+                stream.map_batches(tag_src, batch_format="pandas")
+                .groupby("__part")
+                .map_groups(choose_part, batch_format="pandas")
+            ).materialize()
+            n_moved = movers.count()
+            if n_moved:
+                # apply moves with a partition-local coalesce (no driver state)
+                def tag_node(df: pd.DataFrame) -> pd.DataFrame:
+                    df = df.copy()
+                    key = df["node"].to_numpy()
+                    df["__part"] = (key % num_parts).astype(np.int64)
+                    return df
+
+                def apply_moves(g: pd.DataFrame) -> pd.DataFrame:
+                    base = g[g["kind"] == 0][["node", "lab"]]
+                    mv = g[g["kind"] == 1][["node", "community"]]
+                    if len(mv):
+                        out = base.merge(mv, on="node", how="left")
+                        new = out["community"].fillna(out["lab"]).astype(np.int64)
+                        return pd.DataFrame({"node": out["node"], "lab": new})
+                    return base
+
+                def mv_side(df: pd.DataFrame) -> pd.DataFrame:
+                    return pd.DataFrame(
+                        {"node": df["node"].to_numpy(dtype=np.int64),
+                         "lab": np.full(len(df), -1, dtype=np.int64),
+                         "community": df["community"].to_numpy(dtype=np.int64),
+                         "kind": np.ones(len(df), dtype=np.int64)}
+                    )
+
+                def lab_side(df: pd.DataFrame) -> pd.DataFrame:
+                    return pd.DataFrame(
+                        {"node": df["node"].to_numpy(dtype=np.int64),
+                         "lab": df["lab"].to_numpy(dtype=np.int64),
+                         "community": np.full(len(df), -1, dtype=np.int64),
+                         "kind": np.zeros(len(df), dtype=np.int64)}
+                    )
+
+                lab_ds = (
+                    lab_ds.map_batches(lab_side, batch_format="pandas")
+                    .union(movers.map_batches(mv_side, batch_format="pandas"))
+                    .map_batches(tag_node, batch_format="pandas")
+                    .groupby("__part")
+                    .map_groups(apply_moves, batch_format="pandas")
+                ).repartition(num_parts).materialize()
+                tot_ds = _tot_from(lab_ds)
+                moved += int(n_moved)
+        if moved == 0:
+            break
+        improved_any = True
+    # level-end gather: O(V) once, the result itself
+    lab_pd = lab_ds.to_pandas()
+    labels = np.arange(node_count, dtype=np.int64)
+    labels[lab_pd["node"].to_numpy(dtype=np.int64)] = lab_pd["lab"].to_numpy(
+        dtype=np.int64
+    )
+    return labels, improved_any
+
+
+def pc_cast_f64(arr):
+    import pyarrow.compute as pc
+
+    return pc.cast(arr, pa.float64())
+
+
+def _partial_src_comm(t: pa.Table) -> pa.Table:
+    df = pd.DataFrame(
+        {
+            "src": t["src"].to_numpy(zero_copy_only=False),
+            "comm": t["lab"].to_numpy(zero_copy_only=False),
+            "w": t["w"].to_numpy(zero_copy_only=False),
+        }
+    )
+    g = df.groupby(["src", "comm"], sort=False)["w"].sum().reset_index()
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
 def _one_level(sym_edges: rd.Dataset, node_count: int, max_rounds: int = 10, gamma: float = 1.0):
     """Local-move rounds on one level; returns (labels, improved)."""
     deg = _weighted_degrees(sym_edges, node_count)
@@ -204,6 +495,17 @@ def _contract(sym_edges: rd.Dataset, labels: np.ndarray) -> rd.Dataset:
     )
 
 
+def _level_fn(state_mode: str, node_count: int):
+    """Pick the level engine: broadcast arrays below the V cutoff (optimal
+    on one node), partition-held Dataset state above it (the 10^9-node
+    path — no per-sub-round O(V) broadcasts)."""
+    if state_mode == "partitioned" or (
+        state_mode == "auto" and node_count > _PARTITIONED_V_CUTOFF
+    ):
+        return _one_level_partitioned
+    return _one_level
+
+
 def louvain(
     sym_edges: rd.Dataset,
     node_count: int,
@@ -211,6 +513,7 @@ def louvain(
     max_levels: int = 5,
     max_rounds: int = 10,
     gamma: float = 1.0,
+    state_mode: str = "auto",
 ) -> pd.DataFrame:
     """Multi-level Louvain; returns (node, community) with community =
     the minimum original member id of the final community (normalized,
@@ -218,11 +521,12 @@ def louvain(
 
     ``gamma`` is the resolution parameter (the knob Leiden exposes as
     ``gamma``; >1 favors more/smaller communities)."""
+    level = _level_fn(state_mode, node_count)
     labels = np.arange(node_count, dtype=np.int64)
     edges = sym_edges
     n = node_count
     for _level in range(max_levels):
-        lvl_labels, improved = _one_level(edges, n, max_rounds=max_rounds, gamma=gamma)
+        lvl_labels, improved = level(edges, n, max_rounds=max_rounds, gamma=gamma)
         labels = lvl_labels[labels]
         if not improved:
             break
@@ -250,7 +554,8 @@ def louvain(
 
 
 def _refine_within(sym_edges: rd.Dataset, parent: np.ndarray, node_count: int,
-                   gamma: float, max_rounds: int = 3) -> np.ndarray:
+                   gamma: float, max_rounds: int = 3,
+                   state_mode: str = "auto") -> np.ndarray:
     """Leiden refinement: constrained local moves inside each parent
     community (nodes start as singletons and may only merge with
     same-parent communities), then hash-min connectivity so every refined
@@ -258,6 +563,15 @@ def _refine_within(sym_edges: rd.Dataset, parent: np.ndarray, node_count: int,
     the reference's randomized merge sampling is replaced by the greedy
     gain argmax — a documented simplification that keeps both Leiden
     guarantees (well-connected via gain, connected via the CC pass)."""
+    if state_mode == "partitioned" or (
+        state_mode == "auto" and node_count > _PARTITIONED_V_CUTOFF
+    ):
+        cref = ray.put(parent)  # ONCE per level, read map-side
+        labels, _imp = _one_level_partitioned(
+            sym_edges, node_count, max_rounds=max_rounds, gamma=gamma,
+            constraint_ref=cref,
+        )
+        return _cc_within_communities(sym_edges, labels)
     deg = _weighted_degrees(sym_edges, node_count)
     two_m = deg.sum()
     if two_m == 0:
@@ -350,6 +664,7 @@ def leiden(
     max_levels: int = 5,
     max_rounds: int = 10,
     gamma: float = 1.0,
+    state_mode: str = "auto",
 ) -> pd.DataFrame:
     """Leiden-style community detection — Louvain local moves plus the
     refinement phase guaranteeing internally CONNECTED communities.
@@ -365,12 +680,13 @@ def leiden(
     deviation). Returns (node, community), community = min original
     member id.
     """
+    level = _level_fn(state_mode, node_count)
     labels = np.arange(node_count, dtype=np.int64)
     edges = sym_edges
     n = node_count
     for _level in range(max_levels):
-        lvl_labels, improved = _one_level(edges, n, max_rounds=max_rounds, gamma=gamma)
-        refined = _refine_within(edges, lvl_labels, n, gamma)
+        lvl_labels, improved = level(edges, n, max_rounds=max_rounds, gamma=gamma)
+        refined = _refine_within(edges, lvl_labels, n, gamma, state_mode=state_mode)
         labels = refined[labels]
         if not improved:
             break
@@ -399,6 +715,7 @@ def modularity_optimization(
     idmap=None,
     max_rounds: int = 10,
     gamma: float = 1.0,
+    state_mode: str = "auto",
 ) -> tuple[pd.DataFrame, float]:
     """Single-level modularity optimization (no coarsening).
 
@@ -409,7 +726,9 @@ def modularity_optimization(
     """
     from graph_data_science_ray.functions.community_metrics import modularity
 
-    labels, _ = _one_level(sym_edges, node_count, max_rounds=max_rounds, gamma=gamma)
+    labels, _ = _level_fn(state_mode, node_count)(
+        sym_edges, node_count, max_rounds=max_rounds, gamma=gamma
+    )
     out = pd.DataFrame(
         {"node": np.arange(node_count, dtype=np.int64), "community": labels}
     )

@@ -3,6 +3,7 @@
 import itertools
 
 import numpy as np
+import pandas as pd
 
 from graph_data_science_ray.functions.coloring import k1_coloring, topological_sort
 from graph_data_science_ray.functions.community_metrics import modularity
@@ -131,3 +132,31 @@ def test_louvain_planted_partition_recovery(tmp_path):
     # reference upper bound: modularity of the planted partition itself
     q_truth = modularity(sym, truth)
     assert q >= q_truth - 1e-9
+
+
+def test_louvain_partitioned_state_matches_broadcast(graph_from_edges):
+    """The partition-held label/volume state path (the >5M-node scale
+    mode) must produce the identical labeling to the broadcast path."""
+    from graph_data_science_ray.functions.louvain import (
+        leiden,
+        louvain,
+        modularity_optimization,
+    )
+
+    edges = []
+    for grp in (range(0, 5), range(5, 10)):
+        grp = list(grp)
+        edges += [(i, j) for i in grp for j in grp if i < j]
+    edges += [(4, 5), (9, 0)]
+    _, _, idmap, _, sym = graph_from_edges(edges)
+    n = len(idmap)
+    a = louvain(sym, n, state_mode="broadcast")
+    b = louvain(sym, n, state_mode="partitioned")
+    pd.testing.assert_frame_equal(a, b)
+    la = leiden(sym, n, state_mode="broadcast")
+    lb = leiden(sym, n, state_mode="partitioned")
+    pd.testing.assert_frame_equal(la, lb)
+    ma, qa = modularity_optimization(sym, n, state_mode="broadcast")
+    mb, qb = modularity_optimization(sym, n, state_mode="partitioned")
+    pd.testing.assert_frame_equal(ma, mb)
+    assert qa == qb
