@@ -18,8 +18,11 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import ray
+import ray.data as rd
 
 from graph_data_science_ray._util import mix2
+
+_FRONTIER_EDGE_CUTOFF = 50_000_000  # whole-CSR-per-task replication budget
 
 
 @ray.remote
@@ -72,27 +75,137 @@ def _walk_partition(part: int, block_refs: list, walk_length: int,
     return pd.DataFrame({"walk_id": wids[m], "step": steps[m], "node": rows[m]})
 
 
+def random_walks_ds(
+    graph,
+    walk_length: int = 10,
+    walks_per_node: int = 1,
+    seed: int = 42,
+) -> rd.Dataset:
+    """FRONTIER-EXCHANGE uniform walks → Dataset (walk_id, step, node_id).
+
+    The cluster-scale formulation: walker state is a hash-partitioned
+    ``(walk_id, cur)`` Dataset; each superstep groups walkers by the
+    partition OWNING their current node, and the owning group's task
+    fetches ONLY that partition's CSR block (one ``ray.get`` of one
+    block ref) to advance its walkers one hop. No task ever materializes
+    the whole graph — the round-trip is one small shuffle of walker rows
+    per step, the Pregel exchange shape. Draws are
+    ``mix2(seed, walk_id, step) % deg``, identical to the per-partition
+    local walker (``_walk_partition``), so both modes emit byte-identical
+    trajectories for a seed at any parallelism.
+    """
+    blocks = graph.block_refs()
+    bounds_ref = ray.put(np.asarray(graph.boundaries, dtype=np.int64))
+    wpn = int(walks_per_node)
+    V = int(graph.node_count)
+
+    def init(t) -> pd.DataFrame:
+        ids = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        node = np.repeat(ids, wpn)
+        j = np.tile(np.arange(wpn, dtype=np.int64), len(ids))
+        return pd.DataFrame({"walk_id": node * wpn + j, "cur": node})
+
+    state = rd.range(V).map_batches(init, batch_format="pyarrow").materialize()
+    traj = [
+        state.map_batches(
+            lambda df, s=0: pd.DataFrame(
+                {"walk_id": df["walk_id"], "step": np.full(len(df), s, np.int64),
+                 "node_id": df["cur"]}
+            ),
+            batch_format="pandas",
+        )
+    ]
+
+    def tag_owner(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bounds_ref)
+        df = df.copy()
+        df["__owner"] = (
+            np.searchsorted(b, df["cur"].to_numpy(dtype=np.int64), side="right") - 1
+        ).astype(np.int64)
+        return df
+
+    for step in range(1, int(walk_length)):
+        def extend(g: pd.DataFrame, *, st=step) -> pd.DataFrame:
+            p = int(g["__owner"].iat[0])
+            b = ray.get(blocks[p])
+            wid = g["walk_id"].to_numpy(dtype=np.int64)
+            cur = g["cur"].to_numpy(dtype=np.int64)
+            lo = cur - b["start"]
+            d = b["indptr"][lo + 1] - b["indptr"][lo]
+            has = d > 0
+            nxt = np.full(len(cur), -1, dtype=np.int64)
+            if len(b["indices"]):
+                draws = mix2(seed, wid, st)
+                offs = b["indptr"][lo] + (
+                    draws % np.maximum(d, 1).astype(np.uint64)
+                ).astype(np.int64)
+                idx = np.clip(offs, 0, len(b["indices"]) - 1)
+                nxt = np.where(has, b["indices"][idx], -1)
+            keep = nxt >= 0
+            return pd.DataFrame({"walk_id": wid[keep], "cur": nxt[keep]})
+
+        state = (
+            state.map_batches(tag_owner, batch_format="pandas")
+            .groupby("__owner")
+            .map_groups(extend, batch_format="pandas")
+        ).materialize()
+        if state.count() == 0:
+            break
+        traj.append(
+            state.map_batches(
+                lambda df, s=step: pd.DataFrame(
+                    {"walk_id": df["walk_id"],
+                     "step": np.full(len(df), s, np.int64),
+                     "node_id": df["cur"]}
+                ),
+                batch_format="pandas",
+            )
+        )
+
+    out = traj[0]
+    for t in traj[1:]:
+        out = out.union(t)
+    return out
+
+
 def random_walks(
     graph,
     walk_length: int = 10,
     walks_per_node: int = 1,
     seed: int = 42,
+    mode: str = "auto",
 ) -> pd.DataFrame:
     """Uniform random walks from every node; returns (walk_id, step, node).
 
     Walks stop early at sink nodes (no out-edges). Deterministic for a
-    given seed at any parallelism.
+    given seed at any parallelism AND any mode: ``mode="local"`` runs one
+    task per partition against the shared CSR block refs (fastest on one
+    node, replicates the graph per node on a cluster); ``mode="frontier"``
+    is the superstep walker exchange (:func:`random_walks_ds`) that only
+    ever reads one block per task; ``"auto"`` switches to frontier past an
+    edge-count budget.
     """
-    blocks = graph.block_refs()
-    dfs = ray.get(
-        [
-            _walk_partition.remote(p, blocks, walk_length, walks_per_node, seed)
-            for p in range(graph.num_partitions)
-        ]
-    )
-    out = pd.concat(dfs, ignore_index=True)
+    if mode == "auto":
+        mode = "local" if graph.edge_count <= _FRONTIER_EDGE_CUTOFF else "frontier"
+    if mode == "frontier":
+        out = random_walks_ds(
+            graph, walk_length=walk_length, walks_per_node=walks_per_node,
+            seed=seed,
+        ).to_pandas()
+        out = out.rename(columns={"node_id": "node"})
+    else:
+        blocks = graph.block_refs()
+        dfs = ray.get(
+            [
+                _walk_partition.remote(p, blocks, walk_length, walks_per_node, seed)
+                for p in range(graph.num_partitions)
+            ]
+        )
+        out = pd.concat(dfs, ignore_index=True)
     if graph.idmap is not None:
         out["node"] = graph.idmap.to_keys(out["node"].to_numpy(dtype=np.int64))
+    out["walk_id"] = out["walk_id"].astype(np.int64)
+    out["step"] = out["step"].astype(np.int64)
     return out.sort_values(["walk_id", "step"]).reset_index(drop=True)
 
 

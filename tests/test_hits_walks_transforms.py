@@ -1,5 +1,6 @@
 """HITS, random walks, and graph-transform fixtures."""
 
+import pandas as pd
 import numpy as np
 import pytest
 
@@ -90,3 +91,13 @@ def test_reverse_edges(graph_from_edges):
     rev = reverse_edges(enc).to_pandas()
     pairs = set(zip(rev["src"], rev["dst"]))
     assert pairs == {(1, 0), (2, 1)}
+
+
+def test_random_walks_frontier_matches_local(graph_from_edges):
+    """The frontier-exchange walker (one-block-per-task, the cluster
+    path) must emit byte-identical trajectories to the local walker."""
+    edges = [(0, 1), (1, 2), (2, 0), (0, 2), (2, 3), (3, 4), (4, 0), (1, 4)]
+    gd, _, idmap, _, _ = graph_from_edges(edges)
+    a = random_walks(gd, walk_length=7, walks_per_node=3, seed=5, mode="local")
+    b = random_walks(gd, walk_length=7, walks_per_node=3, seed=5, mode="frontier")
+    pd.testing.assert_frame_equal(a, b)
