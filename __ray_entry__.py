@@ -226,6 +226,25 @@ _KMEANS_ITERS = 5
 _NODESIM_TOPK = 3
 
 
+def _q_median_neighbor(sf_dir: str) -> pd.DataFrame:
+    """Per-node median of in-neighbor actor ids — rides the Pregel QUEUE
+    messenger (raw per-edge messages, reference SyncQueueMessenger)."""
+    from graph_data_science_ray.functions.neighborhood import median_neighbor_value
+
+    b = _bundle(sf_dir)
+    vals = np.array(
+        [float(k.split(":", 1)[1]) for k in b["idmap"].keys], dtype=np.float64
+    )
+    out = median_neighbor_value(b["gd"], values=vals)
+    out = out[~out["median"].isna()]
+    return pd.DataFrame(
+        {
+            "node": _strip(out["node"]),
+            "median_val": out["median"].astype(np.float64),
+        }
+    )
+
+
 def _q_hits(sf_dir: str) -> pd.DataFrame:
     from graph_data_science_ray.functions.hits import hits
 
@@ -988,6 +1007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_core": _q_kcore,
         "node_similarity": _q_node_similarity,
         "hits": _q_hits,
+        "median_neighbor": _q_median_neighbor,
         "collapse_path": _q_collapse_path,
         "random_walks": _q_random_walks,
         "modularity": _q_modularity,
@@ -1089,6 +1109,12 @@ def oracle_sql() -> dict[str, str]:
         "SELECT n.node AS node, CAST(coalesce(o.wdeg, 0) AS DOUBLE) AS wdeg "
         "FROM nodes n LEFT JOIN (SELECT src AS node, sum(weight) AS wdeg "
         "FROM edges GROUP BY src) o USING(node)"
+    )
+
+    sqls["median_neighbor"] = (
+        f"WITH {_GRAPH_CTE} "
+        "SELECT dst AS node, median(CAST(src AS DOUBLE)) AS median_val "
+        "FROM edges GROUP BY dst"
     )
 
     sqls["pagerank"] = f"""

@@ -43,6 +43,15 @@ Reducer kinds:
 - ``vote``: (dst, label, weight) triples pre-combined per (dst, label)
   map-side; apply-side tally with max-weight / min-label argmax — the one
   non-reducer shuffle (label propagation).
+- ``queue``: NO map-side reduction — every edge message is delivered
+  raw, mirroring the reference's ``SyncQueueMessenger``
+  (pregel/src/main/java/org/neo4j/gds/beta/pregel/Pregel.java:152-158):
+  the apply side receives the destination-sorted message stream
+  (deterministic order: fixed source-partition order, stable dst sort)
+  through ``PregelComputation.apply_queues``. This is the completion of
+  the extension API for algorithms whose combine is not associative
+  (medians, exact SLLPA memory, sampling); it costs the full O(E)
+  message volume per superstep, which is why it is not the default.
 """
 
 from __future__ import annotations
@@ -95,6 +104,17 @@ class PregelComputation:
 
     def apply_messages(self, state: dict, acc, received, block: dict) -> dict:
         """Mutate state with reduced messages; return per-partition stats."""
+        raise NotImplementedError
+
+    def apply_queues(self, state: dict, msg_dst, msg_vals, received,
+                     block: dict) -> dict:
+        """Queue-reducer apply: raw messages, destination-sorted.
+
+        ``msg_dst`` is the LOCAL destination index per message (ascending,
+        so per-node runs are contiguous — ``np.flatnonzero(np.diff(...))``
+        or ``np.unique(..., return_index=True)`` yields the queue
+        boundaries); ``msg_vals`` aligns with it. Message order within a
+        destination is deterministic (fixed source-partition order)."""
         raise NotImplementedError
 
     def is_converged(self, stats: dict) -> bool:
@@ -199,10 +219,38 @@ def _scatter_vote(comp, block, state, num_parts, bounds):
     ]
 
 
+def _scatter_queue(comp, block, state, num_parts, bounds):
+    """No reduction: one message per live edge, destination-sorted."""
+    vals, active = comp.message_values(state, block)
+    if len(block["indices"]) == 0:
+        return [None, 0]
+    src_idx = block["src_idx"]
+    dtype = np.float64 if comp.message_dtype == "float64" else np.int64
+    edge_vals = np.asarray(vals, dtype=dtype)[src_idx]
+    if comp.weighted or comp.edge_combine == "multiply":
+        edge_vals = edge_vals * block["w_sorted"]
+    elif comp.edge_combine == "add":
+        edge_vals = edge_vals + block["w_sorted"]
+    elif comp.edge_combine == "add_one":
+        edge_vals = edge_vals + 1
+    keep = np.asarray(active, dtype=bool)[src_idx]
+    d = block["dst_sorted"][keep]
+    v = edge_vals[keep]
+    if len(d) == 0:
+        return [None, 0]
+    return [
+        {"dst": d, "val": v, "slices": np.searchsorted(d, bounds),
+         "bounds": bounds},
+        int(len(d)),
+    ]
+
+
 @ray.remote
 def _scatter(comp, block, state, num_parts, bounds):
     if comp.reducer == "vote":
         return _scatter_vote(comp, block, state, num_parts, bounds)
+    if comp.reducer == "queue":
+        return _scatter_queue(comp, block, state, num_parts, bounds)
     return _scatter_reduced(comp, block, state, num_parts, bounds)
 
 
@@ -221,6 +269,8 @@ def _scatter_sliced(comp, block, state, num_parts, bounds):
     """
     if comp.reducer == "vote":
         payload, n = _scatter_vote(comp, block, state, num_parts, bounds)
+    elif comp.reducer == "queue":
+        payload, n = _scatter_queue(comp, block, state, num_parts, bounds)
     else:
         payload, n = _scatter_reduced(comp, block, state, num_parts, bounds)
     if payload is None:
@@ -272,6 +322,13 @@ def _relay_merge(reducer: str, *payloads):
         return {
             "dst": d_u, "lab": l_u, "val": v_u, "bounds": bounds,
             "slices": np.searchsorted(d_u, bounds),
+        }
+    if reducer == "queue":  # concatenation IS the merge; keep raw messages
+        order = np.argsort(dst, kind="stable")
+        d, v = dst[order], val[order]
+        return {
+            "dst": d, "val": v, "bounds": bounds,
+            "slices": np.searchsorted(d, bounds),
         }
     order = np.argsort(dst, kind="stable")
     d, v = dst[order], val[order]
@@ -355,6 +412,28 @@ def _apply(comp, block, state, q, *inbox):
             vals = msg["val"][s:e]
             np.minimum.at(acc, idx, vals)
             received[idx] |= vals != identity
+    elif comp.reducer == "queue":
+        ds, vs = [], []
+        for msg in inbox:  # fixed source-partition order => deterministic
+            if msg is None:
+                continue
+            s, e = my_slice(msg)
+            if s == e:
+                continue
+            ds.append(msg["dst"][s:e])
+            vs.append(msg["val"][s:e])
+        if ds:
+            d = np.concatenate(ds)
+            v = np.concatenate(vs)
+            order = np.argsort(d, kind="stable")
+            d, v = d[order], v[order]
+        else:
+            d = np.zeros(0, dtype=np.int64)
+            v = np.zeros(0, dtype=np.float64)
+        received = np.zeros(n_local, dtype=bool)
+        received[d - start] = True
+        stats = comp.apply_queues(state, d - start, v, received, block)
+        return state, stats
     else:  # vote: tally argmax(max weight, min label) per destination
         ds, ls, ws = [], [], []
         for msg in inbox:

@@ -5,6 +5,8 @@ import os
 import numpy as np
 
 import graph_data_science_ray as gdsr
+import pytest
+from graph_data_science_ray.state.pregel import Pregel, PregelComputation
 from tests.conftest import keys_to_ids
 
 EDGES = [
@@ -152,3 +154,31 @@ def test_scatter_mode_sliced_matches_flat(graph_from_edges):
         refs = engine.run(max_iterations=50)
         comps[mode] = engine.gather(refs, "component")
     assert np.array_equal(comps["flat"], comps["sliced"])
+
+
+@pytest.mark.parametrize("mode", ["flat", "sliced"])
+def test_pregel_queue_messenger_median(graph_from_edges, mode):
+    """reducer="queue" delivers RAW per-edge messages (reference
+    SyncQueueMessenger semantics): per-node in-neighbor median, which no
+    associative reducer can compute."""
+    from graph_data_science_ray.functions.neighborhood import (
+        MedianNeighborComputation,
+    )
+    from graph_data_science_ray.state.pregel import Pregel
+
+    edges = [(0, 2), (1, 2), (3, 2), (4, 2), (0, 3), (1, 3), (2, 0),
+             (4, 0), (3, 1)]
+    gd, _, idmap, _, _ = graph_from_edges(edges, num_partitions=3)
+    vals = np.arange(5, dtype=np.float64) ** 2 + 1.0
+    engine = Pregel(gd, MedianNeighborComputation(vals), scatter_mode=mode)
+    refs = engine.run(max_iterations=2)
+    med = engine.gather(refs, "median")
+    import collections
+    inn = collections.defaultdict(list)
+    for s, d in set(edges):
+        inn[d].append(float(s * s + 1.0))
+    for v in range(5):
+        if inn[v]:
+            assert med[v] == float(np.median(inn[v])), (v, med[v])
+        else:
+            assert np.isnan(med[v])
