@@ -35,6 +35,7 @@ from graph_data_science_ray.pipelines.edges import (
     symmetrize,
 )
 from graph_data_science_ray.state.graph import GraphStore
+from graph_data_science_ray.state.catalog import GraphCatalog
 from graph_data_science_ray.state.pregel import Pregel, PregelComputation, TerminationFlag
 from graph_data_science_ray.functions.pagerank import pagerank
 from graph_data_science_ray.functions.wcc import wcc
@@ -85,6 +86,7 @@ __all__ = [
     "encode_edges",
     "symmetrize",
     "GraphStore",
+    "GraphCatalog",
     "pagerank",
     "wcc",
     "label_propagation",

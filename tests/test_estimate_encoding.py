@@ -37,3 +37,39 @@ def test_one_hot():
     out = one_hot(ds, "lang", categories=["de", "en", "es"]).to_pandas().sort_values("id")
     mats = np.stack(out["lang_onehot"].to_numpy())
     assert mats.tolist() == [[0, 1, 0], [1, 0, 0], [0, 1, 0], [0, 0, 0]]
+
+
+def test_graph_catalog_lifecycle(graph_from_edges, tmp_path):
+    """Named catalog (reference GraphStoreCatalog): set/get/list/drop/
+    exists, survives reload from disk, drop reclaims owned payloads."""
+    import graph_data_science_ray as gdsr
+
+    gd, gu, idmap, enc, _ = graph_from_edges([(0, 1), (1, 2), (2, 0)])
+    cat = gdsr.GraphCatalog(str(tmp_path / "cat"))
+    assert not cat.exists("g1")
+    cat.set("g1", gd)
+    g2 = cat.project("g2", enc, idmap=idmap, num_partitions=2, directed=True)
+    assert cat.exists("g1") and cat.exists("g2")
+    listing = cat.list()
+    assert list(listing["name"]) == ["g1", "g2"]
+    assert (listing["edge_count"] > 0).all()
+    # duplicate registration refused without overwrite
+    with pytest.raises(ValueError):
+        cat.set("g1", gd)
+    # reload through a FRESH catalog object (registry is on disk)
+    cat2 = gdsr.GraphCatalog(str(tmp_path / "cat"))
+    got = cat2.get("g2")
+    assert got.node_count == g2.node_count
+    assert got.edge_count == g2.edge_count
+    pr_a = gdsr.pagerank(g2, max_iterations=10)
+    pr_b = gdsr.pagerank(got, max_iterations=10)
+    assert pr_a.equals(pr_b)
+    # drop removes registry entry; owned payload dir is reclaimed
+    cat2.drop("g2")
+    assert not cat2.exists("g2")
+    assert not (tmp_path / "cat" / "g2").exists()
+    # non-owned path (g1 lives outside the root) is never deleted
+    cat2.drop("g1")
+    assert gdsr.GraphStore.load(gd.path).edge_count == gd.edge_count
+    with pytest.raises(KeyError):
+        cat2.get("g1")
