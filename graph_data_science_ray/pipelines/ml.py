@@ -1,0 +1,490 @@
+"""ML pipelines — node classification + link prediction on graph features.
+
+Re-expresses the reference's pipeline surface
+(pipeline/src/main/java/org/neo4j/gds/ml/pipeline/: TrainingPipeline,
+nodePipeline/, linkPipeline/) and its logistic-regression model
+(ml/ml-algo/src/main/java/org/neo4j/gds/ml/models/logisticregression/
+LogisticRegressionTrainer.java, LogisticRegressionObjective.java:
+softmax cross-entropy + L2 penalty) Ray-Data-first:
+
+- **feature assembly** (FeatureStep): scalar + list columns are packed
+  into one fixed-width float64 matrix column per batch, vectorized;
+- **training** is data-parallel full-batch gradient descent: the weight
+  matrix (d × K, tiny) is ``ray.put`` once per epoch, every
+  ``map_batches`` task computes its shard's gradient partial
+  vectorized (softmax → X^T(p - y)), and partials are summed in FIXED
+  shard order — deterministic at any parallelism, the engine-wide
+  contract. The driver holds only the (d × K) weights; features never
+  leave their blocks. Adam updates match the reference's default
+  optimizer choice (GradientDescentConfig.java);
+- **link features** (linkPipeline/linkfunctions/): hadamard, cosine and
+  L2 combiners over per-node embedding vectors, computed inside
+  ``map_batches`` on pair batches with the node-vector side attached by
+  hash join (no driver-side pair loops);
+- **train/test split** is a deterministic hash split (splitmix64 of the
+  node id / edge key), the distributed analogue of the reference's
+  seeded shuffled-id split (nodeSplitter / LinkPredictionSplitConfig).
+
+Model training itself is iterative and not SQL-expressible — the driver
+records rows-only checks for the train queries; the fixed-weight scoring
+path (``lr_score``) IS oracled (sigmoid over assembled features).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from graph_data_science_ray._util import splitmix64
+
+
+# ---------------------------------------------------------------------------
+# feature assembly
+# ---------------------------------------------------------------------------
+
+
+def _batch_matrix(df: pd.DataFrame, cols: list[str]) -> np.ndarray:
+    """Pack scalar + list columns into one (rows, d) float64 matrix."""
+    parts = []
+    for c in cols:
+        v = df[c]
+        first = v.iloc[0] if len(v) else 0.0
+        if isinstance(first, (list, np.ndarray)):
+            parts.append(np.stack([np.asarray(x, dtype=np.float64) for x in v]))
+        else:
+            parts.append(v.to_numpy(dtype=np.float64)[:, None])
+    return np.concatenate(parts, axis=1) if parts else np.zeros((len(df), 0))
+
+
+def assemble_features(
+    ds: rd.Dataset, cols: list[str], out_col: str = "features"
+) -> rd.Dataset:
+    """FeatureStep: pack ``cols`` (scalars and/or fixed-width lists) into
+    a single list<double> feature column, batch-vectorized."""
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        X = _batch_matrix(df, cols)
+        out = df.drop(columns=[c for c in cols if c != out_col], errors="ignore")
+        out[out_col] = list(X)
+        return out
+
+    return ds.map_batches(pack, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# logistic regression (softmax, L2 penalty, Adam) — data-parallel
+# ---------------------------------------------------------------------------
+
+
+class LogisticRegressionModel:
+    """Trained classifier: weights (d, K) + bias (K,), class id list."""
+
+    def __init__(self, weights: np.ndarray, bias: np.ndarray,
+                 classes: np.ndarray):
+        self.weights = np.asarray(weights, dtype=np.float64)
+        self.bias = np.asarray(bias, dtype=np.float64)
+        self.classes = np.asarray(classes)
+
+    def predict_proba_matrix(self, X: np.ndarray) -> np.ndarray:
+        z = X @ self.weights + self.bias
+        z -= z.max(axis=1, keepdims=True)
+        e = np.exp(z)
+        return e / e.sum(axis=1, keepdims=True)
+
+    def predict(
+        self, ds: rd.Dataset, feature_col: str = "features",
+        proba: bool = False,
+    ) -> rd.Dataset:
+        """Distributed scoring: broadcast the tiny model, map batches."""
+        mref = ray.put((self.weights, self.bias, self.classes))
+
+        def score(df: pd.DataFrame) -> pd.DataFrame:
+            W, b, classes = ray.get(mref)
+            X = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in df[feature_col]]
+            ) if len(df) else np.zeros((0, W.shape[0]))
+            z = X @ W + b
+            z -= z.max(axis=1, keepdims=True) if len(z) else 0
+            e = np.exp(z)
+            p = e / e.sum(axis=1, keepdims=True) if len(z) else e
+            out = df.drop(columns=[feature_col])
+            out["predicted"] = classes[p.argmax(axis=1)] if len(p) else []
+            if proba:
+                out["prob"] = p.max(axis=1) if len(p) else []
+            return out
+
+        return ds.map_batches(score, batch_format="pandas")
+
+
+def _grad_partial(W, b, X, yidx, K, class_w):
+    z = X @ W + b
+    z -= z.max(axis=1, keepdims=True)
+    e = np.exp(z)
+    p = e / e.sum(axis=1, keepdims=True)
+    y1 = np.zeros_like(p)
+    y1[np.arange(len(yidx)), yidx] = 1.0
+    sw = class_w[yidx][:, None] if class_w is not None else 1.0
+    diff = (p - y1) * sw
+    gW = X.T @ diff
+    gb = diff.sum(axis=0)
+    ll = -np.log(np.clip(p[np.arange(len(yidx)), yidx], 1e-15, None))
+    if class_w is not None:
+        ll = ll * class_w[yidx]
+    return gW, gb, float(ll.sum()), len(yidx)
+
+
+def train_logistic_regression(
+    ds: rd.Dataset,
+    label_col: str = "label",
+    feature_col: str = "features",
+    penalty: float = 0.0,
+    max_epochs: int = 100,
+    learning_rate: float = 0.1,
+    tolerance: float = 1e-4,
+    patience: int = 3,
+    class_weights: dict | None = None,
+    key_col: str | None = None,
+    num_shards: int = 32,
+    seed: int = 42,
+) -> LogisticRegressionModel:
+    """Softmax logistic regression via data-parallel full-batch Adam.
+
+    Matches the reference objective (LogisticRegressionObjective.java:
+    cross-entropy + ``penalty`` * ||W||² with optional classWeights);
+    epochs run until the relative loss change drops under ``tolerance``
+    (Training.java's convergence criterion) or ``max_epochs``.
+    Deterministic: when ``key_col`` names a unique row key, the shards
+    are canonicalized first (sort by key → fixed ``num_shards`` even
+    repartition), so gradients combine in an input-layout-independent
+    order and the trained weights are byte-identical at any parallelism
+    or block layout — the engine-wide contract. Without a key the
+    weights are deterministic for a fixed block layout only.
+    """
+    classes = np.array(
+        sorted(ds.unique(label_col)), dtype=object
+    )
+    cls_index = {c: i for i, c in enumerate(classes)}
+    K = len(classes)
+    first = ds.take(1)[0]
+    d = len(np.asarray(first[feature_col], dtype=np.float64))
+    cw = None
+    if class_weights is not None:
+        cw = np.array([float(class_weights.get(c, 1.0)) for c in classes])
+    cref = ray.put((classes, cw))
+
+    # persist the (X, y-index) shards once; every epoch re-reads blocks
+    def to_xy(df: pd.DataFrame) -> pd.DataFrame:
+        idx = np.array([cls_index[v] for v in df[label_col]], dtype=np.int64)
+        out = pd.DataFrame({"_y": idx})
+        out[feature_col] = list(
+            np.stack([np.asarray(x, dtype=np.float64) for x in df[feature_col]])
+            if len(df) else np.zeros((0, d))
+        )
+        if key_col is not None:
+            out["_k"] = df[key_col].to_numpy()
+        return out
+
+    shards = ds.map_batches(to_xy, batch_format="pandas")
+    if key_col is not None:
+        # canonical layout: global key order + fixed even shard count ⇒
+        # the float gradient-sum order no longer depends on how the
+        # caller's Dataset happened to be blocked
+        shards = shards.sort("_k").repartition(num_shards)
+    shards = shards.materialize()
+    n_total = shards.count()
+
+    rng_w = (
+        (splitmix64(np.arange(d * K, dtype=np.uint64) + np.uint64(seed))
+         % np.uint64(10_000)).astype(np.float64) / 10_000.0 - 0.5
+    ) * 0.01
+    W = rng_w.reshape(d, K)
+    b = np.zeros(K)
+    mW = np.zeros_like(W); vW = np.zeros_like(W)
+    mb = np.zeros_like(b); vb = np.zeros_like(b)
+    beta1, beta2, eps = 0.9, 0.999, 1e-8
+    prev_loss = np.inf
+    flat_epochs = 0
+
+    for epoch in range(1, max_epochs + 1):
+        wref = ray.put((W, b))
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            Wl, bl = ray.get(wref)
+            _cls, cwl = ray.get(cref)
+            X = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in df[feature_col]]
+            ) if len(df) else np.zeros((0, Wl.shape[0]))
+            y = df["_y"].to_numpy(dtype=np.int64)
+            gW, gb, ll, n = _grad_partial(Wl, bl, X, y, Wl.shape[1], cwl)
+            return pd.DataFrame({
+                "gW": [gW.ravel()], "gb": [gb], "ll": [ll], "n": [n],
+            })
+
+        parts = shards.map_batches(partial, batch_format="pandas").to_pandas()
+        # fixed-order combine (blocks keep dataset order) => deterministic
+        gW = np.zeros_like(W); gb = np.zeros_like(b); loss = 0.0
+        for _, row in parts.iterrows():
+            gW += np.asarray(row["gW"], dtype=np.float64).reshape(d, K)
+            gb += np.asarray(row["gb"], dtype=np.float64)
+            loss += float(row["ll"])
+        gW = gW / n_total + 2.0 * penalty * W
+        gb = gb / n_total
+        loss = loss / n_total + penalty * float((W * W).sum())
+
+        mW = beta1 * mW + (1 - beta1) * gW
+        vW = beta2 * vW + (1 - beta2) * gW * gW
+        mb = beta1 * mb + (1 - beta1) * gb
+        vb = beta2 * vb + (1 - beta2) * gb * gb
+        c1 = 1 - beta1 ** epoch
+        c2 = 1 - beta2 ** epoch
+        W = W - learning_rate * (mW / c1) / (np.sqrt(vW / c2) + eps)
+        b = b - learning_rate * (mb / c1) / (np.sqrt(vb / c2) + eps)
+        # reference Training.java converges on `patience` consecutive
+        # epochs of sub-tolerance relative improvement (Adam's loss can
+        # plateau briefly then keep falling, so one flat epoch is noise)
+        if abs(prev_loss - loss) <= tolerance * max(abs(prev_loss), 1e-12):
+            flat_epochs += 1
+            if flat_epochs >= patience:
+                break
+        else:
+            flat_epochs = 0
+        prev_loss = loss
+
+    return LogisticRegressionModel(W, b, classes)
+
+
+# ---------------------------------------------------------------------------
+# link feature steps (linkPipeline/linkfunctions/)
+# ---------------------------------------------------------------------------
+
+
+def _link_matrix(A: np.ndarray, B: np.ndarray, combiner: str) -> np.ndarray:
+    if combiner == "hadamard":      # HadamardFeatureStep.java
+        return A * B
+    if combiner == "l2":            # L2FeatureStep.java: (a-b)^2 per dim
+        d = A - B
+        return d * d
+    if combiner == "cosine":        # CosineFeatureStep.java: one scalar
+        num = (A * B).sum(axis=1)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0)[:, None]
+    raise ValueError(combiner)
+
+
+def link_features(
+    pairs: rd.Dataset,
+    node_vectors: rd.Dataset,
+    combiners: list[str] = ("hadamard",),
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "node_id",
+    vec_col: str = "embedding",
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """Pair feature extraction: attach each side's vector by hash join,
+    then apply the combiner stack per batch (LinkFeatureExtractor.java).
+    Returns (src, dst, features) with features = concat of combiners."""
+    from graph_data_science_ray.pipelines.agg import hash_join
+
+    vec = node_vectors.select_columns([id_col, vec_col])
+    sch = None  # probed by hash_join
+    withs = hash_join(
+        pairs, vec.map_batches(
+            lambda df: df.rename(columns={id_col: src_col, vec_col: "_va"}),
+            batch_format="pandas"),
+        on=[src_col], num_parts=num_parts,
+    )
+    withd = hash_join(
+        withs, vec.map_batches(
+            lambda df: df.rename(columns={id_col: dst_col, vec_col: "_vb"}),
+            batch_format="pandas"),
+        on=[dst_col], num_parts=num_parts,
+    )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({src_col: [], dst_col: [], "features": []})
+        A = np.stack([np.asarray(x, dtype=np.float64) for x in df["_va"]])
+        B = np.stack([np.asarray(x, dtype=np.float64) for x in df["_vb"]])
+        F = np.concatenate([_link_matrix(A, B, c) for c in combiners], axis=1)
+        out = df[[src_col, dst_col]].copy()
+        out["features"] = list(F)
+        return out
+
+    return withd.map_batches(combine, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# pipelines
+# ---------------------------------------------------------------------------
+
+
+def hash_split(ds: rd.Dataset, key_col: str, test_fraction: float,
+               seed: int = 42):
+    """Deterministic (train, test) split by splitmix64 of the key —
+    the distributed analogue of the reference's seeded shuffled split."""
+    cut = np.uint64(int((1.0 - test_fraction) * (2 ** 64 - 1)))
+
+    def side(df: pd.DataFrame, want_train: bool) -> pd.DataFrame:
+        k = df[key_col].to_numpy()
+        if k.dtype.kind not in "iu":
+            k = np.array([hash(x) & 0x7FFFFFFFFFFFFFFF for x in k])
+        h = splitmix64(k.astype(np.uint64) + np.uint64(seed))
+        m = h <= cut
+        return df[m if want_train else ~m]
+
+    train = ds.map_batches(lambda df: side(df, True), batch_format="pandas")
+    test = ds.map_batches(lambda df: side(df, False), batch_format="pandas")
+    return train, test
+
+
+def node_classification_pipeline(
+    features_ds: rd.Dataset,
+    label_col: str = "label",
+    feature_cols: list[str] | None = None,
+    test_fraction: float = 0.25,
+    penalty: float = 0.0,
+    max_epochs: int = 100,
+    learning_rate: float = 0.1,
+    id_col: str = "node_id",
+    seed: int = 42,
+) -> dict:
+    """NodeClassificationTrainingPipeline: assemble → split → train →
+    evaluate → predict-all. Returns {model, metrics, predictions}."""
+    ds = features_ds
+    if feature_cols is not None:
+        ds = assemble_features(ds, feature_cols)
+    ds = ds.materialize()
+    train, test = hash_split(ds, id_col, test_fraction, seed=seed)
+    model = train_logistic_regression(
+        train, label_col=label_col, penalty=penalty, max_epochs=max_epochs,
+        learning_rate=learning_rate, key_col=id_col, seed=seed,
+    )
+    scored = model.predict(test).to_pandas()
+    acc = float((scored["predicted"] == scored[label_col]).mean()) if len(scored) else 0.0
+    # macro F1 (nodePipeline classification metrics)
+    f1s = []
+    for c in model.classes:
+        tp = int(((scored["predicted"] == c) & (scored[label_col] == c)).sum())
+        fp = int(((scored["predicted"] == c) & (scored[label_col] != c)).sum())
+        fn = int(((scored["predicted"] != c) & (scored[label_col] == c)).sum())
+        f1s.append(2 * tp / (2 * tp + fp + fn) if (2 * tp + fp + fn) else 0.0)
+    predictions = model.predict(ds, proba=True)
+    return {
+        "model": model,
+        "metrics": {"accuracy": acc, "f1_macro": float(np.mean(f1s))},
+        "predictions": predictions,
+    }
+
+
+def _sample_negative_pairs(
+    node_ids: np.ndarray, edge_keys_sorted: np.ndarray, n_neg: int,
+    V: int, seed: int,
+) -> pd.DataFrame:
+    """Seeded non-edge pairs: rejection-sample against the sorted packed
+    edge-key array (the triangles broadcast pattern)."""
+    out_a, out_b = [], []
+    need = n_neg
+    salt = 0
+    while need > 0 and salt < 64:
+        idx = np.arange(need, dtype=np.uint64)
+        a = node_ids[(splitmix64(idx + np.uint64(seed + salt)) %
+                      np.uint64(len(node_ids))).astype(np.int64)]
+        b = node_ids[(splitmix64(idx + np.uint64(seed + 7919 + salt)) %
+                      np.uint64(len(node_ids))).astype(np.int64)]
+        key = a.astype(np.int64) * V + b
+        pos = np.searchsorted(edge_keys_sorted, key)
+        pos = np.minimum(pos, max(len(edge_keys_sorted) - 1, 0))
+        is_edge = (
+            edge_keys_sorted[pos] == key if len(edge_keys_sorted)
+            else np.zeros(len(key), dtype=bool)
+        )
+        ok = (~is_edge) & (a != b)
+        out_a.append(a[ok]); out_b.append(b[ok])
+        need = n_neg - sum(len(x) for x in out_a)
+        salt += 1
+    a = np.concatenate(out_a)[:n_neg]
+    b = np.concatenate(out_b)[:n_neg]
+    return pd.DataFrame({"src": a, "dst": b})
+
+
+def link_prediction_pipeline(
+    enc_edges: rd.Dataset,
+    node_vectors: rd.Dataset,
+    node_count: int,
+    combiners: list[str] = ("hadamard",),
+    negative_ratio: float = 1.0,
+    test_fraction: float = 0.25,
+    penalty: float = 0.0,
+    max_epochs: int = 100,
+    learning_rate: float = 0.1,
+    id_col: str = "node_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> dict:
+    """LinkPredictionTrainingPipeline: positives = observed edges,
+    negatives = seeded rejection-sampled non-edges (negativeSamplingRatio,
+    LinkPredictionSplitConfig.java), features via the combiner stack,
+    binary LR, AUC-style accuracy on the held-out split.
+
+    The packed edge-key array for negative rejection is built
+    distributed (to_numpy_refs → one remote sort task) and broadcast —
+    the same budgeted pattern as triangle closing; at extreme E the
+    sampler should switch to the hash-join anti-join form (documented).
+    """
+    import ray
+
+    from graph_data_science_ray.functions.triangles import _sorted_key_array
+
+    V = int(node_count)
+    pos = enc_edges.select_columns(["src", "dst"]).materialize()
+    n_pos = pos.count()
+
+    key_refs = pos.map_batches(
+        lambda t: pa.table({
+            "key": pa.array(
+                t["src"].to_numpy(zero_copy_only=False).astype(np.int64) * V
+                + t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        }),
+        batch_format="pyarrow",
+    ).to_numpy_refs(column="key")
+    ekeys = ray.get(_sorted_key_array.remote(*key_refs))
+
+    node_ids = np.arange(V, dtype=np.int64)
+    neg = _sample_negative_pairs(
+        node_ids, ekeys, int(n_pos * negative_ratio), V, seed
+    )
+    pos_df = pos.to_pandas()
+    pos_df["label"] = 1
+    neg["label"] = 0
+    pairs = rd.from_pandas(pd.concat([pos_df, neg], ignore_index=True))
+
+    feats = link_features(
+        pairs, node_vectors, combiners=combiners,
+        id_col=id_col, vec_col=vec_col,
+    )
+    # re-attach labels (features shuffled through joins): label rides the
+    # pair key deterministically
+    lab = pairs.select_columns(["src", "dst", "label"])
+    from graph_data_science_ray.pipelines.agg import hash_join
+
+    labeled = hash_join(feats, lab, on=["src", "dst"]).map_batches(
+        lambda df: df.assign(
+            _k=(df["src"].to_numpy(dtype=np.int64) * V
+                + df["dst"].to_numpy(dtype=np.int64))
+        ),
+        batch_format="pandas",
+    ).materialize()
+    train, test = hash_split(labeled, "_k", test_fraction, seed=seed)
+    model = train_logistic_regression(
+        train, label_col="label", penalty=penalty, max_epochs=max_epochs,
+        learning_rate=learning_rate, key_col="_k", seed=seed,
+    )
+    scored = model.predict(test).to_pandas()
+    acc = float((scored["predicted"] == scored["label"]).mean()) if len(scored) else 0.0
+    return {"model": model, "metrics": {"accuracy": acc},
+            "n_pos": int(n_pos), "n_neg": int(len(neg))}

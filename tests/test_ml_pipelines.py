@@ -1,0 +1,139 @@
+"""ML pipeline slice: logistic regression, link features, pipelines.
+
+Reference surface: ml/ml-algo logisticregression/ (softmax CE + L2),
+pipeline/ nodePipeline + linkPipeline (feature steps, split, train,
+predict)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from graph_data_science_ray.pipelines.ml import (
+    LogisticRegressionModel,
+    assemble_features,
+    hash_split,
+    link_features,
+    link_prediction_pipeline,
+    node_classification_pipeline,
+    train_logistic_regression,
+)
+
+
+def _blob_ds(n=120, seed=3):
+    rng = np.random.default_rng(seed)
+    X0 = rng.normal(loc=[-2.0, 0.0], scale=0.6, size=(n // 3, 2))
+    X1 = rng.normal(loc=[2.0, 0.0], scale=0.6, size=(n // 3, 2))
+    X2 = rng.normal(loc=[0.0, 3.0], scale=0.6, size=(n // 3, 2))
+    X = np.concatenate([X0, X1, X2])
+    y = np.repeat([0, 1, 2], n // 3)
+    df = pd.DataFrame({
+        "node_id": np.arange(len(X), dtype=np.int64),
+        "label": y,
+    })
+    df["features"] = list(X)
+    return df
+
+
+def test_logistic_regression_separable_and_deterministic():
+    df = _blob_ds()
+    ds = rd.from_pandas(df, override_num_blocks=4)
+    m1 = train_logistic_regression(
+        ds, max_epochs=120, learning_rate=0.3, key_col="node_id"
+    )
+    m2 = train_logistic_regression(
+        rd.from_pandas(df, override_num_blocks=2), max_epochs=120,
+        learning_rate=0.3, key_col="node_id",
+    )
+    # deterministic at any block layout (fixed-order gradient combine)
+    assert (m1.weights == m2.weights).all()
+    assert (m1.bias == m2.bias).all()
+    scored = m1.predict(ds).to_pandas()
+    acc = (scored["predicted"] == scored["label"]).mean()
+    assert acc > 0.95
+
+
+def test_assemble_features_mixes_scalars_and_lists():
+    df = pd.DataFrame({"node_id": [0, 1], "a": [1.0, 2.0]})
+    df["emb"] = [np.array([0.5, 0.25]), np.array([1.5, 1.25])]
+    ds = assemble_features(rd.from_pandas(df), ["a", "emb"])
+    out = ds.to_pandas().sort_values("node_id")
+    assert list(out["features"].iloc[0]) == [1.0, 0.5, 0.25]
+    assert list(out["features"].iloc[1]) == [2.0, 1.5, 1.25]
+
+
+def test_link_features_combiners_match_numpy():
+    vecs = pd.DataFrame({"node_id": [0, 1, 2]})
+    vecs["embedding"] = [
+        np.array([1.0, 0.0]), np.array([0.0, 2.0]), np.array([3.0, 4.0]),
+    ]
+    pairs = pd.DataFrame({"src": [0, 1], "dst": [2, 2]})
+    out = link_features(
+        rd.from_pandas(pairs), rd.from_pandas(vecs),
+        combiners=["hadamard", "l2", "cosine"],
+    ).to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    V = {0: np.array([1.0, 0.0]), 1: np.array([0.0, 2.0]),
+         2: np.array([3.0, 4.0])}
+    for _, row in out.iterrows():
+        a, b = V[row["src"]], V[row["dst"]]
+        exp = np.concatenate([
+            a * b, (a - b) ** 2,
+            [a @ b / (np.linalg.norm(a) * np.linalg.norm(b))],
+        ])
+        assert np.allclose(np.asarray(row["features"]), exp)
+
+
+def test_hash_split_is_deterministic_partition():
+    df = pd.DataFrame({"node_id": np.arange(500, dtype=np.int64), "x": 1.0})
+    ds = rd.from_pandas(df)
+    tr, te = hash_split(ds, "node_id", 0.3, seed=7)
+    tr2, te2 = hash_split(rd.from_pandas(df, override_num_blocks=5),
+                          "node_id", 0.3, seed=7)
+    a = set(tr.to_pandas()["node_id"]); b = set(te.to_pandas()["node_id"])
+    assert a.isdisjoint(b) and len(a) + len(b) == 500
+    assert 0.2 < len(b) / 500 < 0.4
+    assert a == set(tr2.to_pandas()["node_id"])
+
+
+def test_node_classification_pipeline_learns_degree_classes(graph_from_edges):
+    # star-ish graph: hubs (high degree) vs leaves — features = [degree]
+    edges = [(0, i) for i in range(2, 12)] + [(1, i) for i in range(2, 12)]
+    gd, gu, idmap, enc, sym = graph_from_edges(edges, num_partitions=3)
+    from graph_data_science_ray.functions.degree import degree_centrality
+
+    deg = degree_centrality(sym, node_count=len(idmap), weighted=False)
+    df = pd.DataFrame({
+        "node_id": np.arange(len(idmap), dtype=np.int64),
+        "label": (deg["degree"].to_numpy() > 5).astype(np.int64),
+    })
+    df["features"] = list(deg["degree"].to_numpy(dtype=np.float64)[:, None])
+    res = node_classification_pipeline(
+        rd.from_pandas(df), test_fraction=0.25, max_epochs=150,
+        learning_rate=0.5,
+    )
+    preds = res["predictions"].to_pandas()
+    assert (preds["predicted"] == df.set_index("node_id").loc[
+        preds["node_id"], "label"].to_numpy()).mean() == 1.0
+    assert set(res["metrics"]) == {"accuracy", "f1_macro"}
+
+
+def test_link_prediction_pipeline_beats_chance(graph_from_edges):
+    # two dense clusters, embeddings = cluster indicator => intra-cluster
+    # pairs (positives) separable from random cross pairs
+    edges = []
+    for base in (0, 8):
+        grp = range(base, base + 8)
+        edges += [(i, j) for i in grp for j in grp if i != j]
+    gd, gu, idmap, enc, sym = graph_from_edges(edges, num_partitions=3)
+    n = len(idmap)
+    vecs = pd.DataFrame({"node_id": np.arange(n, dtype=np.int64)})
+    vecs["embedding"] = [
+        np.array([1.0, 0.0]) if i < 8 else np.array([0.0, 1.0])
+        for i in range(n)
+    ]
+    res = link_prediction_pipeline(
+        enc, rd.from_pandas(vecs), node_count=n,
+        combiners=["hadamard"], max_epochs=120, learning_rate=0.5,
+    )
+    assert res["n_pos"] > 0 and res["n_neg"] > 0
+    assert res["metrics"]["accuracy"] > 0.8
