@@ -435,6 +435,27 @@ def _q_shortest_path_route(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_dijkstra_route(sf_dir: str) -> pd.DataFrame:
+    """Heap-Dijkstra route (paths/dijkstra/Dijkstra.java:45) — same
+    contract and tie-breaking as shortest_path_route, early exit when the
+    target settles; shares that query's recursive-SQL oracle."""
+    from graph_data_science_ray.functions.paths import dijkstra_route
+
+    b = _bundle(sf_dir)
+    route = dijkstra_route(
+        b["gd"], source_id=0, target_id=len(b["idmap"]) - 1, weighted=True
+    )
+    if not len(route):
+        return pd.DataFrame({"position": [], "node": [], "distance": []})
+    return pd.DataFrame(
+        {
+            "position": route["position"].astype(np.int64),
+            "node": _strip(route["node"]),
+            "distance": route["distance"].astype(np.float64),
+        }
+    )
+
+
 def _q_rwr_sample(sf_dir: str) -> pd.DataFrame:
     from graph_data_science_ray.functions.walks import rwr_sample
 
@@ -729,6 +750,20 @@ def _q_node2vec(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("node").reset_index(drop=True)
 
 
+def _q_graphsage(sf_dir: str) -> pd.DataFrame:
+    """GraphSAGE mean-aggregator embeddings (rows-only: sampled
+    neighborhoods + iterative Adam training are not SQL-expressible).
+    Deterministic at any parallelism — fixed shard-order combine."""
+    from graph_data_science_ray.functions.graphsage import graphsage
+
+    b = _bundle(sf_dir)
+    out = graphsage(b["gu"], embedding_dim=16, sample_sizes=(10, 5),
+                    epochs=5, seed=17)
+    out["node"] = _strip(out["node"])
+    out["embedding"] = [",".join(f"{x:.6f}" for x in v) for v in out["embedding"]]
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def _q_sllpa(sf_dir: str) -> pd.DataFrame:
     from graph_data_science_ray.functions.community2 import sllpa
 
@@ -852,6 +887,39 @@ def _q_edges_max(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_cypher_project(sf_dir: str) -> pd.DataFrame:
+    """Cypher-style expression projection (arbitrary-rows surface):
+    endpoints, weight and filter are per-row expressions over lineitem,
+    parallel rows SUM-combined — the reference's graph.project.cypher
+    contract re-expressed as vectorized batch eval."""
+    import ray.data as rd
+
+    from graph_data_science_ray.pipelines.edges import edges_from_expressions
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_quantity", "l_discount"],
+    )
+    out = edges_from_expressions(
+        li,
+        src="l_orderkey % 97",
+        dst="l_partkey % 89",
+        # integer-valued per-row weight: sums are exact in float64, so
+        # numpy and DuckDB agree bit-for-bit regardless of sum order
+        weight="l_quantity * 2 + 1",
+        where="l_quantity > 45 and l_discount < 0.05",
+        aggregation="sum",
+        num_partitions=4,
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "src": out["src"].astype(np.int64),
+            "dst": out["dst"].astype(np.int64),
+            "weight": out["weight"].astype(np.int64),
+        }
+    ).sort_values(["src", "dst"]).reset_index(drop=True)
+
+
 def _q_nodesim_topk(sf_dir: str) -> pd.DataFrame:
     """Per-node top-K node similarity (the reference's topK contract):
     DIRECTED rows, each node keeps its K most similar others (sim desc,
@@ -888,6 +956,105 @@ def _q_nodesim_cosine(sf_dir: str) -> pd.DataFrame:
             "node_a": _strip(res["node_a"]),
             "node_b": _strip(res["node_b"]),
             "sim_ppm": res["sim_ppm"].astype(np.int64),
+        }
+    )
+
+
+def _lr_score_weights(d: int):
+    """Deterministic rational LR weights shared by the Ray query and the
+    SQL oracle: W[j, k] = (((j*7 + k*13) % 21) - 10) / 10, b = ±0.05."""
+    j = np.arange(d)[:, None]
+    k = np.arange(2)[None, :]
+    W = (((j * 7 + k * 13) % 21) - 10) / 10.0
+    b = np.array([0.05, -0.05])
+    return W, b
+
+
+def _q_lr_score(sf_dir: str) -> pd.DataFrame:
+    """Fixed-weight logistic-regression scoring over the embeddings table
+    (the pipeline predict path; reference LogisticRegressionClassifier).
+    Output is int-only (vec_id, predicted) — argmax of the 2-class logits
+    flips between engines only if |z1 - z0| < ~1e-12, i.e. never."""
+    import ray.data as rd
+
+    from graph_data_science_ray.pipelines.ml import (
+        LogisticRegressionModel, assemble_features,
+    )
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    first = emb.take(1)[0]
+    d = len(first["embedding"])
+    W, b = _lr_score_weights(d)
+    model = LogisticRegressionModel(W, b, classes=np.array([0, 1]))
+    ds = assemble_features(emb, ["embedding"])
+    out = model.predict(ds).to_pandas()
+    return pd.DataFrame(
+        {
+            "vec_id": out["vec_id"].astype(np.int64),
+            "predicted": out["predicted"].astype(np.int64),
+        }
+    ).sort_values("vec_id").reset_index(drop=True)
+
+
+def _q_node_classification(sf_dir: str) -> pd.DataFrame:
+    """NodeClassification pipeline on the embeddings table: train softmax
+    LR on `label`, predict every row (rows-only: iterative training is
+    not SQL-expressible). Deterministic at any parallelism."""
+    import ray.data as rd
+
+    from graph_data_science_ray.pipelines.ml import node_classification_pipeline
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    res = node_classification_pipeline(
+        emb, label_col="label", feature_cols=["embedding"],
+        id_col="vec_id", test_fraction=0.25, max_epochs=25,
+        learning_rate=0.3,
+    )
+    preds = res["predictions"].to_pandas()
+    return pd.DataFrame(
+        {
+            "vec_id": preds["vec_id"].astype(np.int64),
+            "label": preds["label"].astype(np.int64),
+            "predicted": preds["predicted"].astype(np.int64),
+        }
+    ).sort_values("vec_id").reset_index(drop=True)
+
+
+def _q_link_prediction(sf_dir: str) -> pd.DataFrame:
+    """LinkPrediction pipeline over the cosine-KNN graph of the
+    embeddings table: positives = top-5 neighbor pairs, negatives =
+    seeded non-edge samples, hadamard+cosine link features, binary LR
+    (rows-only: iterative training). The conversation graph at small sf
+    is near-complete (no non-edges to sample), so the KNN graph is the
+    well-posed LP universe."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.similarity import knn_brute_force
+    from graph_data_science_ray.pipelines.ml import link_prediction_pipeline
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    V = emb.count()
+    knn = knn_brute_force(emb, query_ids=np.arange(V), k=5)
+    pos = rd.from_pandas(pd.DataFrame({
+        "src": knn["query_id"].astype(np.int64),
+        "dst": knn["neighbor_id"].astype(np.int64),
+    }))
+    vecs = emb.map_batches(
+        lambda df: df.rename(columns={"vec_id": "node_id"}),
+        batch_format="pandas",
+    )
+    res = link_prediction_pipeline(
+        pos, vecs, node_count=V,
+        combiners=["hadamard", "cosine"], max_epochs=30,
+        learning_rate=0.3, seed=42,
+    )
+    return pd.DataFrame(
+        {
+            "n_pos": [int(res["n_pos"])],
+            "n_neg": [int(res["n_neg"])],
+            "accuracy": [round(float(res["metrics"]["accuracy"]), 4)],
         }
     )
 
@@ -1024,6 +1191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "betweenness": _q_betweenness,
         "spanning_tree": _q_spanning_tree,
         "shortest_path_route": _q_shortest_path_route,
+        "dijkstra_route": _q_dijkstra_route,
         "rwr_sample": _q_rwr_sample,
         "dedup_exact": _q_dedup_exact,
         "fingerprint": _q_fingerprint,
@@ -1043,6 +1211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "astar": _q_astar,
         "dfs": _q_dfs,
         "node2vec": _q_node2vec,
+        "graphsage": _q_graphsage,
         "sllpa": _q_sllpa,
         "max_k_cut": _q_max_k_cut,
         "celf": _q_celf,
@@ -1062,6 +1231,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node_similarity_cosine": _q_nodesim_cosine,
         "node_similarity_topk": _q_nodesim_topk,
         "edges_max": _q_edges_max,
+        "cypher_project": _q_cypher_project,
+        "lr_score": _q_lr_score,
+        "node_classification": _q_node_classification,
+        "link_prediction": _q_link_prediction,
     }
 
 
@@ -1410,6 +1583,9 @@ SELECT CAST((SELECT max(i) FROM walk) - i AS BIGINT) AS position,
 FROM walk JOIN dmin d ON d.node = walk.v
 ORDER BY position
 """
+
+    # dijkstra_route: identical contract to shortest_path_route
+    sqls["dijkstra_route"] = sqls["shortest_path_route"]
 
     sqls["scc"] = f"""
 WITH RECURSIVE {_GRAPH_CTE},
@@ -1973,6 +2149,35 @@ gaps AS (
 )
 SELECT src, dst, CAST(max(gap) AS DOUBLE) AS weight
 FROM gaps GROUP BY src, dst ORDER BY src, dst
+"""
+
+    sqls["cypher_project"] = """
+SELECT CAST(l_orderkey % 97 AS BIGINT) AS src,
+       CAST(l_partkey % 89 AS BIGINT) AS dst,
+       CAST(SUM(l_quantity * 2 + 1) AS BIGINT) AS weight
+FROM lineitem
+WHERE l_quantity > 45 AND l_discount < 0.05
+GROUP BY 1, 2
+ORDER BY src, dst
+"""
+
+    # lr_score: the same deterministic rational weights as the Ray side
+    # (d=64, the embeddings-table width at every sf). predicted = argmax
+    # of the 2-class logits; int-only output so float last-ulp engine
+    # differences cannot flip the hash.
+    _W, _b = _lr_score_weights(64)
+    _w0 = "[" + ", ".join(f"{x:.1f}" for x in _W[:, 0]) + "]"
+    _w1 = "[" + ", ".join(f"{x:.1f}" for x in _W[:, 1]) + "]"
+    sqls["lr_score"] = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+z AS (
+    SELECT vec_id,
+           list_dot_product(e, {_w0}) + {_b[0]:.2f} AS z0,
+           list_dot_product(e, {_w1}) + {_b[1]:.2f} AS z1
+    FROM v
+)
+SELECT vec_id, CAST(CASE WHEN z1 > z0 THEN 1 ELSE 0 END AS BIGINT) AS predicted
+FROM z ORDER BY vec_id
 """
 
     return sqls

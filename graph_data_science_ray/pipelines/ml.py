@@ -386,14 +386,16 @@ def _sample_negative_pairs(
 ) -> pd.DataFrame:
     """Seeded non-edge pairs: rejection-sample against the sorted packed
     edge-key array (the triangles broadcast pattern)."""
-    out_a, out_b = [], []
-    need = n_neg
+    kept = np.zeros(0, dtype=np.int64)  # accepted pair keys, deduped
     salt = 0
-    while need > 0 and salt < 64:
-        idx = np.arange(need, dtype=np.uint64)
-        a = node_ids[(splitmix64(idx + np.uint64(seed + salt)) %
+    while len(kept) < n_neg and salt < 64:
+        need = n_neg - len(kept)
+        # draw a disjoint hash window per round (round r reads hashes
+        # [r*n_neg, r*n_neg+need) — no overlap with earlier rounds)
+        idx = np.arange(need, dtype=np.uint64) + np.uint64(salt * n_neg)
+        a = node_ids[(splitmix64(idx + np.uint64(seed)) %
                       np.uint64(len(node_ids))).astype(np.int64)]
-        b = node_ids[(splitmix64(idx + np.uint64(seed + 7919 + salt)) %
+        b = node_ids[(splitmix64(idx + np.uint64(seed + 7919)) %
                       np.uint64(len(node_ids))).astype(np.int64)]
         key = a.astype(np.int64) * V + b
         pos = np.searchsorted(edge_keys_sorted, key)
@@ -402,13 +404,10 @@ def _sample_negative_pairs(
             edge_keys_sorted[pos] == key if len(edge_keys_sorted)
             else np.zeros(len(key), dtype=bool)
         )
-        ok = (~is_edge) & (a != b)
-        out_a.append(a[ok]); out_b.append(b[ok])
-        need = n_neg - sum(len(x) for x in out_a)
+        kept = np.unique(np.concatenate([kept, key[(~is_edge) & (a != b)]]))
         salt += 1
-    a = np.concatenate(out_a)[:n_neg]
-    b = np.concatenate(out_b)[:n_neg]
-    return pd.DataFrame({"src": a, "dst": b})
+    kept = kept[:n_neg]
+    return pd.DataFrame({"src": kept // V, "dst": kept % V})
 
 
 def link_prediction_pipeline(
@@ -440,7 +439,9 @@ def link_prediction_pipeline(
     from graph_data_science_ray.functions.triangles import _sorted_key_array
 
     V = int(node_count)
-    pos = enc_edges.select_columns(["src", "dst"]).materialize()
+    # repartition squeezes out schema-less empty blocks that would break
+    # the per-block to_numpy_refs key build below
+    pos = enc_edges.select_columns(["src", "dst"]).repartition(8).materialize()
     n_pos = pos.count()
 
     key_refs = pos.map_batches(

@@ -71,6 +71,9 @@ _ORACLE_CHECKED = [
     "pagerank_personalized",
     "bpe_token_count",
     "dedup_exact_table",
+    "lr_score",
+    "dijkstra_route",
+    "cypher_project",
 ]
 
 
