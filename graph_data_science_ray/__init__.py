@@ -30,6 +30,7 @@ from graph_data_science_ray.pipelines.edges import (
     derive_turns,
     derive_edges,
     derive_edges_agg,
+    edges_from_expressions,
     IdMap,
     encode_edges,
     symmetrize,
@@ -47,6 +48,7 @@ from graph_data_science_ray.functions.paths import (
     astar_route,
     delta_stepping,
     dfs_preorder,
+    dijkstra_route,
     yens_k_shortest,
 )
 from graph_data_science_ray.functions.community2 import approx_max_k_cut, sllpa
@@ -66,6 +68,7 @@ __all__ = [
     "astar_route",
     "delta_stepping",
     "dfs_preorder",
+    "dijkstra_route",
     "yens_k_shortest",
     "approx_max_k_cut",
     "sllpa",
@@ -82,6 +85,7 @@ __all__ = [
     "derive_turns",
     "derive_edges",
     "derive_edges_agg",
+    "edges_from_expressions",
     "IdMap",
     "encode_edges",
     "symmetrize",

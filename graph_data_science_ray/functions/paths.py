@@ -17,9 +17,11 @@ Reference semantics:
   distances as Bellman-Ford, far fewer wasted relaxations on weighted
   graphs with spread-out distances.
 
-Masked SSSP for Yens re-projects the filtered edge Dataset per spur —
-correct and partition-parallel; the masked set is broadcast once per
-projection.
+Masked SSSP for Yens runs on the ONE projected CSR (no per-candidate
+re-projection): banned edges in Yen's loop always originate at the spur
+node, so the spur's scatter is replaced by seeding its allowed
+neighbors' distances, and banned nodes are clamped to inf inside the
+kernel — the full edge table is scanned exactly once per yens call.
 """
 
 from __future__ import annotations
@@ -29,11 +31,10 @@ import tempfile
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 import ray
 import ray.data as rd
 
-from graph_data_science_ray.functions.sssp import SsspComputation, shortest_path_route
+from graph_data_science_ray.functions.sssp import SsspComputation
 from graph_data_science_ray.state.graph import GraphStore
 from graph_data_science_ray.state.pregel import Pregel
 
@@ -43,54 +44,111 @@ from graph_data_science_ray.state.pregel import Pregel
 # ---------------------------------------------------------------------------
 
 
-def _route_on_subgraph(
-    edges: rd.Dataset,
-    node_count: int,
+class _MaskedSssp(SsspComputation):
+    """SSSP with node bans and spur-edge bans on the SHARED CSR blocks.
+
+    Banned nodes are clamped to inf (they never relax, relay, or appear
+    on routes). Banned edges all originate at the spur (Yen's invariant),
+    so the spur never scatters; instead its ALLOWED out-neighbors are
+    seeded with their first-hop distance at init.
+    """
+
+    def __init__(self, spur: int, seed_ids: np.ndarray, seed_dist: np.ndarray,
+                 banned_nodes: np.ndarray, weighted: bool = True):
+        super().__init__(spur, weighted)
+        self.seed_ids = seed_ids
+        self.seed_dist = seed_dist
+        self.banned = banned_nodes
+
+    def init_state(self, block: dict) -> dict:
+        n = block["end"] - block["start"]
+        dist = np.full(n, np.inf, dtype=np.float64)
+        changed = np.zeros(n, dtype=bool)
+        if block["start"] <= self.source < block["end"]:
+            dist[self.source - block["start"]] = 0.0  # spur: never scatters
+        inb = (self.seed_ids >= block["start"]) & (self.seed_ids < block["end"])
+        loc = self.seed_ids[inb] - block["start"]
+        np.minimum.at(dist, loc, self.seed_dist[inb])
+        changed[loc] = True
+        ban = self.banned[(self.banned >= block["start"]) & (self.banned < block["end"])]
+        bloc = ban - block["start"]
+        dist[bloc] = np.inf
+        changed[bloc] = False
+        return {"dist": dist, "changed": changed, "_ban": bloc}
+
+    def apply_messages(self, state, acc, received, block):
+        new = np.minimum(state["dist"], acc)
+        bloc = state["_ban"]
+        new[bloc] = np.inf
+        changed = new < state["dist"]
+        state["dist"] = new
+        state["changed"] = changed
+        return {"changed": int(changed.sum())}
+
+
+@ray.remote
+def _out_adj(block, v: int):
+    """(neighbors, weights) of one node from its owning CSR block."""
+    lo = v - block["start"]
+    s, e = int(block["indptr"][lo]), int(block["indptr"][lo + 1])
+    nbrs = np.asarray(block["indices"][s:e], dtype=np.int64)
+    w = (np.asarray(block["weights"][s:e], dtype=np.float64)
+         if len(block["weights"]) else np.ones(e - s, dtype=np.float64))
+    return nbrs, w
+
+
+def _masked_route(
+    graph,
     source_id: int,
     target_id: int,
     banned_edges: set[tuple[int, int]],
     banned_nodes: set[int],
-    path_dir: str,
     weighted: bool,
-    num_partitions: int,
-) -> tuple[list[int], float]:
-    """Shortest route on the masked subgraph; ([], inf) if unreachable."""
-    be = np.array(sorted(banned_edges), dtype=np.int64).reshape(-1, 2)
-    bn = np.array(sorted(banned_nodes), dtype=np.int64)
-    be_ref = ray.put(be)
-    bn_ref = ray.put(bn)
-    V = node_count
+) -> tuple[list[int], list[float]]:
+    """Shortest route on the masked graph, no re-projection;
+    ([], []) if unreachable. All banned edges must start at source_id."""
+    from graph_data_science_ray.functions.sssp import _pred_in_block
 
-    def mask(t: pa.Table) -> pa.Table:
-        bed = ray.get(be_ref)
-        bnd = ray.get(bn_ref)
-        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-        w = t["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
-        keep = np.ones(len(s), dtype=bool)
-        if len(bnd):
-            keep &= ~(np.isin(s, bnd) | np.isin(d, bnd))
-        if len(bed):
-            packed = s * V + d
-            bpacked = bed[:, 0] * V + bed[:, 1]
-            keep &= ~np.isin(packed, bpacked)
-        return pa.table(
-            {"src": pa.array(s[keep]), "dst": pa.array(d[keep]),
-             "weight": pa.array(w[keep])}
-        )
-
-    sub = edges.map_batches(mask, batch_format="pyarrow")
-    g = GraphStore.project(
-        sub, path_dir, node_count=node_count, num_partitions=num_partitions,
-        directed=True,
+    blocks = graph.block_refs()
+    own = int(np.searchsorted(graph.boundaries, source_id, side="right") - 1)
+    nbrs, w = ray.get(_out_adj.remote(blocks[own], int(source_id)))
+    if not weighted:
+        w = np.ones(len(nbrs), dtype=np.float64)
+    banned_dst = np.array(
+        sorted(d for _s, d in banned_edges), dtype=np.int64
     )
-    route = shortest_path_route(g, source_id, target_id, weighted=weighted)
-    if not len(route):
+    bn = np.array(sorted(banned_nodes), dtype=np.int64)
+    keep = ~np.isin(nbrs, banned_dst)
+    if len(bn):
+        keep &= ~np.isin(nbrs, bn)
+    keep &= nbrs != source_id
+    seed_ids, seed_w = nbrs[keep], w[keep]
+    if len(seed_ids) == 0:
         return [], []
-    nodes = route["node"].to_numpy()
-    if route["node"].dtype == object:  # idmap-free graphs return ints
-        nodes = nodes.astype(np.int64)
-    return [int(x) for x in nodes], [float(d) for d in route["distance"]]
+    # parallel edges were aggregated at projection; ids are unique, but
+    # guard with a min-combine anyway (np.minimum.at in init_state)
+    comp = _MaskedSssp(int(source_id), seed_ids, seed_w, bn, weighted)
+    engine = Pregel(graph, comp)
+    refs = engine.run(max_iterations=graph.node_count + 2)
+    dist = engine.gather(refs, "dist")
+    if not np.isfinite(dist[target_id]):
+        return [], []
+    dist_ref = ray.put(dist)
+    banned_dst_set = set(int(x) for x in banned_dst)
+    path = [int(target_id)]
+    while path[-1] != source_id:
+        v = path[-1]
+        excl = int(source_id) if v in banned_dst_set else -1
+        cands = ray.get(
+            [_pred_in_block.remote(b, v, dist_ref, weighted, excl)
+             for b in blocks]
+        )
+        cands = [c for c in cands if c >= 0]
+        if not cands:
+            return [], []
+        path.append(min(cands))
+    path.reverse()
+    return path, [float(dist[v]) for v in path]
 
 
 def yens_k_shortest(
@@ -108,10 +166,13 @@ def yens_k_shortest(
     smaller node sequence (deterministic).
     """
     root_dir = tempfile.mkdtemp(prefix="gdsr-yens-", dir="/tmp")
-    edges = edges.select_columns(["src", "dst", "weight"]).materialize()
-    first, dists0 = _route_on_subgraph(
-        edges, node_count, source_id, target_id, set(), set(),
-        os.path.join(root_dir, "p0"), weighted, num_partitions,
+    edges = edges.select_columns(["src", "dst", "weight"])
+    g = GraphStore.project(
+        edges, os.path.join(root_dir, "g"), node_count=node_count,
+        num_partitions=num_partitions, directed=True,
+    )
+    first, dists0 = _masked_route(
+        g, source_id, target_id, set(), set(), weighted,
     )
     if not first:
         return pd.DataFrame(
@@ -136,9 +197,8 @@ def yens_k_shortest(
                 if len(p) > i and p[: i + 1] == root:
                     banned_edges.add((p[i], p[i + 1]))
             banned_nodes = set(root[:-1])
-            sp, sp_d = _route_on_subgraph(
-                edges, node_count, spur, target_id, banned_edges, banned_nodes,
-                os.path.join(root_dir, f"p{n_proj}"), weighted, num_partitions,
+            sp, sp_d = _masked_route(
+                g, spur, target_id, banned_edges, banned_nodes, weighted,
             )
             n_proj += 1
             if not sp:
@@ -236,6 +296,95 @@ def astar_route(
             "position": np.arange(len(path), dtype=np.int64),
             "node": graph.idmap.keys[nodes] if graph.idmap is not None else nodes,
             "distance": dist[nodes],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dijkstra (sequential binary heap — one task over shared CSR blocks)
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _dijkstra_task(block_refs: list, source: int, target: int,
+                   weighted: bool) -> tuple[np.ndarray, np.ndarray]:
+    """Classic heap Dijkstra in one task with zero-copy CSR block reads.
+
+    Reference: paths/dijkstra/Dijkstra.java:45 — the reference itself
+    runs one sequential priority queue per source; this mirrors it for
+    the source-target route case where the heap's early exit (stop when
+    the target settles) beats a whole-graph relaxation fixpoint.
+    Deterministic: ties settle by (distance, node id); predecessors pick
+    the minimum tight sender id, matching ``shortest_path_route``.
+    """
+    import heapq
+
+    blocks = ray.get(list(block_refs))
+    starts = np.array([b["start"] for b in blocks], dtype=np.int64)
+
+    def adj(v: int):
+        p = int(np.searchsorted(starts, v, side="right") - 1)
+        b = blocks[p]
+        lo = v - b["start"]
+        s, e = int(b["indptr"][lo]), int(b["indptr"][lo + 1])
+        nbrs = b["indices"][s:e]
+        w = (b["weights"][s:e] if weighted and len(b["weights"])
+             else np.ones(e - s, dtype=np.float64))
+        return nbrs, w
+
+    dist: dict[int, float] = {int(source): 0.0}
+    pred: dict[int, int] = {}
+    done: set[int] = set()
+    heap: list[tuple[float, int]] = [(0.0, int(source))]
+    while heap:
+        d, v = heapq.heappop(heap)
+        if v in done:
+            continue
+        done.add(v)
+        if v == target:
+            break
+        nbrs, w = adj(v)
+        for u, wu in zip(nbrs.tolist(), w.tolist()):
+            nd = d + wu
+            old = dist.get(u)
+            if old is None or nd < old or (nd == old and pred.get(u, u) > v):
+                dist[u] = nd
+                pred[u] = v
+                heapq.heappush(heap, (nd, u))
+    if target not in done:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+    path = [int(target)]
+    while path[-1] != source:
+        path.append(pred[path[-1]])
+    path.reverse()
+    nodes = np.asarray(path, dtype=np.int64)
+    return nodes, np.array([dist[v] for v in path], dtype=np.float64)
+
+
+def dijkstra_route(
+    graph, source_id: int, target_id: int, weighted: bool = True
+) -> pd.DataFrame:
+    """Source→target shortest route via a real binary-heap Dijkstra.
+
+    Same output contract as ``shortest_path_route`` (position, node,
+    distance) and identical results (min-id tie-breaking); this variant
+    settles only the nodes the heap reaches before the target, so on
+    high-diameter graphs it does far less work than the BSP relaxation
+    fixpoint. Runs in ONE task (the reference's per-source traversal is
+    equally sequential); use ``shortest_paths`` for all-nodes distances.
+    """
+    nodes, dists = ray.get(
+        _dijkstra_task.remote(
+            graph.block_refs(), int(source_id), int(target_id), weighted
+        )
+    )
+    if not len(nodes):
+        return pd.DataFrame({"position": [], "node": [], "distance": []})
+    return pd.DataFrame(
+        {
+            "position": np.arange(len(nodes), dtype=np.int64),
+            "node": graph.idmap.keys[nodes] if graph.idmap is not None else nodes,
+            "distance": dists,
         }
     )
 

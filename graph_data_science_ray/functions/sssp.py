@@ -161,11 +161,12 @@ import ray as _ray
 
 
 @_ray.remote
-def _pred_in_block(block, v, dist, weighted):
+def _pred_in_block(block, v, dist, weighted, exclude_u: int = -1):
     """Find min-id predecessor of v within one CSR block: binary-search the
     destination-sorted edge layout, keep senders u with
     dist(u) + w(u,v) == dist(v). ``dist`` arrives as an auto-resolved
-    broadcast ref (zero-copy)."""
+    broadcast ref (zero-copy). ``exclude_u`` drops one sender id (a
+    masked edge u→v for Yens spur routes)."""
     import numpy as np
 
     ds = block["dst_sorted"]
@@ -175,7 +176,7 @@ def _pred_in_block(block, v, dist, weighted):
         return -1
     u = block["src_idx"][lo:hi].astype(np.int64) + block["start"]
     w = block["w_sorted"][lo:hi] if weighted else np.ones(hi - lo)
-    ok = np.isfinite(dist[u]) & (dist[u] + w == dist[v])
+    ok = np.isfinite(dist[u]) & (dist[u] + w == dist[v]) & (u != exclude_u)
     return int(u[ok].min()) if ok.any() else -1
 
 

@@ -154,18 +154,31 @@ def _pair_batch(t: pa.Table, *, collector) -> pa.Table:
     return _partial_count(pairs)
 
 
-def derive_edges(turns: rd.Dataset, num_partitions: int | None = None) -> rd.Dataset:
+def derive_edges(
+    turns: rd.Dataset,
+    num_partitions: int | None = None,
+    strategy: str = "grouped",
+) -> rd.Dataset:
     """Weighted directed edge table ``(src, dst, weight)`` over actor keys.
 
-    Consecutive-turn pairing via a range-partitioned sort on
-    ``(conv_id, turn_idx)`` + vectorized within-batch adjacency, with a
-    boundary side-channel for pairs that span blocks (exact). ~10x faster
-    than the self hash-join variant (kept as ``derive_edges_join``).
     ``weight`` = number of consecutive-turn interactions (parallel-edge
     aggregation = COUNT, reference Aggregation semantics).
+
+    ``strategy="grouped"`` (default): conversation-hash partitioning —
+    one int-key shuffle, per-group local sort + pairing, NO boundary
+    side-channel and no collector actor (a conversation never spans
+    groups). The only path that holds at cluster scale.
+    ``strategy="sorted"``: global range sort + vectorized within-batch
+    adjacency with an actor-held boundary side-channel — kept for parity
+    testing; the collector actor serializes one tiny ray.get per batch.
     """
     import functools
 
+    if strategy == "grouped":
+        return derive_edges_agg(
+            turns, aggregation="count",
+            num_partitions=num_partitions or 64,
+        )
     collector = _BoundaryCollector.remote()
     partials = turns.sort(["conv_id", "turn_idx"]).map_batches(
         functools.partial(_pair_batch, collector=collector),
@@ -473,6 +486,73 @@ def encode_edges(
 def _encode_batch(batch: pa.Table, *, keys_ref, skip_dangling: bool) -> pa.Table:
     enc = _EncodeEdges(keys_ref, skip_dangling)
     return enc(batch)
+
+
+def edges_from_expressions(
+    rows: rd.Dataset,
+    src: str,
+    dst: str,
+    weight: str | None = None,
+    where: str | None = None,
+    aggregation: str = "sum",
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Cypher-style projection: an ``(src, dst, weight)`` edge table from
+    ARBITRARY rows via vectorized expressions.
+
+    Reference: the Cypher/arbitrary-rows projection surface
+    (legacy ``gds.graph.project.cypher`` /
+    ``core/.../GraphStoreFactory`` relationship queries) — the user
+    supplies per-row expressions for the endpoints, the weight and an
+    optional row filter instead of pre-shaped columns. Expressions use
+    pandas ``eval``/``query`` syntax evaluated batch-at-a-time (python
+    engine: arithmetic, comparisons, string concat, method-free column
+    refs), so nothing leaves the vectorized path. Parallel rows mapping
+    to the same (src, dst) combine with ``aggregation`` in
+    {sum, min, max, count, single} (Aggregation.java:31-85; ``single`` =
+    deterministic min). Compose with ``IdMap.from_edges`` +
+    ``encode_edges`` + ``GraphStore.project`` for string endpoints, or
+    project directly when the expressions yield dense ints.
+    """
+    agg = aggregation.lower()
+    if agg not in ("sum", "min", "max", "count", "single"):
+        raise ValueError(f"unknown aggregation {aggregation!r}")
+    inner = {"sum": "sum", "min": "min", "max": "max",
+             "count": "sum", "single": "min"}[agg]
+
+    import pandas as pd
+
+    def xform(df: pd.DataFrame) -> pd.DataFrame:
+        if where is not None:
+            df = df.query(where, engine="python")
+        s = df.eval(src, engine="python") if src not in df.columns else df[src]
+        d = df.eval(dst, engine="python") if dst not in df.columns else df[dst]
+        if agg == "count" or weight is None:
+            w = np.ones(len(df), dtype=np.float64)
+        else:
+            w = (df.eval(weight, engine="python")
+                 if weight not in df.columns else df[weight])
+        out = pd.DataFrame({"src": np.asarray(s), "dst": np.asarray(d),
+                            "partial": np.asarray(w, dtype=np.float64)})
+        # map-side combine before the shuffle
+        return (
+            out.groupby(["src", "dst"], sort=False)["partial"]
+            .agg(inner).reset_index()
+        )
+
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+
+    partials = rows.map_batches(xform, batch_format="pandas")
+    out = hash_aggregate(
+        partials, ["src", "dst"], "partial", op=inner, out_col="weight"
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {"src": t["src"], "dst": t["dst"],
+             "weight": pc.cast(t["weight"], pa.float64())}
+        ),
+        batch_format="pyarrow",
+    ).repartition(num_partitions)
 
 
 def symmetrize(

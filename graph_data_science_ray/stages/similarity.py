@@ -196,21 +196,37 @@ def embedding_near_dup(
     embeddings: rd.Dataset,
     threshold: float = 0.95,
     id_limit: int | None = None,
+    strategy: str = "auto",
+    exact_limit: int = 200_000,
 ) -> pd.DataFrame:
     """Cosine >= threshold pairs (doc_a < doc_b) — embedding near-dedup.
 
-    Exact all-pairs via **block-pair tasks**: the embedding table's blocks
-    stay in the object store; one task per block pair (i <= j) computes a
-    chunk×chunk similarity matrix and returns only the above-threshold
-    pairs. Memory per task is O(chunk²); nothing materializes the corpus
-    on the driver. The sub-quadratic approximate path is
-    ``knn_lsh`` buckets + the same threshold predicate
-    (``embedding_near_dup_lsh``).
+    ``strategy``:
+      - ``"exact"``: all block pairs via **block-pair tasks** — the
+        embedding table's blocks stay in the object store; one task per
+        block pair (i <= j) computes a chunk×chunk similarity matrix and
+        returns only the above-threshold pairs. Memory per task is
+        O(chunk²), but the task count is O(B²): correct and
+        oracle-exact, quadratic in corpus size.
+      - ``"lsh"``: sub-quadratic ``embedding_near_dup_lsh`` (bucketed
+        candidates; approximate recall).
+      - ``"auto"`` (default): exact while the corpus has at most
+        ``exact_limit`` rows, LSH above it — callers that only care
+        about the threshold predicate never hit the quadratic path at
+        scale.
     """
     ds = embeddings.select_columns(["vec_id", "embedding"])
     if id_limit is not None:
         ds = ds.filter(expr=f"vec_id < {id_limit}")
-    refs = ds.materialize().to_pandas_refs()
+    ds = ds.materialize()
+    if strategy == "auto":
+        strategy = "exact" if ds.count() <= exact_limit else "lsh"
+    if strategy == "lsh":
+        out = embedding_near_dup_lsh(ds, threshold=threshold).to_pandas()
+        return out.sort_values(
+            ["doc_a", "doc_b"], kind="mergesort"
+        ).reset_index(drop=True)
+    refs = ds.to_pandas_refs()
     tasks = []
     for i in range(len(refs)):
         for j in range(i, len(refs)):

@@ -206,6 +206,18 @@ class GraphStore:
         if not overwrite and os.path.exists(os.path.join(path, "manifest.json")):
             return cls.load(path)
 
+        # re-projection into an existing dir: clear stale partition files
+        # FIRST — empty partitions write no npz, so a leftover block from a
+        # previous projection with different boundaries would silently load
+        if os.path.isdir(path):
+            import glob as _glob
+
+            for f in _glob.glob(os.path.join(path, "csr", "part-*.npz")):
+                os.remove(f)
+            mf = os.path.join(path, "manifest.json")
+            if os.path.exists(mf):
+                os.remove(mf)
+
         # The edge table is consumed twice (degree histogram, CSR build);
         # materialize the already-aggregated slim table once instead of
         # re-running the whole derivation pipeline per pass.

@@ -66,6 +66,57 @@ def test_multi_tool_derivation():
     assert got == expected
 
 
+def test_derive_strategies_agree():
+    """grouped (default, collector-free) == sorted (boundary side-channel)."""
+    ds = rd.from_arrow(_multi_tool_transcript())
+    turns = gdsr.derive_turns(ds)
+    a = (
+        gdsr.derive_edges(turns, strategy="grouped").to_pandas()
+        .sort_values(["src", "dst"]).reset_index(drop=True)
+    )
+    b = (
+        gdsr.derive_edges(turns, strategy="sorted").to_pandas()
+        .sort_values(["src", "dst"]).reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_edges_from_expressions(tmp_path):
+    """Cypher-style expression projection: endpoints/weight/filter as
+    per-row expressions, SUM combine, composes into GraphStore."""
+    import pandas as pd
+
+    rows = rd.from_pandas(pd.DataFrame({
+        "a": [1, 1, 2, 3, 3, 3],
+        "b": [2, 2, 3, 1, 1, 9],
+        "q": [10.0, 5.0, 1.0, 2.0, 4.0, 100.0],
+    }))
+    edges = gdsr.edges_from_expressions(
+        rows, src="a - 1", dst="b - 1", weight="q * 2",
+        where="q < 50", aggregation="sum", num_partitions=2,
+    ).to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert edges.values.tolist() == [
+        [0.0, 1.0, 30.0],   # (1,2) twice: (10+5)*2
+        [1.0, 2.0, 2.0],
+        [2.0, 0.0, 12.0],   # (3,1) twice: (2+4)*2
+    ]
+    # count mode ignores the weight expression
+    cnt = gdsr.edges_from_expressions(
+        rows, src="a", dst="b", aggregation="count", num_partitions=2,
+    ).to_pandas()
+    assert dict(zip(zip(cnt["src"], cnt["dst"]), cnt["weight"])) == {
+        (1, 2): 2.0, (2, 3): 1.0, (3, 1): 2.0, (3, 9): 1.0,
+    }
+    # dense-int endpoints project directly
+    g = gdsr.GraphStore.project(
+        gdsr.edges_from_expressions(
+            rows, src="a - 1", dst="b - 1", where="b < 9", num_partitions=2,
+        ),
+        str(tmp_path / "gexpr"), node_count=3, num_partitions=2,
+    )
+    assert g.node_count == 3 and g.edge_count == 3
+
+
 def test_node_set_includes_isolated_actors():
     ds = rd.from_arrow(_multi_tool_transcript())
     turns = gdsr.derive_turns(ds)

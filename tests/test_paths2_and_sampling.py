@@ -83,6 +83,30 @@ def test_shortest_path_route_unreachable(graph_from_edges):
     assert len(route) == 0
 
 
+def test_dijkstra_route_matches_relaxation(graph_from_edges):
+    """Heap Dijkstra == BSP relaxation route (same tie-breaking)."""
+    from graph_data_science_ray.functions.paths import dijkstra_route
+
+    edges = [(0, 1), (1, 2), (2, 4)] + [(0, 3)] * 2 + [(3, 4)] * 2
+    gd, _, idmap, _, _ = graph_from_edges(edges)
+    a = dijkstra_route(gd, source_id=0, target_id=4, weighted=True)
+    b = shortest_path_route(gd, source_id=0, target_id=4, weighted=True)
+    assert keys_to_ids(a["node"]).tolist() == keys_to_ids(b["node"]).tolist()
+    assert a["distance"].tolist() == b["distance"].tolist()
+    # denser graph with equal-cost ties: identical min-id route
+    edges2 = [(i, j) for i in range(12) for j in range(12)
+              if i != j and (i + j) % 3 == 0]
+    gd2, _, _, _, _ = graph_from_edges(edges2, num_partitions=3)
+    for tgt in (5, 7, 11):
+        a = dijkstra_route(gd2, source_id=0, target_id=tgt)
+        b = shortest_path_route(gd2, source_id=0, target_id=tgt)
+        assert keys_to_ids(a["node"]).tolist() == keys_to_ids(b["node"]).tolist()
+        assert a["distance"].tolist() == b["distance"].tolist()
+    # unreachable
+    gd3, _, _, _, _ = graph_from_edges([(0, 1)], isolated=[2])
+    assert len(dijkstra_route(gd3, source_id=0, target_id=2)) == 0
+
+
 def test_rwr_sample_deterministic_and_connected(graph_from_edges):
     edges = [(i, (i + 1) % 20) for i in range(20)] + [(i, (i + 7) % 20) for i in range(20)]
     _, gu, idmap, _, _ = graph_from_edges(edges, undirected_only=False)
