@@ -585,6 +585,13 @@ def _q_simhash(sf_dir: str) -> pd.DataFrame:
     return simhash(_docs(sf_dir)).to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
+    from graph_data_science_ray.stages.dedup import ngram_jaccard_dedup
+
+    out = ngram_jaccard_dedup(_docs(sf_dir), threshold=0.7).to_pandas()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def _q_knn(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
 
@@ -1200,6 +1207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "minhash_near_dup": _q_minhash_pairs,
         "simhash": _q_simhash,
+        "ngram_jaccard": _q_ngram_jaccard,
         "knn_cosine_topk": _q_knn,
         "knn_descent": _q_knn_descent,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -1698,6 +1706,38 @@ GROUP BY e1.src, e2.dst
     )
 
     sqls["fingerprint"] = "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"
+
+    # exact word-3-gram Jaccard similarity join: shingles as strings on
+    # both sides (no hashing), jaccard = |A∩B| / (|A|+|B|-|A∩B|)
+    sqls["ngram_jaccard"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS arr
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(arr)-2)) AS i) g
+  WHERE len(arr) >= 3
+  UNION
+  SELECT doc_id, array_to_string(arr, ' ') AS s
+  FROM toks WHERE len(arr) BETWEEN 1 AND 2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.7
+ORDER BY doc_a, doc_b
+"""
 
     sqls["token_count"] = (
         "SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), "

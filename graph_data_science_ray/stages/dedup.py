@@ -424,3 +424,197 @@ def simhash(docs: rd.Dataset, concurrency: int | None = None) -> rd.Dataset:
     from graph_data_science_ray.stages.text import _stage
 
     return _stage(docs, SimHasher, concurrency, batch_size=2048)
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard similarity join
+# ---------------------------------------------------------------------------
+
+
+def _explode_shingles(df: pd.DataFrame) -> pd.DataFrame:
+    """Distinct (doc_id, shingle) rows, shingles as word-3-gram STRINGS.
+
+    Same tokenization as ``_shingle_hashes_batch`` (``\\S+`` words, docs
+    with <3 tokens collapse to one whole-doc shingle, empty docs emit
+    nothing) but keeps the string form so the result is reproducible in
+    ANSI SQL. Shingle strings are built by one shifted elementwise concat
+    over the batch's flat token stream — no per-shingle Python loop."""
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype=np.int64),
+         "shingle": pd.Series([], dtype=object)}
+    )
+    if not len(df):
+        return empty
+    texts = df["text"].fillna("").tolist()
+    ids = df["doc_id"].to_numpy(dtype=np.int64)
+    tok_lists = [_WORD.findall(t) for t in texts]
+    counts = np.fromiter(
+        (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+    )
+    flat = np.array([w for toks in tok_lists for w in toks], dtype=object)
+    n = len(flat)
+    doc_of = np.repeat(np.arange(len(texts)), counts)
+    out_id, out_sh = [], []
+    if n >= 3:
+        tri = flat[: n - 2] + " " + flat[1 : n - 1] + " " + flat[2:]
+        same = doc_of[: n - 2] == doc_of[2:]
+        out_id.append(ids[doc_of[: n - 2][same]])
+        out_sh.append(tri[same])
+    short = (counts > 0) & (counts < 3)
+    if short.any():
+        out_id.append(ids[short])
+        out_sh.append(
+            np.array([" ".join(tok_lists[i]) for i in np.flatnonzero(short)],
+                     dtype=object)
+        )
+    if not out_id:
+        return empty
+    return pd.DataFrame(
+        {"doc_id": np.concatenate(out_id), "shingle": np.concatenate(out_sh)}
+    ).drop_duplicates()
+
+
+def ngram_jaccard_dedup(
+    docs: rd.Dataset,
+    threshold: float = 0.7,
+    num_parts: int = 64,
+    max_bucket: int = 10_000,
+) -> rd.Dataset:
+    """EXACT word-3-gram Jaccard near-duplicate pairs.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and
+    jaccard >= threshold (rounded to 6 places in the output; the filter
+    runs on the unrounded value). The exact member of the dedup family —
+    no signature/banding approximation, and shingles join AS STRINGS so
+    a DuckDB/ANSI-SQL oracle reproduces it verbatim.
+
+    Scale shape (the standard exact set-similarity join): explode to
+    distinct (doc_id, shingle) rows via one shifted elementwise concat
+    per batch → hash-partition by shingle → per-shingle candidate pairs
+    → intersection counts via hash-aggregate → per-doc set sizes join
+    back for |A∪B| = |A|+|B|-|A∩B|. Shuffle volume is O(total tokens);
+    pair volume is bounded by shingle co-occurrence. Shingles shared by
+    more than ``max_bucket`` docs (boilerplate) would emit quadratic
+    pairs and are dropped WITH a logged count — pairs whose overlap is
+    only boilerplate are then missed. Prefer ``dedup_minhash_lsh`` at
+    corpus scale: it winnows candidates by signature instead of joining
+    every shared shingle.
+    """
+    import pyarrow as pa
+
+    from graph_data_science_ray.pipelines.agg import (
+        _stable_row_hash,
+        hash_aggregate,
+        hash_join,
+    )
+
+    docs = docs.select_columns(["doc_id", "text"])
+    exploded = docs.map_batches(
+        _explode_shingles, batch_format="pandas", batch_size=2048
+    ).materialize()  # consumed twice: sizes + pair generation
+
+    sizes = hash_aggregate(
+        exploded.map_batches(
+            lambda df: pd.DataFrame(
+                {"doc_id": df["doc_id"].astype(np.int64),
+                 "one": np.ones(len(df), dtype=np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        ["doc_id"], "one", op="sum", num_parts=num_parts, out_col="n",
+    )
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__part"] = (
+            _stable_row_hash(df, ["shingle"]) % num_parts
+        ).astype(np.int64)
+        return df
+
+    def shingle_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        import logging
+
+        out_a, out_b = [], []
+        dropped = 0
+        for _, grp in g.groupby("shingle", sort=False):
+            ids = np.unique(grp["doc_id"].to_numpy(dtype=np.int64))
+            if len(ids) < 2:
+                continue
+            if len(ids) > max_bucket:
+                dropped += 1
+                continue
+            a, b = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[a])
+            out_b.append(ids[b])
+        if dropped:
+            logging.getLogger("graph_data_science_ray.dedup").warning(
+                "ngram_jaccard: dropped %d boilerplate shingle(s) shared by "
+                ">%d docs — pairs overlapping ONLY there are not emitted",
+                dropped, max_bucket,
+            )
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype=np.int64),
+                 "doc_b": pd.Series([], dtype=np.int64),
+                 "c": pd.Series([], dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b),
+             "c": np.ones(sum(len(x) for x in out_a), dtype=np.int64)}
+        )
+
+    inter = hash_aggregate(
+        exploded.map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(shingle_pairs, batch_format="pandas"),
+        ["doc_a", "doc_b"], "c", op="sum", num_parts=num_parts,
+    )
+
+    pair_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("c", pa.int64())]
+    )
+    size_schema_a = pa.schema([("doc_a", pa.int64()), ("na", pa.int64())])
+    size_schema_b = pa.schema([("doc_b", pa.int64()), ("nb", pa.int64())])
+    sizes_a = sizes.map_batches(
+        lambda df: df.rename(columns={"doc_id": "doc_a", "n": "na"}),
+        batch_format="pandas",
+    )
+    sizes_b = sizes.map_batches(
+        lambda df: df.rename(columns={"doc_id": "doc_b", "n": "nb"}),
+        batch_format="pandas",
+    )
+    joined = hash_join(
+        inter, sizes_a, on=["doc_a"], num_parts=num_parts,
+        left_schema=pair_schema, right_schema=size_schema_a,
+    )
+    mid_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("c", pa.int64()),
+         ("na", pa.int64())]
+    )
+    joined = hash_join(
+        joined, sizes_b, on=["doc_b"], num_parts=num_parts,
+        left_schema=mid_schema, right_schema=size_schema_b,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype=np.int64),
+                 "doc_b": pd.Series([], dtype=np.int64),
+                 "jaccard": pd.Series([], dtype=np.float64)}
+            )
+        c = df["c"].to_numpy(dtype=np.float64)
+        union = (
+            df["na"].to_numpy(dtype=np.float64)
+            + df["nb"].to_numpy(dtype=np.float64)
+            - c
+        )
+        j = c / union
+        keep = j >= threshold
+        return pd.DataFrame(
+            {"doc_a": df["doc_a"].to_numpy(dtype=np.int64)[keep],
+             "doc_b": df["doc_b"].to_numpy(dtype=np.int64)[keep],
+             "jaccard": np.round(j[keep], 6)}
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")

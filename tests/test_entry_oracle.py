@@ -74,6 +74,7 @@ _ORACLE_CHECKED = [
     "lr_score",
     "dijkstra_route",
     "cypher_project",
+    "ngram_jaccard",
 ]
 
 

@@ -57,6 +57,31 @@ def test_minhash_lsh_finds_planted_near_dup():
     assert row["jaccard"] == pytest.approx(jaccard(BASE, near), abs=1e-6)
 
 
+def test_ngram_jaccard_exact_pairs():
+    """Exact similarity join: values match the brute-force shingle
+    jaccard; empty docs and sub-threshold pairs are excluded."""
+    from graph_data_science_ray.stages.dedup import ngram_jaccard_dedup
+
+    near = BASE.replace("lazy", "sleepy")
+    far = "completely different words about spark shuffles and ray datasets here"
+    ds = _docs([BASE, near, far, "", "   ", "ab", BASE])
+    out = (
+        ngram_jaccard_dedup(ds, threshold=0.3).to_pandas()
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    pairs = dict(zip(zip(out["doc_a"], out["doc_b"]), out["jaccard"]))
+    assert pairs[(0, 1)] == pytest.approx(jaccard(BASE, near), abs=1e-6)
+    assert pairs[(0, 6)] == 1.0 and pairs[(1, 6)] == pairs[(0, 1)]
+    # empty/whitespace docs emit no shingles -> never pair (jaccard()
+    # convention for empty-vs-empty notwithstanding: no rows at all)
+    assert all(a not in (3, 4) and b not in (3, 4) for a, b in pairs)
+    assert all(2 not in p for p in pairs)
+    # short doc (<3 tokens) collapses to one whole-doc shingle: no
+    # overlap with anything here
+    assert all(5 not in p for p in pairs)
+    assert set(pairs) == {(0, 1), (0, 6), (1, 6)}
+
+
 def test_simhash_similar_docs_have_close_fingerprints():
     near = BASE.replace("lazy", "sleepy")
     far = "completely different words about spark shuffles and ray datasets here"
