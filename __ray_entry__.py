@@ -93,6 +93,36 @@ def _q_edges(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_edges_distributed(sf_dir: str) -> pd.DataFrame:
+    """Same edge table as ``edges``, but built with the fully distributed
+    IdMap (``idmap_table`` + ``encode_edges_distributed``): the key
+    vocabulary never lands on the driver — dense ids come from a
+    distributed sort + per-block offsets, and encoding is two hash-joins.
+    Shares the ``edges`` oracle; the driver hash-match proves the two
+    paths are byte-equivalent."""
+    import graph_data_science_ray as gdsr
+    from graph_data_science_ray.pipelines.edges import (
+        encode_edges_distributed,
+        idmap_table,
+    )
+
+    ts = gdsr.events_as_transcripts(sf_dir)
+    turns = gdsr.derive_turns(ts).materialize()
+    ids = idmap_table(turns).materialize()
+    enc = encode_edges_distributed(gdsr.derive_edges(turns, 8), ids)
+    df = enc.to_pandas()
+    # output decode only (V keys, small by the actor-vocabulary contract)
+    tbl = ids.to_pandas().sort_values("id")
+    keys = tbl["actor"].to_numpy(dtype=object)
+    return pd.DataFrame(
+        {
+            "src": _strip(keys[df["src"].to_numpy()]),
+            "dst": _strip(keys[df["dst"].to_numpy()]),
+            "weight": df["weight"].astype(np.float64),
+        }
+    )
+
+
 def _q_degree(sf_dir: str) -> pd.DataFrame:
     import graph_data_science_ray as gdsr
 
@@ -1167,6 +1197,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "edges": _q_edges,
+        "edges_distributed": _q_edges_distributed,
         "degree": _q_degree,
         "pagerank": _q_pagerank,
         "article_rank": _q_article_rank,
@@ -1284,6 +1315,8 @@ def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
 
     sqls["edges"] = f"WITH {_GRAPH_CTE} SELECT src, dst, weight FROM edges"
+    # distributed-IdMap path must produce the byte-identical table
+    sqls["edges_distributed"] = sqls["edges"]
 
     sqls["degree"] = (
         f"WITH {_GRAPH_CTE} "

@@ -32,7 +32,9 @@ from graph_data_science_ray.pipelines.edges import (
     derive_edges_agg,
     edges_from_expressions,
     IdMap,
+    idmap_table,
     encode_edges,
+    encode_edges_distributed,
     symmetrize,
 )
 from graph_data_science_ray.state.graph import GraphStore
@@ -87,7 +89,9 @@ __all__ = [
     "derive_edges_agg",
     "edges_from_expressions",
     "IdMap",
+    "idmap_table",
     "encode_edges",
+    "encode_edges_distributed",
     "symmetrize",
     "GraphStore",
     "GraphCatalog",

@@ -488,6 +488,126 @@ def _encode_batch(batch: pa.Table, *, keys_ref, skip_dangling: bool) -> pa.Table
     return enc(batch)
 
 
+@ray.remote
+def _block_rows(t: pa.Table) -> int:
+    return t.num_rows
+
+
+@ray.remote
+def _assign_block_ids(t: pa.Table, offset: int) -> pa.Table:
+    return pa.table(
+        {
+            "actor": t["actor"],
+            "id": pa.array(
+                np.arange(offset, offset + t.num_rows, dtype=np.int64)
+            ),
+        }
+    )
+
+
+def idmap_table(turns: rd.Dataset) -> rd.Dataset:
+    """Fully distributed IdMap: an ``(actor, id)`` Dataset with dense ids
+    ``[0, V)`` in sorted-key order — the SAME numbering as
+    ``IdMap.from_turns`` (both sort the distinct keys), but the key
+    vocabulary never lands on the driver: per-batch ``np.unique``
+    partials → hash-partitioned distinct → distributed range sort →
+    per-block offsets from a prefix sum over P block COUNTS (the only
+    thing the driver sees). This is the scale path when the actor
+    vocabulary itself outgrows a worker heap; pair with
+    ``encode_edges_distributed``. ``IdMap.from_turns`` + broadcast
+    ``encode_edges`` stays the faster choice while V ≪ turns.
+    """
+    from graph_data_science_ray.pipelines.agg import hash_distinct
+
+    def uniq(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"actor": pa.array(
+                np.unique(
+                    np.asarray(t["actor"].to_numpy(zero_copy_only=False))
+                ).astype(object),
+                pa.string(),
+            )}
+        )
+
+    distinct = hash_distinct(
+        turns.map_batches(uniq, batch_format="pyarrow"), ["actor"]
+    )
+    refs = distinct.sort("actor").materialize().to_arrow_refs()
+    counts = ray.get([_block_rows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    out = [
+        _assign_block_ids.remote(r, int(offsets[i]))
+        for i, r in enumerate(refs)
+        if counts[i]
+    ]
+    if not out:
+        return rd.from_arrow(
+            pa.table({"actor": pa.array([], pa.string()),
+                      "id": pa.array([], pa.int64())})
+        )
+    return rd.from_arrow_refs(out)
+
+
+def encode_edges_distributed(
+    edges: rd.Dataset, ids: rd.Dataset, num_parts: int | None = None
+) -> rd.Dataset:
+    """Map ``(src, dst)`` actor keys to dense ids via two hash-joins
+    against an ``idmap_table`` Dataset — no key broadcast anywhere.
+
+    The distributed counterpart of ``encode_edges``: identical output
+    for the same vocabulary (ids are assigned in sorted-key order by
+    both). Dangling endpoints (keys absent from ``ids``) drop silently
+    (inner-join semantics = ``skip_dangling=True``); run with the full
+    vocabulary when that must be an error. Edge keys shuffle twice
+    (once per endpoint) — that is the price of never materializing the
+    vocabulary; prefer broadcast ``encode_edges`` while the IdMap fits
+    a worker heap.
+    """
+    from graph_data_science_ray.pipelines.agg import hash_join
+
+    nparts = num_parts or _auto_join_partitions()
+    edge_schema = pa.schema(
+        [("src", pa.string()), ("dst", pa.string()), ("weight", pa.float64())]
+    )
+    edges = edges.map_batches(
+        lambda t: pa.table(
+            {"src": pc.cast(t["src"], pa.string()),
+             "dst": pc.cast(t["dst"], pa.string()),
+             "weight": pc.cast(t["weight"], pa.float64())}
+        ),
+        batch_format="pyarrow",
+    )
+    src_ids = ids.map_batches(
+        lambda t: pa.table({"src": t["actor"], "src_id": t["id"]}),
+        batch_format="pyarrow",
+    )
+    dst_ids = ids.map_batches(
+        lambda t: pa.table({"dst": t["actor"], "dst_id": t["id"]}),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        edges, src_ids, on=["src"], num_parts=nparts,
+        left_schema=edge_schema,
+        right_schema=pa.schema([("src", pa.string()), ("src_id", pa.int64())]),
+    )
+    mid = pa.schema(
+        [("src", pa.string()), ("dst", pa.string()),
+         ("weight", pa.float64()), ("src_id", pa.int64())]
+    )
+    joined = hash_join(
+        joined, dst_ids, on=["dst"], num_parts=nparts,
+        left_schema=mid,
+        right_schema=pa.schema([("dst", pa.string()), ("dst_id", pa.int64())]),
+    )
+    return joined.map_batches(
+        lambda t: pa.table(
+            {"src": t["src_id"], "dst": t["dst_id"],
+             "weight": pc.cast(t["weight"], pa.float64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def edges_from_expressions(
     rows: rd.Dataset,
     src: str,

@@ -117,6 +117,36 @@ def test_edges_from_expressions(tmp_path):
     assert g.node_count == 3 and g.edge_count == 3
 
 
+def test_distributed_idmap_matches_broadcast():
+    """idmap_table/encode_edges_distributed == IdMap.from_turns/encode_edges:
+    same sorted-key numbering, identical encoded edge table — the key
+    vocabulary never on the driver (only per-block counts)."""
+    import numpy as np
+
+    from graph_data_science_ray.pipelines.edges import (
+        encode_edges_distributed,
+        idmap_table,
+    )
+    from graph_data_science_ray.sources.transcripts import synthesize_transcripts
+
+    ts = synthesize_transcripts(120, num_actors=40, seed=7)
+    turns = gdsr.derive_turns(ts)
+    im = gdsr.IdMap.from_turns(turns)
+    tbl = idmap_table(turns).to_pandas().sort_values("id").reset_index(drop=True)
+    assert (tbl["actor"].to_numpy(dtype="U") == im.keys).all()
+    assert (tbl["id"].to_numpy() == np.arange(len(im))).all()
+    edges = gdsr.derive_edges(turns, 4)
+    a = (
+        gdsr.encode_edges(edges, im).to_pandas()
+        .sort_values(["src", "dst"]).reset_index(drop=True)
+    )
+    b = (
+        encode_edges_distributed(edges, idmap_table(turns)).to_pandas()
+        .sort_values(["src", "dst"]).reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
 def test_node_set_includes_isolated_actors():
     ds = rd.from_arrow(_multi_tool_transcript())
     turns = gdsr.derive_turns(ds)

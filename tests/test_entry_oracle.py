@@ -75,6 +75,7 @@ _ORACLE_CHECKED = [
     "dijkstra_route",
     "cypher_project",
     "ngram_jaccard",
+    "edges_distributed",
 ]
 
 
