@@ -291,39 +291,68 @@ def _cnarw_task(block_refs: list, start_nodes: np.ndarray, sample_size: int,
     structurally novel regions. Draws are splitmix-seeded (deterministic).
     """
     blocks = ray.get(list(block_refs))
-    part_starts = np.array([b["start"] for b in blocks], dtype=np.int64)
 
-    def adj(v: int) -> np.ndarray:
-        p = int(np.searchsorted(part_starts, v, side="right") - 1)
-        b = blocks[p]
-        lo = v - b["start"]
-        return b["indices"][b["indptr"][lo] : b["indptr"][lo + 1]]
+    # Global CSR view (blocks are ordered by node range, so plain concat
+    # is globally ascending) + packed (u*V + v) edge keys for vectorized
+    # set-membership: common-neighbour counts become one searchsorted
+    # over the walkers' flattened adjacency instead of a per-walker
+    # intersect1d loop.
+    deg = np.concatenate([np.asarray(b["degrees"], dtype=np.int64) for b in blocks])
+    indices = np.concatenate([np.asarray(b["indices"], dtype=np.int64) for b in blocks])
+    indptr = np.concatenate([[0], np.cumsum(deg)]).astype(np.int64)
+    V = np.int64(len(deg))
+    packed = np.repeat(np.arange(V, dtype=np.int64), deg) * V + indices
 
     n_walkers = max(8, len(start_nodes))
     cur = np.resize(np.asarray(start_nodes, dtype=np.int64), n_walkers)
     home = cur.copy()
-    visited = set(int(x) for x in start_nodes)
+    visited = np.zeros(int(V), dtype=bool)
+    visited[np.asarray(start_nodes, dtype=np.int64)] = True
+    n_visited = int(visited.sum())
     DEN = np.uint64(1 << 20)
+    wid = np.arange(n_walkers, dtype=np.int64)
     for step in range(1, max_steps + 1):
-        pick = mix2(seed, np.arange(n_walkers, dtype=np.int64), step)
-        accept = mix2(seed + 1, np.arange(n_walkers, dtype=np.int64), step) % DEN
-        for wi in range(n_walkers):
-            u = int(cur[wi])
-            nu = adj(u)
-            if len(nu) == 0:
-                cur[wi] = home[wi]
-                continue
-            v = int(nu[int(pick[wi] % np.uint64(len(nu)))])
-            nv = adj(v)
-            common = len(np.intersect1d(nu, nv, assume_unique=True))
-            p_acc = 1.0 - common / max(1, min(len(nu), len(nv)))
-            if int(accept[wi]) < int(p_acc * float(int(DEN))):
-                cur[wi] = v
-                visited.add(v)
-        if len(visited) >= sample_size:
+        pick = mix2(seed, wid, step)
+        accept = (mix2(seed + 1, wid, step) % DEN).astype(np.int64)
+        deg_u = deg[cur]
+        dead = deg_u == 0
+        live = ~dead
+        u = cur[live]
+        du = deg_u[live]
+        v = indices[indptr[u] + (pick[live] % du.astype(np.uint64)).astype(np.int64)]
+        dv = deg[v]
+        # |N(u) ∩ N(v)| per live walker: flatten all N(u) segments, ask
+        # "is x a neighbour of v" via binary search on the packed keys
+        flat_u = np.repeat(u, du)
+        flat_v = np.repeat(v, du)
+        nbr = indices[
+            np.concatenate([np.arange(indptr[a], indptr[a] + d) for a, d in zip(u, du)])
+            if len(u) else np.zeros(0, dtype=np.int64)
+        ]
+        q = flat_v * V + nbr
+        pos = np.searchsorted(packed, q)
+        pos = np.minimum(pos, len(packed) - 1) if len(packed) else pos
+        hit = (packed[pos] == q) if len(packed) else np.zeros(0, dtype=bool)
+        seg_starts = np.concatenate([[0], np.cumsum(du)])[:-1]
+        # no zero-length segments: live walkers all have du > 0
+        common = (
+            np.add.reduceat(hit.astype(np.int64), seg_starts)
+            if len(hit) else np.zeros(len(u), dtype=np.int64)
+        )
+        p_acc = 1.0 - common / np.maximum(1, np.minimum(du, dv))
+        ok = accept[live] < (p_acc * float(int(DEN))).astype(np.int64)
+        nxt = cur.copy()
+        nxt[dead] = home[dead]
+        live_idx = np.flatnonzero(live)
+        nxt[live_idx[ok]] = v[ok]
+        cur = nxt
+        newly = np.unique(v[ok])
+        if len(newly):
+            n_visited += int(np.count_nonzero(~visited[newly]))
+            visited[newly] = True
+        if n_visited >= sample_size:
             break
-    out = np.fromiter(visited, dtype=np.int64)
-    out.sort()
+    out = np.flatnonzero(visited).astype(np.int64)
     return out[:sample_size]
 
 
