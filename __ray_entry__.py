@@ -622,6 +622,31 @@ def _q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _q_asof_join(sf_dir: str) -> pd.DataFrame:
+    """Backward as-of join: each purchase matched to the user's latest
+    click at-or-before it (inner; ties broken by max click event_id)."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.sessions import asof_join
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    out = asof_join(
+        ev.filter(expr="event_type == 'purchase'"),
+        ev.filter(expr="event_type == 'click'"),
+        inner=True,
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "user_id": out["user_id"].astype(np.int64),
+            "ts_us": out["ts"].astype("datetime64[us]").astype(np.int64),
+            "event_id": out["event_id"].astype(np.int64),
+            "value": out["value"].astype(np.float64),
+            "r_event_id": out["r_event_id"].astype(np.int64),
+            "r_value": out["r_value"].astype(np.float64),
+        }
+    ).sort_values("event_id").reset_index(drop=True)
+
+
 def _q_knn(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
 
@@ -1239,6 +1264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": _q_minhash_pairs,
         "simhash": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
+        "asof_join": _q_asof_join,
         "knn_cosine_topk": _q_knn,
         "knn_descent": _q_knn_descent,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -1739,6 +1765,32 @@ GROUP BY e1.src, e2.dst
     )
 
     sqls["fingerprint"] = "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"
+
+    # backward as-of join via the portable union + window formulation
+    # (equivalent to DuckDB's native ASOF JOIN on this data; spelled out
+    # so the right-side tie order — max event_id at equal ts — is explicit)
+    sqls["asof_join"] = """
+WITH l AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+     r AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'),
+u AS (
+  SELECT user_id, ts, 1 AS side, event_id AS l_eid, value AS l_val,
+         NULL::BIGINT AS r_eid, NULL::DOUBLE AS r_val FROM l
+  UNION ALL
+  SELECT user_id, ts, 0, NULL, NULL, event_id, value FROM r
+),
+w AS (
+  SELECT *,
+    LAST_VALUE(r_eid IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, side, r_eid
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_eid,
+    LAST_VALUE(r_val IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, side, r_eid
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_val
+  FROM u
+)
+SELECT user_id, epoch_us(ts) AS ts_us, l_eid AS event_id, l_val AS value,
+       m_eid AS r_event_id, m_val AS r_value
+FROM w WHERE side = 1 AND m_eid IS NOT NULL
+ORDER BY event_id
+"""
 
     # exact word-3-gram Jaccard similarity join: shingles as strings on
     # both sides (no hashing), jaccard = |A∩B| / (|A|+|B|-|A∩B|)

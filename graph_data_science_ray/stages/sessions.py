@@ -78,3 +78,79 @@ def tumbling_window(
         .aggregate(Sum("pn", alias_name="n"), Sum("pv", alias_name="value_sum"))
     )
     return agg
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    left_cols: tuple = ("event_id", "value"),
+    right_cols: tuple = ("event_id", "value"),
+    prefix: str = "r_",
+    inner: bool = False,
+) -> rd.Dataset:
+    """Backward as-of join: each left row matches the LATEST right row of
+    the same key with ``right.ts <= left.ts`` (exact matches allowed).
+
+    The temporal-join primitive Ray Data lacks natively (DuckDB/kdb
+    ``ASOF JOIN`` semantics). Deterministic tie order: among right rows
+    sharing a timestamp the one with the greatest first ``right_cols``
+    entry (the id column) wins.
+
+    Shape: both sides are widened to one schema with a side flag and
+    hash-partitioned by key (``groupby(key).map_groups``) — the single
+    shuffle co-locates each key's rows; inside a group one mergesort by
+    (ts, side, id) and a ``maximum.accumulate`` forward-fill produce all
+    matches vectorized. Per-key data is bounded; no driver state.
+    Unmatched left rows keep null right columns (dropped if ``inner``).
+    """
+
+    def widen(side: int, cols: tuple, other: tuple):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {
+                    key_col: df[key_col],
+                    ts_col: df[ts_col].astype("datetime64[us]"),
+                    "__side": np.full(len(df), side, dtype=np.int64),
+                }
+            )
+            for c in cols:
+                out["L_" + c if side else prefix + c] = df[c]
+            for c in other:
+                out[prefix + c if side else "L_" + c] = (
+                    np.full(len(df), np.nan) )
+            return out
+
+        return f
+
+    lt = left.map_batches(widen(1, left_cols, right_cols), batch_format="pandas")
+    rt = right.map_batches(widen(0, right_cols, left_cols), batch_format="pandas")
+    rid = prefix + right_cols[0]
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, "__side", rid], kind="mergesort")
+        side = g["__side"].to_numpy()
+        idx = np.arange(len(g))
+        last_r = np.maximum.accumulate(np.where(side == 0, idx, -1))
+        is_l = side == 1
+        match = last_r[is_l]
+        out = pd.DataFrame(
+            {
+                key_col: g[key_col].to_numpy()[is_l],
+                ts_col: g[ts_col].to_numpy()[is_l],
+            }
+        )
+        for c in left_cols:
+            out[c] = g["L_" + c].to_numpy()[is_l]
+        hit = match >= 0
+        for c in right_cols:
+            vals = g[prefix + c].to_numpy()
+            col = np.full(int(is_l.sum()), np.nan)
+            col[hit] = vals[match[hit]]
+            out[prefix + c] = col
+        if inner:
+            out = out[hit]
+        return out
+
+    return lt.union(rt).groupby(key_col).map_groups(per_key, batch_format="pandas")

@@ -76,6 +76,7 @@ _ORACLE_CHECKED = [
     "cypher_project",
     "ngram_jaccard",
     "edges_distributed",
+    "asof_join",
 ]
 
 

@@ -188,6 +188,42 @@ def test_sessionize_and_window():
     assert w["n"].sum() == 4 and len(w) == 2
 
 
+def test_asof_join_semantics():
+    """Backward as-of: latest right at-or-before each left ts per key;
+    equal-ts right rows match (allow_exact), max-id wins ties; unmatched
+    lefts keep NaN (outer) or drop (inner)."""
+    from graph_data_science_ray.stages.sessions import asof_join
+
+    def ev(rows):
+        df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+        df["ts"] = pd.to_datetime(df["ts"])
+        return rd.from_pandas(df)
+
+    left = ev([
+        (100, 1, "2026-01-01 10:00", 1.0),   # matches r2 (exact ts tie: max id)
+        (101, 1, "2026-01-01 09:00", 2.0),   # before any right -> unmatched
+        (102, 2, "2026-01-01 12:00", 3.0),   # matches r3 (latest <= ts)
+        (103, 3, "2026-01-01 12:00", 4.0),   # key with no rights -> unmatched
+    ])
+    right = ev([
+        (1, 1, "2026-01-01 10:00", 10.0),
+        (2, 1, "2026-01-01 10:00", 20.0),    # same ts as r1: id 2 wins
+        (3, 2, "2026-01-01 11:00", 30.0),
+        (4, 2, "2026-01-01 13:00", 40.0),    # after left 102: ignored
+    ])
+    out = (
+        asof_join(left, right).to_pandas()
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    assert out["event_id"].tolist() == [100, 101, 102, 103]
+    got = out["r_event_id"].tolist()
+    assert got[0] == 2.0 and got[2] == 3.0
+    assert np.isnan(got[1]) and np.isnan(got[3])
+    assert out["r_value"].tolist()[0] == 20.0
+    inner = asof_join(left, right, inner=True).to_pandas()
+    assert sorted(inner["event_id"]) == [100, 102]
+
+
 def test_multimodal_stub_deterministic():
     media = rd.from_arrow(
         pa.table(
