@@ -719,6 +719,20 @@ def _q_window_hourly(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("window_start").reset_index(drop=True)
 
 
+def _q_window_sliding(sf_dir: str) -> pd.DataFrame:
+    """1h windows sliding every 15min (each event in 4 windows)."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.sessions import sliding_window
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"])
+    out = sliding_window(
+        ev, window_seconds=3600, slide_seconds=900
+    ).to_pandas()
+    out["value_sum"] = np.round(out["value_sum"].to_numpy(dtype=np.float64), 6)
+    return out.sort_values("window_start").reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -1271,6 +1285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scale_minmax": _q_scale_minmax,
         "sessionize": _q_sessionize,
         "window_hourly": _q_window_hourly,
+        "window_sliding": _q_window_sliding,
         "yens_k3": _q_yens_k3,
         "delta_stepping": _q_delta_stepping,
         "astar": _q_astar,
@@ -1864,6 +1879,20 @@ SELECT CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) * 3600000000 AS window
        CAST(count(*) AS BIGINT) AS n,
        round(sum(value), 6) AS value_sum
 FROM events GROUP BY 1 ORDER BY 1
+"""
+
+    # sliding windows: each event contributes to the 4 window starts
+    # w0, w0-15min, w0-30min, w0-45min (w0 = its 15-min floor)
+    sqls["window_sliding"] = """
+WITH expanded AS (
+  SELECT (CAST(floor(epoch_us(ts) / 900000000.0) AS BIGINT) * 900000000
+          - 900000000 * k.i) AS window_start,
+         value
+  FROM events, LATERAL (SELECT unnest(generate_series(0, 3)) AS i) k
+)
+SELECT window_start, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS value_sum
+FROM expanded GROUP BY 1 ORDER BY 1
 """
 
     sqls["knn_cosine_topk"] = """

@@ -154,3 +154,55 @@ def asof_join(
         return out
 
     return lt.union(rt).groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def sliding_window(
+    events: rd.Dataset,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_seconds: int = 3600,
+    slide_seconds: int = 900,
+) -> rd.Dataset:
+    """Sliding event-time window aggregate: (window_start, n, value_sum)
+    for every window ``[w, w + window)`` with ``w ≡ 0 (mod slide)`` that
+    contains the event. ``window_seconds`` must be a multiple of
+    ``slide_seconds``.
+
+    Each event expands to exactly ``window/slide`` (window_start, 1, v)
+    rows — a vectorized repeat inside ``map_batches`` — which are
+    pre-summed per batch (map-side partial) before one low-cardinality
+    groupby-sum, the same two-step as ``tumbling_window``. Output rows =
+    distinct windows, so shuffle volume is bounded by k × batch-distinct
+    windows, not k × events.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    if window_seconds % slide_seconds:
+        raise ValueError("window_seconds must be a multiple of slide_seconds")
+    k = window_seconds // slide_seconds
+    slide_us = slide_seconds * 1_000_000
+
+    def assign(t: pa.Table) -> pa.Table:
+        ts = np.asarray(t[ts_col].cast(pa.int64()))
+        # latest window containing the event, then k-1 earlier slides
+        w0 = (ts // slide_us) * slide_us
+        offs = (np.arange(k, dtype=np.int64) * slide_us)[None, :]
+        wins = (w0[:, None] - offs).ravel()
+        vals = np.repeat(np.asarray(t[value_col], dtype=np.float64), k)
+        g = (
+            pa.table(
+                {"window_start": wins,
+                 "n": np.ones(len(wins), dtype=np.int64),
+                 "v": vals}
+            )
+            .group_by(["window_start"])
+            .aggregate([("n", "sum"), ("v", "sum")])
+        )
+        return g.rename_columns(["window_start", "pn", "pv"])
+
+    return (
+        events.map_batches(assign, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("pn", alias_name="n"), Sum("pv", alias_name="value_sum"))
+    )

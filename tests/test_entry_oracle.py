@@ -77,6 +77,7 @@ _ORACLE_CHECKED = [
     "ngram_jaccard",
     "edges_distributed",
     "asof_join",
+    "window_sliding",
 ]
 
 

@@ -188,6 +188,35 @@ def test_sessionize_and_window():
     assert w["n"].sum() == 4 and len(w) == 2
 
 
+def test_sliding_window_membership():
+    """Each event lands in exactly window/slide windows; every window an
+    event belongs to covers its timestamp."""
+    from graph_data_science_ray.stages.sessions import sliding_window
+
+    ts = np.array(
+        ["2024-01-01T00:00:00", "2024-01-01T00:10:00", "2024-01-01T02:00:00",
+         "2024-01-01T00:59:59"],
+        dtype="datetime64[us]",
+    )
+    ds = rd.from_arrow(
+        pa.table({"ts": pa.array(ts), "value": pa.array([1.0, 2.0, 4.0, 8.0])})
+    )
+    w = (
+        sliding_window(ds, window_seconds=3600, slide_seconds=900)
+        .to_pandas().sort_values("window_start").reset_index(drop=True)
+    )
+    assert w["n"].sum() == 4 * 4  # k = 4 windows per event
+    assert w["value_sum"].sum() == 4 * 15.0
+    # [23:15, 00:15) holds events at 00:00 and 00:10; [00:00, 01:00)
+    # holds the three values 1, 2, 8
+    def win(s):
+        return int(np.datetime64(s, "us").astype(np.int64))
+    lookup = dict(zip(w["window_start"], w["value_sum"]))
+    assert lookup[win("2023-12-31T23:15:00")] == 3.0
+    assert lookup[win("2024-01-01T00:00:00")] == 11.0
+    assert lookup[win("2024-01-01T02:00:00")] == 4.0
+
+
 def test_asof_join_semantics():
     """Backward as-of: latest right at-or-before each left ts per key;
     equal-ts right rows match (allow_exact), max-id wins ties; unmatched
