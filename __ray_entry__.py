@@ -659,6 +659,23 @@ def _q_knn(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _q_knn_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF-Flat at FULL probe (nprobe = num_lists) is exhaustive, so it
+    must reproduce the brute-force top-k exactly — shares that oracle.
+    The rows-only recall contract for partial probes lives in pytest
+    (test_knn_ivf_recall)."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.similarity import knn_ivf
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    res = knn_ivf(
+        emb, query_ids=np.arange(10), k=5, num_lists=8, nprobe=8, seed=5
+    )
+    res = res[["query_id", "neighbor_id", "rank"]].copy()
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def _q_knn_descent(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
 
@@ -1280,6 +1297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "asof_join": _q_asof_join,
         "knn_cosine_topk": _q_knn,
+        "knn_ivf": _q_knn_ivf,
         "knn_descent": _q_knn_descent,
         "embedding_near_dup": _q_embedding_near_dup,
         "scale_minmax": _q_scale_minmax,
@@ -1911,6 +1929,9 @@ ranked AS (
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
+
+    # full-probe IVF is exhaustive: identical contract to brute force
+    sqls["knn_ivf"] = sqls["knn_cosine_topk"]
 
     sqls["embedding_near_dup"] = """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 300)

@@ -165,6 +165,166 @@ def knn_lsh(
     return bucketed.groupby("bucket").map_groups(topk_in_bucket, batch_format="pandas")
 
 
+def _ivf_train(
+    embeddings: rd.Dataset, num_lists: int, iters: int, seed: int
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer: (L, dim) unit centroids.
+
+    Deterministic: initial centroids are the vectors with the L smallest
+    splitmix hashes of vec_id (a seeded uniform sample chosen without
+    materializing the corpus); each Lloyd pass is one streaming
+    ``map_batches`` producing per-batch (list, sum_vec, count) partials —
+    only L×dim floats ever reach the driver per pass.
+    """
+    from graph_data_science_ray._util import splitmix64
+
+    def tag_hash(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy(dtype=np.int64)
+        h = splitmix64(ids.astype(np.uint64) + np.uint64(seed * 7919))
+        out = df[["vec_id", "embedding"]].copy()
+        out["__h"] = h.astype(np.uint64).astype(np.float64)  # sortable
+        return out
+
+    init = (
+        embeddings.map_batches(tag_hash, batch_format="pandas")
+        .sort("__h").limit(num_lists).to_pandas()
+    )
+    cent = _normalize(_stack(init["embedding"]))
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(cent_ref)
+            mat = _normalize(_stack(df["embedding"]))
+            assign = np.argmax(mat @ c.T, axis=1)
+            L = len(c)
+            sums = np.zeros((L, mat.shape[1]), dtype=np.float64)
+            np.add.at(sums, assign, mat)
+            cnt = np.bincount(assign, minlength=L).astype(np.int64)
+            nz = np.flatnonzero(cnt)
+            return pd.DataFrame(
+                {"list_id": nz.astype(np.int64),
+                 "vec": list(sums[nz]),
+                 "n": cnt[nz]}
+            )
+
+        parts = embeddings.map_batches(
+            partial, batch_format="pandas", batch_size=4096
+        ).to_pandas()
+        sums = np.zeros_like(cent)
+        cnts = np.zeros(len(cent), dtype=np.int64)
+        for lid, vec, n in zip(parts["list_id"], parts["vec"], parts["n"]):
+            sums[lid] += np.asarray(vec)
+            cnts[lid] += n
+        nz = cnts > 0
+        cent[nz] = _normalize(sums[nz] / cnts[nz, None])
+    return cent
+
+
+class _IvfScorer:
+    """Actor-pool stage: probe-pruned cosine scoring. The query matrix,
+    centroids, and per-query probe lists are fetched once per actor;
+    per batch, each vector is assigned to its list and scored ONLY
+    against queries probing that list."""
+
+    def __init__(self, q_ref, cent_ref, probes_ref, k: int, exclude_self: bool):
+        q = ray.get(q_ref)
+        self.q_ids = q["ids"]
+        self.q_mat = _normalize(q["mat"])
+        self.cent = ray.get(cent_ref)
+        self.probes = ray.get(probes_ref)      # (Q, nprobe) list ids
+        self.k = k
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["vec_id"].to_numpy(dtype=np.int64)
+        mat = _normalize(_stack(batch["embedding"]))
+        assign = np.argmax(mat @ self.cent.T, axis=1)
+        sims = self.q_mat @ mat.T
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(self.q_ids):
+            keep = np.isin(assign, self.probes[qi])
+            if self.exclude_self:
+                keep &= ids != qid
+            if not keep.any():
+                continue
+            s = np.round(sims[qi][keep], 6)
+            cand = ids[keep]
+            order = np.lexsort((cand, -s))[: min(self.k, len(cand))]
+            out_q.extend([qid] * len(order))
+            out_n.extend(cand[order])
+            out_s.extend(s[order])
+        return pd.DataFrame(
+            {"query_id": np.asarray(out_q, dtype=np.int64),
+             "neighbor_id": np.asarray(out_n, dtype=np.int64),
+             "sim": np.asarray(out_s, dtype=np.float64)}
+        )
+
+
+def knn_ivf(
+    embeddings: rd.Dataset,
+    query_ids: np.ndarray,
+    k: int = 5,
+    num_lists: int = 16,
+    nprobe: int = 4,
+    kmeans_iters: int = 5,
+    seed: int = 5,
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """IVF-Flat approximate cosine top-k (same contract as
+    ``knn_brute_force``): a spherical-k-means coarse quantizer splits the
+    corpus into ``num_lists`` inverted lists; each query scores only the
+    ``nprobe`` lists whose centroids are nearest, cutting scored volume
+    to ~nprobe/num_lists of the corpus.
+
+    Here pruning happens inside streaming batches (each batch assigns its
+    vectors to lists and drops non-probed rows per query); at corpus
+    scale the assignment becomes a partition key — write the corpus
+    partitioned by list_id once, and probes then PRUNE AT THE READ
+    (only nprobe/num_lists of the files are opened). Deterministic for a
+    fixed seed; recall controlled by nprobe (see tests).
+    """
+    import functools
+
+    query_ids = np.asarray(query_ids, dtype=np.int64)
+    cent = _ivf_train(embeddings, num_lists, kmeans_iters, seed)
+    qdf = (
+        embeddings.filter(expr=f"vec_id in {query_ids.tolist()}")
+        .to_pandas().sort_values("vec_id")
+    )
+    q_mat = _stack(qdf["embedding"])
+    probes = np.argsort(
+        -(_normalize(q_mat) @ cent.T), axis=1, kind="stable"
+    )[:, :nprobe]
+    q_ref = ray.put({"ids": qdf["vec_id"].to_numpy(dtype=np.int64), "mat": q_mat})
+    cent_ref = ray.put(cent)
+    probes_ref = ray.put(probes)
+
+    partials = embeddings.map_batches(
+        functools.partial(
+            _ivf_score_batch, q_ref=q_ref, cent_ref=cent_ref,
+            probes_ref=probes_ref, k=k, exclude_self=exclude_self,
+        ),
+        batch_format="pandas", batch_size=4096,
+    ).to_pandas()
+    out = []
+    for qid, g in partials.groupby("query_id"):
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True],
+                          kind="mergesort")
+        top = g.head(k).reset_index(drop=True)
+        top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+        out.append(top)
+    res = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+        columns=["query_id", "neighbor_id", "sim", "rank"]
+    )
+    return res[["query_id", "neighbor_id", "rank", "sim"]]
+
+
+def _ivf_score_batch(batch, *, q_ref, cent_ref, probes_ref, k, exclude_self):
+    return _IvfScorer(q_ref, cent_ref, probes_ref, k, exclude_self)(batch)
+
+
 @ray.remote
 def _score_block_pair(df_i: pd.DataFrame, df_j: pd.DataFrame, same: bool, threshold: float):
     """Cosine pairs >= threshold between two embedding blocks (exact)."""

@@ -78,6 +78,7 @@ _ORACLE_CHECKED = [
     "edges_distributed",
     "asof_join",
     "window_sliding",
+    "knn_ivf",
 ]
 
 

@@ -269,6 +269,37 @@ def test_multimodal_stub_deterministic():
         assert np.allclose(x, y)
 
 
+def test_knn_ivf_recall():
+    """IVF-Flat recall vs brute force: full-probe == exact; partial probe
+    recalls most true neighbors on clustered data and is deterministic."""
+    from graph_data_science_ray.stages.similarity import knn_brute_force, knn_ivf
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((4, 16)) * 3
+    vecs = np.concatenate(
+        [centers[i % 4] + rng.standard_normal(16) * 0.4 for i in range(160)]
+    ).reshape(160, 16)
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(160, dtype=np.int64),
+                      "embedding": list(vecs)})
+    )
+    qids = np.arange(8)
+    exact = knn_brute_force(ds, query_ids=qids, k=5)
+    full = knn_ivf(ds, query_ids=qids, k=5, num_lists=8, nprobe=8, seed=5)
+    assert full[["query_id", "neighbor_id", "rank"]].equals(
+        exact[["query_id", "neighbor_id", "rank"]]
+    )
+    approx = knn_ivf(ds, query_ids=qids, k=5, num_lists=8, nprobe=2, seed=5)
+    hits = 0
+    for q in qids:
+        t = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        hits += len(t & a)
+    assert hits / (len(qids) * 5) >= 0.8
+    again = knn_ivf(ds, query_ids=qids, k=5, num_lists=8, nprobe=2, seed=5)
+    assert approx.equals(again)
+
+
 def test_knn_descent_recall():
     from graph_data_science_ray.stages.knn_descent import knn_descent
 
