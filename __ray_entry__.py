@@ -736,6 +736,32 @@ def _q_window_hourly(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("window_start").reset_index(drop=True)
 
 
+def _q_range_join(sf_dir: str) -> pd.DataFrame:
+    """Banded interval join: clicks within ±1h of each purchase, per
+    user — count and value sum."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.sessions import range_join
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    out = range_join(
+        ev.filter(expr="event_type == 'purchase'"),
+        ev.filter(expr="event_type == 'click'"),
+        before_seconds=3600, after_seconds=3600,
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "user_id": out["user_id"].astype(np.int64),
+            "event_id": out["event_id"].astype(np.int64),
+            "value": out["value"].astype(np.float64),
+            "n_in_range": out["n_in_range"].astype(np.int64),
+            "sum_in_range": np.round(
+                out["sum_in_range"].to_numpy(dtype=np.float64), 6
+            ),
+        }
+    ).sort_values("event_id").reset_index(drop=True)
+
+
 def _q_window_sliding(sf_dir: str) -> pd.DataFrame:
     """1h windows sliding every 15min (each event in 4 windows)."""
     import ray.data as rd
@@ -1304,6 +1330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "window_hourly": _q_window_hourly,
         "window_sliding": _q_window_sliding,
+        "range_join": _q_range_join,
         "yens_k3": _q_yens_k3,
         "delta_stepping": _q_delta_stepping,
         "astar": _q_astar,
@@ -1823,6 +1850,18 @@ SELECT user_id, epoch_us(ts) AS ts_us, l_eid AS event_id, l_val AS value,
        m_eid AS r_event_id, m_val AS r_value
 FROM w WHERE side = 1 AND m_eid IS NOT NULL
 ORDER BY event_id
+"""
+
+    # banded interval join: left join keeps zero-click purchases
+    sqls["range_join"] = """
+SELECT l.user_id, l.event_id, l.value,
+       CAST(count(r.event_id) AS BIGINT) AS n_in_range,
+       coalesce(round(sum(r.value), 6), 0.0) AS sum_in_range
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id
+ AND r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts + INTERVAL 1 HOUR
+GROUP BY 1, 2, 3 ORDER BY l.event_id
 """
 
     # exact word-3-gram Jaccard similarity join: shingles as strings on

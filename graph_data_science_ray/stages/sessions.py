@@ -206,3 +206,72 @@ def sliding_window(
         .groupby("window_start")
         .aggregate(Sum("pn", alias_name="n"), Sum("pv", alias_name="value_sum"))
     )
+
+
+def range_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    left_cols: tuple = ("event_id", "value"),
+    before_seconds: float = 3600.0,
+    after_seconds: float = 3600.0,
+    right_value_col: str = "value",
+) -> rd.Dataset:
+    """Banded range join: for each left row, aggregate the right rows of
+    the same key with ``ts ∈ [left.ts - before, left.ts + after]`` —
+    returns the left columns plus ``n_in_range`` and ``sum_in_range``.
+
+    The interval-join primitive (each left row against a time band of a
+    co-keyed stream). Same scale shape as ``asof_join``: ONE hash
+    shuffle co-locates each key's rows from both sides; inside a group
+    both sides sort by ts once and every left row finds its band with
+    two vectorized ``searchsorted`` probes against the right's prefix
+    sums — O((l+r) log r) per key, no per-row Python and no full
+    interval materialization (aggregates, not exploded pairs, leave the
+    group). Per-key data bounded by the key's own traffic.
+    """
+    before_us = np.int64(before_seconds * 1e6)
+    after_us = np.int64(after_seconds * 1e6)
+
+    def widen(side: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {
+                    key_col: df[key_col],
+                    "__ts": df[ts_col].astype("datetime64[us]").astype(np.int64),
+                    "__side": np.full(len(df), side, dtype=np.int64),
+                    "__rv": (
+                        df[right_value_col].astype(np.float64)
+                        if side == 0 else np.zeros(len(df))
+                    ),
+                }
+            )
+            for c in left_cols:
+                out["L_" + c] = df[c] if side else np.full(len(df), np.nan)
+            return out
+
+        return f
+
+    lt = left.map_batches(widen(1), batch_format="pandas")
+    rt = right.map_batches(widen(0), batch_format="pandas")
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["__side"].to_numpy()
+        is_l = side == 1
+        lrows = g[is_l]
+        rts = np.sort(g["__ts"].to_numpy()[~is_l], kind="mergesort")
+        order = np.argsort(g["__ts"].to_numpy()[~is_l], kind="mergesort")
+        rvs = g["__rv"].to_numpy()[~is_l][order]
+        prefix = np.concatenate([[0.0], np.cumsum(rvs)])
+        lts = lrows["__ts"].to_numpy()
+        lo = np.searchsorted(rts, lts - before_us, side="left")
+        hi = np.searchsorted(rts, lts + after_us, side="right")
+        out = pd.DataFrame({key_col: lrows[key_col].to_numpy()})
+        for c in left_cols:
+            out[c] = lrows["L_" + c].to_numpy()
+        out["n_in_range"] = (hi - lo).astype(np.int64)
+        out["sum_in_range"] = prefix[hi] - prefix[lo]
+        return out
+
+    return lt.union(rt).groupby(key_col).map_groups(per_key, batch_format="pandas")

@@ -79,6 +79,7 @@ _ORACLE_CHECKED = [
     "asof_join",
     "window_sliding",
     "knn_ivf",
+    "range_join",
 ]
 
 

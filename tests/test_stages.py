@@ -253,6 +253,34 @@ def test_asof_join_semantics():
     assert sorted(inner["event_id"]) == [100, 102]
 
 
+def test_range_join_bands():
+    """Interval membership is inclusive on both band edges; zero-match
+    lefts survive with (0, 0.0); sums cover exactly the band."""
+    from graph_data_science_ray.stages.sessions import range_join
+
+    def ev(rows):
+        df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+        df["ts"] = pd.to_datetime(df["ts"])
+        return rd.from_pandas(df)
+
+    left = ev([
+        (100, 1, "2026-01-01 10:00:00", 1.0),
+        (101, 2, "2026-01-01 10:00:00", 2.0),
+    ])
+    right = ev([
+        (1, 1, "2026-01-01 09:00:00", 10.0),   # exactly -1h: included
+        (2, 1, "2026-01-01 08:59:59", 20.0),   # just outside
+        (3, 1, "2026-01-01 11:00:00", 40.0),   # exactly +1h: included
+        (4, 1, "2026-01-01 10:30:00", 80.0),
+    ])
+    out = (
+        range_join(left, right, before_seconds=3600, after_seconds=3600)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    assert out["n_in_range"].tolist() == [3, 0]
+    assert out["sum_in_range"].tolist() == [130.0, 0.0]
+
+
 def test_multimodal_stub_deterministic():
     media = rd.from_arrow(
         pa.table(
