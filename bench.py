@@ -129,6 +129,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "pagerank", "wcc", "label_propagation", "triangles",
         "dedup_exact", "token_count", "minhash_near_dup", "knn_cosine_topk",
         "scale_minmax", "sessionize",
+        # round-3 additions (keys absent from earlier BENCH_r*.json)
+        "ngram_jaccard", "asof_join", "range_join", "knn_ivf",
+        "window_sliding",
     ):
         timed(name, lambda n=name: q[n](sf_dir))
 
