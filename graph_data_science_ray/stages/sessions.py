@@ -13,30 +13,67 @@ import pandas as pd
 import ray.data as rd
 
 
+def _hash_partition(ds: rd.Dataset, key_col: str, num_parts: int):
+    """Tag rows with ``hash(key) % P`` — the repo's standard one-column
+    shuffle key. A ``groupby("__part")`` then co-locates each key while
+    keeping only P groups, so downstream group functions run vectorized
+    over MANY keys at once instead of once per key (the per-key
+    ``map_groups`` Python-call overhead is the difference between
+    C-speed and row-speed at 10^9 keys)."""
+    from graph_data_science_ray.pipelines.agg import _stable_row_hash
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__part"] = (_stable_row_hash(df, [key_col]) % num_parts).astype(
+            np.int64
+        )
+        return df
+
+    return ds.map_batches(tag, batch_format="pandas").groupby("__part")
+
+
 def sessionize(
     events: rd.Dataset,
     key_col: str = "user_id",
     ts_col: str = "ts",
     gap_seconds: float = 1800.0,
+    num_parts: int = 64,
 ) -> rd.Dataset:
     """Per-key session count: a new session starts when the gap between
     consecutive events exceeds ``gap_seconds``. Returns (key, n_sessions,
-    n_events)."""
+    n_events).
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, "event_id"], kind="mergesort")
-        ts = g[ts_col].astype("datetime64[us]").astype(np.int64) / 1e6
-        gaps = np.diff(ts.to_numpy())
-        n_sessions = 1 + int((gaps > gap_seconds).sum())
+    Segment formulation: hash-partition by key (P groups, not one per
+    key), sort each partition once by (key, ts, event_id), and count
+    session starts as ``key-change OR gap > threshold`` across the whole
+    partition in one vectorized pass — per-key output rows come from a
+    C-speed pandas groupby, with no per-key Python calls.
+    """
+    gap = np.int64(gap_seconds * 1e6)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, "event_id"], kind="mergesort")
+        keys = g[key_col].to_numpy()
+        ts = g[ts_col].astype("datetime64[us]").astype(np.int64).to_numpy()
+        new_key = np.empty(len(g), dtype=bool)
+        new_key[0] = True
+        new_key[1:] = keys[1:] != keys[:-1]
+        starts = new_key.copy()
+        starts[1:] |= (ts[1:] - ts[:-1]) > gap
+        agg = pd.DataFrame({key_col: keys, "s": starts.astype(np.int64)})
+        out = agg.groupby(key_col, sort=False)["s"].agg(["sum", "size"])
+        out = out.reset_index()
         return pd.DataFrame(
             {
-                key_col: [g[key_col].iloc[0]],
-                "n_sessions": np.array([n_sessions], dtype=np.int64),
-                "n_events": np.array([len(g)], dtype=np.int64),
+                key_col: out[key_col],
+                "n_sessions": out["sum"].astype(np.int64),
+                "n_events": out["size"].astype(np.int64),
             }
         )
 
-    return events.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return _hash_partition(events, key_col, num_parts).map_groups(
+        per_part, batch_format="pandas"
+    )
 
 
 def tumbling_window(
@@ -89,6 +126,7 @@ def asof_join(
     right_cols: tuple = ("event_id", "value"),
     prefix: str = "r_",
     inner: bool = False,
+    num_parts: int = 64,
 ) -> rd.Dataset:
     """Backward as-of join: each left row matches the LATEST right row of
     the same key with ``right.ts <= left.ts`` (exact matches allowed).
@@ -96,14 +134,15 @@ def asof_join(
     The temporal-join primitive Ray Data lacks natively (DuckDB/kdb
     ``ASOF JOIN`` semantics). Deterministic tie order: among right rows
     sharing a timestamp the one with the greatest first ``right_cols``
-    entry (the id column) wins.
+    entry (the id column) wins; matched right columns are emitted as
+    ``prefix + name``.
 
     Shape: both sides are widened to one schema with a side flag and
-    hash-partitioned by key (``groupby(key).map_groups``) — the single
-    shuffle co-locates each key's rows; inside a group one mergesort by
-    (ts, side, id) and a ``maximum.accumulate`` forward-fill produce all
-    matches vectorized. Per-key data is bounded; no driver state.
-    Unmatched left rows keep null right columns (dropped if ``inner``).
+    hash-partitioned by key — ONE shuffle with only P groups co-locates
+    each key's rows from both sides; inside a partition a single sort +
+    ``pd.merge_asof(by=key)`` (compiled, multi-key) matches every left
+    row at C speed. No per-key Python calls, no driver state. Unmatched
+    left rows keep null right columns (dropped if ``inner``).
     """
 
     def widen(side: int, cols: tuple, other: tuple):
@@ -117,9 +156,8 @@ def asof_join(
             )
             for c in cols:
                 out["L_" + c if side else prefix + c] = df[c]
-            for c in other:
-                out[prefix + c if side else "L_" + c] = (
-                    np.full(len(df), np.nan) )
+            for c in other:  # NaN-fill the other side's columns: one schema
+                out[prefix + c if side else "L_" + c] = np.full(len(df), np.nan)
             return out
 
         return f
@@ -127,33 +165,37 @@ def asof_join(
     lt = left.map_batches(widen(1, left_cols, right_cols), batch_format="pandas")
     rt = right.map_batches(widen(0, right_cols, left_cols), batch_format="pandas")
     rid = prefix + right_cols[0]
+    l_names = ["L_" + c for c in left_cols]
+    r_names = [prefix + c for c in right_cols]
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, "__side", rid], kind="mergesort")
-        side = g["__side"].to_numpy()
-        idx = np.arange(len(g))
-        last_r = np.maximum.accumulate(np.where(side == 0, idx, -1))
-        is_l = side == 1
-        match = last_r[is_l]
-        out = pd.DataFrame(
-            {
-                key_col: g[key_col].to_numpy()[is_l],
-                ts_col: g[ts_col].to_numpy()[is_l],
-            }
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        is_l = g["__side"].to_numpy() == 1
+        lf = g.loc[is_l, [key_col, ts_col] + l_names].sort_values(
+            ts_col, kind="mergesort"
         )
-        for c in left_cols:
-            out[c] = g["L_" + c].to_numpy()[is_l]
-        hit = match >= 0
-        for c in right_cols:
-            vals = g[prefix + c].to_numpy()
-            col = np.full(int(is_l.sum()), np.nan)
-            col[hit] = vals[match[hit]]
-            out[prefix + c] = col
+        rf = g.loc[~is_l, [key_col, ts_col] + r_names].sort_values(
+            [ts_col, rid], kind="mergesort"
+        )
+        if not len(lf):
+            return pd.DataFrame(
+                {key_col: pd.Series([], dtype=g[key_col].dtype),
+                 ts_col: pd.Series([], dtype="datetime64[us]"),
+                 **{c: pd.Series([], dtype=np.float64) for c in left_cols},
+                 **{c: pd.Series([], dtype=np.float64) for c in r_names}}
+            )
+        merged = pd.merge_asof(
+            lf, rf, on=ts_col, by=key_col,
+            direction="backward", allow_exact_matches=True,
+        )
+        out = merged.rename(columns=dict(zip(l_names, left_cols)))
         if inner:
-            out = out[hit]
-        return out
+            out = out[out[rid].notna()]
+        return out.reset_index(drop=True)
 
-    return lt.union(rt).groupby(key_col).map_groups(per_key, batch_format="pandas")
+    both = lt.union(rt)
+    return _hash_partition(both, key_col, num_parts).map_groups(
+        per_part, batch_format="pandas"
+    )
 
 
 def sliding_window(
@@ -217,6 +259,7 @@ def range_join(
     before_seconds: float = 3600.0,
     after_seconds: float = 3600.0,
     right_value_col: str = "value",
+    num_parts: int = 64,
 ) -> rd.Dataset:
     """Banded range join: for each left row, aggregate the right rows of
     the same key with ``ts ∈ [left.ts - before, left.ts + after]`` —
@@ -224,12 +267,12 @@ def range_join(
 
     The interval-join primitive (each left row against a time band of a
     co-keyed stream). Same scale shape as ``asof_join``: ONE hash
-    shuffle co-locates each key's rows from both sides; inside a group
-    both sides sort by ts once and every left row finds its band with
-    two vectorized ``searchsorted`` probes against the right's prefix
-    sums — O((l+r) log r) per key, no per-row Python and no full
-    interval materialization (aggregates, not exploded pairs, leave the
-    group). Per-key data bounded by the key's own traffic.
+    shuffle with P groups co-locates each key's rows from both sides;
+    inside a partition the right side gets per-key prefix count/sum
+    columns, and each left row resolves its band with TWO compiled
+    ``pd.merge_asof(by=key)`` probes (prefix at ts+after minus prefix
+    strictly below ts-before) — aggregates, never exploded pairs, leave
+    the group, and there are no per-key Python calls.
     """
     before_us = np.int64(before_seconds * 1e6)
     after_us = np.int64(after_seconds * 1e6)
@@ -255,23 +298,54 @@ def range_join(
 
     lt = left.map_batches(widen(1), batch_format="pandas")
     rt = right.map_batches(widen(0), batch_format="pandas")
+    l_names = ["L_" + c for c in left_cols]
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        side = g["__side"].to_numpy()
-        is_l = side == 1
-        lrows = g[is_l]
-        rts = np.sort(g["__ts"].to_numpy()[~is_l], kind="mergesort")
-        order = np.argsort(g["__ts"].to_numpy()[~is_l], kind="mergesort")
-        rvs = g["__rv"].to_numpy()[~is_l][order]
-        prefix = np.concatenate([[0.0], np.cumsum(rvs)])
-        lts = lrows["__ts"].to_numpy()
-        lo = np.searchsorted(rts, lts - before_us, side="left")
-        hi = np.searchsorted(rts, lts + after_us, side="right")
-        out = pd.DataFrame({key_col: lrows[key_col].to_numpy()})
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        is_l = g["__side"].to_numpy() == 1
+        lf = g.loc[is_l, [key_col, "__ts"] + l_names].reset_index(drop=True)
+        rf = (
+            g.loc[~is_l, [key_col, "__ts", "__rv"]]
+            .sort_values([key_col, "__ts"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        if not len(lf):
+            return pd.DataFrame(
+                {key_col: pd.Series([], dtype=g[key_col].dtype),
+                 **{c: pd.Series([], dtype=np.float64) for c in left_cols},
+                 "n_in_range": pd.Series([], dtype=np.int64),
+                 "sum_in_range": pd.Series([], dtype=np.float64)}
+            )
+        grp = rf.groupby(key_col, sort=False)
+        rf["__cnt"] = grp.cumcount() + 1
+        rf["__cs"] = grp["__rv"].cumsum()
+        probe = rf[[key_col, "__ts", "__cnt", "__cs"]].sort_values(
+            ["__ts", "__cnt"], kind="mergesort"
+        )
+
+        def prefix_at(ts_probe: np.ndarray, exact: bool) -> pd.DataFrame:
+            q = lf[[key_col]].copy()
+            q["__tp"] = ts_probe
+            q["__row"] = np.arange(len(q))
+            q = q.sort_values("__tp", kind="mergesort")
+            m = pd.merge_asof(
+                q, probe.rename(columns={"__ts": "__tp"}),
+                on="__tp", by=key_col,
+                direction="backward", allow_exact_matches=exact,
+            ).sort_values("__row", kind="mergesort")
+            return (m["__cnt"].fillna(0).to_numpy(dtype=np.int64),
+                    m["__cs"].fillna(0.0).to_numpy(dtype=np.float64))
+
+        lts = lf["__ts"].to_numpy()
+        c_hi, s_hi = prefix_at(lts + after_us, exact=True)
+        c_lo, s_lo = prefix_at(lts - before_us, exact=False)
+        out = pd.DataFrame({key_col: lf[key_col]})
         for c in left_cols:
-            out[c] = lrows["L_" + c].to_numpy()
-        out["n_in_range"] = (hi - lo).astype(np.int64)
-        out["sum_in_range"] = prefix[hi] - prefix[lo]
+            out[c] = lf["L_" + c].to_numpy()
+        out["n_in_range"] = c_hi - c_lo
+        out["sum_in_range"] = s_hi - s_lo
         return out
 
-    return lt.union(rt).groupby(key_col).map_groups(per_key, batch_format="pandas")
+    both = lt.union(rt)
+    return _hash_partition(both, key_col, num_parts).map_groups(
+        per_part, batch_format="pandas"
+    )
