@@ -43,6 +43,21 @@ def test_k_core_fixed_rounds_matches_fixpoint(graph_from_edges):
     assert (a["in_core"].to_numpy() == b["in_core"].to_numpy()).all()
 
 
+def test_k_core_distributed_parity(graph_from_edges):
+    """Dataset-held alive state == broadcast mask, at the fixpoint AND
+    mid-peel (pinned rounds, where the chain 5-6-7 peels gradually)."""
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (5, 6), (6, 7)]
+    _, _, idmap, _, sym = graph_from_edges(edges, undirected_only=True)
+    V = len(idmap)
+    for kwargs, k in (({}, 2), ({"rounds": 1}, 2), ({"rounds": 2}, 1)):
+        a = k_core(sym, k=k, node_count=V, idmap=idmap,
+                   mode="broadcast", **kwargs)
+        b = k_core(sym, k=k, node_count=V, idmap=idmap,
+                   mode="distributed", num_parts=4, **kwargs)
+        assert (a["in_core"].to_numpy() == b["in_core"].to_numpy()).all(), (
+            k, kwargs)
+
+
 def test_node_similarity_jaccard(graph_from_edges):
     # 0 and 1 both connect to {2, 3}; 0 also to 4.
     # N(0)={2,3,4}, N(1)={2,3} -> jaccard(0,1) = 2/3
