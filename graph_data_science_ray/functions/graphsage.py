@@ -22,13 +22,16 @@ Distributed re-expression (the node2vec harness pattern,
   CSR partition (zero-copy plasma block reads, owned nodes only);
 - training is data-parallel full-batch Adam: the tiny weight matrices
   (W1: dim×f, W2: dim×dim) are ``ray.put`` per iteration, one task per
-  FIXED shard of the triple list runs the vectorized forward+backward
-  (numpy gathers from the broadcast feature matrix), and shard
-  gradients combine in shard order — byte-identical at any parallelism;
-- the V×f feature matrix and the V×S neighbor-sample arrays are
-  broadcast once (``ray.put``) — valid while V×(f+S) fits a worker
-  heap; the partition-held variant is the documented scale path, as
-  with node2vec's embedding matrices.
+  FIXED shard of the triple list runs the vectorized forward+backward,
+  and shard gradients combine in shard order — byte-identical at any
+  parallelism;
+- the feature matrix and the neighbor-sample arrays are PARTITION-HELD:
+  range-sharded into one plasma block per graph partition (samples are
+  born that way — the sampling task's return ref IS the block), and
+  each shard/embed task fetches ONLY the blocks its support set touches
+  (``_gather_rows``). No V-sized object is broadcast or read whole.
+  Driver-side O(V) remains only at the INPUT boundary (the caller's
+  feature matrix, the walk-derived triple list), as documented.
 """
 
 from __future__ import annotations
@@ -59,7 +62,7 @@ def _act_grad(h: np.ndarray, kind: str) -> np.ndarray:
 
 @ray.remote
 def _sample_neighbors_part(pi: int, blocks, sample_size: int, seed: int,
-                           layer: int) -> tuple[int, np.ndarray]:
+                           layer: int) -> np.ndarray:
     """Uniform without-replacement neighbor sample for the partition's
     owned nodes: (count, S) int64 matrix, -1 padded (reference
     NeighborhoodSampler: all neighbors when degree <= sampleSize)."""
@@ -82,19 +85,50 @@ def _sample_neighbors_part(pi: int, blocks, sample_size: int, seed: int,
                 + np.uint64((start + i) * 1_000_003 + seed + 77 * layer)
             )
             out[i] = nbrs[np.argsort(h, kind="stable")[:sample_size]]
-    return start, out
+    return out
 
 
-def _sample_all_neighbors(graph, sample_size: int, seed: int,
-                          layer: int) -> np.ndarray:
+def _sample_neighbor_blocks(graph, sample_size: int, seed: int,
+                            layer: int) -> list:
+    """One (owned_count, S) sample block per graph partition — the
+    matrices are BORN partition-held (the sampling task's return ref IS
+    the block); nothing V-sized is assembled anywhere."""
     blocks = graph.block_refs()
-    parts = ray.get([
+    return [
         _sample_neighbors_part.remote(pi, blocks, sample_size, seed, layer)
         for pi in range(graph.num_partitions)
-    ])
-    out = np.full((graph.node_count, sample_size), -1, dtype=np.int64)
-    for start, mat in parts:
-        out[start:start + len(mat)] = mat
+    ]
+
+
+def _shard_rows(mat: np.ndarray, boundaries) -> list:
+    """Range-shard a (V, ...) matrix into one plasma object per graph
+    partition (the partition-held layout: block p holds the rows of the
+    nodes partition p owns)."""
+    return [
+        ray.put(np.ascontiguousarray(mat[boundaries[i]:boundaries[i + 1]]))
+        for i in range(len(boundaries) - 1)
+    ]
+
+
+def _gather_rows(block_refs: list, boundaries: np.ndarray,
+                 ids: np.ndarray) -> np.ndarray:
+    """Rows for ``ids`` from a range-sharded matrix, fetching ONLY the
+    blocks those ids touch (plasma reads are zero-copy and node-local
+    after the first fetch on a node) — the whole matrix never rides one
+    object and a task never pulls blocks it does not reference."""
+    ids = np.asarray(ids, dtype=np.int64)
+    bounds = np.asarray(boundaries, dtype=np.int64)
+    p = np.searchsorted(bounds, ids, side="right") - 1
+    out = None
+    for blk in np.unique(p):
+        sel = p == blk
+        b = ray.get(block_refs[int(blk)])
+        rows = b[ids[sel] - bounds[blk]]
+        if out is None:
+            out = np.empty((len(ids),) + b.shape[1:], dtype=b.dtype)
+        out[sel] = rows
+    if out is None:
+        raise ValueError("empty id set")
     return out
 
 
@@ -109,30 +143,46 @@ def _mean_rows(X: np.ndarray, self_ids: np.ndarray, nbr: np.ndarray,
     return (src + gathered.sum(axis=1)) / cnt[:, None]
 
 
+def _support_m1(feat_blocks, s2_blocks, bounds, sup: np.ndarray):
+    """Layer-1 mean inputs for a sorted support set: gathers the support
+    nodes' layer-2 samples, then ONLY the feature rows those samples and
+    the support itself touch (per-block fetches — no V-sized read)."""
+    s2_sup = _gather_rows(s2_blocks, bounds, sup)        # (U, S2)
+    ids_x = np.unique(np.concatenate([sup, s2_sup.ravel()]))
+    ids_x = ids_x[ids_x >= 0]
+    Xl = _gather_rows(feat_blocks, bounds, ids_x)
+
+    def local(ids):
+        return np.searchsorted(ids_x, np.where(ids >= 0, ids, ids_x[0]))
+
+    nbr_l = np.where(s2_sup >= 0, local(s2_sup), -1)
+    m1 = _mean_rows(Xl, local(sup), nbr_l)               # (U, f)
+    return m1
+
+
 @ray.remote
-def _shard_grad(w_ref, feat_ref, samp_ref, triples: np.ndarray,
-                cfg: dict) -> tuple:
+def _shard_grad(w_ref, feat_blocks, s1_blocks, s2_blocks, bounds,
+                triples: np.ndarray, cfg: dict) -> tuple:
     """Forward + backward for one shard of (v, pos, neg) triples.
 
-    Returns (gW1, gW2, loss_sum, n). All gathers are vectorized numpy
-    over the broadcast feature matrix; nothing graph-global is built.
-    Refs passed as task args arrive auto-dereferenced (zero-copy plasma
-    reads shared across every shard task).
+    Returns (gW1, gW2, loss_sum, n). All gathers are vectorized numpy;
+    features and neighbor samples arrive as RANGE-SHARDED block refs
+    (one per graph partition) and only the blocks this shard's support
+    set touches are fetched — nothing graph-global rides one object or
+    enters this task.
     """
     W1, W2 = w_ref
-    X = feat_ref
-    s1, s2 = samp_ref                   # (V, S1), (V, S2)
     act = cfg["activation"]
     Q = cfg["negative_sample_weight"]
 
     nodes = triples.ravel()             # 3B node ids, may repeat
     B = len(triples)
     # layer-1 support set: the triple nodes plus their layer-1 samples
-    n1 = s1[nodes]                      # (3B, S1)
+    n1 = _gather_rows(s1_blocks, bounds, nodes)          # (3B, S1)
     uniq = np.unique(np.concatenate([nodes, n1.ravel()]))
     sup = uniq[uniq >= 0]               # drop the -1 padding id
     # compute h1 for every support node from its OWN layer-2 sample
-    m1 = _mean_rows(X, sup, s2[sup])                     # (U, f)
+    m1 = _support_m1(feat_blocks, s2_blocks, bounds, sup)  # (U, f)
     z1 = m1 @ W1.T
     h1 = _act(z1, act)                                   # (U, dim)
     # lift back: h1 row for any id via searchsorted on sup (sorted)
@@ -212,8 +262,11 @@ def graphsage_train(
     f = features.shape[1]
     S1, S2 = sample_sizes
 
-    s1 = _sample_all_neighbors(graph, S1, seed, layer=1)
-    s2 = _sample_all_neighbors(graph, S2, seed, layer=2)
+    # sample matrices are born partition-held (one block ref per graph
+    # partition, never assembled V-sized anywhere)
+    s1_blocks = _sample_neighbor_blocks(graph, S1, seed, layer=1)
+    s2_blocks = _sample_neighbor_blocks(graph, S2, seed, layer=2)
+    bounds = np.asarray(graph.boundaries, dtype=np.int64)
 
     # positives: endpoint of a uniform walk of depth uniform(1..searchDepth)
     walks = _walk_matrix(graph, walk_length=search_depth + 1,
@@ -247,8 +300,7 @@ def graphsage_train(
     W1 = rng1.reshape(embedding_dim, f) / np.sqrt(max(f, 1))
     W2 = rng2.reshape(embedding_dim, embedding_dim) / np.sqrt(embedding_dim)
 
-    feat_ref = ray.put(features)
-    samp_ref = ray.put((s1, s2))
+    feat_blocks = _shard_rows(features, bounds)
     cfg = {"activation": activation,
            "negative_sample_weight": float(negative_sample_weight)}
 
@@ -261,7 +313,8 @@ def graphsage_train(
     for it in range(1, epochs + 1):
         w_ref = ray.put((W1, W2))
         parts = ray.get([
-            _shard_grad.remote(w_ref, feat_ref, samp_ref, sref, cfg)
+            _shard_grad.remote(w_ref, feat_blocks, s1_blocks, s2_blocks,
+                               bounds, sref, cfg)
             for sref in shard_refs
         ])
         gW1 = np.zeros_like(W1); gW2 = np.zeros_like(W2); loss = 0.0
@@ -280,26 +333,32 @@ def graphsage_train(
             break
         prev = loss
 
-    return {"W1": W1, "W2": W2, "losses": losses, "features": features,
-            "samples": (s1, s2), "activation": activation}
+    return {"W1": W1, "W2": W2, "losses": losses,
+            "feat_blocks": feat_blocks, "s1_blocks": s1_blocks,
+            "s2_blocks": s2_blocks, "boundaries": bounds,
+            "activation": activation}
 
 
 @ray.remote
-def _embed_part(pi: int, w_ref, feat_ref, samp_ref, boundaries,
+def _embed_part(pi: int, w_ref, feat_blocks, s1_blocks, s2_blocks, bounds,
                 activation: str) -> tuple[int, np.ndarray]:
     """Final embeddings for one partition's owned nodes (inference uses
-    the same sampled neighborhoods, GraphSageEmbeddingsGenerator)."""
+    the same sampled neighborhoods, GraphSageEmbeddingsGenerator).
+    Supports are neighborhood-local, so the per-block gathers touch only
+    this partition's range plus its sampled neighbors' blocks."""
     W1, W2 = w_ref
-    X = feat_ref
-    s1, s2 = samp_ref
-    start, end = boundaries[pi], boundaries[pi + 1]
+    start, end = int(bounds[pi]), int(bounds[pi + 1])
     own = np.arange(start, end, dtype=np.int64)
+    if not len(own):
+        return start, np.zeros((0, W2.shape[0]), dtype=np.float64)
     # support = own ∪ their layer-1 samples; h1 needs each support
     # node's own layer-2 sample
-    n1 = s1[own]
+    n1 = _gather_rows(s1_blocks, bounds, own)
     sup = np.unique(np.concatenate([own, n1.ravel()]))
     sup = sup[sup >= 0]
-    h1 = _act(_mean_rows(X, sup, s2[sup]) @ W1.T, activation)
+    h1 = _act(
+        _support_m1(feat_blocks, s2_blocks, bounds, sup) @ W1.T, activation
+    )
     pos = np.searchsorted(sup, np.where(n1 >= 0, n1, sup[0]))
     mask = n1 >= 0
     h_nbr = h1[pos] * mask[:, :, None]
@@ -323,11 +382,11 @@ def graphsage(
         sample_sizes=sample_sizes, **train_kwargs,
     )
     w_ref = ray.put((model["W1"], model["W2"]))
-    feat_ref = ray.put(model["features"])
-    samp_ref = ray.put(model["samples"])
     parts = ray.get([
-        _embed_part.remote(pi, w_ref, feat_ref, samp_ref, graph.boundaries,
-                           model["activation"])
+        _embed_part.remote(
+            pi, w_ref, model["feat_blocks"], model["s1_blocks"],
+            model["s2_blocks"], model["boundaries"], model["activation"],
+        )
         for pi in range(graph.num_partitions)
     ])
     embs = np.concatenate([e for _s, e in sorted(parts, key=lambda t: t[0])])
