@@ -35,6 +35,20 @@ def test_k1_coloring_proper(graph_from_edges):
     assert len({col[i] for i in range(4)}) == 4
 
 
+def test_k1_coloring_distributed_parity(graph_from_edges):
+    """Dataset-held color state == broadcast arrays, mid-iteration
+    (pinned rounds) and at the fixpoint."""
+    edges = list(itertools.combinations(range(4), 2)) + [(3, 4), (4, 5), (6, 7)]
+    _, _, idmap, _, sym = graph_from_edges(edges, undirected_only=True)
+    V = len(idmap)
+    for rounds in (1, 100):  # mid-iteration pin + fixpoint
+        a = k1_coloring(sym, node_count=V, idmap=idmap, max_rounds=rounds,
+                        mode="broadcast")
+        b = k1_coloring(sym, node_count=V, idmap=idmap, max_rounds=rounds,
+                        mode="distributed", num_parts=4)
+        assert (a["color"].to_numpy() == b["color"].to_numpy()).all(), rounds
+
+
 def test_topological_sort_dag(graph_from_edges):
     # 0->1->3, 0->2->3, 3->4
     _, _, idmap, enc, _ = graph_from_edges([(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)])
