@@ -162,6 +162,7 @@ def knn_descent_ds(
     vec_col: str = "embedding",
     sample_cap: int | None = None,
     target_block_rows: int = 65_536,
+    boost: int = 3,
 ) -> rd.Dataset:
     """Approximate cosine top-k for every vector as a DATASET of
     (query_id, neighbor_id, rank, sim) — the n·k result never collects on
@@ -169,7 +170,14 @@ def knn_descent_ds(
 
     The vector-block count S scales with the corpus
     (``ceil(rows / target_block_rows)``), so per-block matrices stay
-    bounded (~64 MB at dim 128 float64) no matter how large n grows."""
+    bounded (~64 MB at dim 128 float64) no matter how large n grows.
+
+    ``boost`` is the internal candidate-list multiplier (Dong et al.'s
+    K′ oversampling; the reference Knn's sampleRate plays the same
+    role): rounds maintain ``boost·k`` neighbors per node and the final
+    ranking truncates to ``k``. At boost=1 weakly-clustered corpora
+    plateau at ~0.45 recall (neighbor-of-neighbor transitivity is too
+    thin at tiny k); boost=3 reaches ≥0.95 on the same data."""
     try:
         P = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
@@ -187,26 +195,35 @@ def knn_descent_ds(
     ids = sorted_ids
     n = len(ids)
     ids_ref = ray.put(ids)
+    kk = max(k, int(boost) * k)  # internal (oversampled) list width
 
-    # deterministic random init: k draws per node (driver-built id pairs —
-    # O(n·k) ints, the same footprint class as the id vocabulary)
-    reps_pos = np.repeat(np.arange(n, dtype=np.int64), k)
-    reps_id = np.repeat(ids, k)
-    slots = np.tile(np.arange(k, dtype=np.int64), n)
+    # deterministic random init: kk draws per node (driver-built id pairs —
+    # O(n·kk) ints, the same footprint class as the id vocabulary)
+    reps_pos = np.repeat(np.arange(n, dtype=np.int64), kk)
+    reps_id = np.repeat(ids, kk)
+    slots = np.tile(np.arange(kk, dtype=np.int64), n)
     cand = ids[(mix2(seed, reps_pos, slots) % np.uint64(max(n, 1))).astype(np.int64)]
     good = cand != reps_id
     pairs = rd.from_pandas(pd.DataFrame({"a": reps_id[good], "b": cand[good]}))
 
     current = _topk(
-        _score_pairs(pairs, refs_ref, sid_ref, bof_ref, S), k, num_parts=P
+        _score_pairs(pairs, refs_ref, sid_ref, bof_ref, S), kk, num_parts=P
     ).materialize()
     cur_n, cur_digest = _digest(current)
-    cap = int(sample_cap) if sample_cap else max(20, 2 * k)
+    cap = int(sample_cap) if sample_cap else max(20, 2 * kk)
 
     for rnd in range(max_rounds):
-        # neighbor-of-neighbor proposals through the shared middle node
+        # neighbor-of-neighbor proposals through the shared middle node.
+        # Emit BOTH directions of every candidate edge so the group keyed
+        # on the middle m holds B[m] ∪ R[m] (forward and reverse
+        # neighbors) — Dong et al.'s local join; grouping only one
+        # direction joins R[m]×R[m] and converges far slower.
         def tag_mid(df: pd.DataFrame) -> pd.DataFrame:
-            df = df[["a", "b"]].copy()
+            df = pd.concat(
+                [df[["a", "b"]],
+                 df[["a", "b"]].rename(columns={"a": "b", "b": "a"})],
+                ignore_index=True,
+            )
             df["__part"] = (_stable_row_hash(df, ["b"]) % P).astype(np.int64)
             return df
 
@@ -240,7 +257,7 @@ def knn_descent_ds(
         )
         scored_new = _score_pairs(proposals, refs_ref, sid_ref, bof_ref, S)
         merged = _topk(
-            current.select_columns(["a", "b", "sim"]).union(scored_new), k, num_parts=P
+            current.select_columns(["a", "b", "sim"]).union(scored_new), kk, num_parts=P
         )
         merged = merged.materialize()
         new_n, new_digest = _digest(merged)
@@ -261,6 +278,7 @@ def knn_descent_ds(
         )
         g = g.rename(columns={"a": "query_id", "b": "neighbor_id"})
         g["rank"] = g.groupby("query_id", sort=False).cumcount() + 1
+        g = g[g["rank"] <= k]  # truncate the oversampled list to k
         return g[["query_id", "neighbor_id", "rank", "sim"]]
 
     return (
@@ -279,13 +297,14 @@ def knn_descent(
     vec_col: str = "embedding",
     sample_cap: int | None = None,
     target_block_rows: int = 65_536,
+    boost: int = 3,
 ) -> pd.DataFrame:
     """DataFrame convenience wrapper over :func:`knn_descent_ds` —
     collects the n·k result; at scale consume the Dataset variant."""
     ds = knn_descent_ds(
         embeddings, k=k, max_rounds=max_rounds, seed=seed, id_col=id_col,
         vec_col=vec_col, sample_cap=sample_cap,
-        target_block_rows=target_block_rows,
+        target_block_rows=target_block_rows, boost=boost,
     )
     out = ds.to_pandas()
     return out.sort_values(
