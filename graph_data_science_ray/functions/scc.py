@@ -34,11 +34,16 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from graph_data_science_ray.pipelines.agg import hash_distinct
+from graph_data_science_ray.pipelines.agg import (
+    hash_aggregate,
+    hash_distinct,
+    hash_join,
+)
 from graph_data_science_ray.state.graph import GraphStore
 from graph_data_science_ray.state.pregel import Pregel, PregelComputation
 
 _I64_MAX = np.iinfo(np.int64).max
+_DISTRIBUTED_NODE_CUTOFF = 5_000_000
 
 
 class _MinForward(PregelComputation):
@@ -101,8 +106,33 @@ class _BackwardReach(PregelComputation):
         return stats.get("init") is None and stats.get("changed", 1) == 0
 
 
-def scc(encoded_edges: rd.Dataset, node_count: int, idmap=None, max_rounds: int = 100) -> pd.DataFrame:
-    """Exact SCC ids (min member id). Returns (node, component)."""
+def scc(
+    encoded_edges: rd.Dataset,
+    node_count: int,
+    idmap=None,
+    max_rounds: int = 100,
+    mode: str = "auto",
+    num_parts: int = 64,
+) -> pd.DataFrame:
+    """Exact SCC ids (min member id). Returns (node, component).
+
+    ``mode="broadcast"`` (default below 5M nodes): per outer FW-BW round
+    the unassigned mask and the gathered color vector are O(V) driver
+    arrays broadcast once — fastest while V fits a worker heap, and the
+    outer round count is small (the giant SCC peels first).
+    ``mode="distributed"`` (auto above the cutoff): assignment, colors
+    and reach state live in hash-partitioned Datasets; every fixpoint
+    step is a join + aggregate over the live edge table and the driver
+    sees only row counts. Exact SCC membership is unique, so both modes
+    return identical tables (parity-tested)."""
+    if mode == "auto":
+        mode = (
+            "broadcast" if node_count <= _DISTRIBUTED_NODE_CUTOFF else "distributed"
+        )
+    if mode == "distributed":
+        return _scc_distributed(
+            encoded_edges, node_count, idmap, max_rounds, num_parts=num_parts
+        )
     num_partitions = min(8, max(1, node_count // 2))
     live = hash_distinct(
         encoded_edges.select_columns(["src", "dst"]), ["src", "dst"]
@@ -191,6 +221,352 @@ def scc(encoded_edges: rd.Dataset, node_count: int, idmap=None, max_rounds: int 
         members = unassigned & reached & (colors < _I64_MAX)
         assigned[members] = colors[members]
 
+    node = idmap.keys if idmap is not None else np.arange(node_count, dtype=np.int64)
+    comp = assigned
+    if idmap is not None:
+        comp = idmap.to_keys(assigned)
+    return pd.DataFrame({"node": node, "component": comp})
+
+
+def _scc_distributed(
+    encoded_edges: rd.Dataset,
+    node_count: int,
+    idmap=None,
+    max_rounds: int = 100,
+    num_parts: int = 64,
+) -> pd.DataFrame:
+    """FW-BW coloring with Dataset-held state (see ``scc`` docstring).
+
+    Per outer round the unassigned set, the color map and the backward
+    reach set are hash-partitioned ``(node, ...)`` Datasets; each forward
+    min-propagation step fuses the edge relaxation (``live ⋈ colors``),
+    a pointer-doubling shortcut (``colors ⋈ colors`` on ``color = node``
+    — sound because ``color(v)`` reaches ``v``, so anything reaching
+    ``color(v)`` reaches ``v``; it collapses convergence from O(diameter)
+    to O(log diameter) Dataset rounds) and the min-merge into ONE
+    streaming execution per iteration. Each backward step fuses the
+    frontier hop with the reached-set anti-join the same way. The driver
+    sees only changed-row counts — never an O(V) array or an O(E) table.
+    Output assembly (the returned ``(node, component)`` DataFrame) is the
+    function's O(V) boundary, same as every other mode."""
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    node_schema = pa.schema([("node", pa.int64())])
+    color_schema = pa.schema([("node", pa.int64()), ("color", pa.int64())])
+
+    def _bounded(ds: rd.Dataset) -> rd.Dataset:
+        """Materialize with a bounded block count.
+
+        groupby→map_groups emits ~one block per input block, and the
+        fixpoint loops union several colors-derived branches per
+        iteration — without this guard the block count grows ×4 per
+        iteration (geometric), and sort sampling over thousands of
+        near-empty blocks dominates wall time."""
+        m = ds.materialize()
+        if m.num_blocks() > 2 * num_parts:
+            m = m.repartition(num_parts).materialize()
+        return m
+
+    def _nodes_i64(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"].cast(pa.int64())})
+
+    def _anti(a: rd.Dataset, b: rd.Dataset) -> rd.Dataset:
+        """Rows of ``a`` whose node does not appear in ``b`` (both
+        single-column ``node`` Datasets, a's nodes distinct)."""
+
+        def flag(v: int):
+            def f(t: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        "node": t["node"].cast(pa.int64()),
+                        "f": pa.array(np.full(len(t), v, dtype=np.int64)),
+                    }
+                )
+
+            return f
+
+        u = a.map_batches(flag(0), batch_format="pyarrow").union(
+            b.map_batches(flag(1), batch_format="pyarrow")
+        )
+        mx = hash_aggregate(u, ["node"], "f", op="max", num_parts=num_parts)
+        return mx.filter(expr="f == 0").map_batches(
+            _nodes_i64, batch_format="pyarrow"
+        )
+
+    def _slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"src": t["src"].cast(pa.int64()), "dst": t["dst"].cast(pa.int64())}
+        )
+
+    live = (
+        hash_distinct(
+            encoded_edges.select_columns(["src", "dst"]),
+            ["src", "dst"],
+            num_parts=num_parts,
+        )
+        .map_batches(_slim, batch_format="pyarrow")
+        .materialize()
+    )
+    unassigned = (
+        rd.range(node_count, override_num_blocks=num_parts)
+        .map_batches(
+            lambda t: pa.table({"node": t["id"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    assigned_parts: list[pd.DataFrame] = []
+
+    import os as _os
+    _dbg = bool(_os.environ.get("GDSR_SCC_DEBUG"))
+    for _rnd in range(max_rounds):
+        if _dbg:
+            print(f"[scc-dist] round {_rnd} unassigned={unassigned.count()}", flush=True)
+        if unassigned.count() == 0:
+            break
+        # touched = distinct endpoints of the live edge table
+        def endpoints(t: pa.Table) -> pa.Table:
+            nodes = np.unique(
+                np.concatenate(
+                    [
+                        t["src"].to_numpy(zero_copy_only=False),
+                        t["dst"].to_numpy(zero_copy_only=False),
+                    ]
+                )
+            )
+            return pa.table({"node": pa.array(nodes.astype(np.int64))})
+
+        touched = _bounded(
+            hash_distinct(
+                live.map_batches(endpoints, batch_format="pyarrow"),
+                ["node"],
+                num_parts=num_parts,
+            )
+        )
+
+        # nodes with no live edge are singleton SCCs — peel immediately
+        solo = _bounded(_anti(unassigned, touched))
+        if solo.count():
+            sdf = solo.to_pandas()
+            assigned_parts.append(
+                pd.DataFrame(
+                    {
+                        "node": sdf["node"].to_numpy(dtype=np.int64),
+                        "component": sdf["node"].to_numpy(dtype=np.int64),
+                    }
+                )
+            )
+        if live.count() == 0:
+            break
+        unassigned = touched  # remaining unassigned == touched by construction
+
+        # ---- forward min-id coloring to fixpoint --------------------
+        # colors keeps a trailing "changed" column between iterations
+        # (ignored by every schema-driven consumer) so convergence needs
+        # no extra projection pass.
+        colors = _bounded(
+            unassigned.map_batches(
+                lambda t: pa.table(
+                    {"node": t["node"].cast(pa.int64()), "color": t["node"].cast(pa.int64())}
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+        def tag_node(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__part"] = (
+                pd.util.hash_array(df["node"].to_numpy()) % num_parts
+            ).astype(np.int64)
+            return df
+
+        def flag_old(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": t["node"].cast(pa.int64()),
+                    "color": t["color"].cast(pa.int64()),
+                    "is_new": pa.array(np.zeros(len(t), dtype=np.int8)),
+                }
+            )
+
+        def msgs_to_inc(t: pa.Table) -> pa.Table:
+            # raw per-edge messages — min-combined in merge_min, no
+            # separate pre-aggregate shuffle
+            return pa.table(
+                {
+                    "node": t["dst"].cast(pa.int64()),
+                    "color": t["color"].cast(pa.int64()),
+                    "is_new": pa.array(np.ones(len(t), dtype=np.int8)),
+                }
+            )
+
+        def shortcut_to_inc(t: pa.Table) -> pa.Table:
+            # (node, color, c2=color(color)) → candidate color c2 for node
+            return pa.table(
+                {
+                    "node": t["node"].cast(pa.int64()),
+                    "color": t["c2"].cast(pa.int64()),
+                    "is_new": pa.array(np.ones(len(t), dtype=np.int8)),
+                }
+            )
+
+        def rename_c2(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"node": t["node"].cast(pa.int64()), "c2": t["color"].cast(pa.int64())}
+            )
+
+        c2_schema = pa.schema([("node", pa.int64()), ("c2", pa.int64())])
+
+        def merge_min(g: pd.DataFrame) -> pd.DataFrame:
+            new = g.groupby("node", sort=False)["color"].min()
+            old = g.loc[g["is_new"] == 0].set_index("node")["color"]
+            out = new.reset_index()
+            out["changed"] = (
+                new.to_numpy() < old.reindex(new.index).to_numpy()
+            ).astype(np.int64)
+            return out
+
+        # pointer doubling ⇒ O(log diameter) iterations; 96 covers any
+        # int64-id graph with a wide safety margin, and the changed==0
+        # break fires first in practice.
+        for _it in range(96):
+            msgs = hash_join(
+                live,
+                colors,
+                on=["src"],
+                right_on=["node"],
+                left_schema=edge_schema,
+                right_schema=color_schema,
+                num_parts=num_parts,
+            ).map_batches(msgs_to_inc, batch_format="pyarrow")
+            shortcut = hash_join(
+                colors,
+                colors.map_batches(rename_c2, batch_format="pyarrow"),
+                on=["color"],
+                right_on=["node"],
+                left_schema=color_schema,
+                right_schema=c2_schema,
+                num_parts=num_parts,
+            ).map_batches(shortcut_to_inc, batch_format="pyarrow")
+            merged = (
+                colors.map_batches(flag_old, batch_format="pyarrow")
+                .union(msgs)
+                .union(shortcut)
+            )
+            colors = _bounded(
+                merged.map_batches(tag_node, batch_format="pandas")
+                .groupby("__part")
+                .map_groups(merge_min, batch_format="pandas")
+            )
+            chg = colors.sum("changed")
+            if _dbg:
+                print(f"[scc-dist]  fwd it={_it} changed={chg}", flush=True)
+            if not chg:
+                break
+
+        # ---- backward reachability within color classes -------------
+        colors_src = colors.map_batches(
+            lambda t: pa.table(
+                {"node": t["node"].cast(pa.int64()), "cs": t["color"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        colors_dst = colors.map_batches(
+            lambda t: pa.table(
+                {"node": t["node"].cast(pa.int64()), "cd": t["color"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        cs_schema = pa.schema([("node", pa.int64()), ("cs", pa.int64())])
+        cd_schema = pa.schema([("node", pa.int64()), ("cd", pa.int64())])
+        j = hash_join(
+            live, colors_src, on=["src"], right_on=["node"],
+            left_schema=edge_schema, right_schema=cs_schema, num_parts=num_parts,
+        )
+        j_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64()), ("cs", pa.int64())])
+        j2 = hash_join(
+            j, colors_dst, on=["dst"], right_on=["node"],
+            left_schema=j_schema, right_schema=cd_schema, num_parts=num_parts,
+        )
+
+        def rev_same(t: pa.Table) -> pa.Table:
+            cs = t["cs"].to_numpy(zero_copy_only=False)
+            cd = t["cd"].to_numpy(zero_copy_only=False)
+            keep = cs == cd
+            s = t["src"].to_numpy(zero_copy_only=False)[keep]
+            d = t["dst"].to_numpy(zero_copy_only=False)[keep]
+            # reversed: propagate reach from dst back to src
+            return pa.table(
+                {"src": pa.array(d.astype(np.int64)), "dst": pa.array(s.astype(np.int64))}
+            )
+
+        if _dbg:
+            print("[scc-dist]  building rev...", flush=True)
+        rev = _bounded(j2.map_batches(rev_same, batch_format="pyarrow"))
+        if _dbg:
+            print(f"[scc-dist]  rev edges={rev.count()}", flush=True)
+        roots = _bounded(
+            colors.filter(expr="node == color").map_batches(
+                _nodes_i64, batch_format="pyarrow"
+            )
+        )
+        if _dbg:
+            print(f"[scc-dist]  roots={roots.count()}", flush=True)
+        reached = roots  # grows as a lazy union of materialized deltas
+        frontier = roots
+        for _it in range(node_count + 2):
+            hop = hash_join(
+                rev, frontier, on=["src"], right_on=["node"],
+                left_schema=edge_schema, right_schema=node_schema,
+                num_parts=num_parts,
+            ).map_batches(
+                lambda t: pa.table({"node": t["dst"].cast(pa.int64())}),
+                batch_format="pyarrow",
+            )
+            # one fused execution: hop ∪ reached → max-flag anti-join
+            # (also dedupes hop's candidate nodes)
+            new = _bounded(_anti(hop, reached))
+            if _dbg:
+                print(f"[scc-dist]  bwd it={_it} new={new.count()}", flush=True)
+            if new.count() == 0:
+                break
+            reached = reached.union(new)
+            frontier = new
+
+        # members: reached nodes, component = color (root = min member id)
+        members = hash_join(
+            reached, colors, on=["node"],
+            left_schema=node_schema, right_schema=color_schema,
+            num_parts=num_parts,
+        ).materialize()
+        mdf = members.to_pandas()
+        if len(mdf):
+            assigned_parts.append(
+                pd.DataFrame(
+                    {
+                        "node": mdf["node"].to_numpy(dtype=np.int64),
+                        "component": mdf["color"].to_numpy(dtype=np.int64),
+                    }
+                )
+            )
+
+        # peel: drop reached nodes and their incident edges
+        unassigned = _bounded(_anti(unassigned, reached))
+        ua_nodes = unassigned
+        live = hash_join(
+            live, ua_nodes, on=["src"], right_on=["node"],
+            left_schema=edge_schema, right_schema=node_schema, num_parts=num_parts,
+        )
+        live = hash_join(
+            live, ua_nodes, on=["dst"], right_on=["node"],
+            left_schema=edge_schema, right_schema=node_schema, num_parts=num_parts,
+        ).materialize()
+
+    assigned = np.full(node_count, -1, dtype=np.int64)
+    if assigned_parts:
+        adf = pd.concat(assigned_parts, ignore_index=True)
+        assigned[adf["node"].to_numpy(dtype=np.int64)] = adf["component"].to_numpy(
+            dtype=np.int64
+        )
     node = idmap.keys if idmap is not None else np.arange(node_count, dtype=np.int64)
     comp = assigned
     if idmap is not None:

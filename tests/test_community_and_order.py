@@ -174,3 +174,34 @@ def test_louvain_partitioned_state_matches_broadcast(graph_from_edges):
     mb, qb = modularity_optimization(sym, n, state_mode="partitioned")
     pd.testing.assert_frame_equal(ma, mb)
     assert qa == qb
+
+
+def test_scc_distributed_parity(graph_from_edges):
+    """Dataset-held FW-BW state == broadcast arrays.
+
+    Graph exercises every peel shape — a big cycle with chords, two
+    2-cycles downstream of it (forcing successive outer rounds), DAG
+    bridge nodes (singleton SCCs with live edges) and isolated-by-peel
+    singletons — while keeping the DAG depth small: each outer FW-BW
+    round peels one layer, and a distributed round is ~15 Dataset
+    executions, so a deep random periphery would make this test crawl
+    without adding coverage."""
+    from graph_data_science_ray.functions.scc import scc
+
+    big = [(i, (i + 1) % 8) for i in range(8)]          # SCC {0..7}
+    chords = [(0, 4), (5, 2)]
+    bridge = [(3, 8), (8, 9)]                            # 8 is a DAG node
+    two_a = [(9, 10), (10, 9)]                           # SCC {9,10}
+    two_b = [(8, 11), (11, 12), (12, 11)]                # SCC {11,12}
+    edges = sorted(set(big + chords + bridge + two_a + two_b + [(13, 0)]))
+    _, _, idmap, enc, _ = graph_from_edges(edges)
+    V = len(idmap)
+    a = scc(enc, node_count=V, idmap=idmap, mode="broadcast")
+    b = scc(enc, node_count=V, idmap=idmap, mode="distributed", num_parts=4)
+    a = a.sort_values("node").reset_index(drop=True)
+    b = b.sort_values("node").reset_index(drop=True)
+    assert (a["node"] == b["node"]).all()
+    assert (a["component"] == b["component"]).all()
+    # sanity against the known partition
+    assert a["component"].nunique() == 5  # {0..7}, {8}, {9,10}, {11,12}, {13}
+
