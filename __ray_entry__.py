@@ -314,6 +314,68 @@ def _q_random_walks(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _q_walks_valid(sf_dir: str) -> pd.DataFrame:
+    """Random-walk validity invariant (exact, oracle-checkable): every
+    consecutive step pair within a walk is a directed edge of the
+    projected graph (checked by a distributed hash-join of the hop table
+    against the encoded edge Dataset), every node launches exactly one
+    walk starting at itself (walk_id == dense node id at
+    walks_per_node=1), and no walk exceeds walk_length steps. The node
+    sequence itself is seed-specific (covered rows-only by
+    `random_walks`); the invariants are what the reference's walk tests
+    assert (ref algo/.../traversal/RandomWalkTest). ``num_walks`` ties
+    the row to the real node count, which the SQL oracle recomputes
+    independently from the events table."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graph_data_science_ray.functions.walks import random_walks
+    from graph_data_science_ray.pipelines.agg import hash_join
+
+    b = _bundle(sf_dir)
+    n = len(b["idmap"])
+    out = random_walks(b["gd"], walk_length=5, walks_per_node=1, seed=7)
+    ids = b["idmap"].to_ids(out["node"].to_numpy(dtype="U"))
+    wid = out["walk_id"].to_numpy(dtype=np.int64)
+    step = out["step"].to_numpy(dtype=np.int64)
+    order = np.lexsort((step, wid))
+    wid, step, ids = wid[order], step[order], ids[order]
+    same = wid[1:] == wid[:-1]
+    hops = pd.DataFrame({"src": ids[:-1][same], "dst": ids[1:][same]})
+    hop_counts = hops.groupby(["src", "dst"]).size().reset_index(name="cnt")
+    total_hops = int(len(hops))
+    hops_ds = rd.from_pandas(hop_counts)
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    hop_schema = pa.schema(
+        [("src", pa.int64()), ("dst", pa.int64()), ("cnt", pa.int64())]
+    )
+    matched = hash_join(
+        hops_ds,
+        b["enc"].select_columns(["src", "dst"]),
+        on=["src", "dst"],
+        left_schema=hop_schema,
+        right_schema=edge_schema,
+        num_parts=8,
+    ).sum("cnt")
+    starts = ids[step == 0]
+    start_wids = wid[step == 0]
+    starts_ok = int(
+        len(starts) == n
+        and (np.sort(start_wids) == np.arange(n)).all()
+        and (start_wids == starts).all()
+    )
+    return pd.DataFrame(
+        {
+            "num_walks": np.array([len(starts)], dtype=np.int64),
+            "hop_violations": np.array(
+                [total_hops - int(matched or 0)], dtype=np.int64
+            ),
+            "starts_ok": np.array([starts_ok], dtype=np.int64),
+            "length_ok": np.array([int(step.max() < 5)], dtype=np.int64),
+        }
+    )
+
+
 def _q_scc(sf_dir: str) -> pd.DataFrame:
     from graph_data_science_ray.functions.scc import scc
 
@@ -1297,6 +1359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_neighbor": _q_median_neighbor,
         "collapse_path": _q_collapse_path,
         "random_walks": _q_random_walks,
+        "random_walks_valid": _q_walks_valid,
         "modularity": _q_modularity,
         "conductance": _q_conductance,
         "kmeans_assign": _q_kmeans_assign,
@@ -2234,6 +2297,13 @@ ORDER BY src, dst
 
     sqls["k1_coloring_valid"] = (
         "SELECT CAST(0 AS BIGINT) AS violations, CAST(1 AS BIGINT) AS bound_ok"
+    )
+
+    sqls["random_walks_valid"] = (
+        f"WITH {_GRAPH_CTE} "
+        "SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS num_walks, "
+        "CAST(0 AS BIGINT) AS hop_violations, "
+        "CAST(1 AS BIGINT) AS starts_ok, CAST(1 AS BIGINT) AS length_ok"
     )
 
     sqls["kmeans"] = f"""
