@@ -650,6 +650,17 @@ def _q_token_count(sf_dir: str) -> pd.DataFrame:
     return token_count(_docs(sf_dir)).to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_ngram_topk(sf_dir: str) -> pd.DataFrame:
+    """Top-100 word bigrams by global count (vocabulary building) —
+    deterministic cut: ties at the rank-100 boundary break by ngram
+    ascending in both the engine sort and the SQL ORDER BY."""
+    from graph_data_science_ray.stages.text import ngram_topk
+
+    out = ngram_topk(_docs(sf_dir), n=2, k=100).to_pandas()
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
 def _q_quality(sf_dir: str) -> pd.DataFrame:
     from graph_data_science_ray.stages.text import quality_stats
 
@@ -1379,6 +1390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "fingerprint": _q_fingerprint,
         "token_count": _q_token_count,
+        "ngram_topk": _q_ngram_topk,
         "quality_stats": _q_quality,
         "lang_id": _q_lang_id,
         "minhash_near_dup": _q_minhash_pairs,
@@ -1963,6 +1975,22 @@ ORDER BY doc_a, doc_b
         "SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), "
         "x -> x <> '')) AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id"
     )
+
+    sqls["ngram_topk"] = r"""
+WITH arrs AS (
+  SELECT list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS arr
+  FROM documents
+),
+grams AS (
+  SELECT list_transform(generate_series(1, len(arr) - 1),
+                        i -> arr[i] || ' ' || arr[i + 1]) AS gl
+  FROM arrs
+),
+flat AS (SELECT unnest(gl) AS ngram FROM grams)
+SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+FROM flat GROUP BY ngram
+ORDER BY cnt DESC, ngram LIMIT 100
+"""
 
     sqls["quality_stats"] = """
 SELECT doc_id,

@@ -242,3 +242,73 @@ def winnow_fingerprints(
 
     cls = functools.partial(WinnowFingerprint, k=k, window=window)
     return _stage(docs, cls, concurrency, batch_size=2048)
+
+
+class _NgramPartials:
+    """Per-batch word n-gram partial counts (map-side combine).
+
+    Tokens are ``\\S+`` runs (the repo-wide definition the SQL oracles
+    mirror); an n-gram is n consecutive same-doc tokens joined by a
+    single space, built with one shifted elementwise concat over the
+    batch's flat token stream — no per-gram Python loop. Emitting
+    ``(ngram, cnt)`` uniques per batch keeps the shuffle payload at
+    vocabulary cardinality instead of token cardinality."""
+
+    def __init__(self, n: int = 2):
+        self.n = int(n)
+        self.pat = re.compile(r"\S+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"ngram": pd.Series([], dtype=object),
+             "cnt": pd.Series([], dtype=np.int64)}
+        )
+        if not len(batch):
+            return empty
+        tok_lists = [self.pat.findall(t or "") for t in batch["text"].fillna("")]
+        counts = np.fromiter(
+            (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+        )
+        flat = np.array([w for toks in tok_lists for w in toks], dtype=object)
+        m = len(flat)
+        n = self.n
+        if m < n:
+            return empty
+        doc_of = np.repeat(np.arange(len(tok_lists)), counts)
+        grams = flat[: m - n + 1].copy()
+        for j in range(1, n):
+            grams = grams + " "
+            grams = grams + flat[j : m - n + 1 + j]
+        same = doc_of[: m - n + 1] == doc_of[n - 1 :]
+        grams = grams[same]
+        if not len(grams):
+            return empty
+        uniq, cnt = np.unique(grams, return_counts=True)
+        return pd.DataFrame(
+            {"ngram": uniq.astype(object), "cnt": cnt.astype(np.int64)}
+        )
+
+
+def ngram_topk(
+    docs: rd.Dataset,
+    n: int = 2,
+    k: int = 100,
+    num_parts: int = 64,
+    concurrency: int | None = None,
+) -> rd.Dataset:
+    """Global top-K most frequent word n-grams — vocabulary building for
+    training-data pipelines. Returns (ngram, cnt), ties broken by ngram
+    ascending so the cut at rank k is deterministic.
+
+    Map-side partial counts (vocabulary-sized batches), hash-partitioned
+    sum, then a distributed sort + limit — the full token stream never
+    concentrates anywhere, and the sorted table is already aggregate-
+    (vocabulary-) sized."""
+    import functools
+
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+
+    cls = functools.partial(_NgramPartials, n=n)
+    partials = _stage(docs, cls, concurrency, batch_size=4096)
+    totals = hash_aggregate(partials, ["ngram"], "cnt", op="sum", num_parts=num_parts)
+    return totals.sort(["cnt", "ngram"], descending=[True, False]).limit(int(k))

@@ -380,3 +380,16 @@ def test_knn_descent_recall_unclustered():
     recall = np.mean([len(ap.get(q, set()) & ex[q]) / len(ex[q]) for q in ex.index])
     assert recall >= 0.9, f"recall {recall:.2f}"
     assert (approx.groupby("query_id")["rank"].max() <= 5).all()
+
+
+def test_ngram_topk():
+    from graph_data_science_ray.stages.text import ngram_topk
+
+    ds = _docs(["a b c a b", "  b c  ", "a b", "x"])
+    out = ngram_topk(ds, n=2, k=3).to_pandas()
+    assert out["ngram"].tolist() == ["a b", "b c", "c a"]
+    assert out["cnt"].tolist() == [3, 2, 1]
+    # trigram variant; single-token docs contribute nothing
+    out3 = ngram_topk(ds, n=3, k=10).to_pandas()
+    assert out3["ngram"].tolist() == ["a b c", "b c a", "c a b"]
+    assert out3["cnt"].tolist() == [1, 1, 1]  # tie broken by ngram asc
