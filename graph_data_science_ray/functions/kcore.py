@@ -100,7 +100,7 @@ def _k_core_distributed(
     edge table; alive = nodes with degree >= k; edges semi-join against
     alive on BOTH endpoints. Equivalent to the broadcast mask because an
     edge is counted iff both endpoints were alive at round start."""
-    from graph_data_science_ray.pipelines.agg import hash_join
+    from graph_data_science_ray.pipelines.agg import hash_join, materialize_bounded
 
     edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
     alive_schema = pa.schema([("node", pa.int64())])
@@ -140,11 +140,16 @@ def _k_core_distributed(
             left_schema=edge_schema, right_schema=alive_schema,
             num_parts=num_parts,
         )
-        edges = hash_join(
-            j, alive, on=["dst"], right_on=["node"],
-            left_schema=edge_schema, right_schema=alive_schema,
-            num_parts=num_parts,
-        ).materialize()
+        # bounded materialize: hash_join is internally a union, so the
+        # loop-carried edge table otherwise grows ~3x blocks per round
+        edges = materialize_bounded(
+            hash_join(
+                j, alive, on=["dst"], right_on=["node"],
+                left_schema=edge_schema, right_schema=alive_schema,
+                num_parts=num_parts,
+            ),
+            num_parts,
+        )
         new_count = edges.count()
         if rounds is None and new_count == n_edges:
             break

@@ -38,6 +38,7 @@ from graph_data_science_ray.pipelines.agg import (
     hash_aggregate,
     hash_distinct,
     hash_join,
+    materialize_bounded,
 )
 from graph_data_science_ray.state.graph import GraphStore
 from graph_data_science_ray.state.pregel import Pregel, PregelComputation
@@ -254,17 +255,9 @@ def _scc_distributed(
     color_schema = pa.schema([("node", pa.int64()), ("color", pa.int64())])
 
     def _bounded(ds: rd.Dataset) -> rd.Dataset:
-        """Materialize with a bounded block count.
-
-        groupby→map_groups emits ~one block per input block, and the
-        fixpoint loops union several colors-derived branches per
-        iteration — without this guard the block count grows ×4 per
-        iteration (geometric), and sort sampling over thousands of
-        near-empty blocks dominates wall time."""
-        m = ds.materialize()
-        if m.num_blocks() > 2 * num_parts:
-            m = m.repartition(num_parts).materialize()
-        return m
+        # the fixpoint loops union several colors-derived branches per
+        # iteration; see pipelines.agg.materialize_bounded
+        return materialize_bounded(ds, num_parts)
 
     def _nodes_i64(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["node"].cast(pa.int64())})

@@ -208,3 +208,19 @@ def hash_distinct(ds: rd.Dataset, key_cols: list[str], num_parts: int = 64) -> r
         .groupby("__part")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def materialize_bounded(ds: rd.Dataset, num_parts: int = 64) -> rd.Dataset:
+    """Materialize loop-carried state with a bounded block count.
+
+    ``union`` concatenates block lists and ``groupby→map_groups`` emits
+    roughly one output block per input block, so a fixpoint loop whose
+    state flows through ``hash_join`` (internally a union) or an explicit
+    union grows its block count geometrically — ×2-4 per iteration —
+    until sort sampling over thousands of near-empty blocks dominates
+    wall time. Call this instead of ``materialize()`` on any Dataset that
+    feeds the next iteration."""
+    m = ds.materialize()
+    if m.num_blocks() > 2 * num_parts:
+        m = m.repartition(num_parts).materialize()
+    return m

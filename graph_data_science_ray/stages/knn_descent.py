@@ -30,7 +30,10 @@ import ray
 import ray.data as rd
 
 from graph_data_science_ray._util import mix2, splitmix64
-from graph_data_science_ray.pipelines.agg import _stable_row_hash
+from graph_data_science_ray.pipelines.agg import (
+    _stable_row_hash,
+    materialize_bounded,
+)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -259,7 +262,9 @@ def knn_descent_ds(
         merged = _topk(
             current.select_columns(["a", "b", "sim"]).union(scored_new), kk, num_parts=P
         )
-        merged = merged.materialize()
+        # bounded materialize: the union doubles the loop-carried block
+        # count per round otherwise
+        merged = materialize_bounded(merged, P)
         new_n, new_digest = _digest(merged)
         current = merged
         if (new_n, new_digest) == (cur_n, cur_digest):
