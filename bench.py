@@ -81,6 +81,17 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     with open(os.path.join(tpath, sorted(os.listdir(tpath))[0]), "rb") as f:
         f.read()
 
+    # warm the Ray worker pool: the first Dataset execution of a session
+    # otherwise pays ~2s of worker-process spin-up inside the
+    # derive_edges timing (measured: cold read+derive 3.5s vs 0.5s
+    # steady-state at sf0.1). The headline measures the steady-state
+    # pipeline — the scale-relevant number — for every parallelism level.
+    import ray.data as _rd
+
+    _rd.range(num_cpus * 4, override_num_blocks=num_cpus * 2).map_batches(
+        lambda t: t, batch_format="pyarrow"
+    ).materialize()
+
     t0 = time.perf_counter()
     from graph_data_science_ray.pipelines.edges import derive_edges_encoded_grouped
 

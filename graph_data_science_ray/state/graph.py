@@ -243,12 +243,31 @@ class GraphStore:
             u, c = np.unique(t["src"].to_numpy(zero_copy_only=False), return_counts=True)
             return pa.table({"node": u.astype(np.int64), "cnt": c.astype(np.int64)})
 
-        from graph_data_science_ray.pipelines.agg import hash_aggregate
+        partials = encoded_edges.map_batches(partial_outdeg, batch_format="pyarrow")
+        if node_count <= 5_000_000:
+            # shuffle-free combine tree (the IdMap.from_turns shape):
+            # coalesce the ≤V-row batch partials and sum the ≤8·V sparse
+            # rows on the driver — ~3x faster than the sort-shuffle
+            # aggregate at bench scale, and V bounds the driver rows
+            agg = (
+                partials.repartition(8)
+                .map_batches(
+                    lambda t: pa.table(
+                        {
+                            "node": (g := t.group_by("node").aggregate([("cnt", "sum")]))["node"],
+                            "cnt": g["cnt_sum"],
+                        }
+                    ),
+                    batch_format="pyarrow",
+                )
+                .to_pandas()
+            )
+            if len(agg):
+                agg = agg.groupby("node", sort=False)["cnt"].sum().reset_index()
+        else:
+            from graph_data_science_ray.pipelines.agg import hash_aggregate
 
-        agg = hash_aggregate(
-            encoded_edges.map_batches(partial_outdeg, batch_format="pyarrow"),
-            ["node"], "cnt", op="sum",
-        ).to_pandas()
+            agg = hash_aggregate(partials, ["node"], "cnt", op="sum").to_pandas()
         outdeg = np.zeros(node_count, dtype=np.int64)
         if len(agg) and "node" in agg.columns:
             outdeg[agg["node"].to_numpy(dtype=np.int64)] = agg["cnt"].to_numpy(
