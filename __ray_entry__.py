@@ -702,7 +702,10 @@ def _q_asof_join(sf_dir: str) -> pd.DataFrame:
 
     from graph_data_science_ray.stages.sessions import asof_join
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
     out = asof_join(
         ev.filter(expr="event_type == 'purchase'"),
         ev.filter(expr="event_type == 'click'"),
@@ -793,7 +796,10 @@ def _q_sessionize(sf_dir: str) -> pd.DataFrame:
 
     from graph_data_science_ray.stages.sessions import sessionize
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id"],
+    )
     out = sessionize(ev, gap_seconds=1800.0).to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
 
@@ -816,7 +822,10 @@ def _q_range_join(sf_dir: str) -> pd.DataFrame:
 
     from graph_data_science_ray.stages.sessions import range_join
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
     out = range_join(
         ev.filter(expr="event_type == 'purchase'"),
         ev.filter(expr="event_type == 'click'"),
