@@ -205,3 +205,23 @@ def test_scc_distributed_parity(graph_from_edges):
     # sanity against the known partition
     assert a["component"].nunique() == 5  # {0..7}, {8}, {9,10}, {11,12}, {13}
 
+
+
+def test_scc_distributed_parity_pinned_round(graph_from_edges):
+    """Mid-run (max_rounds=1) parity: the Dataset-held and broadcast
+    formulations must agree on WHICH nodes round 1 assigns and to what —
+    the advisor-flagged drift point for dual-mode operators (mid-state,
+    not just the fixpoint)."""
+    from graph_data_science_ray.functions.scc import scc
+
+    big = [(i, (i + 1) % 6) for i in range(6)]
+    edges = sorted(set(big + [(2, 6), (6, 7), (7, 6), (8, 0)]))
+    _, _, idmap, enc, _ = graph_from_edges(edges)
+    V = len(idmap)
+    a = scc(enc, node_count=V, max_rounds=1, mode="broadcast")
+    b = scc(enc, node_count=V, max_rounds=1, mode="distributed", num_parts=4)
+    a = a.sort_values("node").reset_index(drop=True)
+    b = b.sort_values("node").reset_index(drop=True)
+    assert (a["component"] == b["component"]).all()
+    # round 1 must leave the downstream 2-cycle {6,7} unassigned (-1)
+    assert (a["component"] == -1).sum() == 2
