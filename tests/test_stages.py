@@ -393,3 +393,34 @@ def test_ngram_topk():
     out3 = ngram_topk(ds, n=3, k=10).to_pandas()
     assert out3["ngram"].tolist() == ["a b c", "b c a", "c a b"]
     assert out3["cnt"].tolist() == [1, 1, 1]  # tie broken by ngram asc
+
+
+def test_multimodal_feature_to_ann_pipeline():
+    """Composed multimodal flow: binary payloads -> actor-pool feature
+    extraction -> exact cosine top-k over the extracted embeddings, all
+    as one streaming Dataset chain (the schema/plumbing contract the
+    real decoders plug into)."""
+    from graph_data_science_ray.stages.multimodal import extract_media_features
+    from graph_data_science_ray.stages.similarity import knn_brute_force
+
+    payloads = [bytes([i % 7] * 60) for i in range(10)]
+    payloads[7] = payloads[0]  # identical media => identical features
+    media = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array(range(10), pa.int64()),
+                "kind": pa.array(["image"] * 10),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+    )
+    feats = extract_media_features(media, dim=8).map_batches(
+        lambda df: pd.DataFrame(
+            {"vec_id": df["media_id"], "embedding": df["feature"]}
+        ),
+        batch_format="pandas",
+    )
+    out = knn_brute_force(feats, np.array([0]), k=3)
+    # the duplicate payload must surface as the top neighbor at sim ~1.0
+    assert out.iloc[0]["neighbor_id"] == 7
+    assert out.iloc[0]["sim"] > 0.999999
