@@ -1270,6 +1270,41 @@ def _q_dedup_exact_table(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_clean_corpus(sf_dir: str) -> pd.DataFrame:
+    """Composed training-data cleaning pipeline, end-to-end as ONE
+    streaming Dataset chain: exact dedup (keeper hash-join) → token
+    count → quality filter (≥5 tokens) → corpus stats. The composition
+    is the point — each stage's output Dataset feeds the next without
+    a driver materialization until the final 1-row aggregate."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.dedup import dedup_exact_filter
+    from graph_data_science_ray.stages.text import token_count
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    tc = token_count(dedup_exact_filter(docs)).filter(expr="n_tokens >= 5")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_docs": np.array([len(df)], dtype=np.int64),
+                "total_tokens": np.array(
+                    [df["n_tokens"].sum() if len(df) else 0], dtype=np.int64
+                ),
+            }
+        )
+
+    agg = tc.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame(
+        {
+            "n_docs": np.array([agg["n_docs"].sum()], dtype=np.int64),
+            "total_tokens": np.array([agg["total_tokens"].sum()], dtype=np.int64),
+        }
+    )
+
+
 def _q_bpe_token_count(sf_dir: str) -> pd.DataFrame:
     from graph_data_science_ray.stages.text import bpe_token_count
 
@@ -1435,6 +1470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_personalized": _q_pagerank_personalized,
         "bpe_token_count": _q_bpe_token_count,
         "dedup_exact_table": _q_dedup_exact_table,
+        "clean_corpus": _q_clean_corpus,
         "winnow_fingerprints": _q_winnow_fp,
         "modularity_optimization": _q_modularity_optimization,
         "node_similarity_cosine": _q_nodesim_cosine,
@@ -2167,6 +2203,21 @@ SELECT node, label FROM lp WHERE it = {_LP_ROUNDS}
 SELECT * FROM documents
 WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
 ORDER BY doc_id
+"""
+
+    sqls["clean_corpus"] = r"""
+WITH kept AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+),
+tok AS (
+  SELECT CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n
+  FROM kept
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(n), 0) AS BIGINT) AS total_tokens
+FROM tok WHERE n >= 5
 """
 
     sqls["bpe_token_count"] = """
