@@ -845,7 +845,8 @@ def derive_edges_encoded(
 
 
 def derive_edges_encoded_grouped(
-    turns: rd.Dataset, idmap: IdMap, num_partitions: int = 64
+    turns: rd.Dataset, idmap: IdMap, num_partitions: int = 64,
+    conv_key: str = "hash128",
 ) -> rd.Dataset:
     """Shuffle-by-conversation variant of ``derive_edges_encoded``.
 
@@ -854,6 +855,16 @@ def derive_edges_encoded_grouped(
     locally and pairs — no cross-block boundary handling at all, because
     a conversation never spans groups. The winner at scale when the
     global sort dominates.
+
+    ``conv_key="hash128"`` (default) replaces the conv_id STRING in the
+    shuffle with two independent 64-bit siphashes: fewer payload bytes
+    per turn row, and the per-group sort becomes a numeric ``lexsort``
+    instead of an object-string mergesort. Pairing only uses within-conv
+    adjacency, so the edge multiset — and the output digest — is
+    identical as long as no two conversations collide in BOTH hashes
+    (2^-128 per pair; with 10^10 conversations the corpus-level
+    collision odds are ~10^-19). ``conv_key="string"`` keeps the exact
+    string grouping (parity-tested against the default).
     """
     import pandas as pd
 
@@ -862,6 +873,8 @@ def derive_edges_encoded_grouped(
     V = len(idmap)
     _check_packable(V)
     keys_ref = idmap.arrow_ref
+    use_hash = conv_key == "hash128"
+    _H2_KEY = "8f4e9b2a1c6d3e7f"  # second independent siphash key
 
     def add_ids(t: pa.Table) -> pa.Table:
         # hash lookup into the sorted key array (position == dense id):
@@ -870,20 +883,37 @@ def derive_edges_encoded_grouped(
         idx = pc.index_in(t["actor"], value_set=ka)
         if idx.null_count:
             raise KeyError("dangling actor key during encoded derivation")
-        conv = t["conv_id"].to_numpy(zero_copy_only=False)
-        h = pd.util.hash_array(np.asarray(conv, dtype=object))
+        conv = np.asarray(t["conv_id"].to_numpy(zero_copy_only=False), dtype=object)
+        h = pd.util.hash_array(conv)
         part = (h % np.uint64(num_partitions)).astype(np.int32)
         # int32 aid/part when they fit: the conv-hash shuffle moves every
         # turn row, so narrower columns cut its payload ~20%
         aid_type = pa.int32() if V < 2**31 else pa.int64()
-        return pa.table(
-            {
-                "conv_id": t["conv_id"],
-                "turn_idx": t["turn_idx"],
-                "aid": idx.cast(aid_type),
-                "part": pa.array(part),
-            }
-        )
+        cols = {}
+        if use_hash:
+            cols["c1"] = pa.array(h.view(np.int64))
+            cols["c2"] = pa.array(pd.util.hash_array(conv, hash_key=_H2_KEY).view(np.int64))
+        else:
+            cols["conv_id"] = t["conv_id"]
+        cols["turn_idx"] = t["turn_idx"]
+        cols["aid"] = idx.cast(aid_type)
+        cols["part"] = pa.array(part)
+        return pa.table(cols)
+
+    def pair_group_hash(g: pd.DataFrame) -> pd.DataFrame:
+        c1 = g["c1"].to_numpy(dtype=np.int64)
+        c2 = g["c2"].to_numpy(dtype=np.int64)
+        ti = g["turn_idx"].to_numpy(dtype=np.int64)
+        aid = g["aid"].to_numpy(dtype=np.int64)
+        order = np.lexsort((ti, c2, c1))
+        c1, c2, aid = c1[order], c2[order], aid[order]
+        same = (c1[1:] == c1[:-1]) & (c2[1:] == c2[:-1])
+        s = aid[:-1][same]
+        d = aid[1:][same]
+        keep = s != d
+        key = s[keep] * V + d[keep]
+        uniq, counts = np.unique(key, return_counts=True)
+        return pd.DataFrame({"key": uniq, "partial": counts.astype(np.int32)})
 
     def pair_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
@@ -901,7 +931,8 @@ def derive_edges_encoded_grouped(
     partials = (
         turns.map_batches(add_ids, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(pair_group, batch_format="pandas")
+        .map_groups(pair_group_hash if use_hash else pair_group,
+                    batch_format="pandas")
     )
 
     def tag(t: pa.Table) -> pa.Table:

@@ -189,3 +189,25 @@ def test_symmetrize_sums_both_directions(graph_from_edges):
     # (0,1) and (1,0) each weight 1 -> symmetric weight 2 both ways
     assert s[(0, 1)] == 2.0 and s[(1, 0)] == 2.0
     assert s[(1, 2)] == 1.0 and s[(2, 1)] == 1.0
+
+
+def test_grouped_conv_key_modes_identical():
+    """hash128 conv keys (the shuffle-payload default) must produce the
+    byte-identical edge table to exact string grouping."""
+    import pandas as pd
+
+    from graph_data_science_ray.pipelines.edges import derive_edges_encoded_grouped
+
+    ts = gdsr.synthesize_transcripts(120, num_actors=25, seed=4)
+    turns = gdsr.derive_turns(ts).materialize()
+    idmap = gdsr.IdMap.from_turns(turns)
+    a = (
+        derive_edges_encoded_grouped(turns, idmap, num_partitions=5, conv_key="hash128")
+        .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    )
+    b = (
+        derive_edges_encoded_grouped(turns, idmap, num_partitions=5, conv_key="string")
+        .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
