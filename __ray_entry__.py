@@ -1019,6 +1019,55 @@ def _q_k_spanning(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_k_spanning_valid(sf_dir: str) -> pd.DataFrame:
+    """k-spanning validity invariants (exact, oracle-checkable): the
+    clustering must have exactly C + (k-1) clusters — every removed MST
+    edge is a bridge of the forest, so each removal splits exactly one
+    tree — where C is the WCC component count the SQL oracle recomputes
+    independently via recursive reachability; and every cluster must
+    induce a connected subgraph (checked by min-label propagation over
+    the intra-cluster edges). The cluster assignment itself is
+    tie-break-specific (covered rows-only by `k_spanning`)."""
+    from graph_data_science_ray.functions.spanning import k_spanning_tree
+
+    b = _bundle(sf_dir)
+    n = len(b["idmap"])
+    out = k_spanning_tree(b["sym"], n, k=5)
+    clusters = np.zeros(n, dtype=np.int64)
+    clusters[out["node"].to_numpy(dtype=np.int64)] = out["cluster"].to_numpy(
+        dtype=np.int64
+    )
+    n_clusters = len(np.unique(clusters))
+    # intra-cluster connectivity via min-label propagation (test-scale
+    # driver pull of the slim edge list; the operator itself is the
+    # distributed path)
+    e = b["sym"].select_columns(["src", "dst"]).to_pandas()
+    s = e["src"].to_numpy(dtype=np.int64)
+    d = e["dst"].to_numpy(dtype=np.int64)
+    keep = clusters[s] == clusters[d]
+    s, d = s[keep], d[keep]
+    comp = np.arange(n, dtype=np.int64)
+    while True:
+        before = comp.copy()
+        np.minimum.at(comp, s, comp[d])
+        np.minimum.at(comp, d, comp[s])
+        while True:
+            c2 = comp[comp]
+            if np.array_equal(c2, comp):
+                break
+            comp = c2
+        if np.array_equal(before, comp):
+            break
+    df = pd.DataFrame({"cl": clusters, "comp": comp})
+    disconnected = int((df.groupby("cl")["comp"].nunique() > 1).sum())
+    return pd.DataFrame(
+        {
+            "n_clusters": np.array([n_clusters], dtype=np.int64),
+            "disconnected_clusters": np.array([disconnected], dtype=np.int64),
+        }
+    )
+
+
 def _q_steiner(sf_dir: str) -> pd.DataFrame:
     from graph_data_science_ray.functions.spanning import steiner_tree
 
@@ -1461,6 +1510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "celf": _q_celf,
         "hashgnn": _q_hashgnn,
         "k_spanning": _q_k_spanning,
+        "k_spanning_valid": _q_k_spanning_valid,
         "steiner": _q_steiner,
         "cnarw_sample": _q_cnarw,
         "scale_l2": _q_scale_l2,
@@ -2386,6 +2436,20 @@ ORDER BY src, dst
     sqls["k1_coloring_valid"] = (
         "SELECT CAST(0 AS BIGINT) AS violations, CAST(1 AS BIGINT) AS bound_ok"
     )
+
+    sqls["k_spanning_valid"] = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach AS (
+    SELECT node, node AS lab FROM nodes
+    UNION
+    SELECT u.dst AS node, r.lab FROM reach r JOIN und u ON u.src = r.node
+),
+wcc AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)
+SELECT CAST((SELECT count(DISTINCT component) FROM wcc) + 4 AS BIGINT)
+           AS n_clusters,
+       CAST(0 AS BIGINT) AS disconnected_clusters
+"""
 
     sqls["random_walks_valid"] = (
         f"WITH {_GRAPH_CTE} "
