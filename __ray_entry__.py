@@ -1080,6 +1080,62 @@ def _q_steiner(sf_dir: str) -> pd.DataFrame:
     return tree.sort_values(["src", "dst"]).reset_index(drop=True)
 
 
+def _q_steiner_valid(sf_dir: str) -> pd.DataFrame:
+    """Steiner-tree validity invariants (exact, oracle-checkable): the
+    returned edge set is a tree (|E| = |nodes|-1, one component
+    containing the source), every tree edge is a real graph edge with
+    its real weight, and the number of terminals the tree connects
+    equals the number of terminals REACHABLE from the source — which the
+    SQL oracle recomputes independently by recursive reachability. The
+    tree's edge choice is heuristic-specific (covered rows-only by
+    `steiner`)."""
+    from graph_data_science_ray.functions.spanning import steiner_tree
+
+    b = _bundle(sf_dir)
+    n = len(b["idmap"])
+    terminals = [n - 1, n // 2]
+    tree, _total = steiner_tree(b["gu"], 0, terminals, weighted=True)
+    if len(tree):
+        s = b["idmap"].to_ids(tree["src"].to_numpy(dtype="U"))
+        d = b["idmap"].to_ids(tree["dst"].to_numpy(dtype="U"))
+        w = tree["weight"].to_numpy(dtype=np.float64)
+    else:
+        s = d = np.zeros(0, dtype=np.int64)
+        w = np.zeros(0)
+    nodes = np.unique(np.concatenate([s, d, [0]]))
+    comp = np.arange(n, dtype=np.int64)
+    while True:
+        before = comp.copy()
+        np.minimum.at(comp, s, comp[d])
+        np.minimum.at(comp, d, comp[s])
+        while True:
+            c2 = comp[comp]
+            if np.array_equal(c2, comp):
+                break
+            comp = c2
+        if np.array_equal(before, comp):
+            break
+    one_comp = len(np.unique(comp[nodes])) == 1
+    tree_ok = int(len(s) == len(nodes) - 1 and one_comp)
+    e = b["sym"].select_columns(["src", "dst", "weight"]).to_pandas()
+    real = {
+        (int(a), int(c)): float(v)
+        for a, c, v in zip(e["src"], e["dst"], e["weight"])
+    }
+    edges_valid = int(
+        all(real.get((int(a), int(c))) == v for a, c, v in zip(s, d, w))
+    )
+    tree_nodes = set(nodes.tolist())
+    terminals_connected = sum(1 for t in terminals if t in tree_nodes)
+    return pd.DataFrame(
+        {
+            "terminals_connected": np.array([terminals_connected], dtype=np.int64),
+            "tree_ok": np.array([tree_ok], dtype=np.int64),
+            "edges_valid": np.array([edges_valid], dtype=np.int64),
+        }
+    )
+
+
 def _q_cnarw(sf_dir: str) -> pd.DataFrame:
     from graph_data_science_ray.functions.walks import cnarw_sample
 
@@ -1512,6 +1568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_spanning": _q_k_spanning,
         "k_spanning_valid": _q_k_spanning_valid,
         "steiner": _q_steiner,
+        "steiner_valid": _q_steiner_valid,
         "cnarw_sample": _q_cnarw,
         "scale_l2": _q_scale_l2,
         "lp_node_weighted": _q_lp_node_weighted,
@@ -2449,6 +2506,29 @@ wcc AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)
 SELECT CAST((SELECT count(DISTINCT component) FROM wcc) + 4 AS BIGINT)
            AS n_clusters,
        CAST(0 AS BIGINT) AS disconnected_clusters
+"""
+
+    sqls["steiner_valid"] = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+nsz AS (SELECT count(*) AS c FROM nodes),
+terms AS (
+    SELECT node FROM (
+        SELECT node, row_number() OVER (ORDER BY node) - 1 AS rid FROM nodes
+    ) WHERE rid IN (
+        (SELECT c - 1 FROM nsz),
+        (SELECT CAST(floor(c / 2) AS BIGINT) FROM nsz)
+    )
+),
+reach AS (
+    SELECT (SELECT min(node) FROM nodes) AS node
+    UNION
+    SELECT u.dst FROM reach r JOIN und u ON u.src = r.node
+)
+SELECT CAST((SELECT count(*) FROM terms WHERE node IN (SELECT node FROM reach))
+            AS BIGINT) AS terminals_connected,
+       CAST(1 AS BIGINT) AS tree_ok,
+       CAST(1 AS BIGINT) AS edges_valid
 """
 
     sqls["random_walks_valid"] = (
