@@ -406,6 +406,51 @@ def _q_leiden(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_leiden_valid(sf_dir: str) -> pd.DataFrame:
+    """Leiden validity invariants (exact, oracle-checkable): every
+    community induces a CONNECTED subgraph — the guarantee that
+    distinguishes Leiden from Louvain (Traag et al. 2019; the
+    refinement phase enforces it) — every node is assigned, and the
+    node count ties to the graph, which the SQL oracle recomputes
+    independently. The community assignment itself is
+    schedule-specific (covered rows-only by `leiden`)."""
+    from graph_data_science_ray.functions.louvain import leiden
+
+    b = _bundle(sf_dir)
+    n = len(b["idmap"])
+    out = leiden(b["sym"], node_count=n, max_levels=3, max_rounds=5)
+    labels = np.full(n, -1, dtype=np.int64)
+    labels[out["node"].to_numpy(dtype=np.int64)] = out["community"].to_numpy(
+        dtype=np.int64
+    )
+    e = b["sym"].select_columns(["src", "dst"]).to_pandas()
+    s = e["src"].to_numpy(dtype=np.int64)
+    d = e["dst"].to_numpy(dtype=np.int64)
+    keep = labels[s] == labels[d]
+    s, d = s[keep], d[keep]
+    comp = np.arange(n, dtype=np.int64)
+    while True:
+        before = comp.copy()
+        np.minimum.at(comp, s, comp[d])
+        np.minimum.at(comp, d, comp[s])
+        while True:
+            c2 = comp[comp]
+            if np.array_equal(c2, comp):
+                break
+            comp = c2
+        if np.array_equal(before, comp):
+            break
+    df = pd.DataFrame({"lab": labels, "comp": comp})
+    disconnected = int((df.groupby("lab")["comp"].nunique() > 1).sum())
+    return pd.DataFrame(
+        {
+            "n_nodes": np.array([n], dtype=np.int64),
+            "unassigned": np.array([int((labels < 0).sum())], dtype=np.int64),
+            "disconnected_communities": np.array([disconnected], dtype=np.int64),
+        }
+    )
+
+
 def _q_k1_coloring(sf_dir: str) -> pd.DataFrame:
     from graph_data_science_ray.functions.coloring import k1_coloring
 
@@ -1528,6 +1573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fastrp": _q_fastrp,
         "louvain": _q_louvain,
         "leiden": _q_leiden,
+        "leiden_valid": _q_leiden_valid,
         "k1_coloring": _q_k1_coloring,
         "k1_coloring_valid": _q_k1_valid,
         "scc": _q_scc,
@@ -2507,6 +2553,13 @@ SELECT CAST((SELECT count(DISTINCT component) FROM wcc) + 4 AS BIGINT)
            AS n_clusters,
        CAST(0 AS BIGINT) AS disconnected_clusters
 """
+
+    sqls["leiden_valid"] = (
+        f"WITH {_GRAPH_CTE} "
+        "SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes, "
+        "CAST(0 AS BIGINT) AS unassigned, "
+        "CAST(0 AS BIGINT) AS disconnected_communities"
+    )
 
     sqls["steiner_valid"] = f"""
 WITH RECURSIVE {_GRAPH_CTE},
