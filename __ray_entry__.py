@@ -406,6 +406,53 @@ def _q_leiden(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_modopt_valid(sf_dir: str) -> pd.DataFrame:
+    """Modularity-optimization validity invariant (exact,
+    oracle-checkable): at the converged fixpoint NO single-node move to
+    a neighboring community improves modularity under the engine's own
+    gain formula — the local-optimum contract of the reference's
+    ModularityOptimization, and exactly the property that
+    batch-boundary-dependent partial aggregation bugs violate. Node
+    count ties to the graph via the SQL oracle; the assignment itself
+    is schedule-specific (rows-only via `modularity_optimization`)."""
+    from graph_data_science_ray.functions.louvain import modularity_optimization
+
+    b = _bundle(sf_dir)
+    n = len(b["idmap"])
+    out, _q = modularity_optimization(b["sym"], node_count=n, max_rounds=50)
+    labels = out.sort_values("node")["community"].to_numpy(dtype=np.int64)
+    e = b["sym"].select_columns(["src", "dst", "weight"]).to_pandas()
+    s = e["src"].to_numpy(dtype=np.int64)
+    d = e["dst"].to_numpy(dtype=np.int64)
+    w = e["weight"].to_numpy(dtype=np.float64)
+    deg = np.zeros(n)
+    np.add.at(deg, s, w)
+    two_m = w.sum()
+    tot = np.zeros(n)
+    np.add.at(tot, labels, deg)  # indexed by community label (min member id)
+    ns = s != d  # self-loops excluded, as in the move kernel
+    conn = (
+        pd.DataFrame({"n": s[ns], "c": labels[d[ns]], "w": w[ns]})
+        .groupby(["n", "c"], sort=False)["w"].sum().reset_index()
+    )
+    node = conn["n"].to_numpy(dtype=np.int64)
+    comm = conn["c"].to_numpy(dtype=np.int64)
+    cw = conn["w"].to_numpy()
+    own = labels[node]
+    own_w = np.zeros(n)
+    is_own = comm == own
+    np.add.at(own_w, node[is_own], cw[is_own])
+    stay = own_w[node] - deg[node] * (tot[own] - deg[node]) / two_m
+    gain = cw - deg[node] * tot[comm] / two_m
+    viol = int(((gain > stay + 1e-9) & ~is_own).sum())
+    return pd.DataFrame(
+        {
+            "n_nodes": np.array([n], dtype=np.int64),
+            "local_move_violations": np.array([viol], dtype=np.int64),
+        }
+    )
+
+
 def _q_leiden_valid(sf_dir: str) -> pd.DataFrame:
     """Leiden validity invariants (exact, oracle-checkable): every
     community induces a CONNECTED subgraph — the guarantee that
@@ -1626,6 +1673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": _q_clean_corpus,
         "winnow_fingerprints": _q_winnow_fp,
         "modularity_optimization": _q_modularity_optimization,
+        "modopt_valid": _q_modopt_valid,
         "node_similarity_cosine": _q_nodesim_cosine,
         "node_similarity_topk": _q_nodesim_topk,
         "edges_max": _q_edges_max,
@@ -2553,6 +2601,12 @@ SELECT CAST((SELECT count(DISTINCT component) FROM wcc) + 4 AS BIGINT)
            AS n_clusters,
        CAST(0 AS BIGINT) AS disconnected_clusters
 """
+
+    sqls["modopt_valid"] = (
+        f"WITH {_GRAPH_CTE} "
+        "SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes, "
+        "CAST(0 AS BIGINT) AS local_move_violations"
+    )
 
     sqls["leiden_valid"] = (
         f"WITH {_GRAPH_CTE} "

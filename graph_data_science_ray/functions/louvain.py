@@ -32,6 +32,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from graph_data_science_ray._util import mix2
 from graph_data_science_ray.pipelines.agg import hash_aggregate
 
 
@@ -58,6 +59,25 @@ def _weighted_degrees(sym_edges: rd.Dataset, node_count: int) -> np.ndarray:
     return deg
 
 
+def _move_class(node: np.ndarray, parity: int, salt: int | None) -> np.ndarray:
+    """Scheduling-class membership for a local-move sub-round.
+
+    ``salt=None``: the static even/odd split (kept verbatim for the
+    pinned ``louvain_round1`` oracle). Salted: a per-round hashed
+    bipartition. The static split cannot serialize two ADJACENT
+    same-parity nodes, which lets such a pair swap-chase each other's
+    community forever — the loop then exits at max_rounds mid-
+    oscillation instead of at a local optimum (caught by the
+    ``modopt_valid`` invariant oracle). Re-drawing the bipartition each
+    round separates any adjacent pair with probability 1/2 per round,
+    so a zero-mover round certifies a true node-level local optimum.
+    Deterministic in the data (splitmix hash of node id and round)."""
+    node = np.asarray(node, dtype=np.int64)
+    if salt is None:
+        return (node % 2) == parity
+    return (mix2(0x5EED + salt, node, 0) & np.uint64(1)).astype(np.int64) == parity
+
+
 def _best_moves(
     sym_edges: rd.Dataset,
     labels: np.ndarray,
@@ -68,6 +88,7 @@ def _best_moves(
     parity: int,
     num_parts: int = 64,
     constraint: np.ndarray | None = None,
+    salt: int | None = None,
 ) -> pd.DataFrame:
     """One distributed local-move sub-round: returns ONLY the movers
     ``(node, community)`` — nodes of the given parity whose best candidate
@@ -92,7 +113,7 @@ def _best_moves(
         src = t["src"].to_numpy(zero_copy_only=False)
         dst = t["dst"].to_numpy(zero_copy_only=False)
         w = t["weight"].to_numpy(zero_copy_only=False)
-        keep = (src != dst) & ((src % 2) == parity)
+        keep = (src != dst) & _move_class(src, parity, salt)
         if cref is not None:
             par = ray.get(cref)
             keep &= par[src] == par[dst]  # candidates within the parent only
@@ -225,11 +246,11 @@ def _one_level_partitioned(
     for _rnd in range(max_rounds):
         moved = 0
         for parity in (0, 1):
-            def half(t: pa.Table, *, par=parity) -> pa.Table:
+            def half(t: pa.Table, *, par=parity, sl=_rnd) -> pa.Table:
                 src = t["src"].to_numpy(zero_copy_only=False)
                 dst = t["dst"].to_numpy(zero_copy_only=False)
                 w = t["weight"].to_numpy(zero_copy_only=False)
-                keep = (src != dst) & ((src % 2) == par)
+                keep = (src != dst) & _move_class(src, par, sl)
                 if constraint_ref is not None:
                     parent = ray.get(constraint_ref)
                     keep &= parent[src] == parent[dst]
@@ -253,10 +274,10 @@ def _one_level_partitioned(
             )
             # guaranteed own-community row per active node (w=0) so tot_cur
             # rides the tot join even when a node has no same-comm neighbor
-            def zero_rows(t: pa.Table, *, par=parity) -> pa.Table:
+            def zero_rows(t: pa.Table, *, par=parity, sl=_rnd) -> pa.Table:
                 node = t["node"].to_numpy(zero_copy_only=False)
                 lab = t["lab"].to_numpy(zero_copy_only=False)
-                keep = (node % 2) == par
+                keep = _move_class(node, par, sl)
                 return pa.table(
                     {"src": pa.array(node[keep]), "comm": pa.array(lab[keep]),
                      "w": pa.array(np.zeros(int(keep.sum()), dtype=np.float64))}
@@ -287,9 +308,9 @@ def _one_level_partitioned(
                     }
                 )
 
-            def info_rows(t: pa.Table, *, par=parity) -> pa.Table:
+            def info_rows(t: pa.Table, *, par=parity, sl=_rnd) -> pa.Table:
                 node = t["node"].to_numpy(zero_copy_only=False)
-                keep = (node % 2) == par
+                keep = _move_class(node, par, sl)
                 n = int(keep.sum())
                 return pa.table(
                     {
@@ -452,7 +473,9 @@ def _one_level(sym_edges: rd.Dataset, node_count: int, max_rounds: int = 10, gam
     for _rnd in range(max_rounds):
         moved = 0
         for parity in (0, 1):
-            movers = _best_moves(sym_edges, labels, deg, tot, two_m, gamma, parity)
+            movers = _best_moves(
+                sym_edges, labels, deg, tot, two_m, gamma, parity, salt=_rnd
+            )
             if len(movers):
                 mnode = movers["node"].to_numpy(dtype=np.int64)
                 newc = movers["community"].to_numpy(dtype=np.int64)
@@ -578,12 +601,12 @@ def _refine_within(sym_edges: rd.Dataset, parent: np.ndarray, node_count: int,
         return np.arange(node_count, dtype=np.int64)
     labels = np.arange(node_count, dtype=np.int64)  # singletons
     tot = deg.copy()
-    for _ in range(max_rounds):
+    for _rnd in range(max_rounds):
         moved = 0
         for parity in (0, 1):
             movers = _best_moves(
                 sym_edges, labels, deg, tot, two_m, gamma, parity,
-                constraint=parent,
+                constraint=parent, salt=_rnd,
             )
             if len(movers):
                 mnode = movers["node"].to_numpy(dtype=np.int64)
