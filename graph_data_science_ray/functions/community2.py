@@ -143,10 +143,14 @@ def approx_max_k_cut(
 ) -> tuple[pd.DataFrame, float]:
     """Approximate max-k-cut; returns ((node, part), cut_weight).
 
-    Seeded random init, then parity-scheduled local moves: a node moves
-    to the partition minimizing its internal (same-part) weight whenever
-    that strictly improves the cut. Deterministic for a seed.
+    Seeded random init, then local moves under a per-round hashed
+    bipartition schedule (see louvain._move_class — the static even/odd
+    split cannot serialize adjacent same-parity nodes, which lets a
+    same-part pair chase each other between parts): a node moves to the
+    partition minimizing its internal (same-part) weight whenever that
+    strictly improves the cut. Deterministic for a seed.
     """
+    from graph_data_science_ray.functions.louvain import _move_class
     ids = np.arange(node_count, dtype=np.int64)
     assign = (mix2(seed, ids, 0) % np.uint64(k)).astype(np.int64)
 
@@ -160,7 +164,7 @@ def approx_max_k_cut(
                 s = t["src"].to_numpy(zero_copy_only=False)
                 d = t["dst"].to_numpy(zero_copy_only=False)
                 w = t["weight"].to_numpy(zero_copy_only=False)
-                keep = (s != d) & ((s % 2) == parity)
+                keep = (s != d) & _move_class(s, parity, _rnd)
                 df = pd.DataFrame({"node": s[keep], "part": a[d[keep]], "w": w[keep]})
                 g = df.groupby(["node", "part"], sort=False)["w"].sum().reset_index()
                 g["__part"] = (g["node"].to_numpy() % num_parts).astype(np.int64)
