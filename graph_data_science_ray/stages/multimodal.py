@@ -1,12 +1,15 @@
-"""Multimodal (image/audio/video) column plumbing — decode stubs.
+"""Multimodal (image/audio/video) column plumbing.
 
 Treats media as opaque ``binary`` columns with typed metadata. The Ray
 side — schema, actor-pool stage shape, small batch sizes for wide binary
-rows, output layout — is real and tested; the actual codec work is
-stubbed (no image/audio libraries in this environment): ``decode_fn``
-defaults to a deterministic fake that derives a fixed-size feature vector
-from the bytes, and passing ``strict=True`` raises ``NotImplementedError``
-where a real decoder would run.
+rows, output layout — is real and tested. Codec support is split:
+
+- **netpbm (P5 grayscale / P6 RGB, maxval<=255) is REALLY decoded** with
+  pure numpy — decode, nearest-neighbor resize, re-encode, and real
+  per-channel statistics features all run on actual pixels;
+- other formats (jpeg/png/audio/video) fall back to a deterministic
+  byte-level stand-in (no media libraries in this environment) —
+  ``strict=True`` raises ``NotImplementedError`` for them instead.
 """
 
 from __future__ import annotations
@@ -31,6 +34,78 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+def decode_netpbm(payload: bytes) -> np.ndarray | None:
+    """Decode binary netpbm: P5 → (H, W) uint8, P6 → (H, W, 3) uint8.
+
+    Pure-numpy parser (magic, #-comments, width height maxval, raster).
+    Returns None when the payload is not parseable netpbm with
+    maxval <= 255 — callers then fall back to the stub path."""
+    if not payload or payload[:2] not in (b"P5", b"P6"):
+        return None
+    try:
+        # tokenize the header: magic + 3 ints, skipping comments
+        pos, tokens = 2, []
+        n = len(payload)
+        while len(tokens) < 3 and pos < n:
+            c = payload[pos:pos + 1]
+            if c.isspace():
+                pos += 1
+            elif c == b"#":
+                while pos < n and payload[pos:pos + 1] != b"\n":
+                    pos += 1
+            else:
+                start = pos
+                while pos < n and not payload[pos:pos + 1].isspace():
+                    pos += 1
+                tokens.append(int(payload[start:pos]))
+        if len(tokens) < 3:
+            return None
+        w, h, maxval = tokens
+        if maxval > 255 or w <= 0 or h <= 0:
+            return None
+        pos += 1  # single whitespace after maxval
+        ch = 3 if payload[:2] == b"P6" else 1
+        need = w * h * ch
+        raster = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+        arr = raster.reshape(h, w, ch)
+        return arr[:, :, 0] if ch == 1 else arr
+    except (ValueError, IndexError):
+        return None
+
+
+def encode_netpbm(arr: np.ndarray) -> bytes:
+    """Encode (H, W) → P5 or (H, W, 3) → P6, maxval 255."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    magic = b"P6" if arr.ndim == 3 else b"P5"
+    h, w = arr.shape[:2]
+    return magic + b"\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def _nn_resize(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize on real pixels (pixel-center sampling)."""
+    h, w = arr.shape[:2]
+    rows = np.minimum(((np.arange(height) + 0.5) * h / height).astype(np.int64), h - 1)
+    cols = np.minimum(((np.arange(width) + 0.5) * w / width).astype(np.int64), w - 1)
+    return arr[rows][:, cols]
+
+
+def netpbm_features(arr: np.ndarray, dim: int = 16) -> np.ndarray:
+    """Real image statistics from decoded pixels: per-channel mean/std
+    (scaled to [0,1]) followed by an 8-bin luminance histogram, tiled or
+    truncated to ``dim``."""
+    img = arr[:, :, None] if arr.ndim == 2 else arr
+    f = img.astype(np.float64) / 255.0
+    stats = []
+    for c in range(f.shape[2]):
+        stats += [float(f[:, :, c].mean()), float(f[:, :, c].std())]
+    lum = f.mean(axis=2)
+    hist, _ = np.histogram(lum, bins=8, range=(0.0, 1.0))
+    hist = hist / max(1, lum.size)
+    vec = np.asarray(stats + hist.tolist(), dtype=np.float32)
+    reps = int(np.ceil(dim / len(vec)))
+    return np.tile(vec, reps)[:dim]
+
+
 def fake_feature_extract(payload: bytes, dim: int = 16) -> np.ndarray:
     """Deterministic stand-in for a real decoder+encoder: blake2b-seeded
     pseudo-features. STUB — replace with PIL/torchvision/ffmpeg stages."""
@@ -48,15 +123,22 @@ class MediaFeatureExtractor:
 
     def __init__(self, dim: int = 16, strict: bool = False):
         self.dim = dim
-        self.strict = strict
+        self.strict = strict  # raise on non-netpbm instead of stubbing
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        if self.strict:
-            raise NotImplementedError(
-                "real media decoding requires image/audio libraries not present "
-                "in this environment; wire a decoder into MediaFeatureExtractor"
-            )
-        feats = [fake_feature_extract(p or b"", self.dim) for p in batch["payload"]]
+        feats = []
+        for p in batch["payload"]:
+            arr = decode_netpbm(p or b"")
+            if arr is not None:
+                feats.append(netpbm_features(arr, self.dim))
+            elif self.strict:
+                raise NotImplementedError(
+                    "payload is not netpbm; jpeg/png/audio decoding requires "
+                    "libraries not present in this environment — wire a decoder "
+                    "into MediaFeatureExtractor"
+                )
+            else:
+                feats.append(fake_feature_extract(p or b"", self.dim))
         return pd.DataFrame(
             {
                 "media_id": batch["media_id"].astype(np.int64),
@@ -81,9 +163,10 @@ def extract_media_features(
 
 
 class ImageResizer:
-    """Actor-pool resize stage. Plumbing real (schema, metadata update,
-    per-actor init, small batches); the pixel work is a deterministic
-    byte-level stand-in — ``strict=True`` raises where PIL would run."""
+    """Actor-pool resize stage. netpbm payloads get a REAL
+    nearest-neighbor resize on decoded pixels (re-encoded to netpbm);
+    other formats keep the deterministic byte-level stand-in —
+    ``strict=True`` raises for them where PIL would run."""
 
     def __init__(self, width: int, height: int, strict: bool = False):
         self.width = int(width)
@@ -91,18 +174,26 @@ class ImageResizer:
         self.strict = strict
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        if self.strict:
-            raise NotImplementedError(
-                "real image resizing requires PIL/torchvision, absent here"
-            )
-        out_payload = [
-            hashlib.blake2b(
-                (p or b"") + self.width.to_bytes(4, "little")
-                + self.height.to_bytes(4, "little"),
-                digest_size=32,
-            ).digest()
-            for p in batch["payload"]
-        ]
+        out_payload = []
+        for p in batch["payload"]:
+            arr = decode_netpbm(p or b"")
+            if arr is not None:
+                out_payload.append(
+                    encode_netpbm(_nn_resize(arr, self.width, self.height))
+                )
+            elif self.strict:
+                raise NotImplementedError(
+                    "payload is not netpbm; jpeg/png resizing requires "
+                    "PIL/torchvision, absent here"
+                )
+            else:
+                out_payload.append(
+                    hashlib.blake2b(
+                        (p or b"") + self.width.to_bytes(4, "little")
+                        + self.height.to_bytes(4, "little"),
+                        digest_size=32,
+                    ).digest()
+                )
         return pd.DataFrame(
             {
                 "media_id": batch["media_id"].astype(np.int64),

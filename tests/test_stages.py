@@ -424,3 +424,53 @@ def test_multimodal_feature_to_ann_pipeline():
     # the duplicate payload must surface as the top neighbor at sim ~1.0
     assert out.iloc[0]["neighbor_id"] == 7
     assert out.iloc[0]["sim"] > 0.999999
+
+
+def test_netpbm_real_decode_resize_features():
+    """netpbm (P5/P6) is REALLY decoded: resize picks actual pixels and
+    features are actual statistics; non-netpbm keeps the stub, and
+    strict mode raises only for non-netpbm payloads."""
+    from graph_data_science_ray.stages.multimodal import (
+        ImageResizer,
+        MediaFeatureExtractor,
+        decode_netpbm,
+        encode_netpbm,
+        netpbm_features,
+    )
+
+    # 4x4 RGB gradient: pixel (r,c) = (r*64, c*64, 128)
+    arr = np.zeros((4, 4, 3), dtype=np.uint8)
+    for r in range(4):
+        for c in range(4):
+            arr[r, c] = (r * 64, c * 64, 128)
+    payload = encode_netpbm(arr)
+    back = decode_netpbm(payload)
+    assert back is not None and (back == arr).all()
+
+    batch = pd.DataFrame(
+        {"media_id": [0], "kind": ["image"], "payload": [payload]}
+    )
+    out = ImageResizer(2, 2)(batch)
+    resized = decode_netpbm(out["payload"].iloc[0])
+    # pixel-center nearest neighbor of a 4x4 at 2x2 samples rows/cols 1,3
+    assert resized.shape == (2, 2, 3)
+    assert (resized == arr[[1, 3]][:, [1, 3]]).all()
+    assert out["width"].iloc[0] == 2 and out["height"].iloc[0] == 2
+
+    feats = MediaFeatureExtractor(dim=14, strict=True)(batch)
+    vec = np.asarray(feats["feature"].iloc[0], dtype=np.float32)
+    expect = netpbm_features(arr, 14)
+    assert np.allclose(vec, expect)
+    # channel-0 mean is the real gradient mean (0+64+128+192)/4/255
+    assert abs(vec[0] - (96.0 / 255.0)) < 1e-6
+
+    # grayscale P5 round-trip
+    g = np.arange(16, dtype=np.uint8).reshape(4, 4) * 15
+    gp = encode_netpbm(g)
+    assert (decode_netpbm(gp) == g).all()
+
+    # non-netpbm: stub path works, strict raises
+    junk = pd.DataFrame({"media_id": [1], "kind": ["image"], "payload": [b"JFIFxxxx"]})
+    assert len(ImageResizer(2, 2)(junk)) == 1
+    with pytest.raises(NotImplementedError):
+        MediaFeatureExtractor(dim=4, strict=True)(junk)
