@@ -1502,6 +1502,66 @@ def _q_clean_corpus(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_media_decode(sf_dir: str) -> pd.DataFrame:
+    """REAL multimodal decode path, exactly oracled: one 8x8 RGB netpbm
+    image is synthesized per document (pixel formula in closed form over
+    (doc_id, row, col)), pushed as binary payloads through the actor-pool
+    decode stage, and the decoded pixel SUM per image — exact integers —
+    is what the SQL oracle recomputes arithmetically over a generated
+    (r, c) grid. feature_ok additionally asserts the feature stage's
+    vector matches the real per-channel statistics of the same pixels.
+    """
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.multimodal import (
+        decode_netpbm,
+        encode_netpbm,
+        netpbm_features,
+    )
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        r = np.arange(8)[:, None, None]
+        c = np.arange(8)[None, :, None]
+        payloads = []
+        for i in df["doc_id"].astype(np.int64):
+            arr = np.concatenate(
+                [(i + 3 * r + 5 * c) % 256, (2 * i + r + 0 * c) % 256,
+                 (i + 7 * c + 0 * r) % 256],
+                axis=2,
+            ).astype(np.uint8)
+            payloads.append(encode_netpbm(arr))
+        return pd.DataFrame(
+            {"media_id": df["doc_id"].astype(np.int64), "kind": "image",
+             "payload": payloads}
+        )
+
+    media = docs.map_batches(synth, batch_format="pandas", batch_size=256)
+
+    def decode_sum(df: pd.DataFrame) -> pd.DataFrame:
+        from graph_data_science_ray.stages.multimodal import MediaFeatureExtractor
+
+        # strict=True: every payload must take the REAL decode path
+        feats = MediaFeatureExtractor(dim=14, strict=True)(df)
+        sums, ok = [], []
+        for p, vec in zip(df["payload"], feats["feature"]):
+            arr = decode_netpbm(p)
+            sums.append(int(arr.astype(np.int64).sum()))
+            ok.append(
+                int(np.allclose(np.asarray(vec, dtype=np.float32),
+                                netpbm_features(arr, 14)))
+            )
+        return pd.DataFrame(
+            {"media_id": df["media_id"].astype(np.int64),
+             "pixel_sum": pd.Series(sums, dtype=np.int64),
+             "feature_ok": pd.Series(ok, dtype=np.int64)}
+        )
+
+    out = media.map_batches(decode_sum, batch_format="pandas", batch_size=256).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def _q_bpe_token_count(sf_dir: str) -> pd.DataFrame:
     from graph_data_science_ray.stages.text import bpe_token_count
 
@@ -1633,6 +1693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "token_count": _q_token_count,
         "ngram_topk": _q_ngram_topk,
+        "media_decode": _q_media_decode,
         "quality_stats": _q_quality,
         "lang_id": _q_lang_id,
         "minhash_near_dup": _q_minhash_pairs,
@@ -2221,6 +2282,20 @@ ORDER BY doc_a, doc_b
         "SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), "
         "x -> x <> '')) AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id"
     )
+
+    sqls["media_decode"] = """
+WITH grid AS (
+  SELECT r.r, c.c FROM generate_series(0, 7) AS r(r), generate_series(0, 7) AS c(c)
+)
+SELECT d.doc_id AS media_id,
+       CAST(sum((d.doc_id + 3 * g.r + 5 * g.c) % 256
+              + (2 * d.doc_id + g.r) % 256
+              + (d.doc_id + 7 * g.c) % 256) AS BIGINT) AS pixel_sum,
+       CAST(1 AS BIGINT) AS feature_ok
+FROM documents d, grid g
+GROUP BY d.doc_id
+ORDER BY media_id
+"""
 
     sqls["ngram_topk"] = r"""
 WITH arrs AS (
