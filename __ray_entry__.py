@@ -1562,6 +1562,55 @@ def _q_media_decode(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def _q_media_resize(sf_dir: str) -> pd.DataFrame:
+    """REAL resize path, exactly oracled: the same synthesized 8x8
+    netpbm images go through the actor-pool ImageResizer (strict — real
+    pixel-center nearest-neighbor on decoded pixels) down to 4x4; the
+    decoded pixel sum of the RESIZED image is what the SQL oracle
+    recomputes over the sampled grid (rows/cols 1,3,5,7 of the closed-
+    form pixel formula)."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.multimodal import (
+        ImageResizer,
+        decode_netpbm,
+        encode_netpbm,
+    )
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        r = np.arange(8)[:, None, None]
+        c = np.arange(8)[None, :, None]
+        payloads = []
+        for i in df["doc_id"].astype(np.int64):
+            arr = np.concatenate(
+                [(i + 3 * r + 5 * c) % 256, (2 * i + r + 0 * c) % 256,
+                 (i + 7 * c + 0 * r) % 256],
+                axis=2,
+            ).astype(np.uint8)
+            payloads.append(encode_netpbm(arr))
+        return pd.DataFrame(
+            {"media_id": df["doc_id"].astype(np.int64), "kind": "image",
+             "payload": payloads}
+        )
+
+    media = docs.map_batches(synth, batch_format="pandas", batch_size=256)
+
+    def resize_sum(df: pd.DataFrame) -> pd.DataFrame:
+        out = ImageResizer(4, 4, strict=True)(df)
+        sums = [
+            int(decode_netpbm(p).astype(np.int64).sum()) for p in out["payload"]
+        ]
+        return pd.DataFrame(
+            {"media_id": out["media_id"].astype(np.int64),
+             "pixel_sum": pd.Series(sums, dtype=np.int64)}
+        )
+
+    out = media.map_batches(resize_sum, batch_format="pandas", batch_size=256).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def _q_bpe_token_count(sf_dir: str) -> pd.DataFrame:
     from graph_data_science_ray.stages.text import bpe_token_count
 
@@ -1694,6 +1743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": _q_token_count,
         "ngram_topk": _q_ngram_topk,
         "media_decode": _q_media_decode,
+        "media_resize": _q_media_resize,
         "quality_stats": _q_quality,
         "lang_id": _q_lang_id,
         "minhash_near_dup": _q_minhash_pairs,
@@ -2292,6 +2342,20 @@ SELECT d.doc_id AS media_id,
               + (2 * d.doc_id + g.r) % 256
               + (d.doc_id + 7 * g.c) % 256) AS BIGINT) AS pixel_sum,
        CAST(1 AS BIGINT) AS feature_ok
+FROM documents d, grid g
+GROUP BY d.doc_id
+ORDER BY media_id
+"""
+
+    sqls["media_resize"] = """
+WITH grid AS (
+  SELECT r.r, c.c
+  FROM (VALUES (1), (3), (5), (7)) AS r(r), (VALUES (1), (3), (5), (7)) AS c(c)
+)
+SELECT d.doc_id AS media_id,
+       CAST(sum((d.doc_id + 3 * g.r + 5 * g.c) % 256
+              + (2 * d.doc_id + g.r) % 256
+              + (d.doc_id + 7 * g.c) % 256) AS BIGINT) AS pixel_sum
 FROM documents d, grid g
 GROUP BY d.doc_id
 ORDER BY media_id
