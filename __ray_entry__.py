@@ -1611,6 +1611,60 @@ def _q_media_resize(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def _q_media_frames(sf_dir: str) -> pd.DataFrame:
+    """REAL video frame-sampling path, exactly oracled: per document a
+    3-frame concatenated-netpbm "video" (4x4 RGB, pixel formula indexed
+    by (doc_id, frame, row, col)) goes through the strict FrameSampler;
+    the decoded pixel sum of every emitted frame is recomputed by the
+    SQL oracle over a generated (frame, r, c) grid."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.multimodal import (
+        FrameSampler,
+        decode_netpbm,
+        encode_netpbm,
+    )
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        r = np.arange(4)[:, None, None]
+        c = np.arange(4)[None, :, None]
+        payloads = []
+        for i in df["doc_id"].astype(np.int64):
+            parts = []
+            for j in range(3):
+                arr = np.concatenate(
+                    [(i + 11 * j + 2 * r + c) % 256,
+                     (3 * i + j + r + 0 * c) % 256,
+                     (i + 5 * j + 3 * c + 0 * r) % 256],
+                    axis=2,
+                ).astype(np.uint8)
+                parts.append(encode_netpbm(arr))
+            payloads.append(b"".join(parts))
+        return pd.DataFrame(
+            {"media_id": df["doc_id"].astype(np.int64), "kind": "video",
+             "payload": payloads,
+             "duration_ms": np.full(len(df), 3000, dtype=np.int64)}
+        )
+
+    media = docs.map_batches(synth, batch_format="pandas", batch_size=256)
+
+    def frame_sums(df: pd.DataFrame) -> pd.DataFrame:
+        out = FrameSampler(every_ms=1000, strict=True)(df)
+        sums = [
+            int(decode_netpbm(p).astype(np.int64).sum()) for p in out["payload"]
+        ]
+        return pd.DataFrame(
+            {"media_id": out["media_id"].astype(np.int64),
+             "frame_idx": out["frame_idx"].astype(np.int64),
+             "pixel_sum": pd.Series(sums, dtype=np.int64)}
+        )
+
+    out = media.map_batches(frame_sums, batch_format="pandas", batch_size=64).to_pandas()
+    return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+
+
 def _q_bpe_token_count(sf_dir: str) -> pd.DataFrame:
     from graph_data_science_ray.stages.text import bpe_token_count
 
@@ -1744,6 +1798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_topk": _q_ngram_topk,
         "media_decode": _q_media_decode,
         "media_resize": _q_media_resize,
+        "media_frames": _q_media_frames,
         "quality_stats": _q_quality,
         "lang_id": _q_lang_id,
         "minhash_near_dup": _q_minhash_pairs,
@@ -2359,6 +2414,21 @@ SELECT d.doc_id AS media_id,
 FROM documents d, grid g
 GROUP BY d.doc_id
 ORDER BY media_id
+"""
+
+    sqls["media_frames"] = """
+WITH grid AS (
+  SELECT j.j, r.r, c.c
+  FROM generate_series(0, 2) AS j(j),
+       generate_series(0, 3) AS r(r), generate_series(0, 3) AS c(c)
+)
+SELECT d.doc_id AS media_id, g.j AS frame_idx,
+       CAST(sum((d.doc_id + 11 * g.j + 2 * g.r + g.c) % 256
+              + (3 * d.doc_id + g.j + g.r) % 256
+              + (d.doc_id + 5 * g.j + 3 * g.c) % 256) AS BIGINT) AS pixel_sum
+FROM documents d, grid g
+GROUP BY d.doc_id, g.j
+ORDER BY media_id, frame_idx
 """
 
     sqls["ngram_topk"] = r"""

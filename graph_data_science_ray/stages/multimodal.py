@@ -34,17 +34,15 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
-def decode_netpbm(payload: bytes) -> np.ndarray | None:
-    """Decode binary netpbm: P5 → (H, W) uint8, P6 → (H, W, 3) uint8.
-
-    Pure-numpy parser (magic, #-comments, width height maxval, raster).
-    Returns None when the payload is not parseable netpbm with
-    maxval <= 255 — callers then fall back to the stub path."""
-    if not payload or payload[:2] not in (b"P5", b"P6"):
-        return None
+def _parse_netpbm_at(payload: bytes, offset: int):
+    """Parse one binary netpbm image at ``offset``; returns
+    ``(array, next_offset)`` or ``(None, offset)``."""
+    magic = payload[offset:offset + 2]
+    if magic not in (b"P5", b"P6"):
+        return None, offset
     try:
         # tokenize the header: magic + 3 ints, skipping comments
-        pos, tokens = 2, []
+        pos, tokens = offset + 2, []
         n = len(payload)
         while len(tokens) < 3 and pos < n:
             c = payload[pos:pos + 1]
@@ -59,18 +57,48 @@ def decode_netpbm(payload: bytes) -> np.ndarray | None:
                     pos += 1
                 tokens.append(int(payload[start:pos]))
         if len(tokens) < 3:
-            return None
+            return None, offset
         w, h, maxval = tokens
         if maxval > 255 or w <= 0 or h <= 0:
-            return None
+            return None, offset
         pos += 1  # single whitespace after maxval
-        ch = 3 if payload[:2] == b"P6" else 1
+        ch = 3 if magic == b"P6" else 1
         need = w * h * ch
+        if pos + need > n:
+            return None, offset
         raster = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
         arr = raster.reshape(h, w, ch)
-        return arr[:, :, 0] if ch == 1 else arr
+        return (arr[:, :, 0] if ch == 1 else arr), pos + need
     except (ValueError, IndexError):
+        return None, offset
+
+
+def decode_netpbm(payload: bytes) -> np.ndarray | None:
+    """Decode binary netpbm: P5 → (H, W) uint8, P6 → (H, W, 3) uint8.
+
+    Pure-numpy parser (magic, #-comments, width height maxval, raster).
+    Returns None when the payload is not parseable netpbm with
+    maxval <= 255 — callers then fall back to the stub path."""
+    if not payload:
         return None
+    arr, _ = _parse_netpbm_at(payload, 0)
+    return arr
+
+
+def decode_netpbm_seq(payload: bytes) -> list[np.ndarray] | None:
+    """Decode a concatenated-netpbm container (the engine's raw "video"
+    format: frames are back-to-back P5/P6 images). Returns the frame
+    list, or None if the payload is not a clean netpbm sequence."""
+    if not payload:
+        return None
+    frames, pos = [], 0
+    while pos < len(payload):
+        arr, nxt = _parse_netpbm_at(payload, pos)
+        if arr is None:
+            return None
+        frames.append(arr)
+        pos = nxt
+    return frames or None
 
 
 def encode_netpbm(arr: np.ndarray) -> bytes:
@@ -223,33 +251,42 @@ def resize_images(
 class FrameSampler:
     """Video → frame rows at a fixed period: one input row expands to
     ``duration_ms // every_ms`` output rows (media_id, frame_idx, ts_ms,
-    payload). Row expansion, ordering and batch sizing are real; frame
-    extraction is a deterministic fake — ``strict=True`` raises where
-    ffmpeg would run."""
+    payload). Concatenated-netpbm containers get REAL frame extraction:
+    output tick i carries frame ``floor(i * F / n_out)`` of the F decoded
+    frames, re-encoded as a single netpbm image. Other containers keep
+    the deterministic byte-level fake — ``strict=True`` raises for them
+    where ffmpeg would run."""
 
     def __init__(self, every_ms: int = 1000, strict: bool = False):
         self.every_ms = int(every_ms)
         self.strict = strict
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        if self.strict:
-            raise NotImplementedError(
-                "real frame sampling requires ffmpeg/av, absent here"
-            )
         ids, idxs, tss, payloads = [], [], [], []
         for mid, dur, p in zip(
             batch["media_id"], batch["duration_ms"], batch["payload"]
         ):
             n = max(0, int(dur or 0) // self.every_ms)
+            frames = decode_netpbm_seq(p or b"")
+            if frames is None and self.strict:
+                raise NotImplementedError(
+                    "payload is not a netpbm sequence; real video demuxing "
+                    "requires ffmpeg/av, absent here"
+                )
             for i in range(n):
                 ids.append(int(mid))
                 idxs.append(i)
                 tss.append(i * self.every_ms)
-                payloads.append(
-                    hashlib.blake2b(
-                        (p or b"") + i.to_bytes(4, "little"), digest_size=24
-                    ).digest()
-                )
+                if frames is not None:
+                    payloads.append(
+                        encode_netpbm(frames[i * len(frames) // n])
+                    )
+                else:
+                    payloads.append(
+                        hashlib.blake2b(
+                            (p or b"") + i.to_bytes(4, "little"), digest_size=24
+                        ).digest()
+                    )
         return pd.DataFrame(
             {
                 "media_id": pd.Series(ids, dtype=np.int64),

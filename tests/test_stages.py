@@ -474,3 +474,33 @@ def test_netpbm_real_decode_resize_features():
     assert len(ImageResizer(2, 2)(junk)) == 1
     with pytest.raises(NotImplementedError):
         MediaFeatureExtractor(dim=4, strict=True)(junk)
+
+
+def test_frame_sampler_real_netpbm_sequence():
+    """Concatenated-netpbm 'videos' get REAL frame extraction: each
+    output tick carries an actual decoded-then-re-encoded frame."""
+    from graph_data_science_ray.stages.multimodal import (
+        FrameSampler,
+        decode_netpbm,
+        encode_netpbm,
+    )
+
+    frames = [np.full((2, 2, 3), v, dtype=np.uint8) for v in (10, 20, 30)]
+    payload = b"".join(encode_netpbm(f) for f in frames)
+    batch = pd.DataFrame(
+        {"media_id": [5], "kind": ["video"], "payload": [payload],
+         "duration_ms": [3000]}
+    )
+    out = FrameSampler(every_ms=1000, strict=True)(batch)
+    assert out["frame_idx"].tolist() == [0, 1, 2]
+    assert out["ts_ms"].tolist() == [0, 1000, 2000]
+    got = [decode_netpbm(p)[0, 0, 0] for p in out["payload"]]
+    assert got == [10, 20, 30]
+    # non-netpbm payload: strict raises, default stubs
+    junk = pd.DataFrame(
+        {"media_id": [6], "kind": ["video"], "payload": [b"AVI junk"],
+         "duration_ms": [2000]}
+    )
+    assert len(FrameSampler(every_ms=1000)(junk)) == 2
+    with pytest.raises(NotImplementedError):
+        FrameSampler(every_ms=1000, strict=True)(junk)
