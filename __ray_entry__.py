@@ -1665,6 +1665,49 @@ def _q_media_frames(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
 
 
+def _q_media_audio(sf_dir: str) -> pd.DataFrame:
+    """REAL audio decode path, exactly oracled: per document a 64-sample
+    mono PCM16 WAV (closed-form sample formula over (doc_id, t)) goes
+    through the strict feature stage (every payload must take the real
+    WAV path); the decoded integer sample sum is recomputed by the SQL
+    oracle over a generated t grid."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.multimodal import (
+        MediaFeatureExtractor,
+        decode_wav,
+        encode_wav,
+    )
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        t = np.arange(64, dtype=np.int64)
+        payloads = []
+        for i in df["doc_id"].astype(np.int64):
+            samples = ((i * 13 + t * 7) % 4001 - 2000).astype(np.int16)
+            payloads.append(encode_wav(samples, rate=8000))
+        return pd.DataFrame(
+            {"media_id": df["doc_id"].astype(np.int64), "kind": "audio",
+             "payload": payloads}
+        )
+
+    media = docs.map_batches(synth, batch_format="pandas", batch_size=256)
+
+    def sample_sum(df: pd.DataFrame) -> pd.DataFrame:
+        MediaFeatureExtractor(dim=6, strict=True)(df)  # real-path gate
+        sums = [
+            int(decode_wav(p).astype(np.int64).sum()) for p in df["payload"]
+        ]
+        return pd.DataFrame(
+            {"media_id": df["media_id"].astype(np.int64),
+             "sample_sum": pd.Series(sums, dtype=np.int64)}
+        )
+
+    out = media.map_batches(sample_sum, batch_format="pandas", batch_size=256).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def _q_bpe_token_count(sf_dir: str) -> pd.DataFrame:
     from graph_data_science_ray.stages.text import bpe_token_count
 
@@ -1799,6 +1842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": _q_media_decode,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
+        "media_audio": _q_media_audio,
         "quality_stats": _q_quality,
         "lang_id": _q_lang_id,
         "minhash_near_dup": _q_minhash_pairs,
@@ -2429,6 +2473,14 @@ SELECT d.doc_id AS media_id, g.j AS frame_idx,
 FROM documents d, grid g
 GROUP BY d.doc_id, g.j
 ORDER BY media_id, frame_idx
+"""
+
+    sqls["media_audio"] = """
+SELECT d.doc_id AS media_id,
+       CAST(sum((d.doc_id * 13 + t.t * 7) % 4001 - 2000) AS BIGINT) AS sample_sum
+FROM documents d, generate_series(0, 63) AS t(t)
+GROUP BY d.doc_id
+ORDER BY media_id
 """
 
     sqls["ngram_topk"] = r"""

@@ -7,7 +7,12 @@ rows, output layout — is real and tested. Codec support is split:
 - **netpbm (P5 grayscale / P6 RGB, maxval<=255) is REALLY decoded** with
   pure numpy — decode, nearest-neighbor resize, re-encode, and real
   per-channel statistics features all run on actual pixels;
-- other formats (jpeg/png/audio/video) fall back to a deterministic
+- **WAV (RIFF, PCM16 mono/stereo) is REALLY decoded** the same way —
+  sample extraction and real signal statistics (RMS, zero-crossing
+  rate, mean) run on actual int16 samples;
+- concatenated-netpbm "video" containers are genuinely demuxed by the
+  frame sampler;
+- other formats (jpeg/png/mp3/mp4) fall back to a deterministic
   byte-level stand-in (no media libraries in this environment) —
   ``strict=True`` raises ``NotImplementedError`` for them instead.
 """
@@ -134,6 +139,74 @@ def netpbm_features(arr: np.ndarray, dim: int = 16) -> np.ndarray:
     return np.tile(vec, reps)[:dim]
 
 
+def decode_wav(payload: bytes) -> np.ndarray | None:
+    """Decode RIFF/WAVE PCM16: returns (n_samples, channels) int16.
+
+    Pure-numpy RIFF walker (fmt + data chunks; other chunks skipped).
+    Returns None for anything that is not PCM16 WAV — callers fall back
+    to the stub path."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    try:
+        pos, n = 12, len(payload)
+        channels = None
+        while pos + 8 <= n:
+            cid = payload[pos:pos + 4]
+            size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+            body = pos + 8
+            if cid == b"fmt ":
+                fmt = int.from_bytes(payload[body:body + 2], "little")
+                channels = int.from_bytes(payload[body + 2:body + 4], "little")
+                bits = int.from_bytes(payload[body + 14:body + 16], "little")
+                if fmt != 1 or bits != 16 or channels < 1:
+                    return None
+            elif cid == b"data":
+                if channels is None:
+                    return None
+                count = min(size, n - body) // 2
+                samples = np.frombuffer(payload, dtype="<i2", count=count, offset=body)
+                usable = (len(samples) // channels) * channels
+                return samples[:usable].reshape(-1, channels)
+            pos = body + size + (size & 1)  # chunks are word-aligned
+        return None
+    except (ValueError, IndexError):
+        return None
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Encode (n, channels) int16 → RIFF/WAVE PCM16."""
+    samples = np.ascontiguousarray(samples, dtype="<i2")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    ch = samples.shape[1]
+    data = samples.tobytes()
+    byte_rate = rate * ch * 2
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + ch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+        + (ch * 2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    chunk = b"data" + len(data).to_bytes(4, "little") + data
+    body = b"WAVE" + fmt + chunk
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def wav_features(samples: np.ndarray, dim: int = 16) -> np.ndarray:
+    """Real audio statistics from decoded samples: per-channel mean and
+    RMS (scaled to [-1,1]) plus the zero-crossing rate of the mixdown,
+    tiled or truncated to ``dim``."""
+    f = samples.astype(np.float64) / 32768.0
+    stats = []
+    for c in range(f.shape[1]):
+        stats += [float(f[:, c].mean()), float(np.sqrt((f[:, c] ** 2).mean()))]
+    mix = f.mean(axis=1)
+    zc = float((np.signbit(mix[1:]) != np.signbit(mix[:-1])).mean()) if len(mix) > 1 else 0.0
+    vec = np.asarray(stats + [zc], dtype=np.float32)
+    reps = int(np.ceil(dim / len(vec)))
+    return np.tile(vec, reps)[:dim]
+
+
 def fake_feature_extract(payload: bytes, dim: int = 16) -> np.ndarray:
     """Deterministic stand-in for a real decoder+encoder: blake2b-seeded
     pseudo-features. STUB — replace with PIL/torchvision/ffmpeg stages."""
@@ -157,13 +230,16 @@ class MediaFeatureExtractor:
         feats = []
         for p in batch["payload"]:
             arr = decode_netpbm(p or b"")
+            wav = decode_wav(p or b"") if arr is None else None
             if arr is not None:
                 feats.append(netpbm_features(arr, self.dim))
+            elif wav is not None:
+                feats.append(wav_features(wav, self.dim))
             elif self.strict:
                 raise NotImplementedError(
-                    "payload is not netpbm; jpeg/png/audio decoding requires "
-                    "libraries not present in this environment — wire a decoder "
-                    "into MediaFeatureExtractor"
+                    "payload is neither netpbm nor PCM16 WAV; jpeg/png/mp3 "
+                    "decoding requires libraries not present in this "
+                    "environment — wire a decoder into MediaFeatureExtractor"
                 )
             else:
                 feats.append(fake_feature_extract(p or b"", self.dim))

@@ -504,3 +504,32 @@ def test_frame_sampler_real_netpbm_sequence():
     assert len(FrameSampler(every_ms=1000)(junk)) == 2
     with pytest.raises(NotImplementedError):
         FrameSampler(every_ms=1000, strict=True)(junk)
+
+
+def test_wav_real_decode_and_features():
+    """PCM16 WAV is REALLY decoded: round-trip exact, features are
+    actual signal statistics; strict mode accepts WAV payloads."""
+    from graph_data_science_ray.stages.multimodal import (
+        MediaFeatureExtractor,
+        decode_wav,
+        encode_wav,
+        wav_features,
+    )
+
+    t = np.arange(64)
+    stereo = np.stack(
+        [((t * 997) % 2001 - 1000), ((t * 31) % 401 - 200)], axis=1
+    ).astype(np.int16)
+    payload = encode_wav(stereo, rate=8000)
+    back = decode_wav(payload)
+    assert back is not None and back.shape == (64, 2) and (back == stereo).all()
+
+    batch = pd.DataFrame(
+        {"media_id": [0], "kind": ["audio"], "payload": [payload]}
+    )
+    feats = MediaFeatureExtractor(dim=10, strict=True)(batch)
+    vec = np.asarray(feats["feature"].iloc[0], dtype=np.float32)
+    assert np.allclose(vec, wav_features(stereo, 10))
+    # channel-0 mean is the real sample mean
+    assert abs(vec[0] - stereo[:, 0].mean() / 32768.0) < 1e-6
+    assert decode_wav(b"RIFFxxxxJUNK") is None
