@@ -498,6 +498,158 @@ def _q_leiden_valid(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_louvain_valid(sf_dir: str) -> pd.DataFrame:
+    """Louvain validity invariants (exact, oracle-checkable): the run is
+    taken to CONVERGENCE (level loop exits on improved=False), so
+    re-running one local-move round of the engine's own level kernel on
+    the community-contracted graph must make ZERO moves — the multi-level
+    local-optimum contract of the reference's Louvain
+    (community/src/main/java/org/neo4j/gds/louvain/Louvain.java). Also:
+    every node assigned, and community id == min original member id (the
+    normalization `louvain()` documents). The assignment itself is
+    schedule-specific (rows-only via `louvain`)."""
+    from graph_data_science_ray.functions.louvain import (
+        _contract,
+        _level_fn,
+        louvain,
+    )
+
+    b = _bundle(sf_dir)
+    n = len(b["idmap"])
+    out = louvain(b["sym"], node_count=n, max_levels=20, max_rounds=50)
+    lab = np.full(n, -1, dtype=np.int64)
+    lab[out["node"].to_numpy(dtype=np.int64)] = out["community"].to_numpy(
+        dtype=np.int64
+    )
+    unassigned = int((lab < 0).sum())
+    mins = pd.DataFrame({"n": np.arange(n, dtype=np.int64), "c": lab}).groupby(
+        "c"
+    )["n"].min()
+    min_member_violations = int(
+        (mins.index.to_numpy() != mins.to_numpy()).sum()
+    )
+    uniq, dense = np.unique(lab, return_inverse=True)
+    cedges = _contract(b["sym"], dense.astype(np.int64)).materialize()
+    level = _level_fn("auto", len(uniq))
+    _lvl, improved = level(cedges, len(uniq), max_rounds=1, gamma=1.0)
+    return pd.DataFrame(
+        {
+            "n_nodes": np.array([n], dtype=np.int64),
+            "unassigned": np.array([unassigned], dtype=np.int64),
+            "min_member_violations": np.array(
+                [min_member_violations], dtype=np.int64
+            ),
+            "extra_level_moves": np.array([int(bool(improved))], dtype=np.int64),
+        }
+    )
+
+
+def _q_max_k_cut_valid(sf_dir: str) -> pd.DataFrame:
+    """Approx-max-k-cut validity invariants (exact, oracle-checkable): at
+    the converged fixpoint NO single-node move to another partition
+    strictly lowers its internal (same-part) weight — the local-optimum
+    contract of the reference's ApproxMaxKCut local-move phase
+    (algo/.../approxmaxkcut/LocalSearch) — every node is in [0, k), and
+    the reported cut weight equals the cut recomputed from the final
+    assignment. The assignment itself is seed/schedule-specific
+    (rows-only via `max_k_cut`)."""
+    from graph_data_science_ray.functions.community2 import approx_max_k_cut
+
+    b = _bundle(sf_dir)
+    n = len(b["idmap"])
+    k = 3
+    out, cut = approx_max_k_cut(b["sym"], n, k=k, rounds=64, seed=3)
+    assign = np.zeros(n, dtype=np.int64)
+    assign[out["node"].to_numpy(dtype=np.int64)] = out["part"].to_numpy(
+        dtype=np.int64
+    )
+    e = b["sym"].select_columns(["src", "dst", "weight"]).to_pandas()
+    s = e["src"].to_numpy(dtype=np.int64)
+    d = e["dst"].to_numpy(dtype=np.int64)
+    w = e["weight"].to_numpy(dtype=np.float64)
+    ns = s != d
+    mat = np.zeros((n, k), dtype=np.float64)
+    np.add.at(mat, (s[ns], assign[d[ns]]), w[ns])
+    cur_w = mat[np.arange(n), assign]
+    viol = int((mat.min(axis=1) + 1e-9 < cur_w).sum())
+    cut2 = float(w[ns & (assign[s] != assign[d])].sum()) / 2.0
+    return pd.DataFrame(
+        {
+            "n_nodes": np.array([n], dtype=np.int64),
+            "local_move_violations": np.array([viol], dtype=np.int64),
+            "parts_ok": np.array(
+                [int((assign >= 0).all() and (assign < k).all())], dtype=np.int64
+            ),
+            "cut_ok": np.array(
+                [int(abs(cut - round(cut2, 6)) < 1e-6)], dtype=np.int64
+            ),
+        }
+    )
+
+
+def _q_sllpa_valid(sf_dir: str) -> pd.DataFrame:
+    """SLLPA validity invariants (exact, oracle-checkable): output rows
+    are distinct (node, community) pairs, every community id is a node
+    id, and no node holds more labels than the memory can admit —
+    floor((rounds+1) / ceil(threshold*(rounds+1))) — the overlapping-
+    memory contract of the reference's SpeakerListenerLPA. The label
+    sets themselves are seed-specific (rows-only via `sllpa`)."""
+    from graph_data_science_ray.functions.community2 import sllpa
+
+    b = _bundle(sf_dir)
+    n = len(b["idmap"])
+    rounds, threshold = 15, 0.1
+    out = sllpa(b["gu"], rounds=rounds, threshold=threshold, seed=6)
+    node = out["node"].astype(str)
+    comm = out["community"].astype(str)
+    dup_pairs = int(out.duplicated(subset=["node", "community"]).sum())
+    keys = set(str(x) for x in b["idmap"].keys)
+    invalid_ids = int((~node.isin(keys)).sum() + (~comm.isin(keys)).sum())
+    min_count = max(1, int(np.ceil(threshold * (rounds + 1))))
+    max_labels = (rounds + 1) // min_count
+    per_node = out.groupby("node").size()
+    overflow_nodes = int((per_node > max_labels).sum())
+    return pd.DataFrame(
+        {
+            "n_nodes": np.array([n], dtype=np.int64),
+            "dup_pairs": np.array([dup_pairs], dtype=np.int64),
+            "invalid_ids": np.array([invalid_ids], dtype=np.int64),
+            "overflow_nodes": np.array([overflow_nodes], dtype=np.int64),
+        }
+    )
+
+
+def _q_minhash_valid(sf_dir: str) -> pd.DataFrame:
+    """MinHash-LSH near-dup validity invariants (exact,
+    oracle-checkable): every emitted pair is doc_a < doc_b, appears once,
+    and its reported jaccard equals the EXACT shingle-set Jaccard of the
+    two texts recomputed from the corpus — and is >= the 0.5 threshold.
+    Which pairs surface depends on the banding layout (rows-only via
+    `minhash_near_dup`); that every surfaced pair is a true near-dup does
+    not."""
+    from graph_data_science_ray.stages.dedup import dedup_minhash_lsh, jaccard
+
+    docs_ds = _docs(sf_dir)
+    pairs = dedup_minhash_lsh(docs_ds, threshold=0.5).to_pandas()
+    texts = docs_ds.select_columns(["doc_id", "text"]).to_pandas()
+    tmap = dict(zip(texts["doc_id"].astype(int), texts["text"].fillna("")))
+    order_violations = int((pairs["doc_a"] >= pairs["doc_b"]).sum())
+    dup_pairs = int(pairs.duplicated(subset=["doc_a", "doc_b"]).sum())
+    viol = 0
+    for a, bdoc, j in zip(pairs["doc_a"], pairs["doc_b"], pairs["jaccard"]):
+        exact = jaccard(tmap[int(a)], tmap[int(bdoc)])
+        if abs(float(j) - round(exact, 6)) > 1e-9 or exact < 0.5:
+            viol += 1
+    return pd.DataFrame(
+        {
+            "n_docs": np.array([len(texts)], dtype=np.int64),
+            "order_violations": np.array([order_violations], dtype=np.int64),
+            "dup_pairs": np.array([dup_pairs], dtype=np.int64),
+            "jaccard_violations": np.array([viol], dtype=np.int64),
+        }
+    )
+
+
 def _q_k1_coloring(sf_dir: str) -> pd.DataFrame:
     from graph_data_science_ray.functions.coloring import k1_coloring
 
@@ -1827,6 +1979,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "louvain": _q_louvain,
         "leiden": _q_leiden,
         "leiden_valid": _q_leiden_valid,
+        "louvain_valid": _q_louvain_valid,
+        "max_k_cut_valid": _q_max_k_cut_valid,
+        "sllpa_valid": _q_sllpa_valid,
+        "minhash_valid": _q_minhash_valid,
         "k1_coloring": _q_k1_coloring,
         "k1_coloring_valid": _q_k1_valid,
         "scc": _q_scc,
@@ -2499,6 +2655,47 @@ FROM flat GROUP BY ngram
 ORDER BY cnt DESC, ngram LIMIT 100
 """
 
+    # winnowing fingerprints: base-257 polynomial rolling hash mod 2^64
+    # over UTF-8 BYTES (hex(encode(..)) + per-byte strpos parse mirrors the
+    # engine's np.frombuffer(utf-8) exactly), windowed min over 16 grams,
+    # distinct per doc. POW[i] = 257^i mod 2^64, precomputed.
+    _wpow = [1]
+    for _ in range(7):
+        _wpow.append((_wpow[-1] * 257) % (1 << 64))
+    _wterms = " + ".join(
+        f"CAST(((strpos('0123456789ABCDEF', substr(hx, 2*(p+{j})+1, 1))-1)*16 + "
+        f"strpos('0123456789ABCDEF', substr(hx, 2*(p+{j})+2, 1))-1) AS HUGEINT)"
+        f" * {_wpow[7 - j]}"
+        for j in range(8)
+    )
+    sqls["winnow_fingerprints"] = f"""
+WITH d AS (
+  SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+         octet_length(encode(coalesce(text, ''))) AS L
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, hx, L, unnest(range(0, greatest(L - 7, 0))) AS p FROM d
+),
+grams AS (
+  SELECT doc_id, p, ({_wterms}) % 18446744073709551616::HUGEINT AS h,
+         L - 7 AS cnt
+  FROM pos
+),
+wmins AS (
+  SELECT doc_id, p, cnt,
+         min(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS mn
+  FROM grams
+),
+sel AS (SELECT DISTINCT doc_id, mn FROM wmins WHERE p <= greatest(cnt - 16, 0))
+SELECT doc_id,
+       CAST(CASE WHEN mn >= 9223372036854775808::HUGEINT
+                 THEN mn - 18446744073709551616::HUGEINT
+                 ELSE mn END AS BIGINT) AS fp
+FROM sel ORDER BY doc_id, fp
+"""
+
     sqls["quality_stats"] = """
 SELECT doc_id,
        CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_words,
@@ -2874,6 +3071,37 @@ SELECT CAST((SELECT count(DISTINCT component) FROM wcc) + 4 AS BIGINT)
         "SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes, "
         "CAST(0 AS BIGINT) AS unassigned, "
         "CAST(0 AS BIGINT) AS disconnected_communities"
+    )
+
+    sqls["louvain_valid"] = (
+        f"WITH {_GRAPH_CTE} "
+        "SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes, "
+        "CAST(0 AS BIGINT) AS unassigned, "
+        "CAST(0 AS BIGINT) AS min_member_violations, "
+        "CAST(0 AS BIGINT) AS extra_level_moves"
+    )
+
+    sqls["max_k_cut_valid"] = (
+        f"WITH {_GRAPH_CTE} "
+        "SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes, "
+        "CAST(0 AS BIGINT) AS local_move_violations, "
+        "CAST(1 AS BIGINT) AS parts_ok, "
+        "CAST(1 AS BIGINT) AS cut_ok"
+    )
+
+    sqls["sllpa_valid"] = (
+        f"WITH {_GRAPH_CTE} "
+        "SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes, "
+        "CAST(0 AS BIGINT) AS dup_pairs, "
+        "CAST(0 AS BIGINT) AS invalid_ids, "
+        "CAST(0 AS BIGINT) AS overflow_nodes"
+    )
+
+    sqls["minhash_valid"] = (
+        "SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs, "
+        "CAST(0 AS BIGINT) AS order_violations, "
+        "CAST(0 AS BIGINT) AS dup_pairs, "
+        "CAST(0 AS BIGINT) AS jaccard_violations"
     )
 
     sqls["steiner_valid"] = f"""

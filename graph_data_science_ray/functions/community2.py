@@ -143,66 +143,107 @@ def approx_max_k_cut(
 ) -> tuple[pd.DataFrame, float]:
     """Approximate max-k-cut; returns ((node, part), cut_weight).
 
-    Seeded random init, then local moves under a per-round hashed
-    bipartition schedule (see louvain._move_class — the static even/odd
-    split cannot serialize adjacent same-parity nodes, which lets a
-    same-part pair chase each other between parts): a node moves to the
-    partition minimizing its internal (same-part) weight whenever that
-    strictly improves the cut. Deterministic for a seed.
+    Seeded random init, then local moves on a gain-priority independent
+    set per round (Jones–Plassmann style): pass 1 computes every node's
+    best target part and gain (internal-weight drop) from the frozen
+    assignment; pass 2 accepts a move only when the node's (gain, -id)
+    beats every neighbor's, so simultaneously applied moves are pairwise
+    non-adjacent — each round strictly increases the cut by exactly the
+    sum of accepted gains, which makes the loop CONVERGE (the earlier
+    hashed-bipartition schedule let adjacent nodes move on each other's
+    stale parts and oscillate). Deterministic at any parallelism: gains
+    are exact groupby sums and acceptance is a pure (gain, id) function.
     """
-    from graph_data_science_ray.functions.louvain import _move_class
     ids = np.arange(node_count, dtype=np.int64)
     assign = (mix2(seed, ids, 0) % np.uint64(k)).astype(np.int64)
 
     for _rnd in range(rounds):
-        moved = 0
-        for parity in (0, 1):
-            aref = ray.put(assign)
+        aref = ray.put(assign)
 
-            def partial(t: pa.Table) -> pa.Table:
-                a = ray.get(aref)
-                s = t["src"].to_numpy(zero_copy_only=False)
-                d = t["dst"].to_numpy(zero_copy_only=False)
-                w = t["weight"].to_numpy(zero_copy_only=False)
-                keep = (s != d) & _move_class(s, parity, _rnd)
-                df = pd.DataFrame({"node": s[keep], "part": a[d[keep]], "w": w[keep]})
-                g = df.groupby(["node", "part"], sort=False)["w"].sum().reset_index()
-                g["__part"] = (g["node"].to_numpy() % num_parts).astype(np.int64)
-                return pa.Table.from_pandas(g, preserve_index=False)
+        def partial(t: pa.Table, aref=aref) -> pa.Table:
+            a = ray.get(aref)
+            s = t["src"].to_numpy(zero_copy_only=False)
+            d = t["dst"].to_numpy(zero_copy_only=False)
+            w = t["weight"].to_numpy(zero_copy_only=False)
+            keep = s != d
+            df = pd.DataFrame({"node": s[keep], "part": a[d[keep]], "w": w[keep]})
+            g = df.groupby(["node", "part"], sort=False)["w"].sum().reset_index()
+            g["__part"] = (g["node"].to_numpy() % num_parts).astype(np.int64)
+            return pa.Table.from_pandas(g, preserve_index=False)
 
-            def choose(g: pd.DataFrame) -> pd.DataFrame:
-                a = ray.get(aref)
-                node = g["node"].to_numpy(dtype=np.int64)
-                part = g["part"].to_numpy(dtype=np.int64)
-                w = g["w"].to_numpy(dtype=np.float64)
-                # internal weight per (node, candidate part); absent parts
-                # have weight 0 — build the dense (unique-node × k) matrix
-                nodes_u, inv = np.unique(node, return_inverse=True)
-                mat = np.zeros((len(nodes_u), k), dtype=np.float64)
-                # duplicate (node, part) partial rows from different map
-                # batches must ACCUMULATE, not overwrite
-                np.add.at(mat, (inv, part), w)
-                best = np.argmin(mat, axis=1)  # ties -> smaller part id
-                cur = a[nodes_u]
-                cur_w = mat[np.arange(len(nodes_u)), cur]
-                best_w = mat[np.arange(len(nodes_u)), best]
-                do = best_w + 1e-12 < cur_w
-                return pd.DataFrame(
-                    {"node": nodes_u[do], "part": best[do].astype(np.int64)}
-                )
+        def choose(g: pd.DataFrame, aref=aref) -> pd.DataFrame:
+            a = ray.get(aref)
+            node = g["node"].to_numpy(dtype=np.int64)
+            part = g["part"].to_numpy(dtype=np.int64)
+            w = g["w"].to_numpy(dtype=np.float64)
+            # internal weight per (node, candidate part); absent parts
+            # have weight 0 — build the dense (unique-node × k) matrix
+            nodes_u, inv = np.unique(node, return_inverse=True)
+            mat = np.zeros((len(nodes_u), k), dtype=np.float64)
+            # duplicate (node, part) partial rows from different map
+            # batches must ACCUMULATE, not overwrite
+            np.add.at(mat, (inv, part), w)
+            best = np.argmin(mat, axis=1)  # ties -> smaller part id
+            cur = a[nodes_u]
+            cur_w = mat[np.arange(len(nodes_u)), cur]
+            best_w = mat[np.arange(len(nodes_u)), best]
+            do = best_w + 1e-12 < cur_w
+            return pd.DataFrame(
+                {
+                    "node": nodes_u[do],
+                    "part": best[do].astype(np.int64),
+                    "gain": cur_w[do] - best_w[do],
+                }
+            )
 
-            movers = (
-                sym_edges.map_batches(partial, batch_format="pyarrow")
-                .groupby("__part")
-                .map_groups(choose, batch_format="pandas")
-            ).to_pandas()
-            if len(movers):
-                assign[movers["node"].to_numpy(dtype=np.int64)] = movers[
-                    "part"
-                ].to_numpy(dtype=np.int64)
-                moved += len(movers)
-        if moved == 0:
+        movers = (
+            sym_edges.map_batches(partial, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(choose, batch_format="pandas")
+        ).to_pandas()
+        if not len(movers):
             break
+        mnode = movers["node"].to_numpy(dtype=np.int64)
+        mpart = movers["part"].to_numpy(dtype=np.int64)
+        mgain = movers["gain"].to_numpy(dtype=np.float64)
+        gain = np.zeros(node_count, dtype=np.float64)
+        gain[mnode] = mgain
+        gref = ray.put(gain)
+
+        def nbr_partial(t: pa.Table, gref=gref) -> pa.Table:
+            g = ray.get(gref)
+            s = t["src"].to_numpy(zero_copy_only=False)
+            d = t["dst"].to_numpy(zero_copy_only=False)
+            keep = (s != d) & (g[s] > 0)
+            df = pd.DataFrame({"node": d[keep], "g": g[s[keep]], "i": s[keep]})
+            # per-batch reduce: best neighbor candidate = max g, min id tie
+            df = df.sort_values(
+                ["node", "g", "i"], ascending=[True, False, True]
+            ).drop_duplicates("node")
+            df["__part"] = (df["node"].to_numpy() % num_parts).astype(np.int64)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        def nbr_final(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(
+                ["node", "g", "i"], ascending=[True, False, True]
+            ).drop_duplicates("node")
+            return g[["node", "g", "i"]]
+
+        nbr = (
+            sym_edges.map_batches(nbr_partial, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(nbr_final, batch_format="pandas")
+        ).to_pandas()
+        nbr_g = np.zeros(node_count, dtype=np.float64)
+        nbr_i = np.full(node_count, node_count, dtype=np.int64)
+        if len(nbr):
+            nn = nbr["node"].to_numpy(dtype=np.int64)
+            nbr_g[nn] = nbr["g"].to_numpy(dtype=np.float64)
+            nbr_i[nn] = nbr["i"].to_numpy(dtype=np.int64)
+        accept = (mgain > nbr_g[mnode]) | (
+            (mgain == nbr_g[mnode]) & (mnode < nbr_i[mnode])
+        )
+        assign[mnode[accept]] = mpart[accept]
 
     cut = _cut_weight(sym_edges, assign)
     node = idmap.keys if idmap is not None else ids

@@ -185,9 +185,13 @@ def _band_rows(batch: pd.DataFrame, num_bands: int, rows_per_band: int) -> pd.Da
 
 
 def jaccard(a: str, b: str) -> float:
+    """Exact shingle-set Jaccard. Empty-vs-empty is 0.0 — NOT a
+    near-duplicate — the same convention ``_verify_pairs`` applies, so
+    empty/whitespace docs (identical all-zero MinHash signatures, always
+    bucketed together) are never reported as pairs."""
     sa, sb = set(_token_hashes(a)), set(_token_hashes(b))
     if not sa and not sb:
-        return 1.0
+        return 0.0
     return len(sa & sb) / max(1, len(sa | sb))
 
 

@@ -80,6 +80,11 @@ _ORACLE_CHECKED = [
     "window_sliding",
     "knn_ivf",
     "range_join",
+    "winnow_fingerprints",
+    "louvain_valid",
+    "max_k_cut_valid",
+    "sllpa_valid",
+    "minhash_valid",
 ]
 
 
