@@ -650,6 +650,110 @@ def _q_minhash_valid(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_knn_descent_valid(sf_dir: str) -> pd.DataFrame:
+    """NN-Descent validity invariants (exact, oracle-checkable): the
+    approximate k-NN graph reaches recall >= 0.8 against the EXACT
+    brute-force cosine top-k recomputed on the same embeddings (the
+    reference KNN's sampledRate/deltaThreshold quality contract,
+    similarity/knn), with exactly n·k rows and ranks 1..k per query.
+    Which neighbors fill the sub-recall tail is round-schedule-specific
+    (rows-only via `knn_descent`)."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.knn_descent import knn_descent
+    from graph_data_science_ray.stages.similarity import knn_brute_force
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    k = 5
+    appr = knn_descent(emb, k=k, max_rounds=4)
+    n = appr["query_id"].nunique()
+    exact = knn_brute_force(emb, query_ids=np.arange(n), k=k)
+    a = set(zip(appr["query_id"].astype(int), appr["neighbor_id"].astype(int)))
+    b = set(zip(exact["query_id"].astype(int), exact["neighbor_id"].astype(int)))
+    recall = len(a & b) / max(1, len(b))
+    ranks_ok = int(
+        (appr.groupby("query_id")["rank"].agg(["min", "max", "count"])
+         .eq([1, k, k]).all(axis=1)).all()
+    )
+    return pd.DataFrame(
+        {
+            "n_vectors": np.array([n], dtype=np.int64),
+            "rows_ok": np.array([int(len(appr) == n * k)], dtype=np.int64),
+            "ranks_ok": np.array([ranks_ok], dtype=np.int64),
+            "recall_floor_ok": np.array([int(recall >= 0.8)], dtype=np.int64),
+        }
+    )
+
+
+def _q_celf_valid(sf_dir: str) -> pd.DataFrame:
+    """CELF validity invariants (exact, oracle-checkable): lazy-forward
+    greedy on a submodular spread estimate picks NON-INCREASING marginal
+    gains (Leskovec et al. 2007 — the property the reference's CELF
+    exploits for lazy evaluation), k distinct valid seeds, positive
+    gains. The seed identities are Monte-Carlo-seed-specific (rows-only
+    via `celf`)."""
+    from graph_data_science_ray.functions.influence import celf
+
+    b = _bundle(sf_dir)
+    out = celf(b["gd"], k=5, propagation_probability=0.2,
+               monte_carlo_simulations=10, candidate_limit=30, seed=8)
+    g = out["spread_gain"].to_numpy(dtype=np.float64)
+    keys = set(str(x) for x in b["idmap"].keys)
+    return pd.DataFrame(
+        {
+            "k_seeds": np.array([len(out)], dtype=np.int64),
+            "distinct_ok": np.array(
+                [int(out["node"].nunique() == len(out))], dtype=np.int64
+            ),
+            "valid_ids": np.array(
+                [int(out["node"].astype(str).isin(keys).all())], dtype=np.int64
+            ),
+            "monotone_ok": np.array(
+                [int(bool(np.all(g[1:] <= g[:-1] + 1e-9)))], dtype=np.int64
+            ),
+            # gains are NON-NEGATIVE (monotone spread); they can be 0 when
+            # a candidate is already activated in every simulation
+            "nonneg_ok": np.array(
+                [int(bool(np.all(g >= 0)))], dtype=np.int64
+            ),
+        }
+    )
+
+
+def _q_fastrp_valid(sf_dir: str) -> pd.DataFrame:
+    """FastRP validity invariants (exact, oracle-checkable): the final
+    embedding is Σ_k w_k · x_k over L2-NORMALIZED iteration states
+    (FastRP.java), so with weights (0,1,1) every row norm is <= 2 by the
+    triangle inequality; dimension as configured; one row per node; and
+    a SECOND run with the same seed is byte-identical (the projection is
+    a pure function of (seed, node, dim) — the determinism contract).
+    The vector values themselves are seed-specific (rows-only via
+    `fastrp`)."""
+    from graph_data_science_ray.functions.fastrp import fastrp
+
+    b = _bundle(sf_dir)
+    n = len(b["idmap"])
+    out = fastrp(b["gu"], dim=32, seed=42)
+    out2 = fastrp(b["gu"], dim=32, seed=42)
+    vecs = np.stack([np.asarray(v, dtype=np.float64) for v in out["embedding"]])
+    vecs2 = np.stack([np.asarray(v, dtype=np.float64) for v in out2["embedding"]])
+    norms = np.linalg.norm(vecs, axis=1)
+    bad = int((norms > 2.0 + 1e-9).sum())
+    det = int(
+        vecs.tobytes() == vecs2.tobytes()
+        and list(out["node"]) == list(out2["node"])
+    )
+    return pd.DataFrame(
+        {
+            "n_nodes": np.array([n], dtype=np.int64),
+            "rows_ok": np.array([int(len(out) == n)], dtype=np.int64),
+            "dim_ok": np.array([int(vecs.shape[1] == 32)], dtype=np.int64),
+            "norm_bound_violations": np.array([bad], dtype=np.int64),
+            "deterministic_ok": np.array([det], dtype=np.int64),
+        }
+    )
+
+
 def _q_k1_coloring(sf_dir: str) -> pd.DataFrame:
     from graph_data_science_ray.functions.coloring import k1_coloring
 
@@ -963,6 +1067,38 @@ def _q_asof_join(sf_dir: str) -> pd.DataFrame:
             "value": out["value"].astype(np.float64),
             "r_event_id": out["r_event_id"].astype(np.int64),
             "r_value": out["r_value"].astype(np.float64),
+        }
+    ).sort_values("event_id").reset_index(drop=True)
+
+
+def _q_feature_backfill(sf_dir: str) -> pd.DataFrame:
+    """Composition: per-user 1h/15min sliding-window CLICK features,
+    backfilled onto purchases with a backward as-of join (each purchase
+    sees the latest CLOSED window at-or-before it) — the training-data
+    feature-join shape."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.sessions import feature_backfill
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    out = feature_backfill(
+        ev.filter(expr="event_type == 'purchase'"),
+        ev.filter(expr="event_type == 'click'"),
+        window_seconds=3600, slide_seconds=900, inner=True,
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "user_id": out["user_id"].astype(np.int64),
+            "event_id": out["event_id"].astype(np.int64),
+            "value": out["value"].astype(np.float64),
+            "f_window_start": out["f_window_start"].astype(np.int64),
+            "f_n": out["f_n"].astype(np.int64),
+            "f_value_sum": np.round(
+                out["f_value_sum"].to_numpy(dtype=np.float64), 6
+            ),
         }
     ).sort_values("event_id").reset_index(drop=True)
 
@@ -1983,6 +2119,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_k_cut_valid": _q_max_k_cut_valid,
         "sllpa_valid": _q_sllpa_valid,
         "minhash_valid": _q_minhash_valid,
+        "knn_descent_valid": _q_knn_descent_valid,
+        "celf_valid": _q_celf_valid,
+        "fastrp_valid": _q_fastrp_valid,
         "k1_coloring": _q_k1_coloring,
         "k1_coloring_valid": _q_k1_valid,
         "scc": _q_scc,
@@ -2005,6 +2144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "asof_join": _q_asof_join,
+        "feature_backfill": _q_feature_backfill,
         "knn_cosine_topk": _q_knn,
         "knn_ivf": _q_knn_ivf,
         "knn_descent": _q_knn_descent,
@@ -2536,6 +2676,34 @@ w AS (
 SELECT user_id, epoch_us(ts) AS ts_us, l_eid AS event_id, l_val AS value,
        m_eid AS r_event_id, m_val AS r_value
 FROM w WHERE side = 1 AND m_eid IS NOT NULL
+ORDER BY event_id
+"""
+
+    # sliding-window features (1h window / 15min slide over clicks)
+    # backfilled onto purchases: each purchase matched to the latest
+    # CLOSED window (visible at window_start + 1h) at-or-before it
+    sqls["feature_backfill"] = """
+WITH clicks AS (
+  SELECT user_id, epoch_us(ts) AS tu, value FROM events
+  WHERE event_type = 'click'
+),
+exp AS (
+  SELECT user_id, (tu // 900000000) * 900000000 - i * 900000000 AS ws, value
+  FROM clicks, generate_series(0, 3) AS t(i)
+),
+feats AS (
+  SELECT user_id, ws, count(*) AS n, sum(value) AS vs
+  FROM exp GROUP BY 1, 2
+),
+fv AS (SELECT user_id, ws + 3600000000 AS vis, ws, n, vs FROM feats),
+pur AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS tu FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.event_id, p.value,
+       f.ws AS f_window_start, CAST(f.n AS BIGINT) AS f_n,
+       round(f.vs, 6) AS f_value_sum
+FROM pur p ASOF JOIN fv f ON p.user_id = f.user_id AND f.vis <= p.tu
 ORDER BY event_id
 """
 
@@ -3102,6 +3270,26 @@ SELECT CAST((SELECT count(DISTINCT component) FROM wcc) + 4 AS BIGINT)
         "CAST(0 AS BIGINT) AS order_violations, "
         "CAST(0 AS BIGINT) AS dup_pairs, "
         "CAST(0 AS BIGINT) AS jaccard_violations"
+    )
+
+    sqls["knn_descent_valid"] = (
+        "SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_vectors, "
+        "CAST(1 AS BIGINT) AS rows_ok, CAST(1 AS BIGINT) AS ranks_ok, "
+        "CAST(1 AS BIGINT) AS recall_floor_ok"
+    )
+
+    sqls["celf_valid"] = (
+        "SELECT CAST(5 AS BIGINT) AS k_seeds, CAST(1 AS BIGINT) AS distinct_ok, "
+        "CAST(1 AS BIGINT) AS valid_ids, CAST(1 AS BIGINT) AS monotone_ok, "
+        "CAST(1 AS BIGINT) AS nonneg_ok"
+    )
+
+    sqls["fastrp_valid"] = (
+        f"WITH {_GRAPH_CTE} "
+        "SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes, "
+        "CAST(1 AS BIGINT) AS rows_ok, CAST(1 AS BIGINT) AS dim_ok, "
+        "CAST(0 AS BIGINT) AS norm_bound_violations, "
+        "CAST(1 AS BIGINT) AS deterministic_ok"
     )
 
     sqls["steiner_valid"] = f"""

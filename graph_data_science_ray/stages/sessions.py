@@ -250,6 +250,106 @@ def sliding_window(
     )
 
 
+def sliding_window_keyed(
+    events: rd.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_seconds: int = 3600,
+    slide_seconds: int = 900,
+) -> rd.Dataset:
+    """Per-key sliding event-time window aggregate:
+    ``(key, window_start, n, value_sum)`` for every window that contains
+    at least one of the key's events. Same map-side expansion + partial
+    pre-sum as ``sliding_window``; the groupby key gains the entity key,
+    so shuffle volume is bounded by k × batch-distinct (key, window)
+    pairs, not k × events."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    if window_seconds % slide_seconds:
+        raise ValueError("window_seconds must be a multiple of slide_seconds")
+    k = window_seconds // slide_seconds
+    slide_us = slide_seconds * 1_000_000
+
+    def assign(t: pa.Table) -> pa.Table:
+        ts = np.asarray(t[ts_col].cast(pa.int64()))
+        key = np.asarray(t[key_col], dtype=np.int64)
+        w0 = (ts // slide_us) * slide_us
+        offs = (np.arange(k, dtype=np.int64) * slide_us)[None, :]
+        wins = (w0[:, None] - offs).ravel()
+        keys = np.repeat(key, k)
+        vals = np.repeat(np.asarray(t[value_col], dtype=np.float64), k)
+        g = (
+            pa.table(
+                {key_col: keys, "window_start": wins,
+                 "n": np.ones(len(wins), dtype=np.int64), "v": vals}
+            )
+            .group_by([key_col, "window_start"])
+            .aggregate([("n", "sum"), ("v", "sum")])
+        )
+        return g.rename_columns([key_col, "window_start", "pn", "pv"])
+
+    return (
+        events.map_batches(assign, batch_format="pyarrow")
+        .groupby([key_col, "window_start"])
+        .aggregate(Sum("pn", alias_name="n"), Sum("pv", alias_name="value_sum"))
+    )
+
+
+def feature_backfill(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    left_cols: tuple = ("event_id", "value"),
+    value_col: str = "value",
+    window_seconds: int = 3600,
+    slide_seconds: int = 900,
+    inner: bool = True,
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """Sliding-window features backfilled onto an event stream — the
+    training-data feature-join shape: per-key sliding windows aggregate
+    the RIGHT stream (``sliding_window_keyed``); each feature row becomes
+    visible at its window END; every LEFT row is then matched to the
+    latest visible feature at-or-before its own timestamp (backward
+    ``asof_join``). Output: left columns + ``f_window_start`` /
+    ``f_n`` / ``f_value_sum``. Two shuffles total (window groupby at
+    (key, window) cardinality + the asof hash-partition); nothing lands
+    on the driver."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    feats = sliding_window_keyed(
+        right, key_col=key_col, ts_col=ts_col, value_col=value_col,
+        window_seconds=window_seconds, slide_seconds=slide_seconds,
+    )
+    wus = window_seconds * 1_000_000
+
+    def visible_at(t: pa.Table) -> pa.Table:
+        # a window's aggregate is known once the window has CLOSED
+        end = pc.add(t["window_start"], pa.scalar(wus, pa.int64()))
+        return pa.table(
+            {
+                key_col: t[key_col],
+                ts_col: pc.cast(end, pa.timestamp("us")),
+                "window_start": t["window_start"],
+                "n": t["n"],
+                "value_sum": t["value_sum"],
+            }
+        )
+
+    feat_rows = feats.map_batches(visible_at, batch_format="pyarrow")
+    return asof_join(
+        left, feat_rows,
+        key_col=key_col, ts_col=ts_col,
+        left_cols=left_cols,
+        right_cols=("window_start", "n", "value_sum"),
+        prefix="f_", inner=inner, num_parts=num_parts,
+    )
+
+
 def range_join(
     left: rd.Dataset,
     right: rd.Dataset,

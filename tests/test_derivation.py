@@ -211,3 +211,111 @@ def test_grouped_conv_key_modes_identical():
     )
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_contiguous_derivation_matches_grouped():
+    """Zero-turn-shuffle contiguous pairing must produce the
+    byte-identical edge table to the conversation-hash grouped path on a
+    conversation-contiguous input (synthesized transcripts are written
+    one conversation at a time)."""
+    import pandas as pd
+
+    from graph_data_science_ray.pipelines.edges import (
+        derive_edges_encoded_contiguous,
+        derive_edges_encoded_grouped,
+    )
+
+    ts = gdsr.synthesize_transcripts(200, num_actors=30, seed=9)
+    turns = gdsr.derive_turns(ts).materialize()
+    idmap = gdsr.IdMap.from_turns(turns)
+    a = (
+        derive_edges_encoded_contiguous(turns, idmap, num_partitions=5)
+        .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    )
+    b = (
+        derive_edges_encoded_grouped(turns, idmap, num_partitions=5)
+        .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+
+
+def test_contiguity_probe_and_auto_fallback():
+    """The probe is exact: True on conversation-contiguous input, False
+    after a shuffle; the contiguous path refuses non-contiguous input
+    (raises, never silently wrong); auto picks a correct path for both."""
+    import pandas as pd
+    import pytest
+
+    from graph_data_science_ray.pipelines.edges import (
+        derive_edges_encoded_auto,
+        derive_edges_encoded_contiguous,
+        derive_edges_encoded_grouped,
+        probe_conv_contiguity,
+    )
+
+    ts = gdsr.synthesize_transcripts(150, num_actors=20, seed=3)
+    turns = gdsr.derive_turns(ts).materialize()
+    idmap = gdsr.IdMap.from_turns(turns)
+    assert probe_conv_contiguity(turns) is True
+    shuffled = turns.random_shuffle(seed=1).materialize()
+    assert probe_conv_contiguity(shuffled) is False
+    with pytest.raises(Exception):
+        derive_edges_encoded_contiguous(shuffled, idmap).to_pandas()
+    ref = (
+        derive_edges_encoded_grouped(turns, idmap)
+        .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    )
+    # prefer_contiguous=True exercises the probe gate on both layouts
+    # (contiguous input -> contiguous path; shuffled -> grouped fallback);
+    # the default (None) resolves to grouped on this single-node cluster
+    for src in (turns, shuffled):
+        for pref in (True, None):
+            got = (
+                derive_edges_encoded_auto(src, idmap, prefer_contiguous=pref)
+                .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(got, ref)
+
+
+def test_feature_backfill_small_fixture():
+    """Purchases see the latest CLOSED click window at-or-before them;
+    purchases before any closed window drop under inner=True."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.sessions import feature_backfill
+
+    us = 1_000_000
+    def ev(eid, t_sec, user, typ, val):
+        return {"event_id": eid, "ts": t_sec * us, "user_id": user,
+                "event_type": typ, "value": float(val)}
+    rows = [
+        # clicks at t=100,200 fall in windows starting 0,-900,-1800,-2700
+        # (1h window, 15min slide), which close at 3600,2700,1800,900
+        ev(1, 100, 7, "click", 2.0),
+        ev(2, 200, 7, "click", 3.0),
+        ev(3, 500, 7, "purchase", 1.0),   # before ANY window closes -> drop
+        ev(4, 1000, 7, "purchase", 1.0),  # sees window closing at 900
+        ev(5, 9999, 7, "purchase", 1.0),  # sees the LAST closed window (3600)
+    ]
+    t = pa.table({k: [r[k] for r in rows] for k in rows[0]})
+    t = t.set_column(1, "ts", pa.array(t["ts"].to_numpy(), pa.timestamp("us")))
+    ds = rd.from_arrow(t)
+    out = feature_backfill(
+        ds.filter(expr="event_type == 'purchase'"),
+        ds.filter(expr="event_type == 'click'"),
+        window_seconds=3600, slide_seconds=900, inner=True,
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert list(out["event_id"]) == [4, 5]
+    # purchase 4 at t=1000: only the window starting -2700 has closed
+    # (end 900 <= 1000); it contains both clicks
+    r4 = out[out["event_id"] == 4].iloc[0]
+    assert r4["f_window_start"] == -2700 * us
+    assert r4["f_n"] == 2 and r4["f_value_sum"] == 5.0
+    # purchase 5 at t=9999: the LATEST closed window is the one starting
+    # at 0 (end 3600) — still both clicks
+    r5 = out[out["event_id"] == 5].iloc[0]
+    assert r5["f_window_start"] == 0
+    assert r5["f_n"] == 2 and r5["f_value_sum"] == 5.0

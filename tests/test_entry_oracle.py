@@ -85,6 +85,10 @@ _ORACLE_CHECKED = [
     "max_k_cut_valid",
     "sllpa_valid",
     "minhash_valid",
+    "feature_backfill",
+    "knn_descent_valid",
+    "celf_valid",
+    "fastrp_valid",
 ]
 
 
