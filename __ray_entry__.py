@@ -1132,6 +1132,23 @@ def _q_knn_ivf(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _q_knn_lsh_multiband(sf_dir: str) -> pd.DataFrame:
+    """Multi-band LSH at num_planes=0 degenerates to one all-corpus
+    bucket per band, so the merged per-query top-k must reproduce the
+    EXACT brute-force cosine top-k — the same full-probe-shares-the-
+    exact-oracle pattern as `knn_ivf`. The amplified-recall contract for
+    real plane counts lives in pytest
+    (test_knn_lsh_multiband_amplifies_recall)."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.similarity import knn_lsh_multiband
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    res = knn_lsh_multiband(emb, k=5, num_planes=0, num_bands=2, seed=5).to_pandas()
+    res = res[["query_id", "neighbor_id", "rank"]].astype(np.int64)
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def _q_knn_descent(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
 
@@ -2147,6 +2164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_backfill": _q_feature_backfill,
         "knn_cosine_topk": _q_knn,
         "knn_ivf": _q_knn_ivf,
+        "knn_lsh_multiband": _q_knn_lsh_multiband,
         "knn_descent": _q_knn_descent,
         "embedding_near_dup": _q_embedding_near_dup,
         "scale_minmax": _q_scale_minmax,
@@ -2934,6 +2952,24 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 
     # full-probe IVF is exhaustive: identical contract to brute force
     sqls["knn_ivf"] = sqls["knn_cosine_topk"]
+
+    # zero-plane multi-band LSH is exhaustive over ALL queries: the
+    # brute-force contract without the vec_id < 10 query restriction
+    sqls["knn_lsh_multiband"] = """
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+scored AS (
+    SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.e, c2.e), 6) AS sim
+    FROM c q CROSS JOIN c c2 WHERE q.vec_id <> c2.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
 
     sqls["embedding_near_dup"] = """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 300)

@@ -143,6 +143,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # round-3 additions (keys absent from earlier BENCH_r*.json)
         "ngram_jaccard", "asof_join", "range_join", "knn_ivf",
         "window_sliding",
+        # late-round-3 additions
+        "feature_backfill", "winnow_fingerprints",
     ):
         timed(name, lambda n=name: q[n](sf_dir))
 

@@ -165,6 +165,114 @@ def knn_lsh(
     return bucketed.groupby("bucket").map_groups(topk_in_bucket, batch_format="pandas")
 
 
+class _MultiBandBucketer:
+    """num_bands independent hyperplane banks; one bucket row per band.
+
+    Built once per actor; emits ``num_bands`` rows per vector with a
+    packed ``(band << num_planes) | key`` bucket id, so a single uniform
+    groupby co-locates each band's buckets."""
+
+    def __init__(self, dim: int, num_planes: int, num_bands: int, seed: int):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((num_bands, num_planes, dim))
+        self.num_planes = num_planes
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        mat = _normalize(_stack(batch["embedding"]))
+        ids = batch["vec_id"].to_numpy(dtype=np.int64)
+        L = self.planes.shape[0]
+        out_id, out_bucket, out_emb = [], [], []
+        for band in range(L):
+            bits = (mat @ self.planes[band].T) > 0
+            keys = (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1)
+            out_id.append(ids)
+            out_bucket.append((band << self.num_planes) | keys.astype(np.int64))
+            out_emb.append(batch["embedding"].to_numpy())
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_id),
+                "bucket": np.concatenate(out_bucket),
+                "embedding": np.concatenate(out_emb),
+            }
+        )
+
+
+def knn_lsh_multiband(
+    embeddings: rd.Dataset,
+    k: int = 5,
+    num_planes: int = 8,
+    num_bands: int = 4,
+    seed: int = 5,
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """Multi-band hyperplane LSH ANN — the recall-amplified scale path.
+
+    Each vector hashes into ``num_bands`` INDEPENDENT hyperplane banks
+    (collision probability stacks as 1-(1-p^b)^L, the standard LSH
+    amplification the single-band ``knn_lsh`` lacks); per-(band, bucket)
+    local top-k candidates are then merged per query — dedup, re-rank,
+    head k — in a second hash-partitioned groupby with a fully
+    vectorized pandas merge (no per-query Python). Shuffle volume is
+    num_bands × corpus for the bucket stage (inherent to multi-band
+    LSH) plus the candidate lists."""
+    first = embeddings.take(1)[0]
+    dim = len(first["embedding"])
+    import functools
+
+    bucketed = embeddings.map_batches(
+        _MultiBandBucketer(dim, num_planes, num_bands, seed),
+        batch_format="pandas", batch_size=4096,
+    )
+
+    def cands_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype=np.int64),
+                 "neighbor_id": pd.Series([], dtype=np.int64),
+                 "sim": pd.Series([], dtype=np.float64),
+                 "__part": pd.Series([], dtype=np.int64)}
+            )
+        mat = _normalize(_stack(g["embedding"]))
+        sims = np.round(mat @ mat.T, 6)
+        np.fill_diagonal(sims, -np.inf)
+        kk = min(k, len(ids) - 1)
+        # vectorized per-row top-k candidates, TIE-INCLUSIVE at the kth
+        # sim (so the exact (sim desc, id asc) order applied in the merge
+        # can never lose a tied true neighbor at the cut)
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        thr = sims[np.arange(len(ids))[:, None], part].min(axis=1)
+        sel = sims >= thr[:, None]
+        rows, cols = np.nonzero(sel)
+        q = ids[rows]
+        nb = ids[cols]
+        sv = sims[rows, cols]
+        keep = np.isfinite(sv)
+        return pd.DataFrame(
+            {"query_id": q[keep], "neighbor_id": nb[keep], "sim": sv[keep],
+             "__part": (q[keep] % num_parts).astype(np.int64)}
+        )
+
+    def merge_per_query(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["query_id", "neighbor_id"])
+        g = g.sort_values(
+            ["query_id", "sim", "neighbor_id"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        top = g.groupby("query_id", sort=False).head(k).reset_index(drop=True)
+        top["rank"] = (
+            top.groupby("query_id", sort=False).cumcount() + 1
+        ).astype(np.int64)
+        return top[["query_id", "neighbor_id", "rank", "sim"]]
+
+    return (
+        bucketed.groupby("bucket")
+        .map_groups(cands_in_bucket, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(merge_per_query, batch_format="pandas")
+    )
+
+
 def _ivf_train(
     embeddings: rd.Dataset, num_lists: int, iters: int, seed: int
 ) -> np.ndarray:

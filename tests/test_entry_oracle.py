@@ -89,6 +89,7 @@ _ORACLE_CHECKED = [
     "knn_descent_valid",
     "celf_valid",
     "fastrp_valid",
+    "knn_lsh_multiband",
 ]
 
 

@@ -533,3 +533,47 @@ def test_wav_real_decode_and_features():
     # channel-0 mean is the real sample mean
     assert abs(vec[0] - stereo[:, 0].mean() / 32768.0) < 1e-6
     assert decode_wav(b"RIFFxxxxJUNK") is None
+
+
+def test_knn_lsh_multiband_amplifies_recall():
+    """Multi-band LSH: recall vs brute force is at least the single-band
+    recall (band collisions stack as 1-(1-p^b)^L) and clears a floor on
+    clustered data; output schema/ranking matches the ANN contract."""
+    from graph_data_science_ray.stages.similarity import (
+        knn_brute_force,
+        knn_lsh,
+        knn_lsh_multiband,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((6, 16)) * 4
+    vecs = np.concatenate(
+        [centers[i % 6] + rng.standard_normal(16) * 0.5 for i in range(180)]
+    ).reshape(180, 16)
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(180, dtype=np.int64),
+                      "embedding": list(vecs)})
+    )
+    k = 5
+    exact = knn_brute_force(ds, query_ids=np.arange(180), k=k)
+    truth = set(zip(exact["query_id"].astype(int), exact["neighbor_id"].astype(int)))
+
+    def recall(df):
+        got = set(zip(df["query_id"].astype(int), df["neighbor_id"].astype(int)))
+        return len(got & truth) / len(truth)
+
+    single = recall(knn_lsh(ds, k=k, num_planes=8, seed=5).to_pandas())
+    multi_df = knn_lsh_multiband(
+        ds, k=k, num_planes=8, num_bands=4, seed=5
+    ).to_pandas()
+    multi = recall(multi_df)
+    assert multi >= single - 1e-9
+    assert multi >= 0.6, f"multiband recall {multi:.2f}"
+    # per-query contract: <= k rows, ranks 1..n contiguous, sims sorted
+    per = multi_df.groupby("query_id")
+    assert int(per.size().max()) <= k
+    for _, g in list(per)[:5]:
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        s = g["sim"].to_numpy()
+        assert (s[1:] <= s[:-1] + 1e-9).all()
