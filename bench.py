@@ -144,7 +144,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "ngram_jaccard", "asof_join", "range_join", "knn_ivf",
         "window_sliding",
         # late-round-3 additions
-        "feature_backfill", "winnow_fingerprints",
+        "feature_backfill", "winnow_fingerprints", "knn_lsh_multiband",
     ):
         timed(name, lambda n=name: q[n](sf_dir))
 

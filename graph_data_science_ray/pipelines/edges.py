@@ -1265,7 +1265,10 @@ def derive_edges_encoded_auto(
     True/False to force."""
     if prefer_contiguous is None:
         try:
-            prefer_contiguous = len(ray.nodes()) > 1
+            alive = sum(
+                1 for n in ray.nodes() if n.get("Alive", n.get("alive", True))
+            )
+            prefer_contiguous = alive > 1
         except Exception:
             prefer_contiguous = False
     if prefer_contiguous and probe_conv_contiguity(

@@ -274,11 +274,13 @@ def sliding_window_keyed(
 
     def assign(t: pa.Table) -> pa.Table:
         ts = np.asarray(t[ts_col].cast(pa.int64()))
-        key = np.asarray(t[key_col], dtype=np.int64)
         w0 = (ts // slide_us) * slide_us
         offs = (np.arange(k, dtype=np.int64) * slide_us)[None, :]
         wins = (w0[:, None] - offs).ravel()
-        keys = np.repeat(key, k)
+        # Arrow take keeps the key's dtype (string / int / any) — no
+        # int64 hard-cast, so non-integer entity keys work like asof_join.
+        idx = np.repeat(np.arange(len(t), dtype=np.int64), k)
+        keys = t[key_col].combine_chunks().take(pa.array(idx))
         vals = np.repeat(np.asarray(t[value_col], dtype=np.float64), k)
         g = (
             pa.table(

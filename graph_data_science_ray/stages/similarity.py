@@ -144,8 +144,6 @@ def knn_lsh(
     """
     first = embeddings.take(1)[0]
     dim = len(first["embedding"])
-    import functools
-
     bucketed = embeddings.map_batches(
         _HyperplaneBucketer(dim, num_planes, seed), batch_format="pandas", batch_size=4096
     )
@@ -217,8 +215,6 @@ def knn_lsh_multiband(
     LSH) plus the candidate lists."""
     first = embeddings.take(1)[0]
     dim = len(first["embedding"])
-    import functools
-
     bucketed = embeddings.map_batches(
         _MultiBandBucketer(dim, num_planes, num_bands, seed),
         batch_format="pandas", batch_size=4096,
