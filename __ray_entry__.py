@@ -998,6 +998,53 @@ def _q_token_count(sf_dir: str) -> pd.DataFrame:
     return token_count(_docs(sf_dir)).to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_hash_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic md5 train/test split (25% test) — pure map-side;
+    DuckDB reproduces the assignment from the same salted-md5 hex prefix."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.sampling import hash_split
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    out = hash_split(docs, test_ratio=0.25, salt="split").to_pandas()
+    return out[["doc_id", "split"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_quantile_filter(sf_dir: str) -> pd.DataFrame:
+    """Documents above the 90th length percentile (histogram quantile,
+    left-bin-edge definition shared with the SQL oracle)."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.sampling import quantile_filter
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    out = quantile_filter(docs, "n_chars", 0.9).to_pandas()
+    return out[["doc_id", "n_chars"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_top_k_per_group(sf_dir: str) -> pd.DataFrame:
+    """Top-5 longest documents per language, ties broken by doc_id —
+    map-side partial top-k bounds the shuffle at k rows/key/block."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.sampling import top_k_per_group
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    out = top_k_per_group(docs, "lang", "n_chars", k=5).to_pandas()
+    return (
+        out[["lang", "doc_id", "n_chars"]]
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_ngram_topk(sf_dir: str) -> pd.DataFrame:
     """Top-100 word bigrams by global count (vocabulary building) —
     deterministic cut: ties at the rank-100 boundary break by ngram
@@ -2151,6 +2198,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "token_count": _q_token_count,
         "ngram_topk": _q_ngram_topk,
+        "hash_split": _q_hash_split,
+        "quantile_filter": _q_quantile_filter,
+        "top_k_per_group": _q_top_k_per_group,
         "media_decode": _q_media_decode,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
@@ -2773,6 +2823,36 @@ ORDER BY doc_a, doc_b
         "SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), "
         "x -> x <> '')) AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id"
     )
+
+    from graph_data_science_ray.stages.sampling import split_threshold_hex
+
+    sqls["hash_split"] = f"""
+SELECT doc_id,
+       CASE WHEN substr(md5(doc_id::VARCHAR || ':split'), 1, 8)
+                 < '{split_threshold_hex(0.25)}'
+            THEN 'test' ELSE 'train' END AS split
+FROM documents ORDER BY doc_id"""
+
+    sqls["quantile_filter"] = """
+WITH stats AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi, count(*) AS n
+               FROM documents),
+binned AS (SELECT LEAST(CAST(floor((n_chars - lo) * 4096.0 / (hi - lo)) AS BIGINT),
+                        4095) AS b
+           FROM documents, stats),
+hist AS (SELECT b, count(*) AS c FROM binned GROUP BY b),
+cum AS (SELECT b, sum(c) OVER (ORDER BY b) AS cc FROM hist),
+pick AS (SELECT min(b) AS pb FROM cum, stats WHERE cc >= ceil(0.9 * n)),
+thr AS (SELECT lo + pb * (hi - lo) / 4096.0 AS t FROM pick, stats)
+SELECT doc_id, n_chars FROM documents, thr
+WHERE CAST(n_chars AS DOUBLE) >= t ORDER BY doc_id"""
+
+    sqls["top_k_per_group"] = """
+SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents) t
+WHERE rn <= 5 ORDER BY lang, doc_id"""
 
     sqls["media_decode"] = """
 WITH grid AS (

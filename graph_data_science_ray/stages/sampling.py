@@ -1,0 +1,209 @@
+"""Corpus sampling / selection stages for training-data pipelines.
+
+Three operators a large-scale curation pipeline chains after dedup and
+quality scoring, each exactly reproducible in ANSI SQL (DuckDB oracles in
+``__ray_entry__``):
+
+- :func:`hash_split` — deterministic train/test assignment from a salted
+  md5 of the document id; stable across runs, machines and parallelism
+  (the classic "hash the id, compare against a ratio threshold" split).
+- :func:`quantile_threshold` / :func:`quantile_filter` — histogram-based
+  quantile selection (e.g. "keep documents above the 90th length/quality
+  percentile").  Two streaming passes: an exact min/max + count
+  aggregate, then map-side fixed-bin histogram partials reduced to one
+  tiny (bins)-row table; the full column never leaves the workers.  The
+  quantile is the LEFT EDGE of the first bin whose cumulative count
+  reaches ``ceil(q*N)`` — a deterministic definition shared verbatim by
+  the SQL oracle (no interpolation ambiguity).
+- :func:`top_k_per_group` — per-key top-k rows by a score column
+  (e.g. the k best documents per language).  Map-side partial top-k
+  caps the shuffle at ``k`` rows per key per input block, then a
+  hash-partitioned combine finishes each key; ties break on the id
+  column so output is deterministic at any parallelism.
+
+Reference scope note: the reference engine (Neo4j GDS) has no corpus
+sampling surface; these stages extend the engine for LLM training-data
+work per the build brief, mirroring the shapes of ``stages/dedup.py``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from graph_data_science_ray.pipelines.agg import _stable_row_hash
+
+__all__ = [
+    "hash_split",
+    "quantile_threshold",
+    "quantile_filter",
+    "top_k_per_group",
+]
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash split
+# ---------------------------------------------------------------------------
+
+
+def split_threshold_hex(test_ratio: float) -> str:
+    """First-8-hex-chars threshold for ``test_ratio`` (md5 is uniform, so
+    comparing the fixed-width lowercase hex prefix lexicographically
+    equals comparing the first 32 bits numerically)."""
+    if not 0.0 <= test_ratio <= 1.0:
+        raise ValueError(f"test_ratio must be in [0,1], got {test_ratio}")
+    v = int(round(test_ratio * 2**32))
+    if v >= 2**32:
+        # every 8-char lowercase-hex prefix sorts below "g" -> all test
+        return "g"
+    return format(v, "08x")
+
+
+def hash_split(
+    docs: rd.Dataset,
+    test_ratio: float = 0.25,
+    salt: str = "split",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Add a ``split`` column ('test' / 'train') from md5(f"{id}:{salt}").
+
+    Purely map-side (no shuffle); the assignment depends only on the id
+    and salt, so it is identical across runs, block layouts and engines —
+    DuckDB reproduces it with ``md5(id::VARCHAR || ':salt')``.
+    """
+    thr = split_threshold_hex(test_ratio)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        prefixes = [
+            hashlib.md5(f"{i}:{salt}".encode("utf-8")).hexdigest()[:8]
+            for i in batch[id_col]
+        ]
+        out["split"] = np.where(np.array(prefixes) < thr, "test", "train")
+        return out
+
+    return docs.map_batches(assign, batch_format="pandas", batch_size=8192)
+
+
+# ---------------------------------------------------------------------------
+# histogram quantile
+# ---------------------------------------------------------------------------
+
+
+def quantile_threshold(
+    ds: rd.Dataset, col: str, q: float, bins: int = 4096
+) -> float:
+    """The ``q``-th histogram quantile of ``ds[col]`` (left bin edge).
+
+    Pass 1: exact min / max / count (streaming aggregate).  Pass 2:
+    map-side ``bincount`` partials over ``bins`` fixed-width buckets,
+    hash-reduced to a (bins)-row table; only that tiny histogram reaches
+    the driver.  Threshold = ``lo + b*(hi-lo)/bins`` for the smallest bin
+    ``b`` with cumulative count >= ``ceil(q*N)`` — every float op is
+    written in the same order as the SQL oracle so results are
+    IEEE-identical.
+    """
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0,1], got {q}")
+    from ray.data.aggregate import Count, Max, Min
+
+    stats = ds.aggregate(
+        Min(col, alias_name="_lo"),
+        Max(col, alias_name="_hi"),
+        Count(alias_name="_n"),
+    )
+    lo = float(stats["_lo"])
+    hi = float(stats["_hi"])
+    n = int(stats["_n"])
+    if hi == lo:
+        return lo
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch[col].to_numpy().astype(np.float64)
+        # mirror the SQL: LEAST(floor((x - lo) * bins / (hi - lo)), bins-1)
+        b = np.minimum(
+            np.floor((x - lo) * float(bins) / (hi - lo)).astype(np.int64),
+            bins - 1,
+        )
+        counts = np.bincount(b, minlength=bins)
+        nz = np.flatnonzero(counts)
+        return pd.DataFrame({"b": nz.astype(np.int64), "c": counts[nz]})
+
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+
+    hist = (
+        hash_aggregate(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["b"], "c", op="sum", num_parts=8,
+        )
+        .to_pandas()
+        .sort_values("b")
+    )
+    need = int(np.ceil(q * n))
+    cum = hist["c"].cumsum().to_numpy()
+    pick = int(hist["b"].to_numpy()[np.searchsorted(cum, need, side="left")])
+    return lo + pick * (hi - lo) / float(bins)
+
+
+def quantile_filter(
+    ds: rd.Dataset, col: str, q: float, bins: int = 4096
+) -> rd.Dataset:
+    """Rows with ``col >= quantile_threshold(ds, col, q)`` (streaming)."""
+    thr = quantile_threshold(ds, col, q, bins)
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch[col].to_numpy().astype(np.float64) >= thr]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# per-group top-k
+# ---------------------------------------------------------------------------
+
+
+def top_k_per_group(
+    ds: rd.Dataset,
+    key_col: str,
+    score_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """Top-``k`` rows per ``key_col`` by (score desc, id asc).
+
+    Two-step: each input block keeps at most ``k`` rows per key
+    (vectorized sort + ``groupby.head``), so the shuffle moves
+    O(k * keys_per_block) rows regardless of group size; a
+    hash-partitioned combine then finishes each key.  The id tie-break
+    makes the result set identical at any parallelism.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        top = (
+            df.sort_values([score_col, id_col], ascending=[False, True])
+            .groupby(key_col, sort=False)
+            .head(k)
+        )
+        top = top.copy()
+        top["__part"] = (_stable_row_hash(top, [key_col]) % num_parts).astype(
+            np.int64
+        )
+        return top
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values([score_col, id_col], ascending=[False, True])
+            .groupby(key_col, sort=False)
+            .head(k)
+            .drop(columns="__part")
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=8192)
+        .groupby("__part")
+        .map_groups(combine, batch_format="pandas")
+    )

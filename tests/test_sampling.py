@@ -1,0 +1,114 @@
+"""Corpus sampling stages: hash split, histogram quantile, per-group top-k."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from graph_data_science_ray.stages.sampling import (
+    hash_split,
+    quantile_filter,
+    quantile_threshold,
+    split_threshold_hex,
+    top_k_per_group,
+)
+
+
+def _table(n=400, seed=7):
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "lang": pa.array([["en", "de", "fr"][i % 3] for i in range(n)]),
+            "score": pa.array(rng.integers(0, 1000, n), pa.int64()),
+        }
+    )
+
+
+def test_hash_split_deterministic_and_ratio():
+    ds = rd.from_arrow(_table())
+    out = hash_split(ds, test_ratio=0.25, id_col="doc_id").to_pandas()
+    out2 = (
+        hash_split(rd.from_arrow(_table()).repartition(7), 0.25, id_col="doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    # identical at any block layout
+    assert out["split"].tolist() == out2["split"].tolist()
+    frac = (out["split"] == "test").mean()
+    assert 0.15 < frac < 0.35
+    # threshold hex is the 32-bit ratio boundary
+    assert split_threshold_hex(0.5) == "80000000"
+    assert split_threshold_hex(0.0) == "00000000"
+    # ratio 1.0: "g" sorts above every hex prefix -> everything is test
+    assert split_threshold_hex(1.0) == "g"
+    all_test = hash_split(rd.from_arrow(_table(50)), 1.0).to_pandas()
+    assert (all_test["split"] == "test").all()
+    with pytest.raises(ValueError):
+        split_threshold_hex(1.5)
+
+
+def test_quantile_threshold_matches_exact_definition():
+    t = _table()
+    ds = rd.from_arrow(t).repartition(5)
+    thr = quantile_threshold(ds, "score", 0.9, bins=4096)
+    x = np.asarray(t["score"], dtype=np.float64)
+    lo, hi, n = x.min(), x.max(), len(x)
+    b = np.minimum(np.floor((x - lo) * 4096.0 / (hi - lo)).astype(np.int64), 4095)
+    counts = np.bincount(b, minlength=4096)
+    pick = int(np.searchsorted(np.cumsum(counts), int(np.ceil(0.9 * n))))
+    assert thr == lo + pick * (hi - lo) / 4096.0
+    kept = quantile_filter(ds, "score", 0.9).to_pandas()
+    assert (kept["score"].to_numpy().astype(np.float64) >= thr).all()
+    # roughly the top decile survives
+    assert 0.05 * n < len(kept) < 0.2 * n
+
+
+def test_quantile_threshold_constant_column():
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()), "v": [5, 5, 5]})
+    )
+    assert quantile_threshold(ds, "v", 0.9) == 5.0
+    assert quantile_filter(ds, "v", 0.9).count() == 3
+
+
+def test_top_k_per_group_matches_pandas_and_layout_invariant():
+    t = _table()
+    want = (
+        t.to_pandas()
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .groupby("lang", sort=False)
+        .head(7)
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+    for parts in (1, 9):
+        ds = rd.from_arrow(t).repartition(parts)
+        got = (
+            top_k_per_group(ds, "lang", "score", 7, id_col="doc_id")
+            .to_pandas()[["doc_id", "lang", "score"]]
+            .sort_values(["lang", "doc_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want[["doc_id", "lang", "score"]])
+
+
+def test_top_k_per_group_tie_break_by_id():
+    # every score equal: the k smallest ids per group must win
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(30), pa.int64()),
+            "lang": pa.array(["en" if i % 2 else "de" for i in range(30)]),
+            "score": pa.array([1] * 30, pa.int64()),
+        }
+    )
+    got = (
+        top_k_per_group(rd.from_arrow(t).repartition(4), "lang", "score", 3)
+        .to_pandas()
+        .sort_values(["lang", "doc_id"])
+    )
+    assert got[got["lang"] == "de"]["doc_id"].tolist() == [0, 2, 4]
+    assert got[got["lang"] == "en"]["doc_id"].tolist() == [1, 3, 5]
