@@ -1045,6 +1045,234 @@ def _q_top_k_per_group(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Exact-count stratified sample — ceil(0.2 * |group|) docs per lang,
+    selected by salted-md5 rank (parallelism-independent)."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.sampling import stratified_sample
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    out = stratified_sample(docs, "lang", 0.2, salt="strat").to_pandas()
+    return out[["doc_id", "lang"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_sample_global_k(sf_dir: str) -> pd.DataFrame:
+    """Exactly 50 docs, globally deterministic (smallest salted-md5 ids) —
+    distributed top-k by hash with map-side truncation."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.sampling import sample_global_k
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    out = sample_global_k(docs, k=50, salt="sample").to_pandas()
+    return out[["doc_id", "n_chars"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_doc_freq(sf_dir: str) -> pd.DataFrame:
+    """Document frequencies (term, df) — the vocabulary table."""
+    from graph_data_science_ray.stages.ir import doc_freq
+
+    out = doc_freq(_docs(sf_dir)).to_pandas()
+    out["df"] = out["df"].astype(np.int64)
+    return out.sort_values("term").reset_index(drop=True)
+
+
+def _q_tf_idf_topk(sf_dir: str) -> pd.DataFrame:
+    """Per-doc top-3 terms by tf·ln(N/df); broadcast-df strategy (the
+    join strategy is parity-tested in pytest)."""
+    from graph_data_science_ray.stages.ir import tf_idf_topk
+
+    out = tf_idf_topk(_docs(sf_dir), k=3, strategy="broadcast").to_pandas()
+    out["tf"] = out["tf"].astype(np.int64)
+    out["df"] = out["df"].astype(np.int64)
+    return (
+        out[["doc_id", "term", "tf", "df"]]
+        .sort_values(["doc_id", "term"])
+        .reset_index(drop=True)
+    )
+
+
+def _q_bm25_topk(sf_dir: str) -> pd.DataFrame:
+    """Global BM25 top-20 for a fixed 3-term query; per-term partial
+    scores added in explicit fixed order so the float is IEEE-identical
+    to the SQL expression."""
+    from graph_data_science_ray.stages.ir import bm25_topk
+
+    out = bm25_topk(
+        _docs(sf_dir), ["spark", "window", "hash"], n=20, k1=1.2, b=0.75
+    ).to_pandas()
+    out["score_ppm"] = out["score_ppm"].astype(np.int64)
+    return out[["doc_id", "score_ppm"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_unigram_nll(sf_dir: str) -> pd.DataFrame:
+    """Unigram-LM negative log-likelihood per doc in integer micro-nats
+    (per-term ln floored to ppm BEFORE summing -> order-independent)."""
+    from graph_data_science_ray.stages.ir import unigram_nll
+
+    out = unigram_nll(_docs(sf_dir)).to_pandas()
+    for c in ("n_tokens", "nll_ppm"):
+        out[c] = out[c].astype(np.int64)
+    return (
+        out[["doc_id", "n_tokens", "nll_ppm"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _q_c4_quality(sf_dir: str) -> pd.DataFrame:
+    """C4-style rule filter (integer signals + keep flag)."""
+    from graph_data_science_ray.stages.quality import c4_quality
+
+    out = c4_quality(_docs(sf_dir), min_words=50).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_token_repetition(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition signals (type-token + top-bigram rules,
+    integer inequalities)."""
+    from graph_data_science_ray.stages.quality import token_repetition
+
+    out = token_repetition(_docs(sf_dir)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_semantic_dedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup: fixed-centroid clustering (vec_id < 8) then
+    within-cluster cosine>=0.35 pairs."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.similarity import semantic_dedup
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = semantic_dedup(emb, n_clusters=8, threshold=0.35).to_pandas()
+    for c in ("cluster", "doc_a", "doc_b"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _q_dag_longest_path(sf_dir: str) -> pd.DataFrame:
+    """Longest-path layer per node over the DAG of forward edges
+    (src < dst in dense-id == lexicographic key order): one BSP
+    min-relaxation fixpoint with −1 edge weights (layer = −dist), the
+    reference's computeMaxDistanceFromSource."""
+    import graph_data_science_ray as gdsr
+
+    from graph_data_science_ray.functions.coloring import dag_longest_path
+
+    b = _bundle(sf_dir)
+    if "gdag" not in b:
+
+        def fwd(t):
+            import pyarrow as _pa
+            src = t["src"].to_numpy(zero_copy_only=False)
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            keep = src < dst
+            return _pa.table(
+                {"src": src[keep], "dst": dst[keep],
+                 "weight": np.full(int(keep.sum()), -1.0, dtype=np.float64)}
+            )
+
+        dag = b["enc"].map_batches(fwd, batch_format="pyarrow")
+        root = tempfile.mkdtemp(prefix="gdsr-dag-", dir="/tmp")
+        b["gdag"] = gdsr.GraphStore.project(
+            dag, os.path.join(root, "gdag"), idmap=b["idmap"], num_partitions=8,
+            directed=True,
+        )
+    res = dag_longest_path(b["gdag"])
+    return pd.DataFrame(
+        {"node": _strip(res["node"]), "layer": res["layer"].astype(np.int64)}
+    )
+
+
+def _q_running_sum(sf_dir: str) -> pd.DataFrame:
+    """Global running total (SUM OVER ORDER BY) — the two-pass
+    distributed scan; exact integer sums."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.window import running_sum
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    out = running_sum(docs, ["doc_id"], "n_chars").to_pandas()
+    out["running_sum"] = out["running_sum"].astype(np.int64)
+    return (
+        out[["doc_id", "n_chars", "running_sum"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _q_row_number(sf_dir: str) -> pd.DataFrame:
+    """Global row_number() OVER (ORDER BY ts, event_id) on events."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.window import row_number
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts"]
+    )
+    out = row_number(ev, ["ts", "event_id"], out_col="rn").to_pandas()
+    return (
+        out[["event_id", "rn"]].astype(np.int64)
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+def _q_lag_delta(sf_dir: str) -> pd.DataFrame:
+    """Per-user inter-event gap in microseconds: lag(ts) OVER (PARTITION
+    BY user_id ORDER BY ts, event_id); first event per user -> -1."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.window import lag_column
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+    out = lag_column(
+        ev, ["ts", "event_id"], "ts", key_col="user_id", out_col="prev_ts"
+    ).to_pandas()
+    cur = out["ts"].astype("datetime64[us]")
+    prev = out["prev_ts"].astype("datetime64[us]")
+    mask = prev.isna().to_numpy()
+    gap = np.full(len(out), -1, dtype=np.int64)
+    gap[~mask] = (
+        cur[~mask].astype(np.int64).to_numpy()
+        - prev[~mask].astype(np.int64).to_numpy()
+    )
+    out["gap_us"] = gap
+    return (
+        out[["event_id", "gap_us"]]
+        .astype(np.int64)
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+def _q_pack_sequences(sf_dir: str) -> pd.DataFrame:
+    """Fixed-stride sequence packing: seq_id = cum_chars_before // 4096
+    in doc_id order (the window-cumsum packing contract)."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.window import pack_sequences
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    out = pack_sequences(docs, budget=4096, token_col="n_chars").to_pandas()
+    for c in ("doc_id", "n_chars", "seq_id", "offset"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_ngram_topk(sf_dir: str) -> pd.DataFrame:
     """Top-100 word bigrams by global count (vocabulary building) —
     deterministic cut: ties at the rank-100 boundary break by ngram
@@ -1588,6 +1816,164 @@ def _q_cnarw(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"node": _strip(out["node"])})
 
 
+def _q_dfs_valid(sf_dir: str) -> pd.DataFrame:
+    """DFS validity invariants (exact, oracle-checkable): the visited set
+    equals the directed reachable set from the source (count pinned by a
+    recursive-CTE oracle), the emitted order is the permutation 0..n−1,
+    the source is order 0, and every non-source node has an in-neighbor
+    visited EARLIER (the preorder parent property). The visit sequence
+    itself is covered rows-only by `dfs`."""
+    import ray
+
+    from graph_data_science_ray.functions.paths import dfs_preorder
+    from graph_data_science_ray.pipelines.agg import hash_distinct
+
+    b = _bundle(sf_dir)
+    out = dfs_preorder(b["gd"], 0)
+    ids = b["idmap"].to_ids(out["node"].to_numpy(dtype="U"))
+    order = out["order"].to_numpy(dtype=np.int64)
+    n = len(out)
+    perm_ok = int(np.array_equal(np.sort(order), np.arange(n)))
+    source_first = int(n > 0 and ids[np.argmin(order)] == 0)
+    pos = np.full(len(b["idmap"]), -1, dtype=np.int64)
+    pos[ids] = order
+    pref = ray.put(pos)
+
+    def viol(t):
+        import pyarrow as _pa
+        p = ray.get(pref)
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        ok = (p[src] >= 0) & (p[dst] >= 0) & (p[src] < p[dst])
+        good = np.unique(dst[ok])
+        return _pa.table({"node": good})
+
+    with_parent = hash_distinct(
+        b["enc"].map_batches(viol, batch_format="pyarrow"), ["node"]
+    ).count()
+    # every visited node except the source must have an earlier in-neighbor
+    parent_ok = int(with_parent == max(n - 1, 0))
+    return pd.DataFrame(
+        {
+            "n_visited": np.array([n], dtype=np.int64),
+            "perm_ok": np.array([perm_ok], dtype=np.int64),
+            "source_first": np.array([source_first], dtype=np.int64),
+            "parent_ok": np.array([parent_ok], dtype=np.int64),
+        }
+    )
+
+
+def _sample_valid(sf_dir: str, sampler: str, seed: int) -> pd.DataFrame:
+    """Shared validity body for the RWR / CNARW node samplers: sample
+    size equals min(50, |component of node 0|) (the component size is
+    recomputed independently by the SQL oracle's recursive CTE), every
+    sampled node lies in that component (checked engine-side against an
+    unweighted BFS), nodes are distinct, and the start node is sampled."""
+    from graph_data_science_ray.functions.sssp import shortest_paths
+    from graph_data_science_ray.functions.walks import cnarw_sample, rwr_sample
+
+    b = _bundle(sf_dir)
+    fn = rwr_sample if sampler == "rwr" else cnarw_sample
+    out = fn(b["gu"], sample_size=50, seed=seed)
+    ids = out["node_id"].to_numpy(dtype=np.int64)
+    reach = shortest_paths(b["gu"], source_id=0, weighted=False)
+    rset = set(b["idmap"].to_ids(reach["node"].to_numpy(dtype="U")).tolist())
+    return pd.DataFrame(
+        {
+            "n_sampled": np.array([len(ids)], dtype=np.int64),
+            "distinct_ok": np.array(
+                [int(len(np.unique(ids)) == len(ids))], dtype=np.int64
+            ),
+            "unreachable": np.array(
+                [int(sum(1 for i in ids if int(i) not in rset))], dtype=np.int64
+            ),
+            "has_start": np.array([int(0 in ids)], dtype=np.int64),
+        }
+    )
+
+
+def _q_rwr_valid(sf_dir: str) -> pd.DataFrame:
+    return _sample_valid(sf_dir, "rwr", seed=11)
+
+
+def _q_cnarw_valid(sf_dir: str) -> pd.DataFrame:
+    return _sample_valid(sf_dir, "cnarw", seed=13)
+
+
+def _embedding_valid(out: pd.DataFrame, col: str, dim: int) -> pd.DataFrame:
+    """Shared shape/sanity invariants for trained embedding tables: one
+    row per node (count pinned by the oracle's independent node count),
+    fixed dimension, no non-finite values."""
+    vals = np.stack(
+        [np.array(v.split(","), dtype=np.float64) for v in out[col]]
+    ) if len(out) else np.zeros((0, dim))
+    return pd.DataFrame(
+        {
+            "n_rows": np.array([len(out)], dtype=np.int64),
+            "dim": np.array(
+                [int(vals.shape[1]) if len(out) else dim], dtype=np.int64
+            ),
+            "n_nonfinite": np.array(
+                [int((~np.isfinite(vals)).sum())], dtype=np.int64
+            ),
+        }
+    )
+
+
+_TRAINED_CACHE: dict = {}
+
+
+def _cached(name: str, sf_dir: str, fn) -> pd.DataFrame:
+    """The *_valid wrappers re-read their trainer's output; cache one run
+    per (query, sf_dir) so the driver doesn't train twice."""
+    key = (name, sf_dir)
+    if key not in _TRAINED_CACHE:
+        _TRAINED_CACHE[key] = fn(sf_dir)
+    return _TRAINED_CACHE[key]
+
+
+def _q_node2vec_valid(sf_dir: str) -> pd.DataFrame:
+    return _embedding_valid(
+        _cached("node2vec", sf_dir, _q_node2vec), "embedding", 16
+    )
+
+
+def _q_graphsage_valid(sf_dir: str) -> pd.DataFrame:
+    return _embedding_valid(
+        _cached("graphsage", sf_dir, _q_graphsage), "embedding", 16
+    )
+
+
+def _q_hashgnn_valid(sf_dir: str) -> pd.DataFrame:
+    out = _cached("hashgnn", sf_dir, _q_hashgnn)
+    sigs = np.stack(
+        [np.array(v.split(","), dtype=np.int64) for v in out["signature"]]
+    )
+    return pd.DataFrame(
+        {
+            "n_rows": np.array([len(out)], dtype=np.int64),
+            "dim": np.array([int(sigs.shape[1])], dtype=np.int64),
+            "n_invalid": np.array([int((sigs < 0).sum())], dtype=np.int64),
+        }
+    )
+
+
+def _q_node_classification_valid(sf_dir: str) -> pd.DataFrame:
+    """NodeClassification validity: one prediction per embedding row
+    (count pinned by the oracle), predicted labels inside the observed
+    label domain."""
+    preds = _cached("node_classification", sf_dir, _q_node_classification)
+    out_rows = len(preds)
+    dom = set(preds["label"].unique().tolist())
+    bad = int((~preds["predicted"].isin(list(dom))).sum())
+    return pd.DataFrame(
+        {
+            "n_rows": np.array([out_rows], dtype=np.int64),
+            "bad_labels": np.array([bad], dtype=np.int64),
+        }
+    )
+
+
 def _q_scale_l2(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
 
@@ -1805,6 +2191,115 @@ def _q_link_prediction(sf_dir: str) -> pd.DataFrame:
             "n_pos": [int(res["n_pos"])],
             "n_neg": [int(res["n_neg"])],
             "accuracy": [round(float(res["metrics"]["accuracy"]), 4)],
+        }
+    )
+
+
+def _q_bridges(sf_dir: str) -> pd.DataFrame:
+    """Bridge edges of the undirected interaction graph (Tarjan low-link,
+    single sequential task — the reference's own shape; rows-only, with
+    the invariants oracled by `biconnected_valid`)."""
+    from graph_data_science_ray.functions.biconnected import bridges
+
+    b = _bundle(sf_dir)
+    out = bridges(b["gu"])
+    return pd.DataFrame(
+        {"src": _strip(out["src"]), "dst": _strip(out["dst"])}
+    ).sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+def _q_articulation_points(sf_dir: str) -> pd.DataFrame:
+    from graph_data_science_ray.functions.biconnected import articulation_points
+
+    b = _bundle(sf_dir)
+    out = articulation_points(b["gu"])
+    return pd.DataFrame({"node": _strip(out["node"])}).sort_values(
+        "node"
+    ).reset_index(drop=True)
+
+
+def _q_biconnected_valid(sf_dir: str) -> pd.DataFrame:
+    """Bridge/articulation validity invariants: the undirected component
+    count (recomputed independently by the SQL oracle's recursive CTE),
+    removing ALL claimed bridges adds exactly one component per bridge
+    (false if any claimed bridge lies on a cycle), and every bridge
+    endpoint with degree >= 2 is reported as an articulation point."""
+    import graph_data_science_ray as gdsr
+
+    from graph_data_science_ray.functions.biconnected import (
+        articulation_points,
+        bridges,
+    )
+
+    b = _bundle(sf_dir)
+    br = bridges(b["gu"])
+    ap = articulation_points(b["gu"])
+    wcc0 = gdsr.wcc(b["gu"])
+    c0 = int(wcc0["component"].nunique())
+    bset = set(
+        zip(
+            b["idmap"].to_ids(br["src"].to_numpy(dtype="U")),
+            b["idmap"].to_ids(br["dst"].to_numpy(dtype="U")),
+        )
+    )
+    # bset is bridge-count-sized; closure capture ships it with the task
+    def drop_bridges(t):
+        import pyarrow as _pa
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        lo = np.minimum(src, dst)
+        hi = np.maximum(src, dst)
+        keep = np.array(
+            [(int(a), int(c)) not in bset for a, c in zip(lo, hi)], dtype=bool
+        )
+        return _pa.table(
+            {"src": src[keep], "dst": dst[keep],
+             "weight": t["weight"].to_numpy(zero_copy_only=False)[keep]}
+        )
+
+    import graph_data_science_ray as _g
+
+    root = tempfile.mkdtemp(prefix="gdsr-bicon-", dir="/tmp")
+    gub = _g.GraphStore.project(
+        b["sym"].map_batches(drop_bridges, batch_format="pyarrow"),
+        os.path.join(root, "gub"), idmap=b["idmap"], num_partitions=8,
+        directed=False,
+    )
+    c1 = int(_g.wcc(gub)["component"].nunique())
+    split_ok = int(c1 == c0 + len(br))
+
+    deg = _g.degree_centrality(
+        b["sym"], node_count=len(b["idmap"]), weighted=False
+    )["degree"].to_numpy()
+    ap_ids = set(b["idmap"].to_ids(ap["node"].to_numpy(dtype="U")).tolist())
+    endpoint_ok = 1
+    for a, c in bset:
+        for v in (a, c):
+            if deg[v] >= 2 and int(v) not in ap_ids:
+                endpoint_ok = 0
+    return pd.DataFrame(
+        {
+            "n_components": np.array([c0], dtype=np.int64),
+            "split_ok": np.array([split_ok], dtype=np.int64),
+            "endpoint_ok": np.array([endpoint_ok], dtype=np.int64),
+        }
+    )
+
+
+def _q_link_prediction_valid(sf_dir: str) -> pd.DataFrame:
+    """LinkPrediction validity: the positive set is exactly the k=5 KNN
+    pairs (count pinned by the oracle as 5×|embeddings|), the seeded
+    negative sample is non-empty and at most the positive count, and the
+    held-out accuracy is a valid probability-scale value."""
+    res = _cached("link_prediction", sf_dir, _q_link_prediction)
+    n_pos = int(res["n_pos"].iloc[0])
+    n_neg = int(res["n_neg"].iloc[0])
+    acc = float(res["accuracy"].iloc[0])
+    return pd.DataFrame(
+        {
+            "n_pos": np.array([n_pos], dtype=np.int64),
+            "neg_ok": np.array([int(0 < n_neg <= n_pos)], dtype=np.int64),
+            "acc_ok": np.array([int(0.0 <= acc <= 1.0)], dtype=np.int64),
         }
     )
 
@@ -2201,6 +2696,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": _q_hash_split,
         "quantile_filter": _q_quantile_filter,
         "top_k_per_group": _q_top_k_per_group,
+        "stratified_sample": _q_stratified_sample,
+        "sample_global_k": _q_sample_global_k,
+        "doc_freq": _q_doc_freq,
+        "tf_idf_topk": _q_tf_idf_topk,
+        "bm25_topk": _q_bm25_topk,
+        "unigram_nll": _q_unigram_nll,
+        "c4_quality": _q_c4_quality,
+        "token_repetition": _q_token_repetition,
+        "semantic_dedup": _q_semantic_dedup,
+        "dag_longest_path": _q_dag_longest_path,
+        "running_sum": _q_running_sum,
+        "row_number_global": _q_row_number,
+        "lag_delta": _q_lag_delta,
+        "pack_sequences": _q_pack_sequences,
         "media_decode": _q_media_decode,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
@@ -2226,17 +2735,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delta_stepping": _q_delta_stepping,
         "astar": _q_astar,
         "dfs": _q_dfs,
-        "node2vec": _q_node2vec,
-        "graphsage": _q_graphsage,
+        "dfs_valid": _q_dfs_valid,
+        "rwr_sample_valid": _q_rwr_valid,
+        "cnarw_sample_valid": _q_cnarw_valid,
+        "node2vec": lambda sf: _cached("node2vec", sf, _q_node2vec),
+        "node2vec_valid": _q_node2vec_valid,
+        "graphsage": lambda sf: _cached("graphsage", sf, _q_graphsage),
+        "graphsage_valid": _q_graphsage_valid,
         "sllpa": _q_sllpa,
         "max_k_cut": _q_max_k_cut,
         "celf": _q_celf,
-        "hashgnn": _q_hashgnn,
+        "hashgnn": lambda sf: _cached("hashgnn", sf, _q_hashgnn),
+        "hashgnn_valid": _q_hashgnn_valid,
         "k_spanning": _q_k_spanning,
         "k_spanning_valid": _q_k_spanning_valid,
         "steiner": _q_steiner,
         "steiner_valid": _q_steiner_valid,
         "cnarw_sample": _q_cnarw,
+        "node_classification_valid": _q_node_classification_valid,
+        "link_prediction_valid": _q_link_prediction_valid,
+        "bridges": _q_bridges,
+        "articulation_points": _q_articulation_points,
+        "biconnected_valid": _q_biconnected_valid,
         "scale_l2": _q_scale_l2,
         "lp_node_weighted": _q_lp_node_weighted,
         "louvain_modularity": _q_louvain_modularity,
@@ -2253,8 +2773,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edges_max": _q_edges_max,
         "cypher_project": _q_cypher_project,
         "lr_score": _q_lr_score,
-        "node_classification": _q_node_classification,
-        "link_prediction": _q_link_prediction,
+        "node_classification": lambda sf: _cached(
+            "node_classification", sf, _q_node_classification),
+        "link_prediction": lambda sf: _cached(
+            "link_prediction", sf, _q_link_prediction),
     }
 
 
@@ -2290,6 +2812,48 @@ undw AS (
     ) GROUP BY src, dst
 )
 """
+
+
+def _bm25_oracle_sql() -> str:
+    """BM25 oracle for the fixed query (spark, window, hash), k1=1.2,
+    b=0.75 — every float op in the same order as ``stages/ir.bm25_topk``
+    (idf and the per-term quotient parenthesized identically; per-term
+    scores added left-to-right in the caller's term order), so the score
+    doubles are bit-identical. All numeric literals carry ``e0`` so
+    DuckDB parses them as DOUBLE, not DECIMAL."""
+
+    def term_score(t: str, df: str) -> str:
+        tf = f"CAST(len(list_filter(arr, x -> x = '{t}')) AS DOUBLE)"
+        idf = f"ln(1.0e0 + (s.n - q.{df} + 0.5e0) / (q.{df} + 0.5e0))"
+        denom = (
+            "1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * CAST(len(arr) AS DOUBLE) / s.avgdl)"
+        )
+        return f"{idf} * ({tf} * (1.2e0 + 1.0e0)) / ({tf} + {denom})"
+
+    terms = [("spark", "df1"), ("window", "df2"), ("hash", "df3")]
+    score = " + ".join(term_score(t, df) for t, df in terms)
+    df_cols = ",\n    ".join(
+        f"CAST(sum(CASE WHEN list_contains(arr, '{t}') THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" AS {df}"
+        for t, df in terms
+    )
+    return rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(coalesce(text, ''), '\S+'),
+                        x -> lower(x)) AS arr
+  FROM documents),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(len(arr)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+          FROM d),
+dfq AS (SELECT
+    {df_cols}
+  FROM d),
+scored AS (SELECT d.doc_id,
+                  CAST(floor(({score}) * 1000000e0) AS BIGINT) AS score_ppm
+           FROM d, stats s, dfq q)
+SELECT doc_id, score_ppm FROM scored WHERE score_ppm > 0
+ORDER BY score_ppm DESC, doc_id LIMIT 20"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2853,6 +3417,166 @@ SELECT lang, doc_id, n_chars FROM (
                             ORDER BY n_chars DESC, doc_id ASC) AS rn
   FROM documents) t
 WHERE rn <= 5 ORDER BY lang, doc_id"""
+
+    sqls["stratified_sample"] = """
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(doc_id::VARCHAR || ':strat'), doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS cnt
+  FROM documents)
+SELECT doc_id, lang FROM r
+WHERE rn <= ceil(0.2e0 * cnt) ORDER BY doc_id"""
+
+    sqls["sample_global_k"] = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY md5(doc_id::VARCHAR || ':sample'), doc_id LIMIT 50"""
+
+    sqls["running_sum"] = """
+SELECT doc_id, n_chars,
+       CAST(sum(n_chars) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS running_sum
+FROM documents ORDER BY doc_id"""
+
+    sqls["row_number_global"] = """
+SELECT event_id,
+       CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS rn
+FROM events ORDER BY event_id"""
+
+    sqls["lag_delta"] = """
+SELECT event_id,
+       coalesce(date_diff('microsecond',
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                ts), -1) AS gap_us
+FROM events ORDER BY event_id"""
+
+    sqls["pack_sequences"] = """
+WITH w AS (
+  SELECT doc_id, n_chars,
+         CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS o
+  FROM documents)
+SELECT doc_id, n_chars, o // 4096 AS seq_id, o AS offset
+FROM w ORDER BY doc_id"""
+
+    # shared tokenization CTE: lowercased \S+ runs (the repo-wide tokenizer)
+    _TOKS_CTE = r"""
+toks AS (
+  SELECT doc_id, lower(t) AS term
+  FROM (SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS t
+        FROM documents)
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, term)
+"""
+
+    sqls["doc_freq"] = f"""
+WITH {_TOKS_CTE}
+SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term ORDER BY term"""
+
+    sqls["tf_idf_topk"] = f"""
+WITH {_TOKS_CTE},
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf AS DOUBLE) * ln(nd.n / CAST(df.df AS DOUBLE)) DESC,
+                    tf.term ASC) AS rn
+  FROM tf JOIN df USING (term), nd)
+SELECT doc_id, term, tf, df FROM ranked WHERE rn <= 3 ORDER BY doc_id, term"""
+
+    sqls["unigram_nll"] = f"""
+WITH {_TOKS_CTE},
+cnt AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY term),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt),
+lnt AS (SELECT CAST(floor(ln(CAST(t AS DOUBLE)) * 1000000e0) AS BIGINT)
+               AS lnt_ppm FROM tot),
+lnc AS (SELECT term, CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000e0) AS BIGINT)
+               AS lnc_ppm FROM cnt),
+per AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+               CAST(sum(tf.tf * lnc.lnc_ppm) AS BIGINT) AS s
+        FROM tf JOIN lnc USING (term) GROUP BY tf.doc_id)
+SELECT d.doc_id,
+       coalesce(per.n_tokens, 0) AS n_tokens,
+       coalesce(per.n_tokens * lnt.lnt_ppm - per.s, 0) AS nll_ppm
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id, lnt
+ORDER BY d.doc_id"""
+
+    sqls["bm25_topk"] = _bm25_oracle_sql()
+
+    sqls["c4_quality"] = r"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '\S+')) AS BIGINT)
+           AS n_words,
+         CAST(len(string_split(coalesce(text, ''), chr(10))) AS BIGINT)
+           AS n_lines,
+         CAST(len(list_filter(string_split(coalesce(text, ''), chr(10)),
+                              x -> regexp_matches(x, '[.!?"]$'))) AS BIGINT)
+           AS n_terminal_lines,
+         CASE WHEN contains(coalesce(text, ''), '{') THEN 1 ELSE 0 END
+           AS has_brace,
+         CASE WHEN contains(lower(coalesce(text, '')), 'lorem ipsum')
+              THEN 1 ELSE 0 END AS has_lorem
+  FROM documents)
+SELECT doc_id, n_words, n_lines, n_terminal_lines,
+       CAST(has_brace AS BIGINT) AS has_brace,
+       CAST(has_lorem AS BIGINT) AS has_lorem,
+       CAST(CASE WHEN n_words >= 50 AND has_brace = 0 AND has_lorem = 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM s ORDER BY doc_id"""
+
+    sqls["token_repetition"] = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(coalesce(text, ''), '\S+'),
+                        x -> lower(x)) AS arr
+  FROM documents),
+base AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_tokens FROM d),
+tok AS (SELECT doc_id, unnest(arr) AS term FROM d),
+dist AS (SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS n_distinct
+         FROM tok GROUP BY doc_id),
+bg AS (SELECT doc_id, arr[i] || ' ' || arr[i + 1] AS gram
+       FROM d, LATERAL (SELECT unnest(generate_series(1, len(arr) - 1)) AS i) g),
+topbg AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_cnt
+          FROM (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY doc_id, gram)
+          GROUP BY doc_id),
+s AS (
+  SELECT base.doc_id, base.n_tokens,
+         coalesce(dist.n_distinct, 0) AS n_distinct_tokens,
+         CAST(greatest(base.n_tokens - 1, 0) AS BIGINT) AS n_bigrams,
+         coalesce(topbg.top_cnt, 0) AS top_bigram_cnt
+  FROM base LEFT JOIN dist USING (doc_id) LEFT JOIN topbg USING (doc_id))
+SELECT doc_id, n_tokens, n_distinct_tokens, n_bigrams, top_bigram_cnt,
+       CAST(CASE WHEN 2 * n_distinct_tokens >= n_tokens
+                  AND 5 * top_bigram_cnt <= n_bigrams
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM s ORDER BY doc_id"""
+
+    sqls["semantic_dedup"] = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c AS (SELECT vec_id AS cid, e FROM v WHERE vec_id < 8),
+a AS (SELECT v.vec_id, v.e, c.cid,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY list_distance(v.e, c.e), c.cid) AS rn
+      FROM v, c),
+asg AS (SELECT vec_id, e, cid FROM a WHERE rn = 1)
+SELECT x.cid AS cluster, x.vec_id AS doc_a, y.vec_id AS doc_b
+FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+WHERE round(list_cosine_similarity(x.e, y.e), 6) >= 0.35
+ORDER BY doc_a, doc_b"""
+
+    sqls["dag_longest_path"] = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+dag AS (SELECT src, dst FROM edges WHERE src < dst),
+r AS (SELECT node, 0 AS d FROM nodes
+      UNION
+      SELECT dag.dst AS node, r.d + 1 AS d FROM r JOIN dag ON r.node = dag.src)
+SELECT node, CAST(max(d) AS BIGINT) AS layer FROM r GROUP BY node ORDER BY node"""
 
     sqls["media_decode"] = """
 WITH grid AS (
@@ -3436,6 +4160,66 @@ SELECT CAST((SELECT count(*) FROM terms WHERE node IN (SELECT node FROM reach))
         "SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS num_walks, "
         "CAST(0 AS BIGINT) AS hop_violations, "
         "CAST(1 AS BIGINT) AS starts_ok, CAST(1 AS BIGINT) AS length_ok"
+    )
+
+    sqls["dfs_valid"] = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+src AS (SELECT min(node) AS s FROM nodes),
+reach AS (SELECT s AS node FROM src
+          UNION
+          SELECT e.dst FROM reach r JOIN edges e ON e.src = r.node)
+SELECT CAST((SELECT count(*) FROM reach) AS BIGINT) AS n_visited,
+       CAST(1 AS BIGINT) AS perm_ok,
+       CAST(1 AS BIGINT) AS source_first,
+       CAST(1 AS BIGINT) AS parent_ok"""
+
+    _SAMPLE_VALID_SQL = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+srcn AS (SELECT min(node) AS s FROM nodes),
+reach AS (SELECT s AS node FROM srcn
+          UNION
+          SELECT u.dst FROM reach r JOIN und u ON u.src = r.node)
+SELECT CAST(least(50, (SELECT count(*) FROM reach)) AS BIGINT) AS n_sampled,
+       CAST(1 AS BIGINT) AS distinct_ok,
+       CAST(0 AS BIGINT) AS unreachable,
+       CAST(1 AS BIGINT) AS has_start"""
+    sqls["rwr_sample_valid"] = _SAMPLE_VALID_SQL
+    sqls["cnarw_sample_valid"] = _SAMPLE_VALID_SQL
+
+    _EMB_VALID_SQL = (
+        f"WITH {_GRAPH_CTE} "
+        "SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_rows, "
+        "CAST({d} AS BIGINT) AS dim, CAST(0 AS BIGINT) AS n_nonfinite"
+    )
+    sqls["node2vec_valid"] = _EMB_VALID_SQL.format(d=16)
+    sqls["graphsage_valid"] = _EMB_VALID_SQL.format(d=16)
+    sqls["hashgnn_valid"] = (
+        f"WITH {_GRAPH_CTE} "
+        "SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_rows, "
+        "CAST(8 AS BIGINT) AS dim, CAST(0 AS BIGINT) AS n_invalid"
+    )
+
+    sqls["node_classification_valid"] = (
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(0 AS BIGINT) AS bad_labels FROM embeddings"
+    )
+
+    sqls["biconnected_valid"] = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach AS (SELECT node, node AS m FROM nodes
+          UNION
+          SELECT r.node, u.dst AS m FROM reach r JOIN und u ON u.src = r.m),
+comp AS (SELECT node, min(m) AS c FROM reach GROUP BY node)
+SELECT CAST(count(DISTINCT c) AS BIGINT) AS n_components,
+       CAST(1 AS BIGINT) AS split_ok,
+       CAST(1 AS BIGINT) AS endpoint_ok FROM comp"""
+
+    sqls["link_prediction_valid"] = (
+        "SELECT CAST(5 * count(*) AS BIGINT) AS n_pos, "
+        "CAST(1 AS BIGINT) AS neg_ok, CAST(1 AS BIGINT) AS acc_ok "
+        "FROM embeddings"
     )
 
     sqls["kmeans"] = f"""

@@ -145,6 +145,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "window_sliding",
         # late-round-3 additions
         "feature_backfill", "winnow_fingerprints", "knn_lsh_multiband",
+        # round-4 curation batch
+        "tf_idf_topk", "unigram_nll", "bm25_topk", "token_repetition",
+        "semantic_dedup", "stratified_sample",
     ):
         timed(name, lambda n=name: q[n](sf_dir))
 

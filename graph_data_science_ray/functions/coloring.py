@@ -338,3 +338,59 @@ def topological_sort(
         indeg[assigned] = -1
     node = idmap.keys if idmap is not None else np.arange(node_count, dtype=np.int64)
     return pd.DataFrame({"node": node, "layer": layer})
+
+
+class _DagLongestPathComputation:
+    """All-sources longest path on a DAG via min-relaxation with −1 edge
+    weights: ``dist(v) = min(0, min_u (dist(u) − 1))`` converges in
+    longest-path rounds (the DAG has no cycles, so the negative weights
+    are safe) and ``layer = −dist``. The reference's topological sort
+    exposes the same quantity as ``computeMaxDistanceFromSource``
+    (dag/topologicalsort/TopologicalSort.java:54)."""
+
+    # duck-typed PregelComputation (see state/pregel.py)
+    reducer = "min"
+    message_dtype = "float64"
+    edge_combine = "add"
+
+    def init_state(self, block: dict) -> dict:
+        n = block["end"] - block["start"]
+        dist = np.zeros(n, dtype=np.float64)
+        return {"dist": dist, "changed": np.ones(n, dtype=bool)}
+
+    def message_values(self, state, block):
+        return state["dist"], state["changed"]
+
+    def apply_messages(self, state, acc, received, block):
+        new = np.minimum(state["dist"], acc)
+        changed = new < state["dist"]
+        state["dist"] = new
+        state["changed"] = changed
+        return {"changed": int(changed.sum())}
+
+    def is_converged(self, stats: dict) -> bool:
+        return stats.get("init") is None and stats.get("changed", 1) == 0
+
+
+def dag_longest_path(graph, max_iterations: int = 10_000) -> pd.DataFrame:
+    """Longest-path layer per node over a projected DAG whose edges carry
+    weight −1 (see ``_q_dag_longest_path``: remap weights before
+    projecting). Returns (node, layer) for every node; sources are 0.
+
+    One BSP fixpoint (depth+1 supersteps) on the superstep kernel — no
+    per-round edge rewriting, unlike the zero-in-degree peel of
+    ``topological_sort`` (which stays the cycle-aware variant: it flags
+    cycle-reachable nodes with −1, which a DAG-only formulation cannot)."""
+    from graph_data_science_ray.state.pregel import Pregel, PregelComputation
+
+    class _C(_DagLongestPathComputation, PregelComputation):
+        pass
+
+    engine = Pregel(graph, _C())
+    refs = engine.run(max_iterations=max_iterations)
+    dist = engine.gather(refs, "dist")
+    layer = (-dist).astype(np.int64)
+    node = graph.idmap.keys if graph.idmap is not None else np.arange(
+        len(layer), dtype=np.int64
+    )
+    return pd.DataFrame({"node": node, "layer": layer})

@@ -1,0 +1,444 @@
+"""Information-retrieval stages over the document table.
+
+Corpus-statistics operators a training-data pipeline uses for relevance
+filtering, vocabulary pruning and LM-based quality scoring — each with an
+exact ANSI-SQL oracle (DuckDB) in ``__ray_entry__``:
+
+- :func:`doc_terms` — the exploded ``(doc_id, term, tf)`` table.  Terms
+  are lowercased ``\\S+`` tokens (the repo-wide tokenizer the SQL oracles
+  mirror with ``regexp_extract_all``).  Term frequency is row-local (one
+  document lives in one row), so this is a pure ``map_batches`` — the
+  token stream never shuffles.
+- :func:`doc_freq` — ``(term, df)`` document frequencies: map-side
+  per-batch distinct + ``hash_aggregate`` sum, vocabulary-sized output.
+- :func:`tf_idf_topk` — per-document top-``k`` terms by ``tf·ln(N/df)``.
+  Two strategies: ``broadcast`` ships the vocabulary-sized df table once
+  via ``ray.put`` and finishes each document inside one map task (zero
+  extra shuffle); ``join`` hash-joins ``doc_terms`` with ``doc_freq`` on
+  term and finishes with a per-doc top-k combine — the scale path when
+  the vocabulary exceeds worker memory.  ``auto`` picks by vocabulary
+  row count.
+- :func:`bm25_topk` — global top-``n`` documents for a fixed query under
+  BM25 (Robertson/Spärck Jones; k1/b defaults 1.2/0.75).  Query-term df
+  and the corpus avgdl are two tiny aggregates; scoring is one
+  vectorized map pass; per-term partials are added in EXPLICIT fixed
+  term order so the float result is IEEE-identical to the SQL oracle.
+- :func:`unigram_nll` — unigram-LM negative log-likelihood per document
+  (the "perplexity filter" of LLM data pipelines), in INTEGER
+  micro-nats: per-term ``ln`` values are floored to ppm BEFORE the
+  per-document sum, so every downstream sum is an integer sum — exact at
+  any parallelism and in any aggregation order (the repo's
+  integers-over-rounded-floats oracle convention, ROADMAP.md).
+
+Reference scope note: the reference engine (Neo4j GDS) has no IR
+surface; these stages extend the engine for LLM training-data work per
+the build brief, composing the shapes of ``stages/text.py`` and
+``pipelines/agg.py``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+from graph_data_science_ray.pipelines.agg import _stable_row_hash, hash_aggregate
+
+__all__ = [
+    "doc_terms",
+    "doc_freq",
+    "tf_idf_topk",
+    "bm25_topk",
+    "unigram_nll",
+]
+
+_TOKEN = re.compile(r"\S+")
+
+
+def _batch_doc_terms(batch: pd.DataFrame) -> pd.DataFrame:
+    """Row-local (doc_id, term, tf) for one batch — vectorized explode +
+    one pandas groupby over the batch's flat token stream."""
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype=np.int64),
+            "term": pd.Series([], dtype=object),
+            "tf": pd.Series([], dtype=np.int64),
+        }
+    )
+    if not len(batch):
+        return empty
+    tok_lists = [
+        [w.lower() for w in _TOKEN.findall(t or "")]
+        for t in batch["text"].fillna("")
+    ]
+    counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+    if counts.sum() == 0:
+        return empty
+    flat = np.array([w for toks in tok_lists for w in toks], dtype=object)
+    doc_of = np.repeat(batch["doc_id"].to_numpy(dtype=np.int64), counts)
+    g = (
+        pd.DataFrame({"doc_id": doc_of, "term": flat})
+        .groupby(["doc_id", "term"], sort=False)
+        .size()
+        .reset_index(name="tf")
+    )
+    g["tf"] = g["tf"].astype(np.int64)
+    return g
+
+
+def doc_terms(docs: rd.Dataset, batch_size: int = 4096) -> rd.Dataset:
+    """(doc_id, term, tf) rows; terms are lowercased ``\\S+`` tokens."""
+    return docs.map_batches(
+        _batch_doc_terms, batch_format="pandas", batch_size=batch_size
+    )
+
+
+def doc_freq(docs: rd.Dataset, num_parts: int = 64) -> rd.Dataset:
+    """(term, df) document frequencies — vocabulary-sized.
+
+    ``doc_terms`` already emits one row per (doc, term), so df is a plain
+    count: map each row to (term, 1) and hash-sum.
+    """
+
+    def ones(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"term": df["term"], "df": np.ones(len(df), dtype=np.int64)}
+        )
+
+    return hash_aggregate(
+        doc_terms(docs).map_batches(ones, batch_format="pandas"),
+        ["term"], "df", op="sum", num_parts=num_parts,
+    )
+
+
+_BROADCAST_VOCAB_CUTOFF = 2_000_000  # df rows; ~100 MB of term strings
+
+
+def tf_idf_topk(
+    docs: rd.Dataset,
+    k: int = 3,
+    strategy: str = "auto",
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """Per-document top-``k`` terms by tf-idf.
+
+    Returns (doc_id, term, tf, df) — integer/string columns only (the
+    score ``tf * ln(N/df)`` orders the cut but is not emitted, so the
+    oracle compare stays float-free).  Ties break (score desc, term asc).
+
+    ``strategy="broadcast"``: the (term, df) table is ``ray.put`` once
+    and every map task finishes its documents locally — right while the
+    vocabulary fits a worker (default below ~2M distinct terms).
+    ``strategy="join"``: hash-join doc_terms with doc_freq on term, then
+    a per-doc top-k combine (two shuffles, nothing vocabulary-sized in
+    any single place) — the 100-TB path.
+    """
+    n_docs = float(docs.count())
+    dfreq = doc_freq(docs, num_parts=num_parts).materialize()
+    if strategy == "auto":
+        strategy = "broadcast" if dfreq.count() <= _BROADCAST_VOCAB_CUTOFF else "join"
+
+    if strategy == "broadcast":
+        dfp = dfreq.to_pandas()
+        terms_sorted = np.sort(dfp["term"].to_numpy(dtype=object).astype("U"))
+        order = np.argsort(dfp["term"].to_numpy(dtype=object).astype("U"), kind="mergesort")
+        df_sorted = dfp["df"].to_numpy(dtype=np.int64)[
+            np.argsort(dfp["term"].astype(str).to_numpy(), kind="mergesort")
+        ]
+        del order
+        vocab_ref = ray.put((terms_sorted, df_sorted))
+
+        def topk_local(batch: pd.DataFrame, *, nd=n_docs, kk=int(k)) -> pd.DataFrame:
+            g = _batch_doc_terms(batch)
+            if not len(g):
+                return pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype=np.int64),
+                        "term": pd.Series([], dtype=object),
+                        "tf": pd.Series([], dtype=np.int64),
+                        "df": pd.Series([], dtype=np.int64),
+                    }
+                )
+            terms_s, df_s = ray.get(vocab_ref)
+            pos = np.searchsorted(terms_s, g["term"].astype(str).to_numpy())
+            g = g.copy()
+            g["df"] = df_s[pos]
+            # score ordered exactly as the SQL oracle: tf * ln(N / df)
+            score = g["tf"].to_numpy(dtype=np.float64) * np.log(
+                nd / g["df"].to_numpy(dtype=np.float64)
+            )
+            g["__s"] = score
+            out = (
+                g.sort_values(["doc_id", "__s", "term"], ascending=[True, False, True],
+                              kind="mergesort")
+                .groupby("doc_id", sort=False)
+                .head(kk)
+                .drop(columns="__s")
+            )
+            return out
+
+        return docs.map_batches(topk_local, batch_format="pandas", batch_size=4096)
+
+    # join path: (doc_id, term, tf) ⋈ (term, df), then per-doc top-k
+    import pyarrow as pa
+
+    from graph_data_science_ray.pipelines.agg import hash_join
+
+    joined = hash_join(
+        doc_terms(docs), dfreq, on=["term"],
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int64())]
+        ),
+        right_schema=pa.schema([("term", pa.string()), ("df", pa.int64())]),
+        num_parts=num_parts,
+    )
+
+    def tag(df: pd.DataFrame, *, nd=n_docs) -> pd.DataFrame:
+        df = df.copy()
+        df["__s"] = df["tf"].to_numpy(dtype=np.float64) * np.log(
+            nd / df["df"].to_numpy(dtype=np.float64)
+        )
+        df["__part"] = (_stable_row_hash(df, ["doc_id"]) % num_parts).astype(np.int64)
+        # map-side partial top-k bounds the shuffle at k rows per doc per block
+        return (
+            df.sort_values(["doc_id", "__s", "term"], ascending=[True, False, True],
+                           kind="mergesort")
+            .groupby("doc_id", sort=False)
+            .head(int(k))
+        )
+
+    def combine(g: pd.DataFrame, *, kk=int(k)) -> pd.DataFrame:
+        return (
+            g.sort_values(["doc_id", "__s", "term"], ascending=[True, False, True],
+                          kind="mergesort")
+            .groupby("doc_id", sort=False)
+            .head(kk)
+            .drop(columns=["__s", "__part"])
+        )
+
+    return (
+        joined.map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+def bm25_topk(
+    docs: rd.Dataset,
+    query_terms: list[str],
+    n: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> rd.Dataset:
+    """Global top-``n`` documents for ``query_terms`` under BM25.
+
+    Returns (doc_id, score) sorted (score desc, doc_id asc) — the classic
+    ``idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))`` with
+    ``idf = ln(1 + (N-df+0.5)/(df+0.5))``.  Per-term contributions are
+    added in the CALLER'S term order with explicit binary additions, and
+    the emitted ``score_ppm`` is ``floor(score * 1e6)`` — the SQL oracle
+    (same expression, same order) agrees to the last ulp on selection
+    and the integer ppm absorbs the residual 1-ulp engine/DuckDB drift
+    observed in ``ln`` (the repo's integers-over-floats convention).
+
+    Corpus stats (N, avgdl, per-query-term df) are three tiny aggregates;
+    scoring is one map pass over the documents — no shuffle at all beyond
+    the final ``sort().limit(n)`` on an n-bounded prefilter (docs scoring
+    0 — no query term present — are dropped map-side).
+    """
+    qts = [str(t).lower() for t in query_terms]
+    n_docs = float(docs.count())
+
+    # dl per doc never materializes: avgdl = total_tokens / N via one sum
+    def tok_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["text"].fillna("")
+        return pd.DataFrame(
+            {"c": t.str.findall(_TOKEN).str.len().astype(np.int64)}
+        )
+
+    total_tokens = float(
+        docs.map_batches(tok_partial, batch_format="pandas").sum("c") or 0.0
+    )
+    avgdl = total_tokens / n_docs
+
+    # df for the query terms only: filter the per-doc distinct term rows
+    def q_df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = _batch_doc_terms(batch)
+        g = g[g["term"].isin(qts)]
+        return pd.DataFrame(
+            {"term": g["term"], "df": np.ones(len(g), dtype=np.int64)}
+        )
+
+    dfp = hash_aggregate(
+        docs.map_batches(q_df_partial, batch_format="pandas"),
+        ["term"], "df", op="sum", num_parts=8,
+    ).to_pandas()
+    df_of = {t: 0 for t in qts}
+    for t, d in zip(dfp.get("term", []), dfp.get("df", [])):
+        df_of[str(t)] = int(d)
+    idf = {
+        t: float(np.log(1.0 + (n_docs - df_of[t] + 0.5) / (df_of[t] + 0.5)))
+        for t in qts
+    }
+
+    def score(batch: pd.DataFrame, *, K1=float(k1), B=float(b)) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        toks = [[w.lower() for w in _TOKEN.findall(t)] for t in texts]
+        dl = np.fromiter((len(t) for t in toks), dtype=np.float64, count=len(toks))
+        s = np.zeros(len(batch), dtype=np.float64)
+        denom_norm = K1 * (1.0 - B + B * dl / avgdl)
+        for t in qts:  # explicit fixed-order additions (oracle-identical)
+            tf = np.fromiter(
+                (row.count(t) for row in toks), dtype=np.float64, count=len(toks)
+            )
+            s = s + idf[t] * (tf * (K1 + 1.0)) / (tf + denom_norm)
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "score_ppm": np.floor(s * 1e6).astype(np.int64),
+            }
+        )
+        return out[out["score_ppm"] > 0]
+
+    return (
+        docs.map_batches(score, batch_format="pandas", batch_size=4096)
+        .sort(["score_ppm", "doc_id"], descending=[True, False])
+        .limit(int(n))
+    )
+
+
+def unigram_nll(docs: rd.Dataset, num_parts: int = 64) -> rd.Dataset:
+    """Unigram-LM negative log-likelihood per document, in micro-nats.
+
+    Returns (doc_id, n_tokens, nll_ppm) where
+    ``nll_ppm = n_tokens * floor(ln(T)*1e6) - Σ_t tf_t * floor(ln(C_t)*1e6)``
+    over the document's terms — the distributed "perplexity filter".
+    Flooring each ``ln`` to an integer ppm BEFORE any sum makes every
+    aggregate an exact integer sum (order-independent, parallelism-
+    independent, and reproducible bit-for-bit by the SQL oracle).
+
+    Fully join-based: term counts (vocabulary-sized) hash-join back to
+    the (doc, term, tf) rows; nothing vocabulary- or corpus-sized ever
+    sits on the driver.  Documents with no tokens emit (doc_id, 0, 0).
+    """
+    import pyarrow as pa
+
+    from graph_data_science_ray.pipelines.agg import hash_join
+
+    terms = doc_terms(docs).materialize()
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"term": df["term"], "c": df["tf"].astype(np.int64)})
+
+    counts = hash_aggregate(
+        terms.map_batches(cnt_partial, batch_format="pandas"),
+        ["term"], "c", op="sum", num_parts=num_parts,
+    ).materialize()
+    total = int(counts.sum("c") or 0)
+    if total == 0:
+        return docs.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].astype(np.int64),
+                    "n_tokens": np.zeros(len(df), dtype=np.int64),
+                    "nll_ppm": np.zeros(len(df), dtype=np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+    lnt_ppm = int(np.floor(np.log(float(total)) * 1e6))
+
+    def ln_ppm(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "term": df["term"],
+                "lnc_ppm": np.floor(
+                    np.log(df["c"].to_numpy(dtype=np.float64)) * 1e6
+                ).astype(np.int64),
+            }
+        )
+
+    lnc = counts.map_batches(ln_ppm, batch_format="pandas")
+    joined = hash_join(
+        terms, lnc, on=["term"],
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int64())]
+        ),
+        right_schema=pa.schema([("term", pa.string()), ("lnc_ppm", pa.int64())]),
+        num_parts=num_parts,
+    )
+
+    def per_doc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        tf = df["tf"].to_numpy(dtype=np.int64)
+        g = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "n_tokens": tf,
+                "s": tf * df["lnc_ppm"].to_numpy(dtype=np.int64),
+            }
+        )
+        out = g.groupby("doc_id", sort=False).sum().reset_index()
+        out["__part"] = (out["doc_id"].to_numpy() % num_parts).astype(np.int64)
+        return out
+
+    def per_doc_combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.drop(columns="__part").groupby("doc_id", sort=False).sum().reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].astype(np.int64),
+                "n_tokens": out["n_tokens"].astype(np.int64),
+                "nll_ppm": (
+                    out["n_tokens"].to_numpy(dtype=np.int64) * lnt_ppm
+                    - out["s"].to_numpy(dtype=np.int64)
+                ),
+            }
+        )
+
+    scored = (
+        joined.map_batches(per_doc_partial, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(per_doc_combine, batch_format="pandas")
+    )
+
+    # left-complete: docs with zero tokens still get a row
+    def zero_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "n_tokens": np.zeros(len(df), dtype=np.int64),
+                "nll_ppm": np.zeros(len(df), dtype=np.int64),
+                "__kind": np.zeros(len(df), dtype=np.int64),
+            }
+        )
+
+    def scored_side(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__kind"] = np.ones(len(df), dtype=np.int64)
+        return df
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "__kind"], kind="mergesort")
+        out = g.groupby("doc_id", sort=False).tail(1)
+        return out.drop(columns=["__kind", "__part2"])
+
+    def tag2(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__part2"] = (df["doc_id"].to_numpy(dtype=np.int64) % num_parts).astype(
+            np.int64
+        )
+        return df
+
+    base = docs.select_columns(["doc_id"]).map_batches(
+        zero_side, batch_format="pandas"
+    )
+    return (
+        base.union(scored.map_batches(scored_side, batch_format="pandas"))
+        .map_batches(tag2, batch_format="pandas")
+        .groupby("__part2")
+        .map_groups(pick, batch_format="pandas")
+    )

@@ -41,6 +41,8 @@ __all__ = [
     "quantile_threshold",
     "quantile_filter",
     "top_k_per_group",
+    "stratified_sample",
+    "sample_global_k",
 ]
 
 
@@ -206,4 +208,111 @@ def top_k_per_group(
         ds.map_batches(partial, batch_format="pandas", batch_size=8192)
         .groupby("__part")
         .map_groups(combine, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact-count stratified sample / global deterministic sample
+# ---------------------------------------------------------------------------
+
+
+def _md5_rank_col(df: pd.DataFrame, id_col: str, salt: str) -> pd.Series:
+    """Salted md5 hex of the id — the repo's deterministic sampling order
+    (uniform, engine-independent; DuckDB: ``md5(id::VARCHAR || ':salt')``)."""
+    return pd.Series(
+        [
+            hashlib.md5(f"{i}:{salt}".encode("utf-8")).hexdigest()
+            for i in df[id_col]
+        ],
+        index=df.index,
+    )
+
+
+def stratified_sample(
+    ds: rd.Dataset,
+    group_col: str,
+    fraction: float,
+    salt: str = "strat",
+    id_col: str = "doc_id",
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """EXACT-COUNT stratified sample: ``ceil(fraction * |group|)`` rows
+    per group, selected as the group's lowest salted-md5 ids.
+
+    Unlike a per-row Bernoulli split (``hash_split``), the per-group
+    sample size is exact — the property class-balanced training subsets
+    need.  Selection order is the salted md5 of the id, so the sample is
+    identical at any parallelism and reproducible in SQL with a
+    ``row_number() OVER (PARTITION BY group ORDER BY md5(...))`` rank.
+
+    Shape: two-step per-group top-k by hash rank (the
+    :func:`top_k_per_group` pattern) — except k varies per group, so the
+    map side cannot pre-truncate below the group's eventual quota; it
+    still bounds the shuffle by dropping rows whose IN-BLOCK group rank
+    already exceeds ``ceil(fraction * |group|_global)`` computed from a
+    first counting pass (group cardinality table, group-count-sized).
+    """
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0,1], got {fraction}")
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+
+    def ones(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {group_col: df[group_col], "c": np.ones(len(df), dtype=np.int64)}
+        )
+
+    counts = hash_aggregate(
+        ds.map_batches(ones, batch_format="pandas"), [group_col], "c", op="sum",
+        num_parts=8,
+    ).to_pandas()
+    quota = {
+        g: int(np.ceil(fraction * int(c)))
+        for g, c in zip(counts[group_col], counts["c"])
+    }
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__h"] = _md5_rank_col(df, id_col, salt)
+        df = df.sort_values(["__h", id_col], kind="mergesort")
+        # in-block rank within group can only shrink after the combine,
+        # so rows ranked past the group's global quota can never win
+        rank = df.groupby(group_col, sort=False).cumcount()
+        q = df[group_col].map(quota).fillna(0).astype(np.int64)
+        df = df[rank < q.to_numpy()]
+        df["__part"] = (_stable_row_hash(df, [group_col]) % num_parts).astype(
+            np.int64
+        )
+        return df
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__h", id_col], kind="mergesort")
+        rank = g.groupby(group_col, sort=False).cumcount()
+        q = g[group_col].map(quota).fillna(0).astype(np.int64)
+        return g[rank < q.to_numpy()].drop(columns=["__h", "__part"])
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=8192)
+        .groupby("__part")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+def sample_global_k(
+    ds: rd.Dataset, k: int, salt: str = "sample", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """Exactly ``k`` rows, globally deterministic: the ``k`` smallest
+    salted-md5 ids (a distributed top-k by hash — ``sort().limit(k)``
+    after a map-side per-block truncation to k rows, so the sort input
+    is at most ``k × blocks`` rows, never the corpus)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__h"] = _md5_rank_col(df, id_col, salt)
+        return df.sort_values(["__h", id_col], kind="mergesort").head(int(k))
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=8192)
+        .sort(["__h", id_col])
+        .limit(int(k))
+        .drop_columns(["__h"])
     )

@@ -532,3 +532,93 @@ def embedding_near_dup_lsh(
     return hash_distinct(
         knn.map_batches(to_pairs, batch_format="pandas"), ["doc_a", "doc_b"]
     )
+
+
+class _CentroidAssigner:
+    """Actor-pool stage: centroid matrix fetched once per actor; per batch
+    argmin squared Euclidean distance (ties -> smaller centroid id)."""
+
+    def __init__(self, cent_ref):
+        c = ray.get(cent_ref)
+        self.c_ids = c["ids"]
+        self.c_mat = c["mat"]  # (C, d) float64
+        self.c_sq = (self.c_mat * self.c_mat).sum(axis=1)  # |c|^2
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        mat = _stack(batch["embedding"])  # (B, d)
+        # dist^2 = |v|^2 - 2 v.c + |c|^2; |v|^2 constant per row -> drop it
+        scores = -2.0 * (mat @ self.c_mat.T) + self.c_sq[None, :]
+        best = np.argmin(scores, axis=1)  # ties -> first (smaller cid)
+        out = batch[["vec_id", "embedding"]].copy()
+        out["cluster"] = self.c_ids[best].astype(np.int64)
+        return out
+
+
+def semantic_dedup(
+    embeddings: rd.Dataset,
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    concurrency: int = 4,
+    max_cluster: int = 100_000,
+) -> rd.Dataset:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    find near-duplicate pairs WITHIN each cluster only — the quadratic
+    pair search is bounded per cluster instead of corpus-wide.
+
+    Deterministic contract (exactly reproducible in SQL):
+      - centroids = the embeddings with ``vec_id < n_clusters`` (the
+        deterministic-init convention ``kmeans`` uses);
+      - each vector joins the centroid minimizing Euclidean distance
+        (ties -> smaller centroid id);
+      - output = (cluster, doc_a, doc_b) for same-cluster pairs with
+        ``round(cosine, 6) >= threshold``, doc_a < doc_b.
+
+    Shapes: the (C x d) centroid matrix is ``ray.put`` ONCE and read per
+    actor (small-side broadcast); assignment is one vectorized matmul per
+    batch; pairs run inside ``groupby(cluster).map_groups`` so only each
+    cluster's vectors co-locate.  Clusters larger than ``max_cluster``
+    raise (at real scale raise ``n_clusters`` — a cluster must fit one
+    task; SemDeDup runs with k in the tens of thousands at 100 TB).
+    """
+    ds = embeddings.select_columns(["vec_id", "embedding"])
+    cent = ds.filter(expr=f"vec_id < {int(n_clusters)}").to_pandas()
+    cent = cent.sort_values("vec_id")
+    cent_ref = ray.put(
+        {"ids": cent["vec_id"].to_numpy(dtype=np.int64),
+         "mat": _stack(cent["embedding"])}
+    )
+
+    assigned = ds.map_batches(
+        _CentroidAssigner, batch_format="pandas", batch_size=4096,
+        concurrency=concurrency, num_cpus=1,
+        fn_constructor_kwargs={"cent_ref": cent_ref},
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"cluster": pd.Series([], dtype=np.int64),
+             "doc_a": pd.Series([], dtype=np.int64),
+             "doc_b": pd.Series([], dtype=np.int64)}
+        )
+        if len(g) < 2:
+            return empty
+        if len(g) > max_cluster:
+            raise ValueError(
+                f"semantic_dedup cluster of {len(g)} rows exceeds max_cluster="
+                f"{max_cluster}; raise n_clusters"
+            )
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = _normalize(_stack(g["embedding"].to_numpy()[order]))
+        sims = np.round(m @ m.T, 6)
+        hit = np.triu(sims >= threshold, k=1)
+        a, b = np.where(hit)
+        if not len(a):
+            return empty
+        return pd.DataFrame(
+            {"cluster": np.full(len(a), int(g["cluster"].iloc[0]), dtype=np.int64),
+             "doc_a": ids[a], "doc_b": ids[b]}
+        )
+
+    return assigned.groupby("cluster").map_groups(pairs, batch_format="pandas")

@@ -1,0 +1,196 @@
+"""Ordered window-function primitives — the SQL-window surface Ray Data
+lacks, built as distributed two-pass scans.
+
+Ray Data has ``groupby``/``sort`` but no ``SUM() OVER (ORDER BY ...)`` /
+``row_number()`` / ``lag()``.  These primitives implement them with the
+classic parallel-scan shape:
+
+1. globally sort on the order key (Ray Data's range-partitioned sort —
+   blocks come back in key order);
+2. pass 1 computes one PARTIAL per block (its sum / row count / last
+   row) — the driver sees only a block-count-sized list;
+3. an exclusive scan over those partials gives each block its offset;
+4. pass 2 rewrites each block with its local cumulative + offset.
+
+All driver state is O(#blocks); block payloads move at most twice; the
+scan itself is numpy ``cumsum`` per block.  Values that are integers (or
+integer-valued doubles) make every sum exact in any grouping, so results
+are bit-identical to the SQL oracle at any parallelism (the repo's
+integers-over-floats convention).
+
+Operators:
+
+- :func:`running_sum` — ``SUM(value) OVER (ORDER BY keys ROWS UNBOUNDED
+  PRECEDING)``.
+- :func:`row_number` — global 1-based ``row_number() OVER (ORDER BY
+  keys)``.
+- :func:`lag_column` — ``lag(col) OVER (PARTITION BY key ORDER BY
+  keys)``: per-block shift + a block-boundary tail exchange (the
+  boundary rows, one per block, are the only cross-block traffic).
+- :func:`pack_sequences` — training-data sequence packing: documents in
+  id order are assigned ``seq_id = cum_tokens_before // budget`` (the
+  fixed-stride packing a window cumsum expresses exactly in SQL).
+
+Reference scope note: no counterpart in the reference engine; these
+extend the engine for ordered-data work per the build brief.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+__all__ = ["running_sum", "row_number", "lag_column", "pack_sequences"]
+
+
+def _sorted_refs(ds: rd.Dataset, order_cols: list[str]):
+    """Globally sorted pandas block refs (ordered list; blocks stay in
+    the object store — the driver never sees row data)."""
+    return ds.sort(order_cols).to_pandas_refs()
+
+
+@ray.remote
+def _block_stat(df: pd.DataFrame, value_col: str | None):
+    if value_col is None:
+        return len(df)
+    return (len(df), df[value_col].to_numpy().sum() if len(df) else 0)
+
+
+@ray.remote
+def _apply_running(df: pd.DataFrame, value_col: str, offset, out_col: str,
+                   inclusive: bool) -> pd.DataFrame:
+    df = df.copy()
+    v = df[value_col].to_numpy()
+    cum = np.cumsum(v)
+    if inclusive:
+        df[out_col] = cum + offset
+    else:
+        df[out_col] = cum - v + offset
+    return df
+
+
+def running_sum(
+    ds: rd.Dataset,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_sum",
+    inclusive: bool = True,
+) -> rd.Dataset:
+    """Global running total of ``value_col`` in ``order_cols`` order.
+
+    ``inclusive=True`` is SQL's ``ROWS UNBOUNDED PRECEDING`` (current row
+    included); ``False`` gives the exclusive prefix (cum before the row).
+    """
+    refs = _sorted_refs(ds, order_cols)
+    stats = ray.get([_block_stat.remote(r, value_col) for r in refs])
+    sums = np.array([s[1] for s in stats])
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]])
+    out = [
+        _apply_running.remote(r, value_col, off, out_col, inclusive)
+        for r, off in zip(refs, offsets)
+    ]
+    return rd.from_pandas_refs(out)
+
+
+@ray.remote
+def _apply_rownum(df: pd.DataFrame, offset: int, out_col: str) -> pd.DataFrame:
+    df = df.copy()
+    df[out_col] = np.arange(1, len(df) + 1, dtype=np.int64) + np.int64(offset)
+    return df
+
+
+def row_number(
+    ds: rd.Dataset, order_cols: list[str], out_col: str = "row_number"
+) -> rd.Dataset:
+    """Global 1-based row number in ``order_cols`` order."""
+    refs = _sorted_refs(ds, order_cols)
+    counts = ray.get([_block_stat.remote(r, None) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    out = [
+        _apply_rownum.remote(r, int(off), out_col)
+        for r, off in zip(refs, offsets)
+    ]
+    return rd.from_pandas_refs(out)
+
+
+@ray.remote
+def _block_tail(df: pd.DataFrame):
+    return df.tail(1)
+
+
+@ray.remote
+def _apply_lag(df: pd.DataFrame, prev_tail, col: str, key_col: str | None,
+               out_col: str) -> pd.DataFrame:
+    df = df.copy()
+    shifted = df[col].shift(1)
+    if prev_tail is not None and len(prev_tail):
+        first_ok = key_col is None or (
+            len(df) and df[key_col].iloc[0] == prev_tail[key_col].iloc[0]
+        )
+        if len(df) and first_ok:
+            shifted.iloc[0] = prev_tail[col].iloc[0]
+    if key_col is not None and len(df):
+        keys = df[key_col]
+        same = keys.eq(keys.shift(1))
+        if prev_tail is not None and len(prev_tail) and len(df):
+            same.iloc[0] = df[key_col].iloc[0] == prev_tail[key_col].iloc[0]
+        shifted = shifted.where(same)
+    df[out_col] = shifted
+    return df
+
+
+def lag_column(
+    ds: rd.Dataset,
+    order_cols: list[str],
+    col: str,
+    key_col: str | None = None,
+    out_col: str = "lag",
+) -> rd.Dataset:
+    """``lag(col, 1) OVER ([PARTITION BY key_col] ORDER BY order_cols)``.
+
+    When ``key_col`` is given the sort is (key, *order) so each key's
+    rows are contiguous, and the lag resets (null) at key boundaries.
+    Cross-block continuity costs one 1-row tail per block (block-count-
+    sized driver traffic, no row data)."""
+    sort_cols = ([key_col] if key_col else []) + list(order_cols)
+    refs = _sorted_refs(ds, sort_cols)
+    tails = ray.get([_block_tail.remote(r) for r in refs])
+    out = []
+    for i, r in enumerate(refs):
+        prev = tails[i - 1] if i > 0 else None
+        out.append(_apply_lag.remote(r, prev, col, key_col, out_col))
+    return rd.from_pandas_refs(out)
+
+
+def pack_sequences(
+    docs: rd.Dataset,
+    budget: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Training-data sequence packing: in ``id_col`` order, assign each
+    document ``seq_id = cum_tokens_before // budget`` and its offset
+    within the running stream (fixed-stride packing — the deterministic,
+    window-cumsum-expressible contract; a greedy first-fit packer is
+    order-dependent and not reproducible in SQL).
+
+    Returns (id_col, token_col, seq_id, offset) with ``offset`` = total
+    tokens before the document."""
+    out = running_sum(
+        docs, [id_col], token_col, out_col="offset", inclusive=False
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        off = df["offset"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].astype(np.int64),
+                token_col: df[token_col].astype(np.int64),
+                "seq_id": off // np.int64(budget),
+                "offset": off,
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pandas")
