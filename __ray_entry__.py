@@ -212,6 +212,46 @@ def _q_sssp(sf_dir: str) -> pd.DataFrame:
     )
 
 
+_APSP_SOURCES = 8
+
+
+def _q_all_shortest_paths(sf_dir: str) -> pd.DataFrame:
+    """Unweighted APSP stream from the first 8 nodes (MSBFS bit-parallel
+    waves — allshortestpaths/MSBFSAllShortestPaths.java:36)."""
+    from graph_data_science_ray.functions.apsp import all_shortest_paths
+
+    b = _bundle(sf_dir)
+    res = all_shortest_paths(
+        b["gd"], sources=np.arange(_APSP_SOURCES, dtype=np.int64), weighted=False
+    )
+    return pd.DataFrame(
+        {
+            "source": _strip(res["source"]),
+            "target": _strip(res["target"]),
+            "distance": res["distance"].astype(np.float64),
+        }
+    )
+
+
+def _q_apsp_weighted(sf_dir: str) -> pd.DataFrame:
+    """Weighted APSP from the first 8 nodes — one BSP relaxation run per
+    64-source wave on the 2-D min reducer
+    (allshortestpaths/WeightedAllShortestPaths.java:41)."""
+    from graph_data_science_ray.functions.apsp import all_shortest_paths
+
+    b = _bundle(sf_dir)
+    res = all_shortest_paths(
+        b["gd"], sources=np.arange(_APSP_SOURCES, dtype=np.int64), weighted=True
+    )
+    return pd.DataFrame(
+        {
+            "source": _strip(res["source"]),
+            "target": _strip(res["target"]),
+            "distance": res["distance"].astype(np.float64),
+        }
+    )
+
+
 def _q_bfs(sf_dir: str) -> pd.DataFrame:
     from graph_data_science_ray.functions.sssp import bfs_depths
 
@@ -2196,26 +2236,47 @@ def _q_link_prediction(sf_dir: str) -> pd.DataFrame:
 
 
 def _q_bridges(sf_dir: str) -> pd.DataFrame:
-    """Bridge edges of the undirected interaction graph (Tarjan low-link,
-    single sequential task — the reference's own shape; rows-only, with
-    the invariants oracled by `biconnected_valid`)."""
+    """Per-edge bridge FLAG over every undirected edge (src < dst) of the
+    interaction graph (Tarjan low-link, single sequential task — the
+    reference's own shape; rows-only, with the invariants oracled by
+    `biconnected_valid`). Flag form so the row count is |E| even when the
+    dense small-sf graph has zero bridges."""
     from graph_data_science_ray.functions.biconnected import bridges
 
     b = _bundle(sf_dir)
     out = bridges(b["gu"])
-    return pd.DataFrame(
-        {"src": _strip(out["src"]), "dst": _strip(out["dst"])}
-    ).sort_values(["src", "dst"]).reset_index(drop=True)
+    bridge_set = set(zip(_strip(out["src"]), _strip(out["dst"])))
+    df = b["sym"].to_pandas()
+    df = df[df["src"] < df["dst"]]
+    keys = b["idmap"].keys
+    src = _strip(keys[df["src"].to_numpy()])
+    dst = _strip(keys[df["dst"].to_numpy()])
+    lo = np.minimum(src, dst)
+    hi = np.maximum(src, dst)
+    flag = np.fromiter(
+        ((l, h) in bridge_set for l, h in zip(lo, hi)), dtype=np.int64, count=len(lo)
+    )
+    return (
+        pd.DataFrame({"src": lo, "dst": hi, "is_bridge": flag})
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
 
 
 def _q_articulation_points(sf_dir: str) -> pd.DataFrame:
+    """Per-node articulation FLAG (always V rows; see `_q_bridges`)."""
     from graph_data_science_ray.functions.biconnected import articulation_points
 
     b = _bundle(sf_dir)
     out = articulation_points(b["gu"])
-    return pd.DataFrame({"node": _strip(out["node"])}).sort_values(
-        "node"
-    ).reset_index(drop=True)
+    ap = set(_strip(out["node"]))
+    nodes = _strip(b["idmap"].keys)
+    flag = np.fromiter((n in ap for n in nodes), dtype=np.int64, count=len(nodes))
+    return (
+        pd.DataFrame({"node": nodes, "is_articulation": flag})
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
 
 
 def _q_biconnected_valid(sf_dir: str) -> pd.DataFrame:
@@ -2657,6 +2718,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles_global": _q_triangles_global,
         "lcc": _q_lcc,
         "sssp": _q_sssp,
+        "all_shortest_paths": _q_all_shortest_paths,
+        "apsp_weighted": _q_apsp_weighted,
         "bfs": _q_bfs,
         "k_core": _q_kcore,
         "node_similarity": _q_node_similarity,
@@ -3034,6 +3097,44 @@ dist AS (
     GROUP BY p.it, f.dst
 )
 SELECT node, d AS distance FROM dist WHERE it = {_SSSP_ROUNDS}
+"""
+
+    sqls["all_shortest_paths"] = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+srcs AS (SELECT node FROM nodes ORDER BY node LIMIT {_APSP_SOURCES}),
+fan AS (
+    SELECT src, dst, 1.0 AS w FROM edges
+    UNION ALL
+    SELECT node, node, 0.0 FROM nodes
+),
+dist AS (
+    SELECT 0 AS it, node AS source, node AS target, CAST(0 AS DOUBLE) AS d FROM srcs
+    UNION ALL
+    SELECT p.it + 1 AS it, p.source AS source, f.dst AS target, min(p.d + f.w) AS d
+    FROM dist p JOIN fan f ON f.src = p.target
+    WHERE p.it < {_SSSP_ROUNDS}
+    GROUP BY p.it, p.source, f.dst
+)
+SELECT source, target, d AS distance FROM dist WHERE it = {_SSSP_ROUNDS}
+"""
+
+    sqls["apsp_weighted"] = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+srcs AS (SELECT node FROM nodes ORDER BY node LIMIT {_APSP_SOURCES}),
+fan AS (
+    SELECT src, dst, weight AS w FROM edges
+    UNION ALL
+    SELECT node, node, 0.0 FROM nodes
+),
+dist AS (
+    SELECT 0 AS it, node AS source, node AS target, CAST(0 AS DOUBLE) AS d FROM srcs
+    UNION ALL
+    SELECT p.it + 1 AS it, p.source AS source, f.dst AS target, min(p.d + f.w) AS d
+    FROM dist p JOIN fan f ON f.src = p.target
+    WHERE p.it < {_SSSP_ROUNDS}
+    GROUP BY p.it, p.source, f.dst
+)
+SELECT source, target, d AS distance FROM dist WHERE it = {_SSSP_ROUNDS}
 """
 
     sqls["bfs"] = f"""

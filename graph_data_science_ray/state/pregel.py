@@ -85,6 +85,10 @@ class PregelComputation:
     edge_combine: str = "none"
     # message identity / dtype for the min reducer
     message_dtype: str = "int64"
+    # vector-message width (2-D sum/min). Declaring it lets an apply task
+    # whose inbox is all-None (no in-edges this superstep) still size its
+    # accumulator (n_local, width) instead of falling back to 1-D.
+    message_width: int | None = None
 
     def init_state(self, block: dict) -> dict:
         raise NotImplementedError
@@ -159,16 +163,27 @@ def _scatter_reduced(comp, block, state, num_parts, bounds):
             reduced = np.add.reduceat(edge_vals, run_starts)
     elif comp.reducer == "min":
         identity = _min_identity(comp)
-        if comp.message_dtype == "float64":
-            send = np.where(active, vals, identity).astype(np.float64)
+        if vals.ndim == 2:  # vector messages (multi-source SSSP waves)
+            # float64 only: inf + w == inf, so no identity guard is needed
+            # on the additive edge combine.
+            send = np.where(active[:, None], vals, identity).astype(np.float64)
+            edge_vals = send[src_idx]
+            if comp.edge_combine == "add":
+                edge_vals = edge_vals + block["w_sorted"][:, None]
+            elif comp.edge_combine == "add_one":
+                edge_vals = edge_vals + 1.0
+            reduced = np.minimum.reduceat(edge_vals, run_starts, axis=0)
         else:
-            send = np.where(active, vals, identity).astype(np.int64)
-        edge_vals = send[src_idx]
-        if comp.edge_combine == "add":
-            edge_vals = np.where(edge_vals == identity, identity, edge_vals + block["w_sorted"])
-        elif comp.edge_combine == "add_one":
-            edge_vals = np.where(edge_vals == identity, identity, edge_vals + 1)
-        reduced = np.minimum.reduceat(edge_vals, run_starts)
+            if comp.message_dtype == "float64":
+                send = np.where(active, vals, identity).astype(np.float64)
+            else:
+                send = np.where(active, vals, identity).astype(np.int64)
+            edge_vals = send[src_idx]
+            if comp.edge_combine == "add":
+                edge_vals = np.where(edge_vals == identity, identity, edge_vals + block["w_sorted"])
+            elif comp.edge_combine == "add_one":
+                edge_vals = np.where(edge_vals == identity, identity, edge_vals + 1)
+            reduced = np.minimum.reduceat(edge_vals, run_starts)
     elif comp.reducer == "or":
         send = np.where(active, vals, 0).astype(np.uint64)
         edge_vals = send[src_idx]
@@ -368,7 +383,7 @@ def _apply(comp, block, state, q, *inbox):
         return s, e
 
     if comp.reducer == "sum":
-        width = None
+        width = comp.message_width
         for msg in inbox:
             if msg is not None and msg["val"].ndim == 2:
                 width = msg["val"].shape[1]
@@ -400,7 +415,13 @@ def _apply(comp, block, state, q, *inbox):
     elif comp.reducer == "min":
         identity = _min_identity(comp)
         dtype = np.float64 if comp.message_dtype == "float64" else np.int64
-        acc = np.full(n_local, identity, dtype=dtype)
+        width = comp.message_width
+        for msg in inbox:
+            if msg is not None and msg["val"].ndim == 2:
+                width = msg["val"].shape[1]
+                break
+        shape = (n_local,) if width is None else (n_local, width)
+        acc = np.full(shape, identity, dtype=dtype)
         received = np.zeros(n_local, dtype=bool)
         for msg in inbox:
             if msg is None:
@@ -411,7 +432,10 @@ def _apply(comp, block, state, q, *inbox):
             idx = msg["dst"][s:e] - start
             vals = msg["val"][s:e]
             np.minimum.at(acc, idx, vals)
-            received[idx] |= vals != identity
+            if width is None:
+                received[idx] |= vals != identity
+            else:
+                received[idx] |= (vals != identity).any(axis=1)
     elif comp.reducer == "queue":
         ds, vs = [], []
         for msg in inbox:  # fixed source-partition order => deterministic

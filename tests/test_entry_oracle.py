@@ -90,6 +90,8 @@ _ORACLE_CHECKED = [
     "celf_valid",
     "fastrp_valid",
     "knn_lsh_multiband",
+    "all_shortest_paths",
+    "apsp_weighted",
 ]
 
 
