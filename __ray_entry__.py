@@ -1430,6 +1430,19 @@ def _q_knn(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _q_knn_metric(sf_dir: str, metric: str) -> pd.DataFrame:
+    """Brute-force top-k under the reference's euclidean/pearson knn
+    metrics (similarity/knn/metrics/{Euclidean,Pearson}.java)."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.similarity import knn_brute_force
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    res = knn_brute_force(emb, query_ids=np.arange(10), k=5, metric=metric)
+    res = res[["query_id", "neighbor_id", "rank"]].copy()
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def _q_knn_ivf(sf_dir: str) -> pd.DataFrame:
     """IVF-Flat at FULL probe (nprobe = num_lists) is exhaustive, so it
     must reproduce the brute-force top-k exactly — shares that oracle.
@@ -2785,6 +2798,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "feature_backfill": _q_feature_backfill,
         "knn_cosine_topk": _q_knn,
+        "knn_euclidean": lambda sf: _q_knn_metric(sf, "euclidean"),
+        "knn_pearson": lambda sf: _q_knn_metric(sf, "pearson"),
         "knn_ivf": _q_knn_ivf,
         "knn_lsh_multiband": _q_knn_lsh_multiband,
         "knn_descent": _q_knn_descent,
@@ -3857,6 +3872,42 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 
     # full-probe IVF is exhaustive: identical contract to brute force
     sqls["knn_ivf"] = sqls["knn_cosine_topk"]
+
+    sqls["knn_euclidean"] = """
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(1.0 / (1.0 + list_distance(q.e, c.e)), 6) AS sim
+    FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+    sqls["knn_pearson"] = """
+WITH q0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 10),
+c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id, list_transform(e, x -> x - list_avg(e)) AS e FROM q0),
+c AS (SELECT vec_id, list_transform(e, x -> x - list_avg(e)) AS e FROM c0),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round((list_cosine_similarity(q.e, c.e) + 1.0) / 2.0, 6) AS sim
+    FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
 
     # zero-plane multi-band LSH is exhaustive over ALL queries: the
     # brute-force contract without the vec_id < 10 query restriction

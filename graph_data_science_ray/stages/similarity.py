@@ -29,20 +29,45 @@ def _stack(col) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in col])
 
 
-class _BruteForceScorer:
-    """Actor-pool stage: query matrix fetched and normalized once per actor."""
+def _center(m: np.ndarray) -> np.ndarray:
+    return m - m.mean(axis=1, keepdims=True)
 
-    def __init__(self, queries_ref, k: int, exclude_self: bool):
+
+class _BruteForceScorer:
+    """Actor-pool stage: query matrix fetched and prepared once per actor.
+
+    Metrics follow the reference's knn/metrics package exactly:
+    cosine (Cosine.java), euclidean = 1/(1+sqrt(Σδ²)) (Euclidean.java:44),
+    pearson = (r+1)/2 (Pearson.java:60) — pearson r is cosine similarity
+    of mean-centered vectors.
+    """
+
+    def __init__(self, queries_ref, k: int, exclude_self: bool, metric: str = "cosine"):
         q = ray.get(queries_ref)
         self.q_ids = q["ids"]
-        self.q_mat = _normalize(q["mat"])
+        self.metric = metric
+        if metric == "cosine":
+            self.q_mat = _normalize(q["mat"])
+        elif metric == "pearson":
+            self.q_mat = _normalize(_center(q["mat"]))
+        elif metric == "euclidean":
+            self.q_mat = q["mat"]
+            self.q_sq = (q["mat"] ** 2).sum(axis=1)
+        else:
+            raise ValueError(metric)
         self.k = k
         self.exclude_self = exclude_self
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch["vec_id"].to_numpy(dtype=np.int64)
-        mat = _normalize(_stack(batch["embedding"]))
-        sims = self.q_mat @ mat.T  # (Q, B)
+        raw = _stack(batch["embedding"])
+        if self.metric == "cosine":
+            sims = self.q_mat @ _normalize(raw).T  # (Q, B)
+        elif self.metric == "pearson":
+            sims = (self.q_mat @ _normalize(_center(raw)).T + 1.0) / 2.0
+        else:  # euclidean
+            d2 = self.q_sq[:, None] + (raw**2).sum(axis=1)[None, :] - 2.0 * (self.q_mat @ raw.T)
+            sims = 1.0 / (1.0 + np.sqrt(np.maximum(d2, 0.0)))
         out_q, out_n, out_s = [], [], []
         for qi, qid in enumerate(self.q_ids):
             s = np.round(sims[qi], 6)
@@ -70,8 +95,10 @@ def knn_brute_force(
     k: int = 5,
     exclude_self: bool = True,
     concurrency: int = 4,
+    metric: str = "cosine",
 ) -> pd.DataFrame:
-    """Exact cosine top-k for the given query vec_ids.
+    """Exact top-k for the given query vec_ids under ``metric``
+    ("cosine" | "euclidean" | "pearson" — the reference's knn metrics).
 
     Returns (query_id, neighbor_id, rank, sim): rank 1..k ordered by
     (round(sim, 6) desc, neighbor_id asc) — a total, reproducible order.
@@ -90,7 +117,10 @@ def knn_brute_force(
     import functools
 
     partials = embeddings.map_batches(
-        functools.partial(_score_batch, queries_ref=queries_ref, k=k, exclude_self=exclude_self),
+        functools.partial(
+            _score_batch, queries_ref=queries_ref, k=k,
+            exclude_self=exclude_self, metric=metric,
+        ),
         batch_format="pandas",
         batch_size=4096,
     ).to_pandas()
@@ -106,8 +136,10 @@ def knn_brute_force(
     return res[["query_id", "neighbor_id", "rank", "sim"]]
 
 
-def _score_batch(batch: pd.DataFrame, *, queries_ref, k: int, exclude_self: bool):
-    return _BruteForceScorer(queries_ref, k, exclude_self)(batch)
+def _score_batch(
+    batch: pd.DataFrame, *, queries_ref, k: int, exclude_self: bool, metric: str = "cosine"
+):
+    return _BruteForceScorer(queries_ref, k, exclude_self, metric)(batch)
 
 
 class _HyperplaneBucketer:

@@ -92,6 +92,8 @@ _ORACLE_CHECKED = [
     "knn_lsh_multiband",
     "all_shortest_paths",
     "apsp_weighted",
+    "knn_euclidean",
+    "knn_pearson",
 ]
 
 
