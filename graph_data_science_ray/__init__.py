@@ -39,6 +39,7 @@ from graph_data_science_ray.pipelines.edges import (
 )
 from graph_data_science_ray.state.graph import GraphStore
 from graph_data_science_ray.state.catalog import GraphCatalog
+from graph_data_science_ray.state.models import Model, ModelCatalog
 from graph_data_science_ray.state.pregel import Pregel, PregelComputation, TerminationFlag
 from graph_data_science_ray.functions.pagerank import pagerank
 from graph_data_science_ray.functions.wcc import wcc
@@ -95,6 +96,8 @@ __all__ = [
     "symmetrize",
     "GraphStore",
     "GraphCatalog",
+    "Model",
+    "ModelCatalog",
     "pagerank",
     "wcc",
     "label_propagation",
