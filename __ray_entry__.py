@@ -1358,6 +1358,23 @@ def _q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _q_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark n-gram decontamination: docs with doc_id % 37 == 0 act
+    as the held-out benchmark; every other doc is flagged when it shares
+    any word-3-gram with the benchmark."""
+    from graph_data_science_ray.stages.dedup import decontaminate
+
+    docs = _docs(sf_dir)
+    corpus = docs.map_batches(
+        lambda df: df[df["doc_id"] % 37 != 0], batch_format="pandas"
+    )
+    bench = docs.map_batches(
+        lambda df: df[df["doc_id"] % 37 == 0], batch_format="pandas"
+    )
+    out = decontaminate(corpus, bench).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_asof_join(sf_dir: str) -> pd.DataFrame:
     """Backward as-of join: each purchase matched to the user's latest
     click at-or-before it (inner; ties broken by max click event_id)."""
@@ -2795,6 +2812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": _q_minhash_pairs,
         "simhash": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
+        "decontaminate": _q_decontaminate,
         "asof_join": _q_asof_join,
         "feature_backfill": _q_feature_backfill,
         "knn_cosine_topk": _q_knn,
@@ -3497,6 +3515,36 @@ JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.7
 ORDER BY doc_a, doc_b
+"""
+
+    sqls["decontaminate"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS arr
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(arr)-2)) AS i) g
+  WHERE len(arr) >= 3
+  UNION
+  SELECT doc_id, array_to_string(arr, ' ') AS s
+  FROM toks WHERE len(arr) BETWEEN 1 AND 2
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 37 = 0),
+corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 37 <> 0),
+hits AS (
+  SELECT c.doc_id, count(*) AS hits
+  FROM corpus c JOIN bench b ON c.s = b.s
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       CAST(coalesce(h.hits, 0) >= 1 AS BIGINT) AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0) d
+LEFT JOIN hits h USING(doc_id)
+ORDER BY d.doc_id
 """
 
     sqls["token_count"] = (

@@ -622,3 +622,87 @@ def ngram_jaccard_dedup(
         )
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+def decontaminate(
+    docs: rd.Dataset,
+    benchmark: rd.Dataset,
+    num_parts: int = 64,
+    min_hits: int = 1,
+) -> rd.Dataset:
+    """Benchmark decontamination: flag corpus docs sharing word-3-gram
+    shingles with a benchmark/eval set (the standard n-gram-overlap
+    decontamination step of LLM training-data pipelines).
+
+    Returns one row per corpus doc: (doc_id, hits, contaminated) where
+    ``hits`` is the number of DISTINCT corpus-doc shingles that occur
+    anywhere in the benchmark and ``contaminated = hits >= min_hits``.
+    Shingles join AS STRINGS (same tokenization as
+    ``ngram_jaccard_dedup``), so an ANSI-SQL oracle reproduces the flags
+    verbatim.
+
+    Scale shape: both sides explode to distinct (id, shingle) rows;
+    benchmark shingles reduce to a distinct-shingle table (benchmarks
+    are small relative to the corpus, but the join is hash-partitioned
+    either way — nothing is broadcast or collected); corpus hits come
+    from a shingle-keyed hash join + per-doc sum, then a zero-fill union
+    with the full doc-id list so clean docs keep hits = 0. Shuffle
+    volume is O(total corpus tokens), the exact-dedup shape.
+    """
+    from graph_data_science_ray.pipelines.agg import hash_aggregate, hash_join
+
+    docs = docs.select_columns(["doc_id", "text"])
+    d_ex = docs.map_batches(_explode_shingles, batch_format="pandas", batch_size=2048)
+    b_ex = (
+        benchmark.select_columns(["doc_id", "text"])
+        .map_batches(_explode_shingles, batch_format="pandas", batch_size=2048)
+    )
+    bench_sh = hash_aggregate(
+        b_ex.map_batches(
+            lambda df: pd.DataFrame(
+                {"shingle": df["shingle"],
+                 "one": np.ones(len(df), dtype=np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        ["shingle"], "one", op="sum", num_parts=num_parts, out_col="nb",
+    )
+    import pyarrow as pa
+
+    joined = hash_join(
+        d_ex, bench_sh, on=["shingle"], num_parts=num_parts,
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("shingle", pa.string())]
+        ),
+        right_schema=pa.schema(
+            [("shingle", pa.string()), ("nb", pa.int64())]
+        ),
+    )
+    hit_rows = joined.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df["doc_id"].astype(np.int64),
+             "h": np.ones(len(df), dtype=np.int64)}
+        ),
+        batch_format="pandas",
+    )
+    base = docs.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df["doc_id"].astype(np.int64),
+             "h": np.zeros(len(df), dtype=np.int64)}
+        ),
+        batch_format="pandas",
+    )
+    hits = hash_aggregate(
+        base.union(hit_rows), ["doc_id"], "h", op="sum",
+        num_parts=num_parts, out_col="hits",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["hits"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype(np.int64),
+             "hits": h,
+             "contaminated": (h >= min_hits).astype(np.int64)}
+        )
+
+    return hits.map_batches(finish, batch_format="pandas")

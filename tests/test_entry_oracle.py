@@ -94,6 +94,7 @@ _ORACLE_CHECKED = [
     "apsp_weighted",
     "knn_euclidean",
     "knn_pearson",
+    "decontaminate",
 ]
 
 

@@ -577,3 +577,35 @@ def test_knn_lsh_multiband_amplifies_recall():
         assert list(g["rank"]) == list(range(1, len(g) + 1))
         s = g["sim"].to_numpy()
         assert (s[1:] <= s[:-1] + 1e-9).all()
+
+
+def test_decontaminate_planted(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.dedup import decontaminate
+
+    corpus = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "the quick brown fox jumps",   # shares 3-gram with bench
+                "totally unrelated content here",
+                "short one",                    # <3 tokens, whole-doc shingle
+                "",                             # empty: zero shingles
+            ],
+        }
+    )
+    bench = pd.DataFrame(
+        {"doc_id": [100, 101], "text": ["quick brown fox trots", "short one"]}
+    )
+    out = (
+        decontaminate(rd.from_pandas(corpus), rd.from_pandas(bench))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [1, 2, 3, 4]
+    assert list(out["contaminated"]) == [1, 0, 1, 0]
+    assert out.loc[0, "hits"] == 1  # "quick brown fox"
+    assert out.loc[2, "hits"] == 1  # whole-doc shingle exact match
