@@ -1085,6 +1085,19 @@ def _q_top_k_per_group(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_deterministic_shuffle(sf_dir: str) -> pd.DataFrame:
+    """Global deterministic shuffle position per doc (salted-md5 order)."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.sampling import deterministic_shuffle
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    out = deterministic_shuffle(docs, "doc_id", salt="shuffle").to_pandas()
+    return out[["doc_id", "pos"]].sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_stratified_sample(sf_dir: str) -> pd.DataFrame:
     """Exact-count stratified sample — ceil(0.2 * |group|) docs per lang,
     selected by salted-md5 rank (parallelism-independent)."""
@@ -2790,6 +2803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_filter": _q_quantile_filter,
         "top_k_per_group": _q_top_k_per_group,
         "stratified_sample": _q_stratified_sample,
+        "deterministic_shuffle": _q_deterministic_shuffle,
         "sample_global_k": _q_sample_global_k,
         "doc_freq": _q_doc_freq,
         "tf_idf_topk": _q_tf_idf_topk,
@@ -3581,6 +3595,14 @@ SELECT lang, doc_id, n_chars FROM (
                             ORDER BY n_chars DESC, doc_id ASC) AS rn
   FROM documents) t
 WHERE rn <= 5 ORDER BY lang, doc_id"""
+
+    sqls["deterministic_shuffle"] = """
+SELECT doc_id,
+       CAST(row_number() OVER (
+            ORDER BY md5(CAST(doc_id AS VARCHAR) || ':shuffle'), doc_id
+       ) AS BIGINT) AS pos
+FROM documents ORDER BY doc_id
+"""
 
     sqls["stratified_sample"] = """
 WITH r AS (

@@ -316,3 +316,32 @@ def sample_global_k(
         .limit(int(k))
         .drop_columns(["__h"])
     )
+
+
+def deterministic_shuffle(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+    out_col: str = "pos",
+) -> rd.Dataset:
+    """Global deterministic shuffle: assign every row its position in the
+    salted-md5 order of its id — the training-data "global shuffle" step,
+    but reproducible across runs, machines and parallelism (unlike
+    ``Dataset.random_shuffle``).
+
+    Returns the input rows plus ``out_col`` (1-based shuffled position).
+    SQL mirror: ``row_number() OVER (ORDER BY md5(id::VARCHAR || ':salt'),
+    id)``. Scale shape: one map to attach the hash, ``Dataset.sort`` on it
+    (Ray's range-partitioned distributed sort), then the two-pass
+    block-offset scan of ``stages.window.row_number`` — per-block work
+    only, O(#blocks) driver state.
+    """
+    from graph_data_science_ray.stages.window import row_number
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__h"] = _md5_rank_col(df, id_col, salt)
+        return df
+
+    tagged = ds.map_batches(attach, batch_format="pandas", batch_size=8192)
+    return row_number(tagged, ["__h", id_col], out_col=out_col).drop_columns(["__h"])

@@ -95,6 +95,7 @@ _ORACLE_CHECKED = [
     "knn_euclidean",
     "knn_pearson",
     "decontaminate",
+    "deterministic_shuffle",
 ]
 
 

@@ -112,3 +112,24 @@ def test_top_k_per_group_tie_break_by_id():
     )
     assert got[got["lang"] == "de"]["doc_id"].tolist() == [0, 2, 4]
     assert got[got["lang"] == "en"]["doc_id"].tolist() == [1, 3, 5]
+
+
+def test_deterministic_shuffle_stable_across_layouts(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.sampling import deterministic_shuffle
+
+    df = pd.DataFrame({"doc_id": np.arange(100, dtype=np.int64)})
+    a = (
+        deterministic_shuffle(rd.from_pandas(df), "doc_id")
+        .to_pandas().sort_values("doc_id")["pos"].to_numpy()
+    )
+    b = (
+        deterministic_shuffle(rd.from_pandas(df).repartition(7), "doc_id")
+        .to_pandas().sort_values("doc_id")["pos"].to_numpy()
+    )
+    assert (a == b).all()
+    # a permutation of 1..n, and not the identity
+    assert sorted(a.tolist()) == list(range(1, 101))
+    assert (a != np.arange(1, 101)).any()
