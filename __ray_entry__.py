@@ -1388,6 +1388,62 @@ def _q_decontaminate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_training_mix(sf_dir: str) -> pd.DataFrame:
+    """FLAGSHIP composed curation pipeline, end-to-end as one streaming
+    Dataset chain: exact dedup (keeper hash-join) → benchmark n-gram
+    decontamination (docs % 37 == 0 are the held-out benchmark) →
+    quality filter (≥5 tokens) → global deterministic shuffle →
+    fixed-stride sequence packing at a 512-token budget. Every stage is
+    individually oracled; this query oracles the COMPOSITION."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graph_data_science_ray.pipelines.agg import hash_join
+    from graph_data_science_ray.stages.dedup import decontaminate, dedup_exact_filter
+    from graph_data_science_ray.stages.sampling import deterministic_shuffle
+    from graph_data_science_ray.stages.text import token_count
+    from graph_data_science_ray.stages.window import running_sum
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    kept = dedup_exact_filter(docs)
+    corpus = kept.map_batches(
+        lambda df: df[df["doc_id"] % 37 != 0], batch_format="pandas"
+    )
+    bench = docs.map_batches(
+        lambda df: df[df["doc_id"] % 37 == 0], batch_format="pandas"
+    )
+    clean_ids = decontaminate(corpus, bench).map_batches(
+        lambda df: df[df["contaminated"] == 0][["doc_id"]].astype(np.int64),
+        batch_format="pandas",
+    )
+    clean = hash_join(
+        corpus, clean_ids, on=["doc_id"],
+        left_schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+        right_schema=pa.schema([("doc_id", pa.int64())]),
+    )
+    tc = token_count(clean).filter(expr="n_tokens >= 5")
+    shuffled = deterministic_shuffle(tc, "doc_id", salt="mix")
+    packed = running_sum(shuffled, ["pos"], "n_tokens", out_col="offset",
+                         inclusive=False)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        off = df["offset"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "pos": df["pos"].astype(np.int64),
+                "n_tokens": df["n_tokens"].astype(np.int64),
+                "seq_id": off // np.int64(512),
+                "offset": off,
+            }
+        )
+
+    out = packed.map_batches(finish, batch_format="pandas").to_pandas()
+    return out.sort_values("pos").reset_index(drop=True)
+
+
 def _q_asof_join(sf_dir: str) -> pd.DataFrame:
     """Backward as-of join: each purchase matched to the user's latest
     click at-or-before it (inner; ties broken by max click event_id)."""
@@ -2827,6 +2883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "decontaminate": _q_decontaminate,
+        "training_mix": _q_training_mix,
         "asof_join": _q_asof_join,
         "feature_backfill": _q_feature_backfill,
         "knn_cosine_topk": _q_knn,
@@ -3559,6 +3616,58 @@ SELECT d.doc_id,
 FROM (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0) d
 LEFT JOIN hits h USING(doc_id)
 ORDER BY d.doc_id
+"""
+
+    sqls["training_mix"] = r"""
+WITH kept AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS arr
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(arr)-2)) AS i) g
+  WHERE len(arr) >= 3
+  UNION
+  SELECT doc_id, array_to_string(arr, ' ') AS s
+  FROM toks WHERE len(arr) BETWEEN 1 AND 2
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 37 = 0),
+contaminated AS (
+  SELECT DISTINCT c.doc_id
+  FROM sh c JOIN bench b ON c.s = b.s
+  WHERE c.doc_id % 37 <> 0
+),
+clean AS (
+  SELECT k.doc_id,
+         CAST(len(list_filter(regexp_split_to_array(k.text, '\s+'),
+              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM kept k
+  WHERE k.doc_id % 37 <> 0
+    AND k.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+filtered AS (SELECT * FROM clean WHERE n_tokens >= 5),
+shuffled AS (
+  SELECT doc_id, n_tokens,
+         CAST(row_number() OVER (
+              ORDER BY md5(CAST(doc_id AS VARCHAR) || ':mix'), doc_id
+         ) AS BIGINT) AS pos
+  FROM filtered
+),
+packed AS (
+  SELECT doc_id, pos, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS "offset"
+  FROM shuffled
+)
+SELECT doc_id, pos, n_tokens, "offset" // 512 AS seq_id, "offset"
+FROM packed ORDER BY pos
 """
 
     sqls["token_count"] = (

@@ -96,6 +96,7 @@ _ORACLE_CHECKED = [
     "knn_pearson",
     "decontaminate",
     "deterministic_shuffle",
+    "training_mix",
 ]
 
 
