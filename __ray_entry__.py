@@ -133,6 +133,35 @@ def _q_degree(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_degree_distribution(sf_dir: str) -> pd.DataFrame:
+    """Stats-mode distribution summary of unweighted out-degree (the
+    reference's `.stats` mode — PageRankDistributionComputer.java:44):
+    one row of n/min/max/mean_ppm + discrete percentiles, computed by a
+    distributed sort + order-statistic lookups (no driver column)."""
+    import ray.data as rd
+
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+    from graph_data_science_ray.stages.stats import distribution_summary
+
+    b = _bundle(sf_dir)
+    ones = b["enc"].map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["src"].astype(np.int64),
+             "d": np.ones(len(df), dtype=np.int64)}
+        ),
+        batch_format="pandas",
+    )
+    base = rd.from_pandas(
+        pd.DataFrame(
+            {"node": np.arange(len(b["idmap"]), dtype=np.int64),
+             "d": np.zeros(len(b["idmap"]), dtype=np.int64)}
+        )
+    )
+    deg = hash_aggregate(base.union(ones), ["node"], "d", op="sum",
+                         num_parts=8, out_col="deg")
+    return distribution_summary(deg, "deg")
+
+
 def _q_pagerank(sf_dir: str) -> pd.DataFrame:
     import graph_data_science_ray as gdsr
 
@@ -2808,6 +2837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edges": _q_edges,
         "edges_distributed": _q_edges_distributed,
         "degree": _q_degree,
+        "degree_distribution": _q_degree_distribution,
         "pagerank": _q_pagerank,
         "article_rank": _q_article_rank,
         "eigenvector": _q_eigenvector,
@@ -3036,6 +3066,27 @@ def oracle_sql() -> dict[str, str]:
         "FROM nodes n LEFT JOIN (SELECT src AS node, sum(weight) AS wdeg "
         "FROM edges GROUP BY src) o USING(node)"
     )
+
+    sqls["degree_distribution"] = f"""
+WITH {_GRAPH_CTE},
+deg AS (
+    SELECT CAST(coalesce(o.d, 0) AS BIGINT) AS d
+    FROM nodes n LEFT JOIN (
+        SELECT src AS node, count(*) AS d FROM edges GROUP BY src
+    ) o USING(node)
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(min(d) AS BIGINT) AS min_value,
+       CAST(max(d) AS BIGINT) AS max_value,
+       CAST(1000000 * sum(d) // count(*) AS BIGINT) AS mean_ppm,
+       CAST(quantile_disc(d, 0.5) AS BIGINT) AS p5,
+       CAST(quantile_disc(d, 0.75) AS BIGINT) AS p75,
+       CAST(quantile_disc(d, 0.9) AS BIGINT) AS p9,
+       CAST(quantile_disc(d, 0.95) AS BIGINT) AS p95,
+       CAST(quantile_disc(d, 0.99) AS BIGINT) AS p99,
+       CAST(quantile_disc(d, 0.999) AS BIGINT) AS p999
+FROM deg
+"""
 
     sqls["median_neighbor"] = (
         f"WITH {_GRAPH_CTE} "

@@ -148,6 +148,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # round-4 curation batch
         "tf_idf_topk", "unigram_nll", "bm25_topk", "token_repetition",
         "semantic_dedup", "stratified_sample",
+        # round-4 late additions
+        "all_shortest_paths", "decontaminate", "deterministic_shuffle",
+        "training_mix",
     ):
         timed(name, lambda n=name: q[n](sf_dir))
 

@@ -97,6 +97,7 @@ _ORACLE_CHECKED = [
     "decontaminate",
     "deterministic_shuffle",
     "training_mix",
+    "degree_distribution",
 ]
 
 

@@ -609,3 +609,22 @@ def test_decontaminate_planted(ray_session):
     assert list(out["contaminated"]) == [1, 0, 1, 0]
     assert out.loc[0, "hits"] == 1  # "quick brown fox"
     assert out.loc[2, "hits"] == 1  # whole-doc shingle exact match
+
+
+def test_distribution_summary_order_stats(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.stats import distribution_summary
+
+    vals = np.arange(100, dtype=np.int64)  # 0..99
+    rng = np.random.RandomState(0)
+    rng.shuffle(vals)
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(7)
+    out = distribution_summary(ds, "v")
+    r = out.iloc[0]
+    assert r["n"] == 100 and r["min_value"] == 0 and r["max_value"] == 99
+    assert r["mean_ppm"] == 1_000_000 * 4950 // 100
+    # ceil(q*n)-1 on 0..99: p50 -> idx 49, p75 -> 74, p90 -> 89, p999 -> 99
+    assert r["p5"] == 49 and r["p75"] == 74 and r["p9"] == 89
+    assert r["p95"] == 94 and r["p99"] == 98 and r["p999"] == 99
