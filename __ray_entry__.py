@@ -162,6 +162,29 @@ def _q_degree_distribution(sf_dir: str) -> pd.DataFrame:
     return distribution_summary(deg, "deg")
 
 
+def _q_component_size_distribution(sf_dir: str) -> pd.DataFrame:
+    """Stats-mode summary of WCC component sizes (the reference's
+    `.stats` community-count histograms) — exact integer order
+    statistics via `distribution_summary`."""
+    import ray.data as rd
+
+    import graph_data_science_ray as gdsr
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+    from graph_data_science_ray.stages.stats import distribution_summary
+
+    b = _bundle(sf_dir)
+    comp = gdsr.wcc(b["gu"])
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {"component": comp["component"].astype(str),
+             "one": np.ones(len(comp), dtype=np.int64)}
+        )
+    )
+    sizes = hash_aggregate(ds, ["component"], "one", op="sum",
+                           num_parts=8, out_col="sz")
+    return distribution_summary(sizes, "sz")
+
+
 def _q_pagerank(sf_dir: str) -> pd.DataFrame:
     import graph_data_science_ray as gdsr
 
@@ -2838,6 +2861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edges_distributed": _q_edges_distributed,
         "degree": _q_degree,
         "degree_distribution": _q_degree_distribution,
+        "component_size_distribution": _q_component_size_distribution,
         "pagerank": _q_pagerank,
         "article_rank": _q_article_rank,
         "eigenvector": _q_eigenvector,
@@ -3153,6 +3177,29 @@ reach AS (
     SELECT u.dst AS node, r.lab FROM reach r JOIN und u ON u.src = r.node
 )
 SELECT node, min(lab) AS component FROM reach GROUP BY node
+"""
+
+    sqls["component_size_distribution"] = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach AS (
+    SELECT node, node AS lab FROM nodes
+    UNION
+    SELECT u.dst AS node, r.lab FROM reach r JOIN und u ON u.src = r.node
+),
+comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+sz AS (SELECT CAST(count(*) AS BIGINT) AS s FROM comp GROUP BY component)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(min(s) AS BIGINT) AS min_value,
+       CAST(max(s) AS BIGINT) AS max_value,
+       CAST(1000000 * sum(s) // count(*) AS BIGINT) AS mean_ppm,
+       CAST(quantile_disc(s, 0.5) AS BIGINT) AS p5,
+       CAST(quantile_disc(s, 0.75) AS BIGINT) AS p75,
+       CAST(quantile_disc(s, 0.9) AS BIGINT) AS p9,
+       CAST(quantile_disc(s, 0.95) AS BIGINT) AS p95,
+       CAST(quantile_disc(s, 0.99) AS BIGINT) AS p99,
+       CAST(quantile_disc(s, 0.999) AS BIGINT) AS p999
+FROM sz
 """
 
     sqls["label_propagation"] = f"""

@@ -98,6 +98,7 @@ _ORACLE_CHECKED = [
     "deterministic_shuffle",
     "training_mix",
     "degree_distribution",
+    "component_size_distribution",
 ]
 
 
