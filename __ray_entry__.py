@@ -197,6 +197,27 @@ def _q_pagerank(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_pagerank_distribution(sf_dir: str) -> pd.DataFrame:
+    """The reference's PageRankDistributionComputer.java:44 stats mode:
+    n/min/max + discrete percentiles of the (rounded) score vector.
+    Every reported value IS one of the per-node scores the `pagerank`
+    oracle already exact-matches, so the summary hash-matches too (no
+    re-associated float mean — see distribution_summary(integer=False))."""
+    import ray.data as rd
+
+    import graph_data_science_ray as gdsr
+    from graph_data_science_ray.stages.stats import distribution_summary
+
+    b = _bundle(sf_dir)
+    res = gdsr.pagerank(
+        b["gd"], damping=0.85, tolerance=0.0, max_iterations=_PR_ITERS + 1, weighted=True
+    )
+    ds = rd.from_pandas(
+        pd.DataFrame({"score": np.round(res["score"].to_numpy(), 6)})
+    )
+    return distribution_summary(ds, "score", integer=False)
+
+
 def _q_wcc(sf_dir: str) -> pd.DataFrame:
     import graph_data_science_ray as gdsr
 
@@ -2862,6 +2883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree": _q_degree,
         "degree_distribution": _q_degree_distribution,
         "component_size_distribution": _q_component_size_distribution,
+        "pagerank_distribution": _q_pagerank_distribution,
         "pagerank": _q_pagerank,
         "article_rank": _q_article_rank,
         "eigenvector": _q_eigenvector,
@@ -3137,6 +3159,37 @@ pr AS (
     GROUP BY p.it, f.dst
 )
 SELECT node, round(rank, 6) AS score FROM pr WHERE it = {_PR_ITERS}
+"""
+
+    sqls["pagerank_distribution"] = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+outdeg AS (SELECT src AS node, sum(weight) AS wdeg FROM edges GROUP BY src),
+fan AS (
+    SELECT e.src AS src, e.dst AS dst, e.weight / o.wdeg AS frac, FALSE AS is_self
+    FROM edges e JOIN outdeg o ON o.node = e.src
+    UNION ALL
+    SELECT node, node, 0.0, TRUE FROM nodes
+),
+pr AS (
+    SELECT 0 AS it, node, CAST(0.15 AS DOUBLE) AS rank FROM nodes
+    UNION ALL
+    SELECT p.it + 1 AS it, f.dst AS node,
+           0.15 + 0.85 * sum(CASE WHEN f.is_self THEN 0.0 ELSE p.rank * f.frac END) AS rank
+    FROM pr p JOIN fan f ON f.src = p.node
+    WHERE p.it < {_PR_ITERS}
+    GROUP BY p.it, f.dst
+),
+sc AS (SELECT round(rank, 6) AS s FROM pr WHERE it = {_PR_ITERS})
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(min(s) AS DOUBLE) AS min_value,
+       CAST(max(s) AS DOUBLE) AS max_value,
+       CAST(quantile_disc(s, 0.5) AS DOUBLE) AS p5,
+       CAST(quantile_disc(s, 0.75) AS DOUBLE) AS p75,
+       CAST(quantile_disc(s, 0.9) AS DOUBLE) AS p9,
+       CAST(quantile_disc(s, 0.95) AS DOUBLE) AS p95,
+       CAST(quantile_disc(s, 0.99) AS DOUBLE) AS p99,
+       CAST(quantile_disc(s, 0.999) AS DOUBLE) AS p999
+FROM sc
 """
 
     sqls["article_rank"] = f"""

@@ -44,17 +44,25 @@ def distribution_summary(
     ds: rd.Dataset,
     col: str,
     percentiles: tuple = DEFAULT_PERCENTILES,
+    integer: bool = True,
 ) -> pd.DataFrame:
-    """One-row summary of an integer-valued column: n, min, max,
-    mean_ppm, and ``p<q>`` discrete percentiles (quantile_disc
-    semantics). All outputs are int64 — hash-stable against SQL."""
+    """One-row summary of a column: n, min, max, and ``p<q>`` discrete
+    percentiles (quantile_disc semantics).
+
+    ``integer=True`` (default) treats the column as integer-valued and
+    adds exact ``mean_ppm = 1e6·sum // n`` — everything int64.
+    ``integer=False`` (float columns, e.g. PageRank scores) keeps the
+    order-statistic values as float64 and OMITS the mean: every reported
+    number is then one of the per-row values, so it hash-matches SQL
+    whenever the per-row values do — a summed mean would re-associate
+    float additions and break exact comparison.
+    """
     refs = ds.sort([col]).to_pandas_refs()
     stats = ray.get([_block_count_sum.remote(r, col) for r in refs])
     counts = np.array([s[0] for s in stats], dtype=np.int64)
     total = int(counts.sum())
     if total == 0:
         raise ValueError("distribution_summary over an empty dataset")
-    s = int(sum(x[1] for x in stats))
     offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
 
     def fetch(global_idx: int):
@@ -65,12 +73,15 @@ def distribution_summary(
         min(int(np.ceil(q * total)) - 1, total - 1) for q in percentiles
     ]
     vals = ray.get([fetch(i) for i in want])
+    cast = np.int64 if integer else np.float64
     row = {
         "n": np.int64(total),
-        "min_value": np.int64(vals[0]),
-        "max_value": np.int64(vals[1]),
-        "mean_ppm": np.int64(1_000_000 * s // total),
+        "min_value": cast(vals[0]),
+        "max_value": cast(vals[1]),
     }
+    if integer:
+        s = int(sum(x[1] for x in stats))
+        row["mean_ppm"] = np.int64(1_000_000 * s // total)
     for q, v in zip(percentiles, vals[2:]):
-        row[f"p{str(q)[2:]}"] = np.int64(v)
+        row[f"p{str(q)[2:]}"] = cast(v)
     return pd.DataFrame([row])

@@ -99,6 +99,7 @@ _ORACLE_CHECKED = [
     "training_mix",
     "degree_distribution",
     "component_size_distribution",
+    "pagerank_distribution",
 ]
 
 
