@@ -930,6 +930,21 @@ def _q_closeness(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_closeness_wf(sf_dir: str) -> pd.DataFrame:
+    """Wasserman-Faust closeness (the reference's useWassermanFaust
+    formula: (r−1)/Σd · (r−1)/(V−1)) as exact integer ppm."""
+    from graph_data_science_ray.functions.closeness import closeness_harmonic
+
+    b = _bundle(sf_dir)
+    out = closeness_harmonic(b["gu"], wasserman_faust=True)
+    return pd.DataFrame(
+        {
+            "node": _strip(out["node"]),
+            "closeness_wf_ppm": out["closeness_wf_ppm"].astype(np.int64),
+        }
+    )
+
+
 def _q_fastrp(sf_dir: str) -> pd.DataFrame:
     from graph_data_science_ray.functions.fastrp import fastrp
 
@@ -2908,6 +2923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": _q_kmeans_assign,
         "kmeans": _q_kmeans,
         "closeness": _q_closeness,
+        "closeness_wf": _q_closeness_wf,
         "fastrp": _q_fastrp,
         "louvain": _q_louvain,
         "leiden": _q_leiden,
@@ -3565,6 +3581,30 @@ SELECT s AS node,
            AS closeness_ppm,
        CAST(harm AS BIGINT) AS harmonic_ppm,
        CAST(reached AS BIGINT) AS reached
+FROM agg ORDER BY node
+"""
+
+    sqls["closeness_wf"] = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+und AS (
+    SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+    )
+),
+r AS (
+    SELECT node AS s, node AS v, 0 AS d FROM nodes
+    UNION
+    SELECT r.s, u.dst AS v, r.d + 1 FROM r JOIN und u ON u.src = r.v WHERE r.d < 20
+),
+dm AS (SELECT s, v, min(d) AS d FROM r GROUP BY s, v),
+agg AS (
+    SELECT s, count(*) - 1 AS reached, sum(d) AS sumd FROM dm GROUP BY s
+)
+SELECT s AS node,
+       CAST(CASE WHEN sumd > 0
+            THEN (1000000 * reached * reached)
+                 // (sumd * ((SELECT count(*) FROM nodes) - 1))
+            ELSE 0 END AS BIGINT) AS closeness_wf_ppm
 FROM agg ORDER BY node
 """
 

@@ -72,13 +72,21 @@ class MsbfsWave(PregelComputation):
         return stats.get("init") is None and stats.get("changed", 1) == 0
 
 
-def closeness_harmonic(graph, sources: np.ndarray | None = None) -> pd.DataFrame:
+def closeness_harmonic(
+    graph, sources: np.ndarray | None = None, wasserman_faust: bool = False
+) -> pd.DataFrame:
     """Closeness + harmonic centrality (integer ppm) for ``sources``
-    (default: every node) over an undirected projection."""
+    (default: every node) over an undirected projection.
+
+    ``wasserman_faust=True`` adds the reference's improved formula
+    (closeness/WassermanFaustCentralityComputer.java:33 —
+    ``(r−1)/Σd · (r−1)/(V−1)``) as ``closeness_wf_ppm =
+    1e6·(r−1)² // (Σd·(V−1))`` — exact integer arithmetic."""
     if sources is None:
         sources = np.arange(graph.node_count, dtype=np.int64)
     sources = np.asarray(sources, dtype=np.int64)
     rows_src, rows_close, rows_harm, rows_reached = [], [], [], []
+    rows_wf: list = []
     for w0 in range(0, len(sources), 64):
         wave = sources[w0 : w0 + 64]
         engine = Pregel(graph, MsbfsWave(wave))
@@ -99,6 +107,15 @@ def closeness_harmonic(graph, sources: np.ndarray | None = None) -> pd.DataFrame
         rows_close.append(close)
         rows_harm.append(harm[:k])
         rows_reached.append(reached[:k])
+        if wasserman_faust:
+            rows_wf.append(
+                np.where(
+                    dist[:k] > 0,
+                    (1_000_000 * reached[:k] * reached[:k])
+                    // np.maximum(dist[:k] * (graph.node_count - 1), 1),
+                    0,
+                )
+            )
     src = np.concatenate(rows_src)
     out = pd.DataFrame(
         {
@@ -108,4 +125,6 @@ def closeness_harmonic(graph, sources: np.ndarray | None = None) -> pd.DataFrame
             "reached": np.concatenate(rows_reached).astype(np.int64),
         }
     )
+    if wasserman_faust:
+        out["closeness_wf_ppm"] = np.concatenate(rows_wf).astype(np.int64)
     return out

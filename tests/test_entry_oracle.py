@@ -100,6 +100,7 @@ _ORACLE_CHECKED = [
     "degree_distribution",
     "component_size_distribution",
     "pagerank_distribution",
+    "closeness_wf",
 ]
 
 
