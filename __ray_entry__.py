@@ -325,6 +325,25 @@ def _q_apsp_weighted(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_hop_distribution(sf_dir: str) -> pd.DataFrame:
+    """Distribution of pairwise hop distances from the sampled-source
+    APSP stream (p9 ≈ the sampled effective diameter) — MSBFS waves +
+    order-statistic summary, all integers."""
+    import ray.data as rd
+
+    from graph_data_science_ray.functions.apsp import all_shortest_paths
+    from graph_data_science_ray.stages.stats import distribution_summary
+
+    b = _bundle(sf_dir)
+    res = all_shortest_paths(
+        b["gd"], sources=np.arange(_APSP_SOURCES, dtype=np.int64), weighted=False
+    )
+    ds = rd.from_pandas(
+        pd.DataFrame({"d": res["distance"].to_numpy().astype(np.int64)})
+    )
+    return distribution_summary(ds, "d")
+
+
 def _q_bfs(sf_dir: str) -> pd.DataFrame:
     from graph_data_science_ray.functions.sssp import bfs_depths
 
@@ -2910,6 +2929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp": _q_sssp,
         "all_shortest_paths": _q_all_shortest_paths,
         "apsp_weighted": _q_apsp_weighted,
+        "hop_distribution": _q_hop_distribution,
         "bfs": _q_bfs,
         "k_core": _q_kcore,
         "node_similarity": _q_node_similarity,
@@ -3387,6 +3407,36 @@ dist AS (
     GROUP BY p.it, p.source, f.dst
 )
 SELECT source, target, d AS distance FROM dist WHERE it = {_SSSP_ROUNDS}
+"""
+
+    sqls["hop_distribution"] = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+srcs AS (SELECT node FROM nodes ORDER BY node LIMIT {_APSP_SOURCES}),
+fan AS (
+    SELECT src, dst, 1.0 AS w FROM edges
+    UNION ALL
+    SELECT node, node, 0.0 FROM nodes
+),
+dist AS (
+    SELECT 0 AS it, node AS source, node AS target, CAST(0 AS DOUBLE) AS d FROM srcs
+    UNION ALL
+    SELECT p.it + 1 AS it, p.source AS source, f.dst AS target, min(p.d + f.w) AS d
+    FROM dist p JOIN fan f ON f.src = p.target
+    WHERE p.it < {_SSSP_ROUNDS}
+    GROUP BY p.it, p.source, f.dst
+),
+hd AS (SELECT CAST(d AS BIGINT) AS h FROM dist WHERE it = {_SSSP_ROUNDS})
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(min(h) AS BIGINT) AS min_value,
+       CAST(max(h) AS BIGINT) AS max_value,
+       CAST(1000000 * sum(h) // count(*) AS BIGINT) AS mean_ppm,
+       CAST(quantile_disc(h, 0.5) AS BIGINT) AS p5,
+       CAST(quantile_disc(h, 0.75) AS BIGINT) AS p75,
+       CAST(quantile_disc(h, 0.9) AS BIGINT) AS p9,
+       CAST(quantile_disc(h, 0.95) AS BIGINT) AS p95,
+       CAST(quantile_disc(h, 0.99) AS BIGINT) AS p99,
+       CAST(quantile_disc(h, 0.999) AS BIGINT) AS p999
+FROM hd
 """
 
     sqls["apsp_weighted"] = f"""

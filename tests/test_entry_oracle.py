@@ -101,6 +101,7 @@ _ORACLE_CHECKED = [
     "component_size_distribution",
     "pagerank_distribution",
     "closeness_wf",
+    "hop_distribution",
 ]
 
 
