@@ -3911,6 +3911,45 @@ SELECT doc_id, pos, n_tokens, "offset" // 512 AS seq_id, "offset"
 FROM packed ORDER BY pos
 """
 
+    sqls["lang_id"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(
+           regexp_extract_all(coalesce(text, ''),
+             '[a-zA-Zàâçéèêëîïôûùüáíóúñäöß]+'),
+           x -> lower(x)) AS toks
+  FROM documents
+),
+f AS (SELECT doc_id, len(toks) AS cnt, unnest(toks) AS w FROM t WHERE len(toks) > 0),
+s AS (
+  SELECT doc_id, any_value(cnt) AS cnt,
+    sum(CASE WHEN w IN ('der','die','das','und','in','den','von','zu','mit','ist') THEN 1 ELSE 0 END) AS h_de,
+    sum(CASE WHEN w IN ('the','a','of','to','and','in','is','it','that','for') THEN 1 ELSE 0 END) AS h_en,
+    sum(CASE WHEN w IN ('el','la','de','que','y','en','un','una','es','los') THEN 1 ELSE 0 END) AS h_es,
+    sum(CASE WHEN w IN ('le','la','de','et','les','des','un','une','est','que') THEN 1 ELSE 0 END) AS h_fr
+  FROM f GROUP BY doc_id
+),
+sc AS (
+  SELECT d.doc_id,
+         coalesce(s.h_de, 0) / CAST(greatest(coalesce(s.cnt, 0), 1) AS DOUBLE) AS s_de,
+         coalesce(s.h_en, 0) / CAST(greatest(coalesce(s.cnt, 0), 1) AS DOUBLE) AS s_en,
+         coalesce(s.h_es, 0) / CAST(greatest(coalesce(s.cnt, 0), 1) AS DOUBLE) AS s_es,
+         coalesce(s.h_fr, 0) / CAST(greatest(coalesce(s.cnt, 0), 1) AS DOUBLE) AS s_fr
+  FROM (SELECT doc_id FROM documents) d LEFT JOIN s USING(doc_id)
+),
+sel AS (
+  SELECT doc_id,
+    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         WHEN s_es >= s_fr THEN 'es'
+         ELSE 'fr' END AS blang,
+    greatest(s_de, s_en, s_es, s_fr) AS bscore
+  FROM sc
+)
+SELECT doc_id, CASE WHEN bscore > 0.02 THEN blang ELSE 'unk' END AS lang_pred
+FROM sel ORDER BY doc_id
+"""
+
     sqls["token_count"] = (
         "SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), "
         "x -> x <> '')) AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id"

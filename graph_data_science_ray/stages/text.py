@@ -119,7 +119,9 @@ class LangId:
     nothing matches. Vectorized across the batch: one tokenize pass, one
     exploded token table, per-language membership via ``np.isin`` and
     per-doc ratios via ``bincount``. A heuristic stage, not a model —
-    exercised as a rows-only query (no SQL oracle)."""
+    but fully deterministic, so the `lang_id` SQL oracle reproduces the
+    scores, first-max-in-sorted-lang-order tie rule, and 0.02 threshold
+    exactly."""
 
     def __init__(self):
         self.word = re.compile(r"[a-zA-Zàâçéèêëîïôûùüáíóúñäöüß]+")
