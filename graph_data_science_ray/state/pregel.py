@@ -124,6 +124,20 @@ class PregelComputation:
     def is_converged(self, stats: dict) -> bool:
         raise NotImplementedError
 
+    def master_compute(self, stats: dict, superstep: int) -> bool:
+        """Reference BasePregelComputation.masterCompute — called exactly
+        once on the driver after every superstep; return True to halt
+        (in ADDITION to ``is_converged``). Runs single-threaded with the
+        aggregated superstep stats, the reference's master-compute
+        contract. Driver-side mutations of ``self`` are NOT shipped to
+        workers mid-run (the computation object is broadcast once);
+        algorithms that need per-superstep re-broadcast state should
+        drive the loop with :meth:`Pregel.step` instead (the HITS
+        pattern). With lookahead pipelining a halt wastes at most
+        ``lookahead`` speculative supersteps, same as ``is_converged``.
+        """
+        return False
+
 
 # ---------------------------------------------------------------------------
 # remote kernels
@@ -734,11 +748,12 @@ class Pregel:
             final_refs = new_refs
             self.history.append(stats)
             states_by_iter.pop(it - 1, None)
+            halt = self.comp.is_converged(stats) or self.comp.master_compute(stats, it)
             if self.checkpoint_dir and (
-                it % self.checkpoint_interval == 0 or self.comp.is_converged(stats)
+                it % self.checkpoint_interval == 0 or halt
             ):
                 self._checkpoint(it, new_refs, stats)
-            if self.comp.is_converged(stats):
+            if halt:
                 break
         return final_refs
 

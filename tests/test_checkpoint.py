@@ -182,3 +182,28 @@ def test_pregel_queue_messenger_median(graph_from_edges, mode):
             assert med[v] == float(np.median(inn[v])), (v, med[v])
         else:
             assert np.isnan(med[v])
+
+
+def test_master_compute_halts(graph_from_edges):
+    """masterCompute contract: returning True after a superstep halts the
+    run before natural convergence (reference
+    BasePregelComputation.masterCompute)."""
+    from graph_data_science_ray.functions.wcc import WccComputation
+    from graph_data_science_ray.state.pregel import Pregel
+
+    class HaltAt3(WccComputation):
+        def master_compute(self, stats, superstep):
+            return superstep >= 3
+
+    # long path: WCC needs ~n supersteps to converge naturally
+    edges = [(i, i + 1) for i in range(12)]
+    _, gu, idmap, _, _ = graph_from_edges(edges)
+
+    full = Pregel(gu, WccComputation())
+    full.run(max_iterations=100)
+    n_full = len(full.history)
+
+    halted = Pregel(gu, HaltAt3())
+    halted.run(max_iterations=100)
+    assert len(halted.history) == 3  # supersteps 1..3, then master halt
+    assert n_full > 3
