@@ -133,6 +133,57 @@ def _q_degree(sf_dir: str) -> pd.DataFrame:
     )
 
 
+_TYPED: dict = {}
+
+
+def _typed_store(sf_dir: str):
+    """Cached multi-relationship-type store over the events adapter
+    (conversation == event_type == relationship type)."""
+    if sf_dir in _TYPED:
+        return _TYPED[sf_dir]
+    import graph_data_science_ray as gdsr
+    from graph_data_science_ray.pipelines.edges import derive_edges_typed
+    from graph_data_science_ray.state.typed import TypedGraphStore
+
+    b = _bundle(sf_dir)
+    ts = gdsr.events_as_transcripts(sf_dir)
+    turns = gdsr.derive_turns(ts).materialize()
+    typed = derive_edges_typed(turns, b["idmap"], num_partitions=8)
+    root = tempfile.mkdtemp(prefix="gdsr-typed-", dir="/tmp")
+    store = TypedGraphStore(typed, root, idmap=b["idmap"], num_partitions=8,
+                            directed=True)
+    _TYPED[sf_dir] = store
+    return store
+
+
+def _q_typed_edge_counts(sf_dir: str) -> pd.DataFrame:
+    """Per-relationship-type edge counts from the multi-type store (the
+    reference's GraphStore relationship-type map surface)."""
+    out = _typed_store(sf_dir).edge_counts()
+    return pd.DataFrame(
+        {
+            "rel_type": out["rel_type"].astype(str),
+            "n_edges": out["n_edges"].astype(np.int64),
+            "total_weight": out["total_weight"].astype(np.int64),
+        }
+    )
+
+
+def _q_pagerank_typed(sf_dir: str) -> pd.DataFrame:
+    """PageRank on a two-type union selection (relationshipTypes=
+    ['click','view']) — the reference's getGraph(relTypes) contract."""
+    import graph_data_science_ray as gdsr
+
+    store = _typed_store(sf_dir)
+    g = store.graph(["click", "view"])
+    res = gdsr.pagerank(
+        g, damping=0.85, tolerance=0.0, max_iterations=_PR_ITERS + 1, weighted=True
+    )
+    return pd.DataFrame(
+        {"node": _strip(res["node"]), "score": np.round(res["score"].to_numpy(), 6)}
+    )
+
+
 def _q_degree_distribution(sf_dir: str) -> pd.DataFrame:
     """Stats-mode distribution summary of unweighted out-degree (the
     reference's `.stats` mode — PageRankDistributionComputer.java:44):
@@ -2918,6 +2969,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_distribution": _q_degree_distribution,
         "component_size_distribution": _q_component_size_distribution,
         "pagerank_distribution": _q_pagerank_distribution,
+        "typed_edge_counts": _q_typed_edge_counts,
+        "pagerank_typed": _q_pagerank_typed,
         "pagerank": _q_pagerank,
         "article_rank": _q_article_rank,
         "eigenvector": _q_eigenvector,
@@ -3226,6 +3279,61 @@ SELECT CAST(count(*) AS BIGINT) AS n,
        CAST(quantile_disc(s, 0.99) AS DOUBLE) AS p99,
        CAST(quantile_disc(s, 0.999) AS DOUBLE) AS p999
 FROM sc
+"""
+
+    sqls["typed_edge_counts"] = """
+WITH turns AS (
+    SELECT event_type AS conv,
+           row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS idx,
+           CAST(user_id AS VARCHAR) AS actor
+    FROM events
+),
+tpairs AS (
+    SELECT a.conv AS rel_type, a.actor AS src, b.actor AS dst
+    FROM turns a JOIN turns b ON a.conv = b.conv AND b.idx = a.idx + 1
+    WHERE a.actor <> b.actor
+),
+tedges AS (
+    SELECT rel_type, src, dst, count(*) AS w FROM tpairs GROUP BY 1, 2, 3
+)
+SELECT rel_type, CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(w) AS BIGINT) AS total_weight
+FROM tedges GROUP BY rel_type ORDER BY rel_type
+"""
+
+    sqls["pagerank_typed"] = f"""
+WITH RECURSIVE turns AS (
+    SELECT event_type AS conv,
+           row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS idx,
+           CAST(user_id AS VARCHAR) AS actor
+    FROM events
+),
+nodes AS (SELECT DISTINCT actor AS node FROM turns),
+tpairs AS (
+    SELECT a.actor AS src, b.actor AS dst
+    FROM turns a JOIN turns b ON a.conv = b.conv AND b.idx = a.idx + 1
+    WHERE a.actor <> b.actor AND a.conv IN ('click', 'view')
+),
+sedges AS (
+    SELECT src, dst, CAST(count(*) AS DOUBLE) AS weight FROM tpairs GROUP BY src, dst
+),
+outdeg AS (SELECT src AS node, sum(weight) AS wdeg FROM sedges GROUP BY src),
+fan AS (
+    SELECT e.src AS src, e.dst AS dst, e.weight / o.wdeg AS frac, FALSE AS is_self
+    FROM sedges e JOIN outdeg o ON o.node = e.src
+    UNION ALL
+    SELECT node, node, 0.0, TRUE FROM nodes
+),
+pr AS (
+    SELECT 0 AS it, node, CAST(0.15 AS DOUBLE) AS rank FROM nodes
+    UNION ALL
+    SELECT p.it + 1 AS it, f.dst AS node,
+           0.15 + 0.85 * sum(CASE WHEN f.is_self THEN 0.0 ELSE p.rank * f.frac END) AS rank
+    FROM pr p JOIN fan f ON f.src = p.node
+    WHERE p.it < {_PR_ITERS}
+    GROUP BY p.it, f.dst
+)
+SELECT node, round(rank, 6) AS score FROM pr WHERE it = {_PR_ITERS}
 """
 
     sqls["article_rank"] = f"""

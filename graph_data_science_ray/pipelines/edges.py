@@ -1290,3 +1290,103 @@ def sorted_transcript_view(transcripts: rd.Dataset) -> rd.Dataset:
     BASELINE.json input_hint) is asserted against this view in tests.
     """
     return transcripts.sort(["conv_id", "turn_idx"])
+
+
+def derive_edges_typed(
+    turns: rd.Dataset, idmap: IdMap, num_partitions: int = 64,
+) -> rd.Dataset:
+    """Multi-relationship-type edge derivation: ``(rel_type, src, dst,
+    weight)`` with one row per (type, src, dst).
+
+    The reference's GraphStore keys relationships by RelationshipType
+    (core/loading/CSRGraphStore.java:80-92 — ``Map<RelationshipType,
+    SingleTypeRelationships>``); here the type of an interaction edge is
+    the conversation's type. The events adapter maps each event_type
+    stream to one conversation, so ``conv_id`` IS the relationship type
+    there; transcript corpora with a separate type column can rename it
+    into ``conv_id``'s role via a pre-projection.
+
+    Same shuffle shape as ``derive_edges_encoded_grouped`` (conversations
+    hash-partition; each group sorts locally and pairs adjacent turns),
+    with the type string carried on the per-group partial counts and the
+    final combine keyed by (type, packed src·V+dst).
+    """
+    import pandas as pd
+
+    from graph_data_science_ray._util import splitmix64
+
+    V = len(idmap)
+    _check_packable(V)
+    keys_ref = idmap.arrow_ref
+
+    def add_ids(t: pa.Table) -> pa.Table:
+        ka = ray.get(keys_ref)
+        idx = pc.index_in(t["actor"], value_set=ka)
+        if idx.null_count:
+            raise KeyError("dangling actor key during typed derivation")
+        conv = np.asarray(t["conv_id"].to_numpy(zero_copy_only=False), dtype=object)
+        h = pd.util.hash_array(conv)
+        part = (h % np.uint64(num_partitions)).astype(np.int32)
+        aid_type = pa.int32() if V < 2**31 else pa.int64()
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "aid": idx.cast(aid_type),
+                "part": pa.array(part),
+            }
+        )
+
+    def pair_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy()
+        aid = g["aid"].to_numpy(dtype=np.int64)
+        same = conv[1:] == conv[:-1]
+        s = aid[:-1][same]
+        d = aid[1:][same]
+        rt = conv[:-1][same]
+        keep = s != d
+        key = s[keep] * V + d[keep]
+        out = (
+            pd.DataFrame({"rel_type": rt[keep], "key": key})
+            .groupby(["rel_type", "key"], sort=False)
+            .size()
+            .reset_index(name="partial")
+        )
+        out["partial"] = out["partial"].astype(np.int32)
+        return out
+
+    partials = (
+        turns.map_batches(add_ids, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pair_group, batch_format="pandas")
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        part = (
+            splitmix64(t["key"].to_numpy(zero_copy_only=False).astype(np.uint64))
+            % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return t.append_column("kpart", pa.array(part))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.groupby(["rel_type", "key"], sort=False)["partial"]
+            .sum()
+            .reset_index()
+        )
+        k = agg["key"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "rel_type": agg["rel_type"],
+                "src": k // V,
+                "dst": k % V,
+                "weight": agg["partial"].astype(np.float64),
+            }
+        )
+
+    return (
+        partials.map_batches(tag, batch_format="pyarrow")
+        .groupby("kpart")
+        .map_groups(combine, batch_format="pandas")
+    )

@@ -319,3 +319,45 @@ def test_feature_backfill_small_fixture():
     r5 = out[out["event_id"] == 5].iloc[0]
     assert r5["f_window_start"] == 0
     assert r5["f_n"] == 2 and r5["f_value_sum"] == 5.0
+
+
+def test_typed_derivation_and_selection(ray_session, tmp_path):
+    """Multi-relationship-type store: typed edges partition the untyped
+    edge multiset, and a type selection projects only its union."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    import graph_data_science_ray as gdsr
+    from graph_data_science_ray.pipelines.edges import derive_edges_typed
+    from graph_data_science_ray.state.typed import TypedGraphStore
+
+    # two conversations = two relationship types, shared actors
+    rows = []
+    for conv, seq in (("typeA", [0, 1, 2, 1]), ("typeB", [1, 2, 0])):
+        for i, a in enumerate(seq):
+            rows.append({"conv_id": conv, "turn_idx": i, "role": f"n{a:04d}",
+                         "text": "", "tool": None,
+                         "ts": pd.Timestamp("2024-01-01")})
+    t = pa.Table.from_pandas(pd.DataFrame(rows))
+    turns = gdsr.derive_turns(rd.from_arrow(t)).materialize()
+    idmap = gdsr.IdMap.from_turns(turns)
+    typed = derive_edges_typed(turns, idmap, num_partitions=2)
+    store = TypedGraphStore(typed, str(tmp_path / "ts"), idmap=idmap,
+                            num_partitions=2, directed=True)
+    assert store.types() == ["typeA", "typeB"]
+    counts = store.edge_counts().set_index("rel_type")
+    assert counts.loc["typeA", "n_edges"] == 3   # 0->1,1->2,2->1
+    assert counts.loc["typeB", "n_edges"] == 2   # 1->2,2->0
+
+    # typed union == untyped derivation
+    untyped = gdsr.encode_edges(gdsr.derive_edges(turns, 2), idmap).to_pandas()
+    union = store.graph()  # all types
+    assert union.edge_count == len(untyped)
+
+    # single-type selection only sees its edges
+    ga = store.graph(["typeA"])
+    assert ga.edge_count == 3
+    # PageRank runs on the selection without error
+    pr = gdsr.pagerank(ga, max_iterations=5)
+    assert len(pr) == len(idmap)

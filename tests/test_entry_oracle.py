@@ -103,6 +103,8 @@ _ORACLE_CHECKED = [
     "closeness_wf",
     "hop_distribution",
     "lang_id",
+    "typed_edge_counts",
+    "pagerank_typed",
 ]
 
 
