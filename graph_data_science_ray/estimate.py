@@ -61,6 +61,8 @@ _ESTIMATES = {
     "hashgnn": (0.0, 0.0),  # dominated by dim * i64 per node (see below)
     "node2vec": (0.0, 0.0),  # dominated by 2 * dim * f64 per node (see below)
     "knn_descent": (0.0, 0.0),  # dominated by dim * f64 + k candidates
+    "all_shortest_paths": (0.0, 0.0),  # dominated by wave width (see below)
+    "betweenness": (4 * _F64, 0.0),  # sigma + delta + dist + partial scores
 }
 
 # algorithms whose per-node state scales with a dimension-like parameter
@@ -70,6 +72,9 @@ _DIM_SCALED = {
     "hashgnn": ("dim", 16, lambda d: 2 * d * _I64),
     "sllpa": ("rounds", 20, lambda r: (r + 1) * _I64),
     "knn_descent": ("k", 10, lambda k: 64 * _F64 + 3 * k * _I64),
+    # unweighted wave: uint64 seen/frontier + (wave<=64) int32 hop matrix;
+    # weighted wave: (wave) f64 distance matrix
+    "all_shortest_paths": ("wave", 64, lambda w: 2 * _I64 + w * _I32),
 }
 
 
