@@ -40,6 +40,8 @@ from graph_data_science_ray.pipelines.edges import (
 from graph_data_science_ray.state.graph import GraphStore
 from graph_data_science_ray.state.catalog import GraphCatalog
 from graph_data_science_ray.state.models import Model, ModelCatalog
+from graph_data_science_ray.state.graph import export_csv, import_csv
+from graph_data_science_ray.state.typed import TypedGraphStore
 from graph_data_science_ray.state.pregel import Pregel, PregelComputation, TerminationFlag
 from graph_data_science_ray.functions.pagerank import pagerank
 from graph_data_science_ray.functions.wcc import wcc
@@ -98,6 +100,9 @@ __all__ = [
     "GraphCatalog",
     "Model",
     "ModelCatalog",
+    "TypedGraphStore",
+    "export_csv",
+    "import_csv",
     "pagerank",
     "wcc",
     "label_propagation",

@@ -434,3 +434,106 @@ class GraphStore:
         node = (self.idmap.keys if self.idmap is not None
                 else np.arange(self.node_count, dtype=np.int64))
         return pd.DataFrame({"node": node, name: vals})
+
+
+@ray.remote
+def _export_part_csv(block: dict, keys, out_path: str) -> int:
+    """Write one partition's relationships as CSV rows with ORIGINAL keys."""
+    import numpy as _np
+    import pandas as _pd
+
+    deg = block["degrees"]
+    src = _np.repeat(
+        _np.arange(block["start"], block["end"], dtype=_np.int64), deg
+    )
+    dst = block["indices"]
+    w = block["weights"]
+    ka = _np.asarray(keys)
+    _pd.DataFrame(
+        {"src": ka[src], "dst": ka[dst], "weight": w}
+    ).to_csv(out_path, index=False)
+    return len(src)
+
+
+def export_csv(graph: "GraphStore", out_dir: str) -> dict:
+    """CSV export of a projected graph — the reference's
+    CsvGraphStoreExporter layout (io/csv/.../CsvGraphStoreExporter.java):
+    ``nodes.csv`` (node key + any mutated node properties),
+    ``relationships/part-*.csv`` (src, dst, weight with ORIGINAL keys,
+    one file per partition, written by per-partition Ray tasks — rows
+    never pass through the driver), and ``graph_info.json``. Round-trips
+    through :func:`import_csv`.
+    """
+    import pandas as _pd
+
+    os.makedirs(os.path.join(out_dir, "relationships"), exist_ok=True)
+    keys_ref = graph.idmap.arrow_ref if graph.idmap is not None else ray.put(
+        np.arange(graph.node_count, dtype=np.int64)
+    )
+    keys = (
+        graph.idmap.keys if graph.idmap is not None
+        else np.arange(graph.node_count, dtype=np.int64)
+    )
+    nodes = _pd.DataFrame({"node": keys})
+    for pname in graph.node_property_names():
+        nodes[pname] = graph.node_property(pname)
+    nodes.to_csv(os.path.join(out_dir, "nodes.csv"), index=False)
+    counts = ray.get(
+        [
+            _export_part_csv.remote(
+                ref, keys_ref,
+                os.path.join(out_dir, "relationships", f"part-{p}.csv"),
+            )
+            for p, ref in enumerate(graph.block_refs())
+        ]
+    )
+    info = {
+        "node_count": graph.node_count,
+        "edge_count": int(sum(counts)),
+        "directed": graph.directed,
+        "num_partitions": graph.num_partitions,
+    }
+    atomic_write_json(os.path.join(out_dir, "graph_info.json"), info)
+    return info
+
+
+def import_csv(csv_dir: str, path: str, num_partitions: int | None = None) -> "GraphStore":
+    """Rebuild a projected GraphStore from an :func:`export_csv` layout
+    (the reference's CsvFileInput import side). The relationships CSVs
+    stream through ``ray.data.read_csv`` → key encoding → projection; the
+    node CSV provides the full key vocabulary (so isolated nodes and
+    properties survive the round-trip)."""
+    import pandas as _pd
+    import ray.data as rd
+
+    from graph_data_science_ray.pipelines.edges import IdMap, encode_edges
+
+    info = read_json(os.path.join(csv_dir, "graph_info.json"))
+    nodes = _pd.read_csv(os.path.join(csv_dir, "nodes.csv"))
+    idmap = IdMap(np.asarray(nodes["node"].astype(str), dtype="U"))
+    edges = rd.read_csv(os.path.join(csv_dir, "relationships"))
+
+    def norm(t):
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        return _pa.table(
+            {
+                "src": _pc.cast(t["src"], _pa.string()),
+                "dst": _pc.cast(t["dst"], _pa.string()),
+                "weight": _pc.cast(t["weight"], _pa.float64()),
+            }
+        )
+
+    enc = encode_edges(
+        edges.map_batches(norm, batch_format="pyarrow"), idmap
+    ).materialize()
+    g = GraphStore.project(
+        enc, path, idmap=idmap,
+        num_partitions=num_partitions or info["num_partitions"],
+        directed=info["directed"],
+    )
+    for col in nodes.columns:
+        if col != "node":
+            g.add_node_property(col, nodes[col].to_numpy())
+    return g
