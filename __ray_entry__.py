@@ -1503,6 +1503,16 @@ def _q_quality(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "n_words", "n_alpha", "n_chars"]].reset_index(drop=True)
 
 
+def _q_normalize_text(sf_dir: str) -> pd.DataFrame:
+    """NFC + lowercase + whitespace-collapse normalization (exact)."""
+    from graph_data_science_ray.stages.text import normalize_text
+
+    return (
+        normalize_text(_docs(sf_dir)).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def _q_lang_id(sf_dir: str) -> pd.DataFrame:
     from graph_data_science_ray.stages.text import lang_id
 
@@ -3044,6 +3054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_audio": _q_media_audio,
         "quality_stats": _q_quality,
         "lang_id": _q_lang_id,
+        "normalize_text": _q_normalize_text,
         "minhash_near_dup": _q_minhash_pairs,
         "simhash": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -4056,6 +4067,12 @@ sel AS (
 )
 SELECT doc_id, CASE WHEN bscore > 0.02 THEN blang ELSE 'unk' END AS lang_pred
 FROM sel ORDER BY doc_id
+"""
+
+    sqls["normalize_text"] = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(nfc_normalize(coalesce(text, ''))), '\s+', ' ', 'g')) AS norm_text
+FROM documents ORDER BY doc_id
 """
 
     sqls["token_count"] = (

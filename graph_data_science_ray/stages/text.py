@@ -314,3 +314,29 @@ def ngram_topk(
     partials = _stage(docs, cls, concurrency, batch_size=4096)
     totals = hash_aggregate(partials, ["ngram"], "cnt", op="sum", num_parts=num_parts)
     return totals.sort(["cnt", "ngram"], descending=[True, False]).limit(int(k))
+
+
+class NormalizeText:
+    """Canonical text normalization for dedup/tokenization pipelines:
+    NFC unicode normalization, lowercasing, and whitespace collapse
+    (runs of whitespace → one space, stripped ends). Each step is
+    deliberately mirrored by a DuckDB builtin (nfc_normalize / lower /
+    regexp_replace + trim) so the `normalize_text` oracle is exact."""
+
+    def __init__(self):
+        self.ws = re.compile(r"\s+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import unicodedata
+
+        out = [
+            self.ws.sub(" ", unicodedata.normalize("NFC", t).lower()).strip()
+            for t in batch["text"].fillna("")
+        ]
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].astype(np.int64), "norm_text": out}
+        )
+
+
+def normalize_text(docs: rd.Dataset, concurrency: int | None = None) -> rd.Dataset:
+    return _stage(docs, NormalizeText, concurrency)

@@ -105,6 +105,7 @@ _ORACLE_CHECKED = [
     "lang_id",
     "typed_edge_counts",
     "pagerank_typed",
+    "normalize_text",
 ]
 
 
