@@ -1513,6 +1513,14 @@ def _q_normalize_text(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_chunk_documents(sf_dir: str) -> pd.DataFrame:
+    """Fixed-window chunking (32-token chunks, 8 overlap) — exact."""
+    from graph_data_science_ray.stages.text import chunk_documents
+
+    out = chunk_documents(_docs(sf_dir), chunk_tokens=32, overlap=8).to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
 def _q_lang_id(sf_dir: str) -> pd.DataFrame:
     from graph_data_science_ray.stages.text import lang_id
 
@@ -3055,6 +3063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats": _q_quality,
         "lang_id": _q_lang_id,
         "normalize_text": _q_normalize_text,
+        "chunk_documents": _q_chunk_documents,
         "minhash_near_dup": _q_minhash_pairs,
         "simhash": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -4073,6 +4082,26 @@ FROM sel ORDER BY doc_id
 SELECT doc_id,
        trim(regexp_replace(lower(nfc_normalize(coalesce(text, ''))), '\s+', ' ', 'g')) AS norm_text
 FROM documents ORDER BY doc_id
+"""
+
+    sqls["chunk_documents"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS arr
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(arr[(i*24+1):(i*24+32)], ' ') AS chunk_text,
+         least(32, len(arr) - i*24) AS n_tokens
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(0, CAST((len(arr)-1)//24 AS BIGINT))) AS i) g
+  WHERE len(arr) > 0
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_text,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM ch ORDER BY doc_id, chunk_idx
 """
 
     sqls["token_count"] = (

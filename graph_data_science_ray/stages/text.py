@@ -340,3 +340,58 @@ class NormalizeText:
 
 def normalize_text(docs: rd.Dataset, concurrency: int | None = None) -> rd.Dataset:
     return _stage(docs, NormalizeText, concurrency)
+
+
+class ChunkDocuments:
+    """Fixed-token-window document chunking with overlap — the
+    doc→chunks step of embedding/RAG pipelines. Chunk i covers tokens
+    ``[i·stride, i·stride + chunk_tokens)`` (``stride = chunk_tokens −
+    overlap``), one chunk per start < n_tokens; the final chunk may be
+    short. Tokens are ``\\S+`` runs joined by single spaces, so the SQL
+    oracle (regexp_extract_all + 1-based inclusive list slices) is
+    exact."""
+
+    def __init__(self, chunk_tokens: int = 64, overlap: int = 16):
+        if overlap >= chunk_tokens:
+            raise ValueError("overlap must be < chunk_tokens")
+        self.ct = int(chunk_tokens)
+        self.stride = int(chunk_tokens - overlap)
+        self.pat = re.compile(r"\S+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, cidx, ctext, ntok = [], [], [], []
+        for did, t in zip(batch["doc_id"].astype(np.int64), batch["text"].fillna("")):
+            toks = self.pat.findall(t)
+            n = len(toks)
+            for i, s in enumerate(range(0, n, self.stride)):
+                piece = toks[s : s + self.ct]
+                ids.append(did)
+                cidx.append(i)
+                ctext.append(" ".join(piece))
+                ntok.append(len(piece))
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "chunk_idx": np.asarray(cidx, dtype=np.int64),
+                "chunk_text": ctext,
+                "n_tokens": np.asarray(ntok, dtype=np.int64),
+            }
+        )
+
+
+def chunk_documents(
+    docs: rd.Dataset, chunk_tokens: int = 64, overlap: int = 16,
+    concurrency: int | None = None,
+) -> rd.Dataset:
+    """Expansion-aware: one doc emits many chunk rows — smaller batches
+    keep output blocks bounded at corpus scale."""
+    if concurrency:
+        return docs.map_batches(
+            lambda df: ChunkDocuments(chunk_tokens, overlap)(df),
+            batch_format="pandas", batch_size=1024,
+            concurrency=concurrency, num_cpus=1,
+        )
+    return docs.map_batches(
+        ChunkDocuments(chunk_tokens, overlap),
+        batch_format="pandas", batch_size=1024,
+    )

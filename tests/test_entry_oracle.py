@@ -106,6 +106,7 @@ _ORACLE_CHECKED = [
     "typed_edge_counts",
     "pagerank_typed",
     "normalize_text",
+    "chunk_documents",
 ]
 
 

@@ -628,3 +628,27 @@ def test_distribution_summary_order_stats(ray_session):
     # ceil(q*n)-1 on 0..99: p50 -> idx 49, p75 -> 74, p90 -> 89, p999 -> 99
     assert r["p5"] == 49 and r["p75"] == 74 and r["p9"] == 89
     assert r["p95"] == 94 and r["p99"] == 98 and r["p999"] == 99
+
+
+def test_chunk_documents_windows(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.text import chunk_documents
+
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2, 3],
+         "text": [" ".join(str(i) for i in range(10)), "a b", ""]}
+    )
+    out = (
+        chunk_documents(rd.from_pandas(docs), chunk_tokens=4, overlap=2)
+        .to_pandas().sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    )
+    d1 = out[out["doc_id"] == 1]
+    # stride 2 over 10 tokens -> starts 0,2,4,6,8
+    assert list(d1["chunk_idx"]) == [0, 1, 2, 3, 4]
+    assert d1.iloc[0]["chunk_text"] == "0 1 2 3"
+    assert d1.iloc[1]["chunk_text"] == "2 3 4 5"
+    assert d1.iloc[4]["chunk_text"] == "8 9" and d1.iloc[4]["n_tokens"] == 2
+    assert list(out[out["doc_id"] == 2]["chunk_text"]) == ["a b"]
+    assert (out["doc_id"] == 3).sum() == 0  # empty doc: no chunks
