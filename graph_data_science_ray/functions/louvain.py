@@ -537,22 +537,33 @@ def louvain(
     max_rounds: int = 10,
     gamma: float = 1.0,
     state_mode: str = "auto",
+    include_intermediate: bool = False,
 ) -> pd.DataFrame:
     """Multi-level Louvain; returns (node, community) with community =
     the minimum original member id of the final community (normalized,
     comparable to the reference's set-equivalence contract).
 
     ``gamma`` is the resolution parameter (the knob Leiden exposes as
-    ``gamma``; >1 favors more/smaller communities)."""
+    ``gamma``; >1 favors more/smaller communities).
+
+    ``include_intermediate=True`` adds one ``community_l<k>`` column per
+    dendrogram level (each normalized to min original member id) — the
+    reference's ``includeIntermediateCommunities``
+    (louvain/LouvainResult.java: per-level community arrays); level k+1
+    is always a coarsening of level k.
+    """
     level = _level_fn(state_mode, node_count)
     labels = np.arange(node_count, dtype=np.int64)
     edges = sym_edges
     n = node_count
+    levels: list[np.ndarray] = []
     for _level in range(max_levels):
         lvl_labels, improved = level(edges, n, max_rounds=max_rounds, gamma=gamma)
         labels = lvl_labels[labels]
         if not improved:
             break
+        if include_intermediate:
+            levels.append(labels.copy())
         # re-densify level labels and contract
         uniq, dense = np.unique(labels, return_inverse=True)
         labels = dense.astype(np.int64)
@@ -564,15 +575,25 @@ def louvain(
         ).materialize()
         if n <= 1:
             break
-    # normalize community ids to min original member
+
+    def _normalize(lab: np.ndarray) -> np.ndarray:
+        df = pd.DataFrame({"node": np.arange(node_count, dtype=np.int64), "c": lab})
+        return df.groupby("c")["node"].transform("min").to_numpy(dtype=np.int64)
+
     out = pd.DataFrame(
-        {"node": np.arange(node_count, dtype=np.int64), "community": labels}
+        {
+            "node": np.arange(node_count, dtype=np.int64),
+            "community": _normalize(labels),
+        }
     )
-    mins = out.groupby("community")["node"].transform("min")
-    out["community"] = mins
+    if include_intermediate:
+        for k, lab in enumerate(levels):
+            out[f"community_l{k}"] = _normalize(lab)
     if idmap is not None:
         out["node"] = idmap.to_keys(out["node"].to_numpy(dtype=np.int64))
-        out["community"] = idmap.to_keys(out["community"].to_numpy(dtype=np.int64))
+        for c in out.columns:
+            if c != "node":
+                out[c] = idmap.to_keys(out[c].to_numpy(dtype=np.int64))
     return out
 
 

@@ -225,3 +225,31 @@ def test_scc_distributed_parity_pinned_round(graph_from_edges):
     assert (a["component"] == b["component"]).all()
     # round 1 must leave the downstream 2-cycle {6,7} unassigned (-1)
     assert (a["component"] == -1).sum() == 2
+
+
+def test_louvain_intermediate_levels(graph_from_edges):
+    """includeIntermediateCommunities: per-level columns, each level a
+    coarsening of the previous (reference LouvainResult dendrogram)."""
+    import numpy as np
+
+    from graph_data_science_ray.functions.louvain import louvain
+    from tests.conftest import keys_to_ids
+
+    # two 4-cliques joined by one edge: clear 2-community structure
+    edges = []
+    for base in (0, 4):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                edges.append((base + i, base + j))
+    edges.append((0, 4))
+    _, gu, idmap, enc, sym = graph_from_edges(edges)
+    out = louvain(sym, node_count=len(idmap), idmap=None,
+                  include_intermediate=True)
+    lvl_cols = [c for c in out.columns if c.startswith("community_l")]
+    assert lvl_cols, "expected at least one dendrogram level"
+    # final column equals the last level
+    assert (out["community"] == out[lvl_cols[-1]]).all()
+    # each level coarsens the previous: a level-k community never splits
+    for a, b in zip(lvl_cols, lvl_cols[1:]):
+        grp = out.groupby(a)[b].nunique()
+        assert (grp == 1).all()
