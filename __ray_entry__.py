@@ -1503,6 +1503,28 @@ def _q_quality(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "n_words", "n_alpha", "n_chars"]].reset_index(drop=True)
 
 
+def _q_scale_embedding_minmax(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension minmax scaling of the embedding LIST property,
+    exploded to (vec_id, dim, sppm) integer ppm rows — extremes are
+    order-independent so the SQL mirror is exact."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.scale import scale_embedding
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    out = scale_embedding(emb, "embedding", scaler="minmax").to_pandas()
+    ids = np.repeat(out["vec_id"].to_numpy(dtype=np.int64),
+                    [len(v) for v in out["scaled"]])
+    m = np.concatenate([np.asarray(v, dtype=np.float64) for v in out["scaled"]])
+    dims = np.concatenate([np.arange(1, len(v) + 1, dtype=np.int64)
+                           for v in out["scaled"]])
+    return pd.DataFrame(
+        {"vec_id": ids, "dim": dims,
+         "sppm": np.floor(1_000_000 * m).astype(np.int64)}
+    ).sort_values(["vec_id", "dim"]).reset_index(drop=True)
+
+
 def _q_normalize_text(sf_dir: str) -> pd.DataFrame:
     """NFC + lowercase + whitespace-collapse normalization (exact)."""
     from graph_data_science_ray.stages.text import normalize_text
@@ -3063,6 +3085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats": _q_quality,
         "lang_id": _q_lang_id,
         "normalize_text": _q_normalize_text,
+        "scale_embedding_minmax": _q_scale_embedding_minmax,
         "chunk_documents": _q_chunk_documents,
         "minhash_near_dup": _q_minhash_pairs,
         "simhash": _q_simhash,
@@ -4076,6 +4099,19 @@ sel AS (
 )
 SELECT doc_id, CASE WHEN bscore > 0.02 THEN blang ELSE 'unk' END AS lang_pred
 FROM sel ORDER BY doc_id
+"""
+
+    sqls["scale_embedding_minmax"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+x AS (
+  SELECT vec_id, i, v[i] AS x
+  FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g
+),
+st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM x GROUP BY i)
+SELECT vec_id, CAST(i AS BIGINT) AS dim,
+       CAST(CASE WHEN mx > mn
+            THEN floor(1000000 * (x - mn) / (mx - mn)) ELSE 0 END AS BIGINT) AS sppm
+FROM x JOIN st USING(i) ORDER BY vec_id, i
 """
 
     sqls["normalize_text"] = r"""

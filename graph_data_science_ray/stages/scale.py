@@ -104,3 +104,71 @@ def scale_column(
         return out
 
     return ds.map_batches(apply, batch_format="pandas", batch_size=16384)
+
+
+def scale_embedding(
+    ds: rd.Dataset,
+    value_col: str = "embedding",
+    scaler: str = "minmax",
+    out_col: str = "scaled",
+) -> rd.Dataset:
+    """Elementwise scaling of a ``list<float>`` property — the reference
+    ScaleProperties on LIST-typed node properties
+    (algo/.../scaleproperties/ScaleProperties.java: per-dimension scaler
+    instances over array properties).
+
+    Two-pass: per-batch per-dimension partials (min/max/sum/sumsq/count)
+    reduce on the driver (dims ≪ rows — O(dim) driver state), the tiny
+    stats matrix broadcasts back, and the apply pass rewrites the list
+    column. ``minmax`` / ``max`` / ``center`` use only min/max extremes
+    (order-independent, exactly SQL-reproducible); ``stdscore`` uses
+    float sums (deterministic for a fixed partial order, compared in
+    pytest not SQL).
+    """
+    import ray
+
+    if scaler not in ("minmax", "max", "center", "stdscore"):
+        raise ValueError(f"unsupported list scaler {scaler!r}")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in df[value_col]])
+        return pd.DataFrame(
+            {
+                "_mn": [m.min(axis=0)],
+                "_mx": [m.max(axis=0)],
+                "_sum": [m.sum(axis=0)],
+                "_sq": [(m * m).sum(axis=0)],
+                "_cnt": [len(m)],
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_size=4096, batch_format="pandas").to_pandas()
+    mn = np.min(np.stack(parts["_mn"].to_list()), axis=0)
+    mx = np.max(np.stack(parts["_mx"].to_list()), axis=0)
+    total = np.sum(np.stack(parts["_sum"].to_list()), axis=0)
+    sq = np.sum(np.stack(parts["_sq"].to_list()), axis=0)
+    cnt = int(parts["_cnt"].sum())
+    mean = total / max(cnt, 1)
+    # population std from the two-pass sums (reference StdScore)
+    var = np.maximum(sq / max(cnt, 1) - mean * mean, 0.0)
+    std = np.sqrt(var)
+    stats_ref = ray.put((mn, mx, mean, std))
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        lo, hi, mu, sd = ray.get(stats_ref)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in df[value_col]])
+        if scaler == "minmax":
+            span = hi - lo
+            s = np.where(span > 0, (m - lo) / np.where(span > 0, span, 1.0), 0.0)
+        elif scaler == "max":
+            am = np.abs(hi)
+            s = np.where(am > 0, m / np.where(am > 0, am, 1.0), 0.0)
+        elif scaler == "center":
+            s = m - mu
+        else:  # stdscore: (x - mean) / population std, 0 on zero std
+            s = np.where(sd > 0, (m - mu) / np.where(sd > 0, sd, 1.0), 0.0)
+        out = df.copy()
+        out[out_col] = [r for r in s]
+        return out
+
+    return ds.map_batches(apply, batch_size=4096, batch_format="pandas")

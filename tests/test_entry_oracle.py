@@ -107,6 +107,7 @@ _ORACLE_CHECKED = [
     "pagerank_typed",
     "normalize_text",
     "chunk_documents",
+    "scale_embedding_minmax",
 ]
 
 

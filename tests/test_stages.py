@@ -652,3 +652,26 @@ def test_chunk_documents_windows(ray_session):
     assert d1.iloc[4]["chunk_text"] == "8 9" and d1.iloc[4]["n_tokens"] == 2
     assert list(out[out["doc_id"] == 2]["chunk_text"]) == ["a b"]
     assert (out["doc_id"] == 3).sum() == 0  # empty doc: no chunks
+
+
+def test_scale_embedding_scalers(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.scale import scale_embedding
+
+    rng = np.random.RandomState(1)
+    vecs = [rng.randn(4) for _ in range(50)]
+    ds = rd.from_pandas(pd.DataFrame({"vec_id": range(50), "embedding": vecs}))
+    m = np.stack(vecs)
+
+    mm = scale_embedding(ds, scaler="minmax").to_pandas().sort_values("vec_id")
+    got = np.stack(mm["scaled"].to_list())
+    want = (m - m.min(axis=0)) / (m.max(axis=0) - m.min(axis=0))
+    assert np.allclose(got, want)
+    assert got.min() >= 0 and got.max() <= 1
+
+    ss = scale_embedding(ds, scaler="stdscore").to_pandas().sort_values("vec_id")
+    got = np.stack(ss["scaled"].to_list())
+    want = (m - m.mean(axis=0)) / m.std(axis=0)
+    assert np.allclose(got, want)
