@@ -131,6 +131,10 @@ def scale_embedding(
         raise ValueError(f"unsupported list scaler {scaler!r}")
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # empty block (e.g. after an upstream filter)
+            return pd.DataFrame(
+                {"_mn": [], "_mx": [], "_sum": [], "_sq": [], "_cnt": []}
+            )
         m = np.stack([np.asarray(v, dtype=np.float64) for v in df[value_col]])
         return pd.DataFrame(
             {
@@ -155,6 +159,10 @@ def scale_embedding(
     stats_ref = ray.put((mn, mx, mean, std))
 
     def apply(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            out = df.copy()
+            out[out_col] = []
+            return out
         lo, hi, mu, sd = ray.get(stats_ref)
         m = np.stack([np.asarray(v, dtype=np.float64) for v in df[value_col]])
         if scaler == "minmax":
