@@ -709,6 +709,7 @@ def leiden(
     max_rounds: int = 10,
     gamma: float = 1.0,
     state_mode: str = "auto",
+    include_intermediate: bool = False,
 ) -> pd.DataFrame:
     """Leiden-style community detection — Louvain local moves plus the
     refinement phase guaranteeing internally CONNECTED communities.
@@ -728,12 +729,15 @@ def leiden(
     labels = np.arange(node_count, dtype=np.int64)
     edges = sym_edges
     n = node_count
+    levels: list[np.ndarray] = []
     for _level in range(max_levels):
         lvl_labels, improved = level(edges, n, max_rounds=max_rounds, gamma=gamma)
         refined = _refine_within(edges, lvl_labels, n, gamma, state_mode=state_mode)
         labels = refined[labels]
         if not improved:
             break
+        if include_intermediate:
+            levels.append(labels.copy())
         uniq, dense = np.unique(labels, return_inverse=True)
         labels = dense.astype(np.int64)
         n = len(uniq)
@@ -742,14 +746,25 @@ def leiden(
         ).materialize()
         if n <= 1:
             break
+
+    def _normalize(lab: np.ndarray) -> np.ndarray:
+        df = pd.DataFrame({"node": np.arange(node_count, dtype=np.int64), "c": lab})
+        return df.groupby("c")["node"].transform("min").to_numpy(dtype=np.int64)
+
     out = pd.DataFrame(
-        {"node": np.arange(node_count, dtype=np.int64), "community": labels}
+        {
+            "node": np.arange(node_count, dtype=np.int64),
+            "community": _normalize(labels),
+        }
     )
-    mins = out.groupby("community")["node"].transform("min")
-    out["community"] = mins
+    if include_intermediate:
+        for k, lab in enumerate(levels):
+            out[f"community_l{k}"] = _normalize(lab)
     if idmap is not None:
         out["node"] = idmap.to_keys(out["node"].to_numpy(dtype=np.int64))
-        out["community"] = idmap.to_keys(out["community"].to_numpy(dtype=np.int64))
+        for c in out.columns:
+            if c != "node":
+                out[c] = idmap.to_keys(out[c].to_numpy(dtype=np.int64))
     return out
 
 

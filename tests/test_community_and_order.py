@@ -253,3 +253,24 @@ def test_louvain_intermediate_levels(graph_from_edges):
     for a, b in zip(lvl_cols, lvl_cols[1:]):
         grp = out.groupby(a)[b].nunique()
         assert (grp == 1).all()
+
+
+def test_leiden_intermediate_levels(graph_from_edges):
+    import numpy as np
+
+    from graph_data_science_ray.functions.louvain import leiden
+
+    edges = []
+    for base in (0, 4):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                edges.append((base + i, base + j))
+    edges.append((0, 4))
+    _, gu, idmap, enc, sym = graph_from_edges(edges)
+    out = leiden(sym, node_count=len(idmap), idmap=None,
+                 include_intermediate=True)
+    lvl_cols = [c for c in out.columns if c.startswith("community_l")]
+    assert lvl_cols
+    assert (out["community"] == out[lvl_cols[-1]]).all()
+    for a, b in zip(lvl_cols, lvl_cols[1:]):
+        assert (out.groupby(a)[b].nunique() == 1).all()
