@@ -97,6 +97,36 @@ class _DeltaBack(PregelComputation):
         return False
 
 
+def select_sources(
+    gd, sampling_size: int, strategy: str = "random", seed: int = 42
+) -> np.ndarray:
+    """Source sampling strategies for approximate betweenness — the
+    reference's SelectionStrategy (betweenness/SelectionStrategy.java):
+    "random" = uniform without replacement; "degree" = the
+    RandomDegreeSelectionStrategy bias (probability ∝ out-degree, so
+    structurally important sources are preferred). Seeded and
+    deterministic at any parallelism."""
+    from graph_data_science_ray._util import splitmix64
+
+    n = gd.node_count
+    k = min(int(sampling_size), n)
+    ids = np.arange(n, dtype=np.int64)
+    draws = splitmix64(ids.astype(np.uint64) + np.uint64(seed) * np.uint64(0x9E3779B9))
+    u = (draws.astype(np.float64) + 1.0) / 2.0**64  # (0,1]
+    if strategy == "random":
+        keyv = u
+    elif strategy == "degree":
+        deg = gd.out_degrees().astype(np.float64)
+        # weighted sampling without replacement (Efraimidis-Spirakis):
+        # key = u^(1/w); top-k keys — zero-degree nodes never selected
+        with np.errstate(divide="ignore"):
+            keyv = np.where(deg > 0, u ** (1.0 / np.maximum(deg, 1e-300)), -1.0)
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    order = np.lexsort((ids, -keyv))
+    return np.sort(ids[order[:k]])
+
+
 def betweenness(
     gd,
     grev,
@@ -106,7 +136,9 @@ def betweenness(
     """Sampled Brandes betweenness; returns (node, betweenness).
 
     ``gd``/``grev``: forward and reverse projections with shared
-    boundaries. Exact when ``sources`` covers every node.
+    boundaries. Exact when ``sources`` covers every node; use
+    :func:`select_sources` for the reference's random / random-degree
+    sampling strategies.
     """
     if sources is None:
         sources = np.arange(gd.node_count, dtype=np.int64)

@@ -87,6 +87,7 @@ def pagerank(
     checkpoint_dir: str | None = None,
     checkpoint_interval: int = 1,
     resume: bool = True,
+    scaler: str | None = None,
 ) -> pd.DataFrame:
     """Run PageRank over a projected ``GraphStore``.
 
@@ -94,14 +95,47 @@ def pagerank(
     actor key when the graph carries an IdMap, else the dense id —
     mirroring ``gds.pageRank.stream``'s ``(toOriginalNodeId, score)`` rows
     (proc/centrality/src/main/java/org/neo4j/gds/pagerank/PageRankStreamSpec.java:56-70).
+
+    ``scaler``: the reference's post-run score scaling
+    (PageRankAlgorithm.java:85-101; PageRankConfig.scaler) — one of
+    None/"l1norm"/"l2norm"/"minmax"/"max"/"mean"/"center"/"stdscore",
+    applied to the converged score vector.
     """
     comp = PageRankComputation(damping, tolerance, weighted, source_nodes)
     engine = Pregel(graph, comp, checkpoint_dir, checkpoint_interval)
     refs = engine.run(max_iterations=max_iterations, resume=resume)
     scores = engine.gather(refs, "rank")
+    if scaler is not None:
+        scores = _scale_scores(scores, scaler)
     if graph.idmap is not None:
         return pd.DataFrame({"node": graph.idmap.keys, "score": scores})
     return pd.DataFrame({"node": np.arange(graph.node_count, dtype=np.int64), "score": scores})
+
+
+def _scale_scores(x: np.ndarray, scaler: str) -> np.ndarray:
+    """Reference scaler semantics on a dense score vector (algo-common
+    scaling package; zero-denominator fallback to 0)."""
+    x = np.asarray(x, dtype=np.float64)
+    if scaler == "l1norm":
+        d = np.abs(x).sum()
+    elif scaler == "l2norm":
+        d = np.sqrt((x * x).sum())
+    elif scaler == "max":
+        d = np.abs(x).max() if len(x) else 0.0
+    elif scaler == "minmax":
+        lo, hi = x.min(), x.max()
+        return (x - lo) / (hi - lo) if hi > lo else np.zeros_like(x)
+    elif scaler == "mean":
+        lo, hi = x.min(), x.max()
+        return (x - x.mean()) / (hi - lo) if hi > lo else np.zeros_like(x)
+    elif scaler == "center":
+        return x - x.mean()
+    elif scaler == "stdscore":
+        sd = x.std()
+        return (x - x.mean()) / sd if sd > 0 else np.zeros_like(x)
+    else:
+        raise ValueError(f"unknown scaler {scaler!r}")
+    return x / d if d > 0 else np.zeros_like(x)
 
 
 class ArticleRankComputation(PageRankComputation):

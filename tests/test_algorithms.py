@@ -193,3 +193,17 @@ def test_write_results_roundtrip(tmp_path):
     assert len(back) == 2
     # second call is a no-op (marker present)
     assert write_results(df, p) == p
+
+
+def test_pagerank_scalers(graph_from_edges):
+    from graph_data_science_ray.functions.pagerank import pagerank
+
+    gd, _, _, _, _ = graph_from_edges([(0, 1), (1, 2), (2, 0), (0, 3)])
+    base = pagerank(gd, max_iterations=15)["score"].to_numpy()
+    l1 = pagerank(gd, max_iterations=15, scaler="l1norm")["score"].to_numpy()
+    assert np.isclose(l1.sum(), 1.0)
+    assert np.allclose(l1, base / base.sum())
+    l2 = pagerank(gd, max_iterations=15, scaler="l2norm")["score"].to_numpy()
+    assert np.isclose((l2 * l2).sum(), 1.0)
+    mm = pagerank(gd, max_iterations=15, scaler="minmax")["score"].to_numpy()
+    assert mm.min() == 0.0 and mm.max() == 1.0

@@ -99,3 +99,15 @@ def test_fastrp_deterministic_and_shaped(graph_from_edges, tmp_path):
     assert np.allclose(am, cm, atol=1e-12)
     assert am.shape == (4, 16)
     assert np.abs(am).sum() > 0
+
+
+def test_select_sources_strategies(graph_from_edges):
+    from graph_data_science_ray.functions.betweenness import select_sources
+
+    # star: node 0 has degree 8, leaves degree 0 (directed out from 0)
+    gd, _, _, _, _ = graph_from_edges([(0, i) for i in range(1, 9)])
+    r = select_sources(gd, 4, strategy="random", seed=1)
+    assert len(r) == 4 and len(np.unique(r)) == 4
+    assert (select_sources(gd, 4, strategy="random", seed=1) == r).all()  # seeded
+    d = select_sources(gd, 1, strategy="degree", seed=1)
+    assert list(d) == [0]  # only node 0 has out-degree
