@@ -1127,6 +1127,24 @@ def _q_eigenvector(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_eigenvector_exact(sf_dir: str) -> pd.DataFrame:
+    """Integer-exact eigenvector contract: 6 UNNORMALIZED power-iteration
+    rounds from the all-ones vector over the unweighted directed graph —
+    values stay exact integers (< 2^53), so order-independent float sums
+    make the fixed-round SQL mirror bit-exact. Same direction as the
+    L2-normalized stream; only the scale differs."""
+    from graph_data_science_ray.functions.pagerank import eigenvector
+
+    b = _bundle(sf_dir)
+    res = eigenvector(b["gd"], max_iterations=6, normalize="none")
+    return pd.DataFrame(
+        {
+            "node": _strip(res["node"]),
+            "score": res["score"].to_numpy().astype(np.int64),
+        }
+    )
+
+
 def _mod5_labels(b) -> np.ndarray:
     """Deterministic demo communities: user_id % 5 (SQL-replicable)."""
     return np.array([int(k.split(":", 1)[1]) % 5 for k in b["idmap"].keys], dtype=np.int64)
@@ -3014,6 +3032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "article_rank": _q_article_rank,
         "eigenvector": _q_eigenvector,
+        "eigenvector_exact": _q_eigenvector_exact,
         "wcc": _q_wcc,
         "label_propagation": _q_labelprop,
         "triangles": _q_triangles,
@@ -3322,6 +3341,21 @@ SELECT CAST(count(*) AS BIGINT) AS n,
        CAST(quantile_disc(s, 0.99) AS DOUBLE) AS p99,
        CAST(quantile_disc(s, 0.999) AS DOUBLE) AS p999
 FROM sc
+"""
+
+    sqls["eigenvector_exact"] = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+uedges AS (SELECT DISTINCT src, dst FROM edges),
+r AS (
+    SELECT 0 AS it, node, CAST(1 AS DOUBLE) AS val FROM nodes
+    UNION ALL
+    SELECT p.it + 1 AS it, e.dst AS node, sum(p.val) AS val
+    FROM r p JOIN uedges e ON e.src = p.node
+    WHERE p.it < 6
+    GROUP BY p.it, e.dst
+)
+SELECT n.node AS node, CAST(coalesce(k.val, 0) AS BIGINT) AS score
+FROM nodes n LEFT JOIN (SELECT node, val FROM r WHERE it = 6) k USING(node)
 """
 
     sqls["typed_edge_counts"] = """

@@ -175,10 +175,24 @@ def article_rank(graph, damping: float = 0.85, tolerance: float = 1e-7,
     return pd.DataFrame({"node": node, "score": scores})
 
 
-def eigenvector(graph, max_iterations: int = 20, tolerance: float = 1e-7) -> pd.DataFrame:
+def eigenvector(
+    graph,
+    max_iterations: int = 20,
+    tolerance: float = 1e-7,
+    normalize: str = "each",
+) -> pd.DataFrame:
     """Eigenvector centrality: normalized power iteration
     ``r <- A^T r / ||A^T r||_2`` (reference EigenvectorComputation.java —
-    PageRank-family variant without damping, scores L2-normalized)."""
+    PageRank-family variant without damping, scores L2-normalized).
+
+    ``normalize="none"`` skips the per-round L2 rescale and returns the
+    RAW round-``max_iterations`` vector. With integer edge weights and
+    the all-ones start this vector is EXACTLY integer-valued as long as
+    it stays below 2^53 (integer float64 sums are order-independent), so
+    a fixed-round SQL power iteration reproduces it bit-for-bit — the
+    exact-oracle contract for the otherwise float-normalized algorithm.
+    Direction is identical to the normalized run; only the scale differs.
+    """
     import ray
 
     from graph_data_science_ray.functions.hits import _PushSum, _scale
@@ -188,15 +202,20 @@ def eigenvector(graph, max_iterations: int = 20, tolerance: float = 1e-7) -> pd.
     engine = _P(graph, _PushSum("hub", "hub"))
     states = engine.init_states()
     prev = None
-    for _ in range(max_iterations):
-        states, stats = engine.step(states)
-        norm = np.sqrt(stats["sumsq"]) or 1.0
-        states = _scale(states, "hub", 1.0 / norm)
-        cur = engine.gather(states, "hub")
-        if prev is not None and np.abs(cur - prev).max() <= tolerance:
+    if normalize == "none":
+        for _ in range(max_iterations):
+            states, _stats = engine.step(states)
+        prev = engine.gather(states, "hub")
+    else:
+        for _ in range(max_iterations):
+            states, stats = engine.step(states)
+            norm = np.sqrt(stats["sumsq"]) or 1.0
+            states = _scale(states, "hub", 1.0 / norm)
+            cur = engine.gather(states, "hub")
+            if prev is not None and np.abs(cur - prev).max() <= tolerance:
+                prev = cur
+                break
             prev = cur
-            break
-        prev = cur
     node = (graph.idmap.keys if graph.idmap is not None
             else np.arange(graph.node_count, dtype=np.int64))
     return pd.DataFrame({"node": node, "score": prev})

@@ -108,6 +108,7 @@ _ORACLE_CHECKED = [
     "normalize_text",
     "chunk_documents",
     "scale_embedding_minmax",
+    "eigenvector_exact",
 ]
 
 
