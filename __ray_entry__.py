@@ -3453,6 +3453,41 @@ reach AS (
 SELECT node, min(lab) AS component FROM reach GROUP BY node
 """
 
+    sqls["articulation_points"] = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+base_reach AS (
+    SELECT node, node AS lab FROM nodes
+    UNION
+    SELECT u.dst AS node, r.lab FROM base_reach r JOIN und u ON u.src = r.node
+),
+base_cnt AS (
+    SELECT count(DISTINCT c) AS n FROM (
+        SELECT node, min(lab) AS c FROM base_reach GROUP BY node
+    )
+),
+fanu AS (
+    SELECT src, dst FROM und
+    UNION ALL
+    SELECT node, node FROM nodes
+),
+mr AS (
+    SELECT 0 AS it, e.node AS v, n.node, n.node AS lab
+    FROM nodes n, nodes e WHERE n.node <> e.node
+    UNION ALL
+    SELECT p.it + 1 AS it, p.v, f.dst AS node, min(p.lab) AS lab
+    FROM mr p JOIN fanu f ON f.src = p.node
+    WHERE p.it < 30 AND f.dst <> p.v
+    GROUP BY p.it, p.v, f.dst
+),
+cnt AS (
+    SELECT v, count(DISTINCT lab) AS n FROM mr WHERE it = 30 GROUP BY v
+)
+SELECT c.v AS node,
+       CAST(c.n > (SELECT n FROM base_cnt) AS BIGINT) AS is_articulation
+FROM cnt c ORDER BY node
+"""
+
     sqls["component_size_distribution"] = f"""
 WITH RECURSIVE {_GRAPH_CTE},
 und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),

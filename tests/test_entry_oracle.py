@@ -109,6 +109,7 @@ _ORACLE_CHECKED = [
     "chunk_documents",
     "scale_embedding_minmax",
     "eigenvector_exact",
+    "articulation_points",
 ]
 
 
