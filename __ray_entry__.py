@@ -3488,6 +3488,25 @@ SELECT c.v AS node,
 FROM cnt c ORDER BY node
 """
 
+    sqls["bridges"] = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+-- DuckDB quirk: under WITH RECURSIVE the inner UNION above degrades to
+-- UNION ALL, so cand must dedup explicitly
+cand AS (SELECT DISTINCT src AS a, dst AS b FROM und WHERE src < dst),
+reach AS (
+    SELECT c.a, c.b, c.a AS node FROM cand c
+    UNION
+    SELECT r.a, r.b, u.dst AS node
+    FROM reach r JOIN und u ON u.src = r.node
+    WHERE NOT (least(u.src, u.dst) = r.a AND greatest(u.src, u.dst) = r.b)
+)
+SELECT c.a AS src, c.b AS dst,
+       CAST(CASE WHEN rr.node IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_bridge
+FROM cand c LEFT JOIN reach rr ON rr.a = c.a AND rr.b = c.b AND rr.node = c.b
+ORDER BY src, dst
+"""
+
     sqls["component_size_distribution"] = f"""
 WITH RECURSIVE {_GRAPH_CTE},
 und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),

@@ -110,6 +110,7 @@ _ORACLE_CHECKED = [
     "scale_embedding_minmax",
     "eigenvector_exact",
     "articulation_points",
+    "bridges",
 ]
 
 
