@@ -232,3 +232,20 @@ def test_float32_message_precision(graph_from_edges):
     e32b = Pregel(gd, PR32(0.85, 0.0, True))
     r32b = e32b.gather(e32b.run(max_iterations=15), "rank")
     assert (r32 == r32b).all()
+
+
+def test_eigenvector_modes_agree_on_direction(graph_from_edges):
+    """normalize='none' (the integer-exact oracle contract) must agree
+    with the L2-normalized stream up to scale."""
+    from graph_data_science_ray.functions.pagerank import eigenvector
+
+    gd, _, _, _, _ = graph_from_edges(
+        [(0, 1), (1, 2), (2, 0), (0, 3), (3, 1), (2, 4)]
+    )
+    raw = eigenvector(gd, max_iterations=6, normalize="none")["score"].to_numpy()
+    norm = eigenvector(gd, max_iterations=6, tolerance=0.0)["score"].to_numpy()
+    assert (raw == raw.astype(np.int64)).all()  # exactly integer-valued
+    nr = np.linalg.norm(raw)
+    assert nr > 0
+    # same direction after scaling (power iteration from the same start)
+    assert np.allclose(raw / nr, norm, atol=1e-9)
