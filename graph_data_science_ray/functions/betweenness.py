@@ -123,6 +123,12 @@ def select_sources(
             keyv = np.where(deg > 0, u ** (1.0 / np.maximum(deg, 1e-300)), -1.0)
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
+    # drop the -1.0 sentinel rows (zero-degree nodes) BEFORE the top-k cut:
+    # when k exceeds the positive-degree count they would otherwise land in
+    # the tail of the selection despite the documented exclusion
+    eligible = keyv >= 0
+    ids, keyv = ids[eligible], keyv[eligible]
+    k = min(k, len(ids))
     order = np.lexsort((ids, -keyv))
     return np.sort(ids[order[:k]])
 

@@ -76,6 +76,81 @@ class FastRPComputation(PregelComputation):
         return False
 
 
+class FastRPExactComputation(PregelComputation):
+    """Integer-exact FastRP contract (the ``eigenvector_exact`` recipe):
+    hash-sign projection — sign(v, j) = +1 iff the last hex nibble of
+    ``md5(f"{dense_id}:{salt}:{j}")`` is even — followed by fixed-round
+    UNWEIGHTED neighbor sums. This is FastRP's structure (reference
+    algo/.../embeddings/fastrp/FastRP.java:52 — projection + K
+    propagation rounds) with the per-round L2 normalization removed, so
+    every value is an exact integer (held losslessly in the float64
+    message wire; |h_K| <= maxdeg^K) that a SQL oracle reproduces
+    bit-for-bit via the same md5 parity + join-aggregate rounds.
+    """
+
+    reducer = "sum"
+
+    def __init__(self, dim: int, salt: str = "frp"):
+        self.dim = int(dim)
+        self.salt = str(salt)
+        self.message_width = int(dim)
+
+    def init_state(self, block: dict) -> dict:
+        import hashlib
+
+        start, end = block["start"], block["end"]
+        v = np.empty((end - start, self.dim), dtype=np.float64)
+        for i, rk in enumerate(range(start, end)):
+            for j in range(self.dim):
+                h = hashlib.md5(f"{rk}:{self.salt}:{j}".encode()).hexdigest()
+                v[i, j] = 1.0 if int(h[31], 16) % 2 == 0 else -1.0
+        return {"cur": v}
+
+    def message_values(self, state, block):
+        return state["cur"], np.ones(len(state["cur"]), dtype=bool)
+
+    def apply_messages(self, state, acc, received, block):
+        state["cur"] = np.asarray(acc, dtype=np.float64)
+        return {"done": 1}
+
+    def is_converged(self, stats):
+        return False
+
+
+def fastrp_exact(
+    graph, dim: int = 8, rounds: int = 2, salt: str = "frp"
+) -> pd.DataFrame:
+    """Integer FastRP over the symmetrized projection (long format).
+
+    Returns one row per (node, dim): columns (node, dim, value) with
+    ``value`` the exact int64 after ``rounds`` propagation rounds.
+    """
+    if graph.directed:
+        raise ValueError("fastrp_exact expects the symmetrized projection")
+    comp = FastRPExactComputation(dim, salt)
+    engine = Pregel(graph, comp)
+    refs = engine.run(max_iterations=rounds + 1)  # superstep 0 = init
+    import ray
+
+    states = ray.get(refs)
+    vals, nodes = [], []
+    for p, s in enumerate(states):
+        vals.append(np.asarray(s["cur"], dtype=np.float64))
+        start, end = graph.boundaries[p], graph.boundaries[p + 1]
+        nodes.append(np.arange(start, end, dtype=np.int64))
+    v = np.concatenate(vals)
+    ids = np.concatenate(nodes)
+    node = graph.idmap.keys[ids] if graph.idmap is not None else ids
+    n = len(ids)
+    return pd.DataFrame(
+        {
+            "node": np.repeat(np.asarray(node), dim),
+            "dim": np.tile(np.arange(dim, dtype=np.int64), n),
+            "value": np.rint(v).astype(np.int64).ravel(),
+        }
+    )
+
+
 def fastrp(
     graph,
     dim: int = 64,

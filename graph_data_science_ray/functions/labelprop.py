@@ -100,3 +100,21 @@ def label_propagation(
         else np.arange(graph.node_count, dtype=np.int64)
     )
     return pd.DataFrame({"node": node, "label": labels})
+
+
+def label_propagation_ds(
+    graph,
+    max_iterations: int = 10,
+    weighted: bool = True,
+    seeds=None,
+    node_weights=None,
+):
+    """Dataset-returning label propagation (the 10^10-node result
+    contract): identical supersteps, (node, label) assembled per
+    partition in the object store via ``Pregel.gather_ds`` — no O(V)
+    driver array. Dense ids."""
+    comp = LabelPropagationComputation(weighted=weighted, seeds=seeds,
+                                       node_weights=node_weights)
+    engine = Pregel(graph, comp)
+    refs = engine.run(max_iterations=max_iterations)
+    return engine.gather_ds(refs, "label")

@@ -179,6 +179,7 @@ def _one_level_partitioned(
     gamma: float = 1.0,
     constraint_ref=None,
     num_parts: int = 64,
+    return_ds: bool = False,
 ):
     """Local-move rounds with PARTITION-HELD community state — the scale
     path: labels live in a hash-partitioned ``(node, lab)`` Dataset and
@@ -213,6 +214,12 @@ def _one_level_partitioned(
     ).repartition(num_parts).materialize()
     two_m = float(deg_ds.sum("deg") or 0.0)
     if two_m == 0:
+        if return_ds:
+            ident = rd.range(node_count).map_batches(
+                lambda t: pa.table({"node": t["id"], "lab": t["id"]}),
+                batch_format="pyarrow",
+            )
+            return ident, False
         return np.arange(node_count, dtype=np.int64), False
 
     lab_ds = rd.range(node_count).map_batches(
@@ -433,7 +440,11 @@ def _one_level_partitioned(
         if moved == 0:
             break
         improved_any = True
-    # level-end gather: O(V) once, the result itself
+    if return_ds:
+        # Dataset contract: the (node, lab) state stays in the object
+        # store (louvain_ds composes levels by joins, never gathering)
+        return lab_ds, improved_any
+    # level-end gather: O(V) once, only in the DataFrame-composing caller
     lab_pd = lab_ds.to_pandas()
     labels = np.arange(node_count, dtype=np.int64)
     labels[lab_pd["node"].to_numpy(dtype=np.int64)] = lab_pd["lab"].to_numpy(
@@ -514,6 +525,176 @@ def _contract(sym_edges: rd.Dataset, labels: np.ndarray) -> rd.Dataset:
                 "weight": t["weight"].cast(pa.float64()) if hasattr(t["weight"], "cast") else t["weight"],
             }
         ),
+        batch_format="pyarrow",
+    )
+
+
+def _contract_ds(
+    sym_edges: rd.Dataset, node_map: rd.Dataset, num_parts: int = 64
+) -> rd.Dataset:
+    """Contract edges by a ``(node, rank)`` Dataset mapping — two
+    hash-joins + one hash_aggregate: the Dataset counterpart of
+    :func:`_contract`'s broadcast remap (no O(V) ``ray.put``). Weights
+    are integer counts, so the sums are exact at any combine order."""
+    from graph_data_science_ray.pipelines.agg import hash_join
+
+    S_E = pa.schema(
+        [("src", pa.int64()), ("dst", pa.int64()), ("weight", pa.float64())]
+    )
+    S_MS = pa.schema([("node", pa.int64()), ("rsrc", pa.int64())])
+    S_MD = pa.schema([("node", pa.int64()), ("rdst", pa.int64())])
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t["src"].cast(pa.int64()),
+                "dst": t["dst"].cast(pa.int64()),
+                "weight": pc_cast_f64(t["weight"]),
+            }
+        )
+
+    m_src = node_map.map_batches(
+        lambda t: pa.table(
+            {"node": t["node"].cast(pa.int64()), "rsrc": t["rank"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    m_dst = node_map.map_batches(
+        lambda t: pa.table(
+            {"node": t["node"].cast(pa.int64()), "rdst": t["rank"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    j = hash_join(
+        sym_edges.map_batches(slim, batch_format="pyarrow"), m_src,
+        on=["src"], right_on=["node"], left_schema=S_E, right_schema=S_MS,
+        num_parts=num_parts,
+    )
+    S_J = pa.schema(
+        [("src", pa.int64()), ("dst", pa.int64()), ("weight", pa.float64()),
+         ("rsrc", pa.int64())]
+    )
+    j = hash_join(
+        j, m_dst, on=["dst"], right_on=["node"], left_schema=S_J,
+        right_schema=S_MD, num_parts=num_parts,
+    )
+    remapped = j.map_batches(
+        lambda t: pa.table(
+            {"src": t["rsrc"], "dst": t["rdst"], "partial": t["weight"]}
+        ),
+        batch_format="pyarrow",
+    )
+    agg = hash_aggregate(
+        remapped, ["src", "dst"], "partial", op="sum", out_col="weight",
+        num_parts=num_parts,
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"src": t["src"], "dst": t["dst"], "weight": pc_cast_f64(t["weight"])}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def louvain_ds(
+    sym_edges: rd.Dataset,
+    node_count: int,
+    max_levels: int = 5,
+    max_rounds: int = 10,
+    gamma: float = 1.0,
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """Multi-level Louvain with the DATASET result contract (the
+    10^10-node path): label state, level composition, re-densification
+    (``dense_rank_table``), contraction and the min-member normalization
+    are all hash-partitioned Dataset operations — the driver sees only
+    scalar counts, never an O(V) array. Returns ``(node, community)``
+    over dense ids, byte-identical to
+    ``louvain(..., state_mode="partitioned")`` (parity-tested;
+    ``include_intermediate`` stays with the DataFrame wrapper)."""
+    from graph_data_science_ray.pipelines.agg import dense_rank_table, hash_join
+
+    S_LAB = pa.schema([("node", pa.int64()), ("lab", pa.int64())])
+    S_RANK = pa.schema([("lab", pa.int64()), ("rank", pa.int64())])
+
+    cur = (
+        rd.range(node_count)
+        .map_batches(
+            lambda t: pa.table(
+                {"node": t["id"].cast(pa.int64()), "lab": t["id"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(max(4, min(num_parts, node_count // 50_000 + 4)))
+        .materialize()
+    )
+    edges = sym_edges
+    n = node_count
+    for _level in range(max_levels):
+        lvl_ds, improved = _one_level_partitioned(
+            edges, n, max_rounds=max_rounds, gamma=gamma,
+            num_parts=num_parts, return_ds=True,
+        )
+        if not improved:
+            break
+        lvl_ds = lvl_ds.materialize()
+        # dense ranks of the level's label values (identical numbering to
+        # the driver path's np.unique: sorted distinct -> 0..n_new-1)
+        ranks = dense_rank_table(
+            lvl_ds.map_batches(
+                lambda t: pa.table({"lab": t["lab"].cast(pa.int64())}),
+                batch_format="pyarrow",
+            ),
+            "lab", num_parts=num_parts,
+        ).materialize()
+        n_new = ranks.count()
+        # compose cur through the level map, then densify: cur.lab values
+        # live in 0..n-1 == lvl_ds's node domain
+        lvl_m = lvl_ds.map_batches(
+            lambda t: pa.table({"meta": t["node"], "mlab": t["lab"]}),
+            batch_format="pyarrow",
+        )
+        cur = hash_join(
+            cur, lvl_m, on=["lab"], right_on=["meta"], left_schema=S_LAB,
+            right_schema=pa.schema([("meta", pa.int64()), ("mlab", pa.int64())]),
+            num_parts=num_parts,
+        ).map_batches(
+            lambda t: pa.table({"node": t["node"], "lab": t["mlab"]}),
+            batch_format="pyarrow",
+        )
+        cur = hash_join(
+            cur, ranks, on=["lab"], left_schema=S_LAB, right_schema=S_RANK,
+            num_parts=num_parts,
+        ).map_batches(
+            lambda t: pa.table({"node": t["node"], "lab": t["rank"]}),
+            batch_format="pyarrow",
+        ).materialize()
+        # contract the level graph by the dense-ified level labels
+        node_map = hash_join(
+            lvl_ds, ranks, on=["lab"], left_schema=S_LAB, right_schema=S_RANK,
+            num_parts=num_parts,
+        ).map_batches(
+            lambda t: pa.table({"node": t["node"], "rank": t["rank"]}),
+            batch_format="pyarrow",
+        )
+        edges = _contract_ds(edges, node_map, num_parts=num_parts).materialize()
+        n = int(n_new)
+        if n <= 1:
+            break
+    # normalize: community = min original member id per label
+    mins = hash_aggregate(
+        cur.map_batches(
+            lambda t: pa.table({"lab": t["lab"], "member": t["node"]}),
+            batch_format="pyarrow",
+        ),
+        ["lab"], "member", op="min", out_col="community", num_parts=num_parts,
+    )
+    return hash_join(
+        cur, mins, on=["lab"], left_schema=S_LAB,
+        right_schema=pa.schema([("lab", pa.int64()), ("community", pa.int64())]),
+        num_parts=num_parts,
+    ).map_batches(
+        lambda t: pa.table({"node": t["node"], "community": t["community"]}),
         batch_format="pyarrow",
     )
 

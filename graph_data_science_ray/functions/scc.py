@@ -235,7 +235,8 @@ def _scc_distributed(
     idmap=None,
     max_rounds: int = 100,
     num_parts: int = 64,
-) -> pd.DataFrame:
+    return_ds: bool = False,
+):
     """FW-BW coloring with Dataset-held state (see ``scc`` docstring).
 
     Per outer round the unassigned set, the color map and the backward
@@ -307,7 +308,11 @@ def _scc_distributed(
         )
         .materialize()
     )
-    assigned_parts: list[pd.DataFrame] = []
+    # member assignments accumulate as (node, component) DATASETS — the
+    # O(V) result stays in the object store; the DataFrame mode gathers
+    # once at the end (the function's documented O(V) boundary) and the
+    # return_ds mode never does
+    assigned_parts: list[rd.Dataset] = []
 
     import os as _os
     _dbg = bool(_os.environ.get("GDSR_SCC_DEBUG"))
@@ -339,14 +344,16 @@ def _scc_distributed(
         # nodes with no live edge are singleton SCCs — peel immediately
         solo = _bounded(_anti(unassigned, touched))
         if solo.count():
-            sdf = solo.to_pandas()
             assigned_parts.append(
-                pd.DataFrame(
-                    {
-                        "node": sdf["node"].to_numpy(dtype=np.int64),
-                        "component": sdf["node"].to_numpy(dtype=np.int64),
-                    }
-                )
+                solo.map_batches(
+                    lambda t: pa.table(
+                        {
+                            "node": t["node"].cast(pa.int64()),
+                            "component": t["node"].cast(pa.int64()),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                ).materialize()
             )
         if live.count() == 0:
             break
@@ -530,17 +537,17 @@ def _scc_distributed(
             reached, colors, on=["node"],
             left_schema=node_schema, right_schema=color_schema,
             num_parts=num_parts,
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"].cast(pa.int64()),
+                    "component": t["color"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
         ).materialize()
-        mdf = members.to_pandas()
-        if len(mdf):
-            assigned_parts.append(
-                pd.DataFrame(
-                    {
-                        "node": mdf["node"].to_numpy(dtype=np.int64),
-                        "component": mdf["color"].to_numpy(dtype=np.int64),
-                    }
-                )
-            )
+        if members.count():
+            assigned_parts.append(members)
 
         # peel: drop reached nodes and their incident edges
         unassigned = _bounded(_anti(unassigned, reached))
@@ -554,9 +561,25 @@ def _scc_distributed(
             left_schema=edge_schema, right_schema=node_schema, num_parts=num_parts,
         ).materialize()
 
+    if return_ds:
+        if not assigned_parts:
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array([], pa.int64()),
+                        "component": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        out = assigned_parts[0]
+        for p in assigned_parts[1:]:
+            out = out.union(p)
+        return out
     assigned = np.full(node_count, -1, dtype=np.int64)
     if assigned_parts:
-        adf = pd.concat(assigned_parts, ignore_index=True)
+        adf = pd.concat(
+            [p.to_pandas() for p in assigned_parts], ignore_index=True
+        )
         assigned[adf["node"].to_numpy(dtype=np.int64)] = adf["component"].to_numpy(
             dtype=np.int64
         )
@@ -565,3 +588,20 @@ def _scc_distributed(
     if idmap is not None:
         comp = idmap.to_keys(assigned)
     return pd.DataFrame({"node": node, "component": comp})
+
+
+def scc_ds(
+    encoded_edges: rd.Dataset,
+    node_count: int,
+    max_rounds: int = 100,
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """Dataset-returning SCC (the 10^10-node result contract): the
+    distributed FW-BW rounds accumulate per-round member Datasets and
+    the (node, component) union is returned WITHOUT the driver gather
+    that closes :func:`scc` — the result never lands on the driver.
+    Dense ids; rows cover every node assigned within ``max_rounds``."""
+    return _scc_distributed(
+        encoded_edges, node_count, idmap=None, max_rounds=max_rounds,
+        num_parts=num_parts, return_ds=True,
+    )

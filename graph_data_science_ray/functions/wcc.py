@@ -71,3 +71,23 @@ def wcc(
     return pd.DataFrame(
         {"node": np.arange(graph.node_count, dtype=np.int64), "component": comp_ids}
     )
+
+
+def wcc_ds(
+    graph,
+    max_iterations: int = 200,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 1,
+    resume: bool = True,
+):
+    """Dataset-returning WCC (the 10^10-node result contract): identical
+    supersteps to :func:`wcc`, but the (node, component) result is
+    assembled per partition in the object store via
+    ``Pregel.gather_ds`` — no O(V) driver concatenation. Dense ids;
+    compose with the idmap table for key-space output."""
+    if graph.directed:
+        raise ValueError("wcc requires an undirected projection (symmetrize the edge table)")
+    comp = WccComputation()
+    engine = Pregel(graph, comp, checkpoint_dir, checkpoint_interval)
+    refs = engine.run(max_iterations=max_iterations, resume=resume)
+    return engine.gather_ds(refs, "component")

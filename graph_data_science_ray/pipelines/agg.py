@@ -224,3 +224,53 @@ def materialize_bounded(ds: rd.Dataset, num_parts: int = 64) -> rd.Dataset:
     if m.num_blocks() > 2 * num_parts:
         m = m.repartition(num_parts).materialize()
     return m
+
+
+def dense_rank_table(
+    ds: rd.Dataset, col: str, num_parts: int = 64
+) -> rd.Dataset:
+    """``(col,)`` → ``(col, rank)``: distinct values ranked densely in
+    sorted order, fully distributed — hash-partitioned distinct → range
+    sort → per-block id assignment from a prefix sum over the P block
+    COUNTS (the only thing the driver sees). The integer counterpart of
+    ``pipelines.edges.idmap_table``; used to re-densify community labels
+    between Louvain levels without an O(V) ``np.unique`` on the driver.
+    """
+    import pyarrow as pa
+    import ray
+
+    @ray.remote
+    def _rows(t: "pa.Table") -> int:
+        return t.num_rows
+
+    @ray.remote
+    def _assign(t: "pa.Table", off: int) -> "pa.Table":
+        return pa.table(
+            {
+                col: t[col],
+                "rank": pa.array(
+                    np.arange(off, off + t.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+
+    d = (
+        hash_distinct(ds, [col], num_parts=num_parts)
+        .sort(col)
+        .materialize()
+    )
+    refs = d.to_arrow_refs()
+    counts = ray.get([_rows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    out = [
+        _assign.remote(r, int(offsets[i]))
+        for i, r in enumerate(refs)
+        if counts[i]
+    ]
+    if not out:
+        return rd.from_arrow(
+            pa.table(
+                {col: pa.array([], pa.int64()), "rank": pa.array([], pa.int64())}
+            )
+        )
+    return rd.from_arrow_refs(out)

@@ -257,6 +257,176 @@ def train_logistic_regression(
 
 
 # ---------------------------------------------------------------------------
+# linear regression (MSE + L2, Adam) — data-parallel
+# ---------------------------------------------------------------------------
+
+
+class LinearRegressionModel:
+    """Trained regressor: weights (d,) + bias scalar."""
+
+    def __init__(self, weights: np.ndarray, bias: float):
+        self.weights = np.asarray(weights, dtype=np.float64)
+        self.bias = float(bias)
+
+    def predict(
+        self, ds: rd.Dataset, feature_col: str = "features"
+    ) -> rd.Dataset:
+        """Distributed scoring: broadcast the tiny model, map batches."""
+        mref = ray.put((self.weights, self.bias))
+
+        def score(df: pd.DataFrame) -> pd.DataFrame:
+            w, b = ray.get(mref)
+            X = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in df[feature_col]]
+            ) if len(df) else np.zeros((0, len(w)))
+            out = df.drop(columns=[feature_col])
+            out["predicted"] = X @ w + b if len(X) else []
+            return out
+
+        return ds.map_batches(score, batch_format="pandas")
+
+
+def train_linear_regression(
+    ds: rd.Dataset,
+    label_col: str = "target",
+    feature_col: str = "features",
+    penalty: float = 0.0,
+    max_epochs: int = 200,
+    learning_rate: float = 0.1,
+    tolerance: float = 1e-5,
+    patience: int = 3,
+    key_col: str | None = None,
+    num_shards: int = 32,
+    seed: int = 42,
+) -> LinearRegressionModel:
+    """Linear regression via data-parallel full-batch Adam on the MSE +
+    L2 objective — the reference's LinearRegressionObjective
+    (ml/ml-algo/src/main/java/org/neo4j/gds/ml/models/linearregression/
+    LinearRegressionObjective.java; trained by the same Training.java
+    loop as the classifier). Same determinism contract as
+    :func:`train_logistic_regression`: canonical key-sorted shards +
+    fixed-order gradient combine ⇒ byte-identical weights at any
+    parallelism."""
+    first = ds.take(1)[0]
+    d = len(np.asarray(first[feature_col], dtype=np.float64))
+
+    def to_xy(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"_y": df[label_col].to_numpy(dtype=np.float64)}
+        )
+        out[feature_col] = list(
+            np.stack([np.asarray(x, dtype=np.float64) for x in df[feature_col]])
+            if len(df) else np.zeros((0, d))
+        )
+        if key_col is not None:
+            out["_k"] = df[key_col].to_numpy()
+        return out
+
+    shards = ds.map_batches(to_xy, batch_format="pandas")
+    if key_col is not None:
+        shards = shards.sort("_k").repartition(num_shards)
+    shards = shards.materialize()
+    n_total = shards.count()
+
+    w = (
+        (splitmix64(np.arange(d, dtype=np.uint64) + np.uint64(seed))
+         % np.uint64(10_000)).astype(np.float64) / 10_000.0 - 0.5
+    ) * 0.01
+    b = 0.0
+    mw = np.zeros_like(w); vw = np.zeros_like(w)
+    mb = 0.0; vb = 0.0
+    beta1, beta2, eps = 0.9, 0.999, 1e-8
+    prev_loss = np.inf
+    flat_epochs = 0
+
+    for epoch in range(1, max_epochs + 1):
+        wref = ray.put((w, b))
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            wl, bl = ray.get(wref)
+            X = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in df[feature_col]]
+            ) if len(df) else np.zeros((0, len(wl)))
+            y = df["_y"].to_numpy(dtype=np.float64)
+            r = X @ wl + bl - y
+            gw = 2.0 * (X.T @ r)
+            gb = 2.0 * float(r.sum())
+            sse = float((r * r).sum())
+            return pd.DataFrame({"gw": [gw], "gb": [gb], "sse": [sse], "n": [len(y)]})
+
+        parts = shards.map_batches(partial, batch_format="pandas").to_pandas()
+        gw = np.zeros_like(w); gb = 0.0; sse = 0.0
+        for _, row in parts.iterrows():
+            gw += np.asarray(row["gw"], dtype=np.float64)
+            gb += float(row["gb"])
+            sse += float(row["sse"])
+        gw = gw / n_total + 2.0 * penalty * w
+        gb = gb / n_total
+        loss = sse / n_total + penalty * float((w * w).sum())
+
+        mw = beta1 * mw + (1 - beta1) * gw
+        vw = beta2 * vw + (1 - beta2) * gw * gw
+        mb = beta1 * mb + (1 - beta1) * gb
+        vb = beta2 * vb + (1 - beta2) * gb * gb
+        c1 = 1 - beta1 ** epoch
+        c2 = 1 - beta2 ** epoch
+        w = w - learning_rate * (mw / c1) / (np.sqrt(vw / c2) + eps)
+        b = b - learning_rate * (mb / c1) / (np.sqrt(vb / c2) + eps)
+        if abs(prev_loss - loss) <= tolerance * max(abs(prev_loss), 1e-12):
+            flat_epochs += 1
+            if flat_epochs >= patience:
+                break
+        else:
+            flat_epochs = 0
+        prev_loss = loss
+
+    return LinearRegressionModel(w, b)
+
+
+def node_regression_pipeline(
+    features_ds: rd.Dataset,
+    target_col: str = "target",
+    feature_cols: list[str] | None = None,
+    test_fraction: float = 0.25,
+    penalty: float = 0.0,
+    max_epochs: int = 200,
+    learning_rate: float = 0.1,
+    id_col: str = "node_id",
+    seed: int = 42,
+) -> dict:
+    """NodeRegressionTrainingPipeline (reference pipeline/.../nodePipeline/
+    regression/NodeRegressionTrain.java): assemble → hash split → train
+    linear regression → evaluate (MSE / MAE / R², the reference's
+    RegressionMetrics) → predict-all. Returns {model, metrics,
+    predictions}."""
+    ds = features_ds
+    if feature_cols is not None:
+        ds = assemble_features(ds, feature_cols)
+    ds = ds.materialize()
+    train, test = hash_split(ds, id_col, test_fraction, seed=seed)
+    model = train_linear_regression(
+        train, label_col=target_col, penalty=penalty, max_epochs=max_epochs,
+        learning_rate=learning_rate, key_col=id_col, seed=seed,
+    )
+    scored = model.predict(test).to_pandas()
+    if len(scored):
+        y = scored[target_col].to_numpy(dtype=np.float64)
+        p = scored["predicted"].to_numpy(dtype=np.float64)
+        mse = float(np.mean((p - y) ** 2))
+        mae = float(np.mean(np.abs(p - y)))
+        ss_tot = float(((y - y.mean()) ** 2).sum())
+        r2 = float(1.0 - ((p - y) ** 2).sum() / ss_tot) if ss_tot > 0 else 0.0
+    else:
+        mse = mae = r2 = 0.0
+    predictions = model.predict(ds)
+    return {
+        "model": model,
+        "metrics": {"mse": mse, "mae": mae, "r2": r2},
+        "predictions": predictions,
+    }
+
+
+# ---------------------------------------------------------------------------
 # link feature steps (linkPipeline/linkfunctions/)
 # ---------------------------------------------------------------------------
 
@@ -410,6 +580,90 @@ def _sample_negative_pairs(
     return pd.DataFrame({"src": kept // V, "dst": kept % V})
 
 
+def _anti_join_keys(
+    left: rd.Dataset, right: rd.Dataset, num_parts: int
+) -> rd.Dataset:
+    """Left keys NOT present in right — hash-partitioned on ``key % P``;
+    each group holds one shard of both sides and filters with one
+    vectorized ``np.isin`` (no driver materialization)."""
+
+    def tag(flag: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": t["key"].cast(pa.int64()),
+                    "flag": pa.array(
+                        np.full(t.num_rows, flag, dtype=np.int8)
+                    ),
+                }
+            )
+
+        return f
+
+    both = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__part"] = df["key"].to_numpy(dtype=np.int64) % num_parts
+        return df
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["key"].to_numpy(dtype=np.int64)
+        fl = g["flag"].to_numpy()
+        keep = (fl == 0) & ~np.isin(k, k[fl == 1])
+        return pd.DataFrame({"key": np.unique(k[keep])})
+
+    return (
+        both.map_batches(part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(anti, batch_format="pandas")
+    )
+
+
+def _neg_sample_distributed(
+    pos_keys: rd.Dataset, n_neg: int, V: int, seed: int,
+    num_parts: int = 16, max_rounds: int = 64,
+) -> rd.Dataset:
+    """Distributed seeded negative sampling: each candidate draw is a
+    pure function of its global draw index (identical at any
+    parallelism), rejection is a hash-partitioned anti-join against the
+    edge-key shards AND the accepted-so-far set, and the driver sees
+    only per-round counts. The final selection — the ``n_neg`` smallest
+    accepted pair keys — reproduces the broadcast sampler
+    (:func:`_sample_negative_pairs`) bit-for-bit, so the two paths are
+    parity-testable. Returns a (key,) Dataset of accepted non-edges."""
+    kept: rd.Dataset | None = None
+    kept_count = 0
+    salt = 0
+    while kept_count < n_neg and salt < max_rounds:
+        need = n_neg - kept_count
+        offset = salt * n_neg
+
+        def draw(t: pa.Table, *, off=offset) -> pa.Table:
+            idx = t["id"].to_numpy(zero_copy_only=False).astype(np.uint64) + np.uint64(off)
+            a = (splitmix64(idx + np.uint64(seed)) % np.uint64(V)).astype(np.int64)
+            b = (splitmix64(idx + np.uint64(seed + 7919)) % np.uint64(V)).astype(np.int64)
+            ok = a != b
+            return pa.table({"key": pa.array(a[ok] * V + b[ok])})
+
+        cand = rd.range(need).map_batches(draw, batch_format="pyarrow")
+        acc = _anti_join_keys(cand, pos_keys, num_parts)
+        if kept is not None:
+            acc = _anti_join_keys(acc, kept, num_parts)
+        kept = acc if kept is None else kept.union(acc)
+        kept = kept.materialize()
+        kept_count = kept.count()
+        salt += 1
+    if kept is None:
+        kept = rd.range(0).map_batches(
+            lambda t: pa.table({"key": pa.array([], type=pa.int64())}),
+            batch_format="pyarrow",
+        )
+    return kept.sort("key").limit(n_neg)
+
+
 def link_prediction_pipeline(
     enc_edges: rd.Dataset,
     node_vectors: rd.Dataset,
@@ -429,22 +683,18 @@ def link_prediction_pipeline(
     LinkPredictionSplitConfig.java), features via the combiner stack,
     binary LR, AUC-style accuracy on the held-out split.
 
-    The packed edge-key array for negative rejection is built
-    distributed (to_numpy_refs → one remote sort task) and broadcast —
-    the same budgeted pattern as triangle closing; at extreme E the
-    sampler should switch to the hash-join anti-join form (documented).
+    Negative sampling is fully distributed: candidate draws are pure
+    functions of their global index, rejection is a hash-partitioned
+    anti-join against edge-key shards, and positives/negatives meet via
+    ``Dataset.union`` — nothing O(E) ever lands on the driver (the
+    broadcast sampler :func:`_sample_negative_pairs` remains as the
+    parity-tested small-graph reference path).
     """
-    import ray
-
-    from graph_data_science_ray.functions.triangles import _sorted_key_array
-
     V = int(node_count)
-    # repartition squeezes out schema-less empty blocks that would break
-    # the per-block to_numpy_refs key build below
     pos = enc_edges.select_columns(["src", "dst"]).repartition(8).materialize()
     n_pos = pos.count()
 
-    key_refs = pos.map_batches(
+    pos_keys = pos.map_batches(
         lambda t: pa.table({
             "key": pa.array(
                 t["src"].to_numpy(zero_copy_only=False).astype(np.int64) * V
@@ -452,17 +702,34 @@ def link_prediction_pipeline(
             )
         }),
         batch_format="pyarrow",
-    ).to_numpy_refs(column="key")
-    ekeys = ray.get(_sorted_key_array.remote(*key_refs))
-
-    node_ids = np.arange(V, dtype=np.int64)
-    neg = _sample_negative_pairs(
-        node_ids, ekeys, int(n_pos * negative_ratio), V, seed
     )
-    pos_df = pos.to_pandas()
-    pos_df["label"] = 1
-    neg["label"] = 0
-    pairs = rd.from_pandas(pd.concat([pos_df, neg], ignore_index=True))
+    n_neg_target = int(n_pos * negative_ratio)
+    neg_keys = _neg_sample_distributed(pos_keys, n_neg_target, V, seed)
+
+    def keys_to_neg_pairs(t: pa.Table) -> pa.Table:
+        k = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(k // V),
+                "dst": pa.array(k % V),
+                "label": pa.array(np.zeros(len(k), dtype=np.int64)),
+            }
+        )
+
+    def pos_with_label(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t["src"].cast(pa.int64()),
+                "dst": t["dst"].cast(pa.int64()),
+                "label": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    neg_ds = neg_keys.map_batches(keys_to_neg_pairs, batch_format="pyarrow")
+    pairs = pos.map_batches(pos_with_label, batch_format="pyarrow").union(
+        neg_ds
+    ).materialize()
+    n_neg = int(pairs.count() - n_pos)
 
     feats = link_features(
         pairs, node_vectors, combiners=combiners,
@@ -488,4 +755,4 @@ def link_prediction_pipeline(
     scored = model.predict(test).to_pandas()
     acc = float((scored["predicted"] == scored["label"]).mean()) if len(scored) else 0.0
     return {"model": model, "metrics": {"accuracy": acc},
-            "n_pos": int(n_pos), "n_neg": int(len(neg))}
+            "n_pos": int(n_pos), "n_neg": n_neg}

@@ -319,7 +319,10 @@ def dedup_minhash_lsh(
     nparts = _auto_join_partitions()
     pairs = pairs.materialize()
 
-    # candidate doc-id set (distributed partial-unique, driver holds ids only)
+    # candidate doc-id set: distributed partial-unique + hash_distinct;
+    # the BRANCH decision is a distributed count — ids only land on the
+    # driver when the broadcast branch is taken (so they are bounded by
+    # broadcast_limit by construction)
     def _ids(df: pd.DataFrame) -> pd.DataFrame:
         u = np.unique(
             np.concatenate(
@@ -327,16 +330,22 @@ def dedup_minhash_lsh(
             )
         ) if len(df) else np.zeros(0, dtype=np.int64)
         return pd.DataFrame({"id": u})
-    cand_df = pairs.map_batches(_ids, batch_format="pandas").to_pandas()
-    cand_ids = (
-        np.unique(cand_df["id"].to_numpy(dtype=np.int64))
-        if "id" in cand_df.columns and len(cand_df)
-        else np.zeros(0, dtype=np.int64)
-    )
 
-    if len(cand_ids) <= broadcast_limit:
+    cand = hash_distinct(
+        pairs.map_batches(_ids, batch_format="pandas"), ["id"],
+        num_parts=nparts,
+    ).materialize()
+    n_cand = cand.count()
+
+    if n_cand <= broadcast_limit:
         # small candidate set: semi-join the doc table down to candidates
         # (distributed filter) and broadcast just those texts once
+        cdf = cand.to_pandas()
+        cand_ids = (
+            np.sort(cdf["id"].to_numpy(dtype=np.int64))
+            if "id" in cdf.columns and len(cdf)
+            else np.zeros(0, dtype=np.int64)
+        )
         ids_ref = ray.put(cand_ids)
 
         def only_cands(df: pd.DataFrame) -> pd.DataFrame:

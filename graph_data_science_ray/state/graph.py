@@ -510,7 +510,14 @@ def import_csv(csv_dir: str, path: str, num_partitions: int | None = None) -> "G
 
     info = read_json(os.path.join(csv_dir, "graph_info.json"))
     nodes = _pd.read_csv(os.path.join(csv_dir, "nodes.csv"))
-    idmap = IdMap(np.asarray(nodes["node"].astype(str), dtype="U"))
+    # IdMap.to_ids relies on np.searchsorted, so keys MUST be sorted;
+    # an exported 0..n-1 integer vocabulary round-trips to string keys in
+    # NUMERIC order ('10' < '2'), so sort here and reorder the property
+    # columns by the same permutation to keep positional assignment aligned
+    keyarr = np.asarray(nodes["node"].astype(str), dtype="U")
+    order = np.argsort(keyarr, kind="stable")
+    nodes = nodes.iloc[order].reset_index(drop=True)
+    idmap = IdMap(keyarr[order])
     edges = rd.read_csv(os.path.join(csv_dir, "relationships"))
 
     def norm(t):

@@ -758,7 +758,12 @@ class Pregel:
             final_refs = new_refs
             self.history.append(stats)
             states_by_iter.pop(it - 1, None)
-            halt = self.comp.is_converged(stats) or self.comp.master_compute(stats, it)
+            # evaluate BOTH: master_compute is contractually called after
+            # EVERY superstep (including the converging one) — `or` would
+            # short-circuit it away on the final superstep
+            conv = self.comp.is_converged(stats)
+            mc = self.comp.master_compute(stats, it)
+            halt = conv or mc
             if self.checkpoint_dir and (
                 it % self.checkpoint_interval == 0 or halt
             ):
@@ -829,3 +834,34 @@ class Pregel:
                 out = np.zeros(self.graph.node_count, dtype=arr.dtype)
             out[self.graph.boundaries[p] : self.graph.boundaries[p + 1]] = arr
         return out
+
+    def gather_ds(self, state_refs: list, key: str, out_col: str | None = None):
+        """Dataset of ``(node, <out_col>)`` rows built per partition IN THE
+        OBJECT STORE — the O(V) result never concatenates on the driver
+        (the 10^10-node result contract; the driver touches only P refs).
+        ``node`` is the dense id; key-space decoding composes as a
+        map_batches against the idmap table when needed."""
+        import pyarrow as _pa
+        import ray.data as _rd
+
+        col = out_col or key
+
+        @ray.remote
+        def _to_block(state: dict, start: int, end: int) -> _pa.Table:
+            arr = np.asarray(state[key])
+            return _pa.table(
+                {
+                    "node": _pa.array(np.arange(start, end, dtype=np.int64)),
+                    col: _pa.array(arr),
+                }
+            )
+
+        refs = [
+            _to_block.remote(
+                state_refs[p],
+                int(self.graph.boundaries[p]),
+                int(self.graph.boundaries[p + 1]),
+            )
+            for p in range(len(state_refs))
+        ]
+        return _rd.from_arrow_refs(refs)

@@ -53,11 +53,23 @@ class TypedGraphStore:
         return sorted(t)
 
     def edge_counts(self) -> pd.DataFrame:
-        """(rel_type, n_edges, total_weight) — the catalog listing."""
-        df = self.edges.to_pandas()
+        """(rel_type, n_edges, total_weight) — the catalog listing.
+
+        Map-side partial groupby per batch (≤ |types| rows each) + a tiny
+        driver combine: the full typed edge table never leaves the
+        workers — only |types| × blocks partial rows do."""
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            return (
+                df.groupby("rel_type")
+                .agg(n_edges=("src", "size"), total_weight=("weight", "sum"))
+                .reset_index()
+            )
+
+        parts = self.edges.map_batches(partial, batch_format="pandas").to_pandas()
         out = (
-            df.groupby("rel_type")
-            .agg(n_edges=("src", "size"), total_weight=("weight", "sum"))
+            parts.groupby("rel_type")
+            .agg(n_edges=("n_edges", "sum"), total_weight=("total_weight", "sum"))
             .reset_index()
             .sort_values("rel_type")
             .reset_index(drop=True)

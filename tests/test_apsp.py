@@ -43,19 +43,17 @@ def test_weighted_matches_edge_counts(graph_from_edges):
 def test_weighted_unit_equals_unweighted(graph_from_edges):
     edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 1)]
     gd, gu, _, _, _ = graph_from_edges(edges)
-    hop = _pairs(all_shortest_paths(gu))
-    # weighted with add_one combine == hop counts
-    from graph_data_science_ray.functions.apsp import MultiSourceSssp
-    from graph_data_science_ray.state.pregel import Pregel
+    hop = _pairs(all_shortest_paths(gu, weighted=False))
+    # single-occurrence edges carry unit weights, so the weighted
+    # relaxation waves must reproduce the MSBFS hop counts exactly
+    w = _pairs(all_shortest_paths(gu, weighted=True))
+    assert {k: float(v) for k, v in hop.items()} == {
+        k: float(v) for k, v in w.items()
+    }
 
-    w = _pairs(all_shortest_paths(gu, weighted=False))
-    assert hop == w  # same function, sanity
-
-    unw = all_shortest_paths(gu, weighted=False)
     # symmetric graph: distance matrix symmetric
-    p = _pairs(unw)
-    for (s, t), d in p.items():
-        assert p[(t, s)] == d
+    for (s, t), d in hop.items():
+        assert hop[(t, s)] == d
 
 
 def test_sources_subset(graph_from_edges):

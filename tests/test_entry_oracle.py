@@ -111,6 +111,12 @@ _ORACLE_CHECKED = [
     "eigenvector_exact",
     "articulation_points",
     "bridges",
+    # round-4 re-contracted exactly-checkable surfaces
+    "louvain",
+    "leiden",
+    "k1_coloring",
+    "fastrp",
+    "random_walks",
 ]
 
 

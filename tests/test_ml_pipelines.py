@@ -137,3 +137,68 @@ def test_link_prediction_pipeline_beats_chance(graph_from_edges):
     )
     assert res["n_pos"] > 0 and res["n_neg"] > 0
     assert res["metrics"]["accuracy"] > 0.8
+
+
+def test_distributed_negative_sampler_matches_broadcast(graph_from_edges):
+    """The distributed anti-join sampler must reproduce the broadcast
+    rejection sampler bit-for-bit (same draw windows, same smallest-key
+    selection) — the scale path is output-identical to the reference
+    path."""
+    import pyarrow as pa
+
+    from graph_data_science_ray.pipelines.ml import (
+        _neg_sample_distributed,
+        _sample_negative_pairs,
+    )
+
+    edges = [(i, (i + 1) % 9) for i in range(9)] + [(0, 4), (2, 7)]
+    gd, gu, idmap, enc, sym = graph_from_edges(edges, num_partitions=3)
+    V = len(idmap)
+    pos = enc.select_columns(["src", "dst"]).materialize()
+    keys = pos.map_batches(
+        lambda t: pa.table({
+            "key": pa.array(
+                t["src"].to_numpy(zero_copy_only=False).astype(np.int64) * V
+                + t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        }),
+        batch_format="pyarrow",
+    )
+    ekeys = np.sort(keys.to_pandas()["key"].to_numpy(dtype=np.int64))
+    for n_neg in (3, 8, 15):
+        want = _sample_negative_pairs(
+            np.arange(V, dtype=np.int64), ekeys, n_neg, V, seed=42
+        )
+        got = (
+            _neg_sample_distributed(keys, n_neg, V, seed=42, num_parts=4)
+            .to_pandas()["key"].to_numpy(dtype=np.int64)
+        )
+        want_keys = (
+            want["src"].to_numpy(dtype=np.int64) * V
+            + want["dst"].to_numpy(dtype=np.int64)
+        )
+        assert np.array_equal(np.sort(got), np.sort(want_keys)), n_neg
+
+
+def test_node_regression_pipeline_fits_linear_target():
+    """Linear target => near-perfect fit; deterministic reruns."""
+    import ray.data as rd
+
+    from graph_data_science_ray.pipelines.ml import node_regression_pipeline
+
+    rng = np.arange(40, dtype=np.float64)
+    df = pd.DataFrame({"node_id": np.arange(40, dtype=np.int64)})
+    df["feat"] = [np.array([x, 2.0 * x + 1.0]) for x in rng]
+    df["target"] = 3.0 * rng + 0.5
+    res = node_regression_pipeline(
+        rd.from_pandas(df), target_col="target", feature_cols=["feat"],
+        id_col="node_id", max_epochs=300, learning_rate=0.2,
+    )
+    assert res["metrics"]["r2"] > 0.95
+    assert set(res["metrics"]) == {"mse", "mae", "r2"}
+    res2 = node_regression_pipeline(
+        rd.from_pandas(df), target_col="target", feature_cols=["feat"],
+        id_col="node_id", max_epochs=300, learning_rate=0.2,
+    )
+    assert res["model"].weights.tobytes() == res2["model"].weights.tobytes()
+    assert res["model"].bias == res2["model"].bias
