@@ -2718,6 +2718,35 @@ def _q_node_classification(sf_dir: str) -> pd.DataFrame:
     ).sort_values("vec_id").reset_index(drop=True)
 
 
+def _q_subgraph_filter_expr(sf_dir: str) -> pd.DataFrame:
+    """Subgraph filter through the reference's EXPRESSION AST surface
+    (subgraph-filtering/.../expression/ExpressionParser.java, parsed by
+    ``pipelines.filter_expr``): edge predicate ``r.weight >= 2`` and
+    node predicate ``n.uid_mod <> 1`` (uid % 3, bound as a node
+    property) — both evaluated vectorized; surviving nodes re-densify
+    and the filtered edge table decodes through the NEW IdMap. The SQL
+    oracle applies the same predicates in WHERE."""
+    from graph_data_science_ray.pipelines.transforms import subgraph_filter
+
+    b = _bundle(sf_dir)
+    uids = _strip(b["idmap"].keys).astype(np.int64)
+    ds, im2 = subgraph_filter(
+        b["enc"], b["idmap"],
+        edge_filter="r.weight >= 2",
+        node_filter="n.uid_mod <> 1",
+        node_props={"uid_mod": uids % 3},
+    )
+    df = ds.to_pandas()
+    keys = im2.keys
+    return pd.DataFrame(
+        {
+            "src": _strip(keys[df["src"].to_numpy(dtype=np.int64)]),
+            "dst": _strip(keys[df["dst"].to_numpy(dtype=np.int64)]),
+            "weight": df["weight"].astype(np.float64),
+        }
+    )
+
+
 def _q_node_regression(sf_dir: str) -> pd.DataFrame:
     """NodeRegression pipeline (the reference's third ML pipeline,
     pipeline/.../nodePipeline/regression/NodeRegressionTrain.java) on the
@@ -3475,6 +3504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node_regression": lambda sf: _cached(
             "node_regression", sf, _q_node_regression),
         "node_regression_valid": _q_node_regression_valid,
+        "subgraph_filter_expr": _q_subgraph_filter_expr,
     }
 
 
@@ -5250,6 +5280,14 @@ SELECT r.node AS node, CAST(d.j AS BIGINT) AS dim,
        CAST(coalesce(h.v, 0) AS BIGINT) AS value
 FROM ranked r CROSS JOIN dims d
 LEFT JOIN h{_FRP_ROUNDS} h ON h.node = r.node AND h.j = d.j
+"""
+
+    sqls["subgraph_filter_expr"] = f"""
+WITH {_GRAPH_CTE}
+SELECT src, dst, weight FROM edges
+WHERE weight >= 2
+  AND CAST(src AS BIGINT) % 3 <> 1
+  AND CAST(dst AS BIGINT) % 3 <> 1
 """
 
     sqls["node_regression_valid"] = (

@@ -151,6 +151,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # round-4 late additions
         "all_shortest_paths", "decontaminate", "deterministic_shuffle",
         "training_mix",
+        # round-4 (session 2): AST subgraph filter + node regression
+        "subgraph_filter_expr", "node_regression",
     ):
         timed(name, lambda n=name: q[n](sf_dir))
 
@@ -286,6 +288,34 @@ def main() -> None:
     if "--pr-only" in sys.argv:
         ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         print(json.dumps(_pr_only(ncpu)))
+        return
+    if "--scaling-calib" in sys.argv:
+        # Interleaved A/B/A with a calibration probe BEFORE EVERY run, so
+        # each throughput row carries its own host-speed measurement and
+        # steal bursts are attributable per window (round-3 verdict item:
+        # "every row carries its own calib within 10%").
+        _ensure_scaling_graph()
+        seq = (1, 4, 1, 4, 8, 32, 8, 32)
+        rows = []
+        for ncpu in seq:
+            calib = _calibrate()
+            r = _run_subprocess(ncpu, sf_dir, extra=("--pr-only",))
+            rows.append(
+                {"num_cpus": ncpu, "calib_matmul_sec": calib,
+                 "eps": r["eps"], "wall_sec": r["wall_sec"],
+                 "rank_digest": r["rank_digest"]}
+            )
+        def best(n):
+            return max(r["eps"] for r in rows if r["num_cpus"] == n)
+        print(json.dumps({
+            "metric": "interleaved-calib scaling (A/B/A), PageRank on the "
+                      "persisted scaling graph",
+            "rows": rows,
+            "scaling_efficiency_1v4": round((best(4) / best(1)) / 4.0, 3),
+            "scaling_efficiency_8v32": round((best(32) / best(8)) / 4.0, 3),
+            "outputs_identical": len({r["rank_digest"] for r in rows}) == 1,
+            "calib_final": _calibrate(),
+        }))
         return
     if "--scaling" in sys.argv:
         # North-rule evidence: same job, same input, same fixed partition

@@ -100,6 +100,77 @@ def _sample_neighbor_blocks(graph, sample_size: int, seed: int,
     ]
 
 
+@ray.remote
+def _feat_block_parts(tbl) -> np.ndarray:
+    """Distinct __part values inside one arrow block (tiny)."""
+    if tbl.num_rows == 0:
+        return np.zeros(0, dtype=np.int64)
+    return np.unique(np.asarray(tbl["__part"]).astype(np.int64))
+
+
+@ray.remote
+def _feat_extract_part(p: int, refs: list, start: int, end: int,
+                       id_col: str, vec_col: str) -> np.ndarray:
+    """Assemble one partition's (n_p, f) feature block from the arrow
+    blocks that contain its rows (plasma reads, node-local after first
+    fetch). Validates exact 0-gap coverage of the partition's id range."""
+    ids_all, vecs_all = [], []
+    for r in refs:
+        tbl = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+        part = np.asarray(tbl["__part"]).astype(np.int64)
+        sel = part == p
+        if not sel.any():
+            continue
+        ids_all.append(np.asarray(tbl[id_col]).astype(np.int64)[sel])
+        vecs = tbl[vec_col].to_pylist()
+        vecs_all.extend(v for v, keep in zip(vecs, sel) if keep)
+    ids = (
+        np.concatenate(ids_all) if ids_all else np.zeros(0, dtype=np.int64)
+    )
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    if not np.array_equal(ids, np.arange(start, end, dtype=np.int64)):
+        raise ValueError(
+            f"feature Dataset must cover partition ids [{start},{end}) "
+            f"exactly once; got {len(ids)} rows"
+        )
+    mat = np.stack(
+        [np.asarray(vecs_all[i], dtype=np.float64) for i in order]
+    ) if len(order) else np.zeros((0, 1), dtype=np.float64)
+    return np.ascontiguousarray(mat)
+
+
+def _feat_blocks_from_ds(feat_ds, bounds: np.ndarray, id_col: str,
+                         vec_col: str) -> list:
+    """Range-shard a ``(node, vector)`` Dataset into one plasma feature
+    block per graph partition WITHOUT a driver-side (V, f) matrix: rows
+    are tagged with their owning partition inside ``map_batches``, and a
+    per-partition remote task assembles its block from only the arrow
+    blocks that contain its rows — the driver sees P tiny part-id
+    arrays, never a feature value. The input-boundary counterpart of the
+    partition-held compute path."""
+
+    def tag(df):
+        df = df.copy()
+        ids = df[id_col].to_numpy(dtype=np.int64)
+        df["__part"] = np.searchsorted(bounds, ids, side="right") - 1
+        return df
+
+    tagged = feat_ds.map_batches(tag, batch_format="pandas").materialize()
+    refs = tagged.to_arrow_refs()
+    parts_in = ray.get([_feat_block_parts.remote(r) for r in refs])
+    P = len(bounds) - 1
+    blocks = []
+    for p in range(P):
+        hit = [r for r, ps in zip(refs, parts_in) if p in ps]
+        blocks.append(
+            _feat_extract_part.remote(
+                p, hit, int(bounds[p]), int(bounds[p + 1]), id_col, vec_col
+            )
+        )
+    return blocks
+
+
 def _shard_rows(mat: np.ndarray, boundaries) -> list:
     """Range-shard a (V, ...) matrix into one plasma object per graph
     partition (the partition-held layout: block p holds the rows of the
@@ -132,6 +203,42 @@ def _gather_rows(block_refs: list, boundaries: np.ndarray,
     return out
 
 
+def _pool_agg(P: np.ndarray, nbr_l: np.ndarray):
+    """Element-wise max over each node's sampled-neighbor rows of P
+    (reference MaxPoolingAggregator.java:37 — FC+relu per neighbor, then
+    max-pool). ``nbr_l`` is (n, S) LOCAL indices into P with -1 padding.
+    Returns (agg (n, dp), amax (n, dp) local row index per max entry or
+    -1 where a node has no neighbors — the backward routing table)."""
+    n, S = nbr_l.shape
+    dp = P.shape[1]
+    mask = nbr_l >= 0
+    G = P[np.where(mask, nbr_l, 0)]                      # (n, S, dp)
+    G = np.where(mask[:, :, None], G, -np.inf)
+    k = G.argmax(axis=1)                                 # (n, dp)
+    agg = np.take_along_axis(G, k[:, None, :], axis=1)[:, 0, :]
+    has = mask.any(axis=1)
+    agg = np.where(has[:, None], agg, 0.0)
+    amax = np.where(
+        has[:, None], np.take_along_axis(nbr_l, k, axis=1), -1
+    )
+    return agg, amax
+
+
+def _pool_backward(g_agg: np.ndarray, amax: np.ndarray, P: np.ndarray,
+                   H: np.ndarray, Wp: np.ndarray):
+    """Backward through max-pool + relu FC: routes each output unit's
+    gradient to its argmax neighbor row, then through relu and the pool
+    weights. Returns (gH, gWp)."""
+    gP = np.zeros_like(P)
+    valid = amax >= 0
+    rows = np.where(valid, amax, 0)
+    cols = np.broadcast_to(np.arange(P.shape[1]), amax.shape)
+    np.add.at(gP, (rows.ravel(), cols.ravel()),
+              (g_agg * valid).ravel())
+    gZ = gP * (P > 0)                                    # relu'
+    return gZ @ Wp, gZ.T @ H
+
+
 def _mean_rows(X: np.ndarray, self_ids: np.ndarray, nbr: np.ndarray,
                Xsrc: np.ndarray | None = None) -> np.ndarray:
     """mean over {v} ∪ sampled neighbors of the rows of X (reference
@@ -143,10 +250,11 @@ def _mean_rows(X: np.ndarray, self_ids: np.ndarray, nbr: np.ndarray,
     return (src + gathered.sum(axis=1)) / cnt[:, None]
 
 
-def _support_m1(feat_blocks, s2_blocks, bounds, sup: np.ndarray):
-    """Layer-1 mean inputs for a sorted support set: gathers the support
+def _support_inputs(feat_blocks, s2_blocks, bounds, sup: np.ndarray):
+    """Layer-1 inputs for a sorted support set: gathers the support
     nodes' layer-2 samples, then ONLY the feature rows those samples and
-    the support itself touch (per-block fetches — no V-sized read)."""
+    the support itself touch (per-block fetches — no V-sized read).
+    Returns (Xl, self_l, nbr_l) with LOCAL indices into Xl."""
     s2_sup = _gather_rows(s2_blocks, bounds, sup)        # (U, S2)
     ids_x = np.unique(np.concatenate([sup, s2_sup.ravel()]))
     ids_x = ids_x[ids_x >= 0]
@@ -156,8 +264,25 @@ def _support_m1(feat_blocks, s2_blocks, bounds, sup: np.ndarray):
         return np.searchsorted(ids_x, np.where(ids >= 0, ids, ids_x[0]))
 
     nbr_l = np.where(s2_sup >= 0, local(s2_sup), -1)
-    m1 = _mean_rows(Xl, local(sup), nbr_l)               # (U, f)
-    return m1
+    return Xl, local(sup), nbr_l
+
+
+def _support_m1(feat_blocks, s2_blocks, bounds, sup: np.ndarray):
+    """Layer-1 MEAN inputs for a sorted support set."""
+    Xl, self_l, nbr_l = _support_inputs(feat_blocks, s2_blocks, bounds, sup)
+    return _mean_rows(Xl, self_l, nbr_l)                 # (U, f)
+
+
+def _support_m1_pool(feat_blocks, s2_blocks, bounds, sup: np.ndarray,
+                     Wp1: np.ndarray):
+    """Layer-1 MAX-POOL inputs: m1 = concat(x_v, max-pool of
+    relu(x_u Wp1^T) over v's layer-2 sample). Returns (m1, cache) where
+    cache = (Xl, P1, amax1) for the backward pass."""
+    Xl, self_l, nbr_l = _support_inputs(feat_blocks, s2_blocks, bounds, sup)
+    P1 = np.maximum(Xl @ Wp1.T, 0.0)
+    agg1, amax1 = _pool_agg(P1, nbr_l)
+    m1 = np.concatenate([Xl[self_l], agg1], axis=1)
+    return m1, (Xl, P1, amax1)
 
 
 @ray.remote
@@ -171,9 +296,13 @@ def _shard_grad(w_ref, feat_blocks, s1_blocks, s2_blocks, bounds,
     set touches are fetched — nothing graph-global rides one object or
     enters this task.
     """
-    W1, W2 = w_ref
     act = cfg["activation"]
     Q = cfg["negative_sample_weight"]
+    agg_kind = cfg.get("aggregator", "mean")
+    if agg_kind == "pool":
+        W1, W2, Wp1, Wp2 = w_ref
+    else:
+        W1, W2 = w_ref
 
     nodes = triples.ravel()             # 3B node ids, may repeat
     B = len(triples)
@@ -182,7 +311,12 @@ def _shard_grad(w_ref, feat_blocks, s1_blocks, s2_blocks, bounds,
     uniq = np.unique(np.concatenate([nodes, n1.ravel()]))
     sup = uniq[uniq >= 0]               # drop the -1 padding id
     # compute h1 for every support node from its OWN layer-2 sample
-    m1 = _support_m1(feat_blocks, s2_blocks, bounds, sup)  # (U, f)
+    if agg_kind == "pool":
+        m1, (Xl, P1, amax1) = _support_m1_pool(
+            feat_blocks, s2_blocks, bounds, sup, Wp1
+        )
+    else:
+        m1 = _support_m1(feat_blocks, s2_blocks, bounds, sup)  # (U, f)
     z1 = m1 @ W1.T
     h1 = _act(z1, act)                                   # (U, dim)
     # lift back: h1 row for any id via searchsorted on sup (sorted)
@@ -190,10 +324,16 @@ def _shard_grad(w_ref, feat_blocks, s1_blocks, s2_blocks, bounds,
         pos = np.searchsorted(sup, np.where(ids >= 0, ids, sup[0]))
         return pos
     h_nodes = h1[lift(nodes)]                            # (3B, dim)
-    mask1 = n1 >= 0
-    h_nbr = h1[lift(n1)] * mask1[:, :, None]             # (3B, S1, dim)
-    cnt2 = 1.0 + mask1.sum(axis=1)
-    m2 = (h_nodes + h_nbr.sum(axis=1)) / cnt2[:, None]   # (3B, dim)
+    if agg_kind == "pool":
+        nbr1_l = np.where(n1 >= 0, lift(n1), -1)
+        P2 = np.maximum(h1 @ Wp2.T, 0.0)
+        agg2, amax2 = _pool_agg(P2, nbr1_l)
+        m2 = np.concatenate([h_nodes, agg2], axis=1)
+    else:
+        mask1 = n1 >= 0
+        h_nbr = h1[lift(n1)] * mask1[:, :, None]         # (3B, S1, dim)
+        cnt2 = 1.0 + mask1.sum(axis=1)
+        m2 = (h_nodes + h_nbr.sum(axis=1)) / cnt2[:, None]  # (3B, dim)
     z2 = m2 @ W2.T
     e = _act(z2, act)                                    # (3B, dim)
     nrm = np.linalg.norm(e, axis=1)
@@ -219,22 +359,33 @@ def _shard_grad(w_ref, feat_blocks, s1_blocks, s2_blocks, bounds,
     ge = (go - (go * o).sum(axis=1, keepdims=True) * o) / nrm_safe[:, None]
     gz2 = ge * _act_grad(e, act)                         # (3B, dim)
     gW2 = gz2.T @ m2
-    gm2 = gz2 @ W2                                       # (3B, dim)
-    # through the layer-2 mean back to h1 rows of self + sampled nbrs
+    gm2 = gz2 @ W2                                       # (3B, dim|dim+dp)
     gh1 = np.zeros_like(h1)
-    coef = gm2 / cnt2[:, None]
-    np.add.at(gh1, lift(nodes), coef)
-    flat_ids = lift(n1).ravel()
-    flat_g = (coef[:, None, :] * mask1[:, :, None]).reshape(-1, W2.shape[0])
-    np.add.at(gh1, flat_ids, flat_g)
+    if agg_kind == "pool":
+        dim = h1.shape[1]
+        np.add.at(gh1, lift(nodes), gm2[:, :dim])
+        gh1_pool, gWp2 = _pool_backward(gm2[:, dim:], amax2, P2, h1, Wp2)
+        gh1 += gh1_pool
+    else:
+        # through the layer-2 mean back to h1 rows of self + sampled nbrs
+        coef = gm2 / cnt2[:, None]
+        np.add.at(gh1, lift(nodes), coef)
+        flat_ids = lift(n1).ravel()
+        flat_g = (coef[:, None, :] * mask1[:, :, None]).reshape(-1, W2.shape[0])
+        np.add.at(gh1, flat_ids, flat_g)
     gz1 = gh1 * _act_grad(h1, act)
     gW1 = gz1.T @ m1
+    if agg_kind == "pool":
+        gm1 = gz1 @ W1
+        f = Xl.shape[1]
+        _gX, gWp1 = _pool_backward(gm1[:, f:], amax1, P1, Xl, Wp1)
+        return gW1, gW2, gWp1, gWp2, loss, B
     return gW1, gW2, loss, B
 
 
 def graphsage_train(
     graph,
-    features: np.ndarray | None = None,
+    features=None,
     embedding_dim: int = 64,
     sample_sizes: tuple[int, int] = (25, 10),
     search_depth: int = 5,
@@ -245,28 +396,44 @@ def graphsage_train(
     tolerance: float = 1e-4,
     num_shards: int = 16,
     seed: int = 42,
+    feature_id_col: str = "node_id",
+    feature_vec_col: str = "features",
+    aggregator: str = "mean",
 ) -> dict:
     """Train GraphSAGE weights; returns {"W1", "W2", "losses", ...}.
 
-    ``features``: (V, f) float64 matrix; default = [degree, 1] (the
+    ``features``: (V, f) float64 matrix, or a ``(node, vector)``
+    Ray Dataset (columns ``feature_id_col``/``feature_vec_col``) which
+    is sharded partition-side so no O(V) matrix ever exists on the
+    driver (the 10^10-node input contract); default = [degree, 1] (the
     reference's degreeAsProperty fallback). Deterministic at any
     parallelism: fixed shard split + shard-order gradient combine.
     """
     from graph_data_science_ray.functions.node2vec import _walk_matrix
 
     V = graph.node_count
+    bounds = np.asarray(graph.boundaries, dtype=np.int64)
+    feat_blocks = None
     if features is None:
         deg = graph.out_degrees().astype(np.float64)
         features = np.stack([deg, np.ones(V)], axis=1)
-    features = np.asarray(features, dtype=np.float64)
-    f = features.shape[1]
+    elif not isinstance(features, np.ndarray):
+        # (node, vector) Dataset: shard partition-side — no O(V) driver
+        # matrix at the input boundary
+        first = features.take(1)[0]
+        f = len(np.asarray(first[feature_vec_col], dtype=np.float64))
+        feat_blocks = _feat_blocks_from_ds(
+            features, bounds, feature_id_col, feature_vec_col
+        )
+    if feat_blocks is None:
+        features = np.asarray(features, dtype=np.float64)
+        f = features.shape[1]
     S1, S2 = sample_sizes
 
     # sample matrices are born partition-held (one block ref per graph
     # partition, never assembled V-sized anywhere)
     s1_blocks = _sample_neighbor_blocks(graph, S1, seed, layer=1)
     s2_blocks = _sample_neighbor_blocks(graph, S2, seed, layer=2)
-    bounds = np.asarray(graph.boundaries, dtype=np.int64)
 
     # positives: endpoint of a uniform walk of depth uniform(1..searchDepth)
     walks = _walk_matrix(graph, walk_length=search_depth + 1,
@@ -291,62 +458,91 @@ def graphsage_train(
     shards = np.array_split(triples, num_shards)
     shard_refs = [ray.put(s) for s in shards if len(s)]
 
-    rng1 = (splitmix64(np.arange(embedding_dim * f, dtype=np.uint64)
-                       + np.uint64(seed)) % np.uint64(10_000)
-            ).astype(np.float64) / 10_000.0 - 0.5
-    rng2 = (splitmix64(np.arange(embedding_dim * embedding_dim,
-                                 dtype=np.uint64) + np.uint64(seed + 1))
-            % np.uint64(10_000)).astype(np.float64) / 10_000.0 - 0.5
-    W1 = rng1.reshape(embedding_dim, f) / np.sqrt(max(f, 1))
-    W2 = rng2.reshape(embedding_dim, embedding_dim) / np.sqrt(embedding_dim)
+    def _rand(n, salt):
+        return ((splitmix64(np.arange(n, dtype=np.uint64)
+                            + np.uint64(seed + salt)) % np.uint64(10_000)
+                 ).astype(np.float64) / 10_000.0 - 0.5)
 
-    feat_blocks = _shard_rows(features, bounds)
+    if aggregator == "pool":
+        # MaxPoolingAggregator (ref MaxPoolingAggregator.java:37): per
+        # neighbor FC+relu then element-wise max, concatenated with the
+        # self row before the layer weights — so W_k widens to
+        # (dim, in + pool_dim) and two trained pool matrices appear
+        in1, in2 = f + f, 2 * embedding_dim
+        Wp1 = _rand(f * f, 7).reshape(f, f) / np.sqrt(max(f, 1))
+        Wp2 = (_rand(embedding_dim * embedding_dim, 8)
+               .reshape(embedding_dim, embedding_dim)
+               / np.sqrt(embedding_dim))
+    else:
+        in1, in2 = f, embedding_dim
+        Wp1 = Wp2 = None
+    W1 = _rand(embedding_dim * in1, 0).reshape(embedding_dim, in1) / np.sqrt(max(in1, 1))
+    W2 = _rand(embedding_dim * in2, 1).reshape(embedding_dim, in2) / np.sqrt(in2)
+
+    if feat_blocks is None:
+        feat_blocks = _shard_rows(features, bounds)
     cfg = {"activation": activation,
-           "negative_sample_weight": float(negative_sample_weight)}
+           "negative_sample_weight": float(negative_sample_weight),
+           "aggregator": aggregator}
 
-    mW1 = np.zeros_like(W1); vW1 = np.zeros_like(W1)
-    mW2 = np.zeros_like(W2); vW2 = np.zeros_like(W2)
+    # Adam over the weight list (2 matrices for mean, 4 for pool) with
+    # the same fixed-shard-order gradient combine
+    Ws = [W1, W2] if aggregator != "pool" else [W1, W2, Wp1, Wp2]
+    mS = [np.zeros_like(w) for w in Ws]
+    vS = [np.zeros_like(w) for w in Ws]
     beta1, beta2, eps = 0.9, 0.999, 1e-8
     prev = np.inf
     losses = []
     n_total = sum(len(s) for s in shards)
     for it in range(1, epochs + 1):
-        w_ref = ray.put((W1, W2))
+        w_ref = ray.put(tuple(Ws))
         parts = ray.get([
             _shard_grad.remote(w_ref, feat_blocks, s1_blocks, s2_blocks,
                                bounds, sref, cfg)
             for sref in shard_refs
         ])
-        gW1 = np.zeros_like(W1); gW2 = np.zeros_like(W2); loss = 0.0
-        for p1, p2, ls, _n in parts:     # fixed shard order
-            gW1 += p1; gW2 += p2; loss += ls
-        gW1 /= n_total; gW2 /= n_total; loss /= n_total
+        gS = [np.zeros_like(w) for w in Ws]
+        loss = 0.0
+        for part in parts:               # fixed shard order
+            *grads, ls, _n = part
+            for g, p in zip(gS, grads):
+                g += p
+            loss += ls
+        for g in gS:
+            g /= n_total
+        loss /= n_total
         losses.append(loss)
-        mW1 = beta1 * mW1 + (1 - beta1) * gW1
-        vW1 = beta2 * vW1 + (1 - beta2) * gW1 * gW1
-        mW2 = beta1 * mW2 + (1 - beta1) * gW2
-        vW2 = beta2 * vW2 + (1 - beta2) * gW2 * gW2
         c1, c2 = 1 - beta1 ** it, 1 - beta2 ** it
-        W1 = W1 - learning_rate * (mW1 / c1) / (np.sqrt(vW1 / c2) + eps)
-        W2 = W2 - learning_rate * (mW2 / c1) / (np.sqrt(vW2 / c2) + eps)
+        for i in range(len(Ws)):
+            mS[i] = beta1 * mS[i] + (1 - beta1) * gS[i]
+            vS[i] = beta2 * vS[i] + (1 - beta2) * gS[i] * gS[i]
+            Ws[i] = Ws[i] - learning_rate * (mS[i] / c1) / (
+                np.sqrt(vS[i] / c2) + eps
+            )
         if np.isfinite(prev) and abs(prev - loss) <= tolerance * max(abs(prev), 1e-12):
             break
         prev = loss
 
-    return {"W1": W1, "W2": W2, "losses": losses,
-            "feat_blocks": feat_blocks, "s1_blocks": s1_blocks,
-            "s2_blocks": s2_blocks, "boundaries": bounds,
-            "activation": activation}
+    out = {"W1": Ws[0], "W2": Ws[1], "losses": losses,
+           "feat_blocks": feat_blocks, "s1_blocks": s1_blocks,
+           "s2_blocks": s2_blocks, "boundaries": bounds,
+           "activation": activation, "aggregator": aggregator}
+    if aggregator == "pool":
+        out["Wp1"], out["Wp2"] = Ws[2], Ws[3]
+    return out
 
 
 @ray.remote
 def _embed_part(pi: int, w_ref, feat_blocks, s1_blocks, s2_blocks, bounds,
-                activation: str) -> tuple[int, np.ndarray]:
+                activation: str, aggregator: str = "mean") -> tuple[int, np.ndarray]:
     """Final embeddings for one partition's owned nodes (inference uses
     the same sampled neighborhoods, GraphSageEmbeddingsGenerator).
     Supports are neighborhood-local, so the per-block gathers touch only
     this partition's range plus its sampled neighbors' blocks."""
-    W1, W2 = w_ref
+    if aggregator == "pool":
+        W1, W2, Wp1, Wp2 = w_ref
+    else:
+        W1, W2 = w_ref
     start, end = int(bounds[pi]), int(bounds[pi + 1])
     own = np.arange(start, end, dtype=np.int64)
     if not len(own):
@@ -356,14 +552,22 @@ def _embed_part(pi: int, w_ref, feat_blocks, s1_blocks, s2_blocks, bounds,
     n1 = _gather_rows(s1_blocks, bounds, own)
     sup = np.unique(np.concatenate([own, n1.ravel()]))
     sup = sup[sup >= 0]
-    h1 = _act(
-        _support_m1(feat_blocks, s2_blocks, bounds, sup) @ W1.T, activation
-    )
+    if aggregator == "pool":
+        m1, _cache = _support_m1_pool(feat_blocks, s2_blocks, bounds, sup, Wp1)
+    else:
+        m1 = _support_m1(feat_blocks, s2_blocks, bounds, sup)
+    h1 = _act(m1 @ W1.T, activation)
     pos = np.searchsorted(sup, np.where(n1 >= 0, n1, sup[0]))
     mask = n1 >= 0
-    h_nbr = h1[pos] * mask[:, :, None]
     h_own = h1[np.searchsorted(sup, own)]
-    m2 = (h_own + h_nbr.sum(axis=1)) / (1.0 + mask.sum(axis=1))[:, None]
+    if aggregator == "pool":
+        nbr1_l = np.where(mask, pos, -1)
+        P2 = np.maximum(h1 @ Wp2.T, 0.0)
+        agg2, _amax2 = _pool_agg(P2, nbr1_l)
+        m2 = np.concatenate([h_own, agg2], axis=1)
+    else:
+        h_nbr = h1[pos] * mask[:, :, None]
+        m2 = (h_own + h_nbr.sum(axis=1)) / (1.0 + mask.sum(axis=1))[:, None]
     e = _act(m2 @ W2.T, activation)
     nrm = np.linalg.norm(e, axis=1)
     return start, e / np.where(nrm > 0, nrm, 1.0)[:, None]
@@ -381,11 +585,16 @@ def graphsage(
         graph, features=features, embedding_dim=embedding_dim,
         sample_sizes=sample_sizes, **train_kwargs,
     )
-    w_ref = ray.put((model["W1"], model["W2"]))
+    agg_kind = model.get("aggregator", "mean")
+    if agg_kind == "pool":
+        w_ref = ray.put((model["W1"], model["W2"], model["Wp1"], model["Wp2"]))
+    else:
+        w_ref = ray.put((model["W1"], model["W2"]))
     parts = ray.get([
         _embed_part.remote(
             pi, w_ref, model["feat_blocks"], model["s1_blocks"],
             model["s2_blocks"], model["boundaries"], model["activation"],
+            agg_kind,
         )
         for pi in range(graph.num_partitions)
     ])

@@ -415,7 +415,13 @@ def node_regression_pipeline(
         mse = float(np.mean((p - y) ** 2))
         mae = float(np.mean(np.abs(p - y)))
         ss_tot = float(((y - y.mean()) ** 2).sum())
-        r2 = float(1.0 - ((p - y) ** 2).sum() / ss_tot) if ss_tot > 0 else 0.0
+        if ss_tot > 0:
+            r2 = float(1.0 - ((p - y) ** 2).sum() / ss_tot)
+        else:
+            # constant target in the split: R² is undefined — report 1.0
+            # for a near-exact fit (relative to the target scale), else 0.0
+            scale = max(1.0, float(np.mean(y * y)))
+            r2 = 1.0 if mse <= 1e-6 * scale else 0.0
     else:
         mse = mae = r2 = 0.0
     predictions = model.predict(ds)
@@ -559,10 +565,11 @@ def _sample_negative_pairs(
     kept = np.zeros(0, dtype=np.int64)  # accepted pair keys, deduped
     salt = 0
     while len(kept) < n_neg and salt < 64:
-        need = n_neg - len(kept)
-        # draw a disjoint hash window per round (round r reads hashes
-        # [r*n_neg, r*n_neg+need) — no overlap with earlier rounds)
-        idx = np.arange(need, dtype=np.uint64) + np.uint64(salt * n_neg)
+        # draw a FULL disjoint hash window per round (round r reads
+        # hashes [r*n_neg, (r+1)*n_neg)) — over-drawing keeps the round
+        # count low when the non-edge pool is nearly exhausted (dense
+        # graphs), and windows never overlap across rounds
+        idx = np.arange(n_neg, dtype=np.uint64) + np.uint64(salt * n_neg)
         a = node_ids[(splitmix64(idx + np.uint64(seed)) %
                       np.uint64(len(node_ids))).astype(np.int64)]
         b = node_ids[(splitmix64(idx + np.uint64(seed + 7919)) %
@@ -638,7 +645,9 @@ def _neg_sample_distributed(
     kept_count = 0
     salt = 0
     while kept_count < n_neg and salt < max_rounds:
-        need = n_neg - kept_count
+        # full n_neg-wide disjoint window per round, matching
+        # _sample_negative_pairs draw for draw
+        need = n_neg
         offset = salt * n_neg
 
         def draw(t: pa.Table, *, off=offset) -> pa.Table:

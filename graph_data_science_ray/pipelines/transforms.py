@@ -38,12 +38,20 @@ def subgraph_filter(
     min_weight: float | None = None,
     edge_expr: str | None = None,
     node_expr: str | None = None,
+    edge_filter: str | None = None,
+    node_filter: str | None = None,
+    node_props: dict | None = None,
 ) -> tuple[rd.Dataset, IdMap]:
     """Filter an encoded edge table; returns (re-densified edges, new IdMap).
 
     Predicate surface (the reference's filter expression language,
-    subgraph-filtering/.../expression/ExpressionParser.java — we expose a
-    documented subset instead of the full AST):
+    subgraph-filtering/.../expression/ExpressionParser.java):
+    - ``edge_filter`` / ``node_filter``: the reference's EXPRESSION AST
+      surface — ``"r.weight >= 2 AND NOT r.src = r.dst"``,
+      ``"n:role OR n.key = 'tool:t7'"`` — parsed by
+      ``pipelines.filter_expr`` and evaluated vectorized per batch.
+      Node expressions see ``n.key`` (the actor key) plus any arrays in
+      ``node_props``; ``n:Label`` checks the key prefix before ``:``.
     - ``edge_expr``: Ray Dataset filter expression over the edge columns
       (``src``, ``dst``, ``weight``), e.g. ``"weight >= 3"``;
     - ``node_expr``: pandas ``query`` expression over a ``key`` column of
@@ -67,6 +75,43 @@ def subgraph_filter(
         )
     if edge_expr is not None:
         ds = ds.filter(expr=edge_expr)
+    if edge_filter is not None:
+        from graph_data_science_ray.pipelines.filter_expr import (
+            evaluate_edge_filter,
+        )
+
+        def ast_filter(t: pa.Table, *, _ex=edge_filter) -> pa.Table:
+            props = {
+                c: t[c].to_numpy(zero_copy_only=False)
+                for c in t.schema.names
+            }
+            mask = evaluate_edge_filter(_ex, props, n_rows=t.num_rows)
+            return t.filter(pa.array(mask))
+
+        ds = ds.map_batches(ast_filter, batch_format="pyarrow")
+    if node_filter is not None:
+        if node_predicate is not None or node_expr is not None:
+            raise ValueError(
+                "pass one of node_filter / node_expr / node_predicate"
+            )
+        from graph_data_science_ray.pipelines.filter_expr import (
+            evaluate_node_filter,
+            labels_in,
+            parse_expression,
+        )
+
+        def node_predicate(keys: np.ndarray):  # noqa: F811 — intentional
+            keys_s = np.asarray(keys).astype(str)
+            props = {"key": keys_s}
+            if node_props:
+                props.update(node_props)
+            labels = {
+                lab: np.char.startswith(keys_s, lab + ":")
+                for lab in labels_in(parse_expression(node_filter))
+            }
+            return evaluate_node_filter(
+                node_filter, props, labels, n_rows=len(keys_s)
+            )
     if node_expr is not None:
         if node_predicate is not None:
             raise ValueError("pass node_expr or node_predicate, not both")

@@ -70,3 +70,103 @@ def test_graphsage_custom_features(graph_from_edges):
     out = graphsage(gu, features=feats, embedding_dim=4,
                     sample_sizes=(2, 2), epochs=3, seed=5)
     assert len(out) == V
+
+
+def test_graphsage_pool_aggregator_trains(graph_from_edges):
+    _gd, gu, idmap, _enc, _sym = graph_from_edges(
+        _two_cluster_edges(), num_partitions=3
+    )
+    m1 = graphsage_train(gu, embedding_dim=8, sample_sizes=(5, 3),
+                         epochs=15, seed=7, aggregator="pool")
+    assert m1["losses"][-1] < m1["losses"][0]
+    assert m1["W1"].shape == (8, 2 * 2)   # concat(self, pooled) of f=2
+    assert m1["W2"].shape == (8, 16)      # concat(dim, dim)
+    # deterministic rerun
+    m2 = graphsage_train(gu, embedding_dim=8, sample_sizes=(5, 3),
+                         epochs=15, seed=7, aggregator="pool")
+    for k in ("W1", "W2", "Wp1", "Wp2"):
+        assert (m1[k] == m2[k]).all(), k
+    out = graphsage(gu, embedding_dim=8, sample_sizes=(5, 3), epochs=10,
+                    seed=7, aggregator="pool")
+    assert len(out) == len(idmap)
+    E = np.stack([np.asarray(v) for v in out["embedding"]])
+    assert np.isfinite(E).all()
+    assert np.allclose(np.linalg.norm(E, axis=1), 1.0, atol=1e-9)
+
+
+def test_graphsage_pool_gradients_match_finite_differences(graph_from_edges):
+    """The hand-written max-pool backward must agree with a central
+    finite difference of the shard loss for every weight matrix."""
+    import ray
+
+    from graph_data_science_ray.functions.graphsage import (
+        _sample_neighbor_blocks,
+        _shard_grad,
+        _shard_rows,
+    )
+
+    _gd, gu, _im, _enc, _sym = graph_from_edges(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (0, 2)], num_partitions=2
+    )
+    V = gu.node_count
+    rng = np.random.RandomState(3)
+    feats = rng.rand(V, 2)
+    bounds = np.asarray(gu.boundaries, dtype=np.int64)
+    feat_blocks = _shard_rows(feats, bounds)
+    s1 = _sample_neighbor_blocks(gu, 3, 5, layer=1)
+    s2 = _sample_neighbor_blocks(gu, 2, 5, layer=2)
+    triples = np.array([[0, 1, 3], [2, 3, 0], [4, 0, 2]], dtype=np.int64)
+    cfg = {"activation": "sigmoid", "negative_sample_weight": 2.0,
+           "aggregator": "pool"}
+    dim = 4
+    W1 = rng.rand(dim, 4) * 0.5
+    W2 = rng.rand(dim, 2 * dim) * 0.5
+    Wp1 = rng.rand(2, 2) * 0.5
+    Wp2 = rng.rand(dim, dim) * 0.5
+
+    def loss_at(ws):
+        out = ray.get(_shard_grad.remote(
+            tuple(ws), feat_blocks, s1, s2, bounds, triples, cfg
+        ))
+        return out[-2], out[:4]
+
+    base_loss, grads = loss_at([W1, W2, Wp1, Wp2])
+    eps = 1e-6
+    for wi, W in enumerate([W1, W2, Wp1, Wp2]):
+        g = grads[wi]
+        # probe 3 entries per matrix
+        idxs = [(0, 0), (W.shape[0] // 2, W.shape[1] // 2),
+                (W.shape[0] - 1, W.shape[1] - 1)]
+        for (i, j) in idxs:
+            Wp = [w.copy() for w in [W1, W2, Wp1, Wp2]]
+            Wp[wi][i, j] += eps
+            lp, _ = loss_at(Wp)
+            Wm = [w.copy() for w in [W1, W2, Wp1, Wp2]]
+            Wm[wi][i, j] -= eps
+            lm, _ = loss_at(Wm)
+            fd = (lp - lm) / (2 * eps)
+            assert abs(fd - g[i, j]) <= 1e-4 * max(1.0, abs(fd)), (
+                wi, i, j, fd, g[i, j]
+            )
+
+
+def test_graphsage_dataset_features_match_matrix(graph_from_edges):
+    """(node, vector) Dataset feature input must produce byte-identical
+    weights to the same features passed as a driver matrix."""
+    import pandas as pd
+    import ray.data as rd
+
+    _gd, gu, _im, _enc, _sym = graph_from_edges(
+        _two_cluster_edges(), num_partitions=3
+    )
+    V = gu.node_count
+    rng = np.random.RandomState(5)
+    feats = rng.rand(V, 3)
+    df = pd.DataFrame({"node_id": np.arange(V, dtype=np.int64)})
+    df["features"] = [feats[i] for i in range(V)]
+    m_mat = graphsage_train(gu, features=feats, embedding_dim=6,
+                            sample_sizes=(4, 2), epochs=8, seed=3)
+    m_ds = graphsage_train(gu, features=rd.from_pandas(df), embedding_dim=6,
+                           sample_sizes=(4, 2), epochs=8, seed=3)
+    assert (m_mat["W1"] == m_ds["W1"]).all()
+    assert (m_mat["W2"] == m_ds["W2"]).all()

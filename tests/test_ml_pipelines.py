@@ -131,9 +131,12 @@ def test_link_prediction_pipeline_beats_chance(graph_from_edges):
         np.array([1.0, 0.0]) if i < 8 else np.array([0.0, 1.0])
         for i in range(n)
     ]
+    # negative_ratio 0.5: the two-clique graph is near-complete, so a
+    # 1.0 ratio exhausts the non-edge pool and pays many sampler rounds
     res = link_prediction_pipeline(
         enc, rd.from_pandas(vecs), node_count=n,
         combiners=["hadamard"], max_epochs=120, learning_rate=0.5,
+        negative_ratio=0.5,
     )
     assert res["n_pos"] > 0 and res["n_neg"] > 0
     assert res["metrics"]["accuracy"] > 0.8
@@ -192,13 +195,13 @@ def test_node_regression_pipeline_fits_linear_target():
     df["target"] = 3.0 * rng + 0.5
     res = node_regression_pipeline(
         rd.from_pandas(df), target_col="target", feature_cols=["feat"],
-        id_col="node_id", max_epochs=300, learning_rate=0.2,
+        id_col="node_id", max_epochs=120, learning_rate=0.35,
     )
     assert res["metrics"]["r2"] > 0.95
     assert set(res["metrics"]) == {"mse", "mae", "r2"}
     res2 = node_regression_pipeline(
         rd.from_pandas(df), target_col="target", feature_cols=["feat"],
-        id_col="node_id", max_epochs=300, learning_rate=0.2,
+        id_col="node_id", max_epochs=120, learning_rate=0.35,
     )
     assert res["model"].weights.tobytes() == res2["model"].weights.tobytes()
     assert res["model"].bias == res2["model"].bias

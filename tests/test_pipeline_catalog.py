@@ -1,0 +1,90 @@
+"""PipelineCatalog: named training-pipeline configs, candidate
+selection, node-property steps, persistence (reference
+PipelineCatalog.java / TrainingPipeline.java)."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from graph_data_science_ray.state.pipeline_catalog import (
+    PipelineCatalog,
+    TrainingPipeline,
+)
+
+
+def _feature_df(n=40):
+    rng = np.arange(n, dtype=np.float64)
+    df = pd.DataFrame({"node_id": np.arange(n, dtype=np.int64)})
+    df["feat"] = [np.array([x, 2.0 * x + 1.0]) for x in rng]
+    df["target"] = 3.0 * rng + 0.5
+    df["label"] = (rng >= n / 2).astype(np.int64)
+    return df
+
+
+def test_catalog_persistence_roundtrip(tmp_path):
+    cat = PipelineCatalog(str(tmp_path / "pipes"))
+    p = (
+        TrainingPipeline("p1", "node_regression")
+        .select_features(["feat"])
+        .configure_split(test_fraction=0.25, seed=7)
+        .add_trainer_candidate(max_epochs=50, learning_rate=0.3)
+        .add_trainer_candidate(max_epochs=50, learning_rate=0.01)
+    )
+    cat.set(p)
+    assert cat.exists("p1") and not cat.exists("nope")
+    # a fresh catalog instance reads the persisted registry
+    cat2 = PipelineCatalog(str(tmp_path / "pipes"))
+    q = cat2.get("p1")
+    assert q.kind == "node_regression"
+    assert q.feature_cols == ["feat"]
+    assert q.split == {"test_fraction": 0.25, "seed": 7}
+    assert len(q.candidates) == 2
+    lst = cat2.list()
+    assert lst["name"].tolist() == ["p1"]
+    assert lst["kind"].tolist() == ["node_regression"]
+    cat2.drop("p1")
+    assert not cat2.exists("p1")
+
+
+def test_candidate_selection_picks_better_learning_rate(tmp_path):
+    from graph_data_science_ray.state.models import ModelCatalog
+
+    p = (
+        TrainingPipeline("reg", "node_regression")
+        .select_features(["feat"])
+        .add_trainer_candidate(max_epochs=120, learning_rate=0.35)
+        .add_trainer_candidate(max_epochs=3, learning_rate=1e-6)
+    )
+    mc = ModelCatalog(str(tmp_path / "models"))
+    res = p.train(rd.from_pandas(_feature_df()), label_col="target",
+                  model_catalog=mc, model_name="reg_best")
+    assert res["best_candidate"]["learning_rate"] == 0.35
+    assert res["metrics"]["r2"] > 0.9
+    assert len(res["candidate_metrics"]) == 2
+    # winner landed in the model catalog with the pipeline config attached
+    m = mc.get("reg_best")
+    assert m.algo_type == "node_regression"
+    assert m.train_config["best_candidate"]["learning_rate"] == 0.35
+
+
+def test_node_property_step_joins_graph_feature(graph_from_edges, tmp_path):
+    # hub-and-spokes + a small clique: out-degrees vary 1..9 so the
+    # degree feature carries real signal in any split
+    edges = [(0, i) for i in range(1, 10)] + [
+        (1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 2),
+        (4, 0), (5, 0),
+    ]
+    gd, gu, idmap, enc, sym = graph_from_edges(edges)
+    n = len(idmap)
+    df = pd.DataFrame({"node_id": np.arange(n, dtype=np.int64)})
+    # target = out-degree => the degree node-property step makes the fit
+    deg = gu.out_degrees().astype(np.float64)
+    df["target"] = deg
+    p = (
+        TrainingPipeline("degfit", "node_regression")
+        .add_node_property("degree", out_col="deg_feat")
+        .select_features(["deg_feat"])
+        .add_trainer_candidate(max_epochs=150, learning_rate=0.3)
+    )
+    res = p.train(rd.from_pandas(df), label_col="target", graph=gu)
+    assert res["metrics"]["r2"] > 0.9
