@@ -1951,6 +1951,73 @@ def _q_knn_metric(sf_dir: str, metric: str) -> pd.DataFrame:
     return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _q_linkpred_funcs(sf_dir: str) -> pd.DataFrame:
+    """The six reference link-prediction topology functions
+    (gds.alpha.linkprediction.*) scored distributedly over a deterministic
+    pair set: all (a, b), a < b, among the first 25 dense ids (==
+    lexicographically-first actors). sameCommunity uses the WCC min-id
+    labels (exactly oracled by `wcc`)."""
+    import ray.data as rd
+
+    import graph_data_science_ray as gdsr
+    from graph_data_science_ray.functions.linkpred import link_prediction_scores
+
+    b = _bundle(sf_dir)
+    n = len(b["idmap"])
+    k = min(25, n)
+    ids = np.arange(k, dtype=np.int64)
+    ai, bi = np.meshgrid(ids, ids, indexing="ij")
+    mask = ai < bi
+    pairs = rd.from_pandas(
+        pd.DataFrame({"node_a": ai[mask], "node_b": bi[mask]})
+    )
+    comp = gdsr.wcc(b["gu"])
+    com = b["idmap"].to_ids(comp["component"].to_numpy(dtype=object))
+    res = link_prediction_scores(b["sym"], pairs, n, community=com, num_parts=8)
+    df = res.to_pandas()
+    keys = b["idmap"].keys
+    df["node_a"] = _strip(keys[df["node_a"].to_numpy(dtype=np.int64)])
+    df["node_b"] = _strip(keys[df["node_b"].to_numpy(dtype=np.int64)])
+    return df.sort_values(["node_a", "node_b"]).reset_index(drop=True)
+
+
+def _q_vector_similarity(sf_dir: str) -> pd.DataFrame:
+    """The six reference similarity functions (gds.similarity.*) over a
+    deterministic pair stream: embedding vec i paired with vec i+1 via a
+    hash-partitioned self-join, scored batch-locally (no shuffle)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graph_data_science_ray.functions.simfunc import vector_similarity
+    from graph_data_science_ray.pipelines.agg import hash_join
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+    def left(t: "pa.Table") -> "pa.Table":
+        return pa.table({"pair_id": t["vec_id"], "vec_a": t["embedding"]})
+
+    def right(t: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"pair_id": pc.subtract(t["vec_id"], 1), "vec_b": t["embedding"]}
+        )
+
+    vec_t = pa.list_(pa.float32())
+    pairs = hash_join(
+        emb.map_batches(left, batch_format="pyarrow"),
+        emb.map_batches(right, batch_format="pyarrow"),
+        on=["pair_id"],
+        num_parts=8,
+        left_schema=pa.schema([("pair_id", pa.int64()), ("vec_a", vec_t)]),
+        right_schema=pa.schema([("pair_id", pa.int64()), ("vec_b", vec_t)]),
+    )
+    df = vector_similarity(pairs).to_pandas()
+    return df.sort_values("pair_id").reset_index(drop=True)
+
+
 def _q_knn_ivf(sf_dir: str) -> pd.DataFrame:
     """IVF-Flat at FULL probe (nprobe = num_lists) is exhaustive, so it
     must reproduce the brute-force top-k exactly — shares that oracle.
@@ -3505,6 +3572,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "node_regression", sf, _q_node_regression),
         "node_regression_valid": _q_node_regression_valid,
         "subgraph_filter_expr": _q_subgraph_filter_expr,
+        # reference function surface: gds.alpha.linkprediction.* and
+        # gds.similarity.* as distributed pair-scoring operators
+        "linkpred_funcs": _q_linkpred_funcs,
+        "vector_similarity": _q_vector_similarity,
     }
 
 
@@ -5737,6 +5808,129 @@ z AS (
 )
 SELECT vec_id, CAST(CASE WHEN z1 > z0 THEN 1 ELSE 0 END AS BIGINT) AS predicted
 FROM z ORDER BY vec_id
+"""
+
+    # linkpred_funcs: the six gds.alpha.linkprediction.* functions over
+    # pairs (a < b) of the 25 lexicographically-first actors. Integer
+    # term discipline mirrors functions/linkpred.py: AA term =
+    # 1e12 // floor(ln(deg)*1e6) per common neighbor, RA = 1e6 // deg.
+    # `und` dedups EXPLICITLY (UNION under WITH RECURSIVE degrades to
+    # UNION ALL in a non-recursive CTE — duplicate rows would double
+    # degrees here, unlike the reachability oracles).
+    sqls["linkpred_funcs"] = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+und AS (
+    SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
+    )
+),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY src),
+degall AS (
+    SELECT n.node, coalesce(g.d, 0) AS d FROM nodes n LEFT JOIN deg g USING(node)
+),
+sel AS (SELECT node FROM nodes ORDER BY node LIMIT 25),
+prs AS (
+    SELECT a.node AS node_a, b.node AS node_b
+    FROM sel a JOIN sel b ON a.node < b.node
+),
+cmn AS (
+    SELECT p.node_a, p.node_b, u1.dst AS nbr
+    FROM prs p
+    JOIN und u1 ON u1.src = p.node_a
+    JOIN und u2 ON u2.src = p.node_b AND u2.dst = u1.dst
+),
+terms AS (
+    SELECT c.node_a, c.node_b,
+           count(*) AS cn,
+           sum(1000000000000 //
+               CAST(floor(ln(CAST(g.d AS DOUBLE)) * 1000000e0) AS BIGINT)) AS aa,
+           sum(1000000 // g.d) AS ra
+    FROM cmn c JOIN degall g ON g.node = c.nbr
+    GROUP BY c.node_a, c.node_b
+),
+reach AS (
+    SELECT node, node AS lab FROM nodes
+    UNION
+    SELECT u.dst AS node, r.lab FROM reach r JOIN und u ON u.src = r.node
+),
+comp AS (SELECT node, min(lab) AS c FROM reach GROUP BY node)
+SELECT p.node_a, p.node_b,
+       CAST(coalesce(t.cn, 0) AS BIGINT) AS common_neighbors,
+       CAST(ga.d * gb.d AS BIGINT) AS preferential_attachment,
+       CAST(ga.d + gb.d - coalesce(t.cn, 0) AS BIGINT) AS total_neighbors,
+       CAST(coalesce(t.aa, 0) AS BIGINT) AS adamic_adar_ppm,
+       CAST(coalesce(t.ra, 0) AS BIGINT) AS resource_allocation_ppm,
+       CAST(CASE WHEN ca.c = cb.c THEN 1 ELSE 0 END AS BIGINT) AS same_community
+FROM prs p
+JOIN degall ga ON ga.node = p.node_a
+JOIN degall gb ON gb.node = p.node_b
+JOIN comp ca ON ca.node = p.node_a
+JOIN comp cb ON cb.node = p.node_b
+LEFT JOIN terms t ON t.node_a = p.node_a AND t.node_b = p.node_b
+ORDER BY p.node_a, p.node_b
+"""
+
+    # vector_similarity: the six gds.similarity.* functions over
+    # (vec i, vec i+1) pairs. Inputs quantized to milli-units (floor of
+    # v*1000 in DOUBLE — float32→float64 is exact on both engines) so
+    # every sum is an order-independent BIGINT; each metric then applies
+    # the identical single-float association as functions/simfunc.py.
+    sqls["vector_similarity"] = """
+WITH q AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) AS i,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000e0) AS BIGINT) AS v
+    FROM embeddings
+),
+p AS (
+    SELECT a.vec_id AS pair_id, a.v AS va, b.v AS vb
+    FROM q a JOIN q b ON b.vec_id = a.vec_id + 1 AND b.i = a.i
+),
+sums AS (
+    SELECT pair_id,
+           sum(va * vb) AS sab, sum(va * va) AS saa, sum(vb * vb) AS sbb,
+           sum(va) AS sa, sum(vb) AS sb,
+           sum((va - vb) * (va - vb)) AS d2,
+           CAST(count(*) AS BIGINT) AS d
+    FROM p GROUP BY pair_id
+),
+inter AS (
+    SELECT pair_id,
+           sum(least(ca, cb)) AS im,
+           sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS idist
+    FROM (
+        SELECT pair_id, val,
+               count(*) FILTER (WHERE side = 0) AS ca,
+               count(*) FILTER (WHERE side = 1) AS cb
+        FROM (
+            SELECT pair_id, va AS val, 0 AS side FROM p
+            UNION ALL
+            SELECT pair_id, vb AS val, 1 AS side FROM p
+        )
+        GROUP BY pair_id, val
+    )
+    GROUP BY pair_id
+)
+SELECT s.pair_id,
+    CAST(CASE WHEN (2 * s.d - i.im) > 0
+         THEN (1000000 * i.im) // (2 * s.d - i.im)
+         ELSE 1000000 END AS BIGINT) AS jaccard_ppm,
+    CAST((1000000 * i.idist) // s.d AS BIGINT) AS overlap_ppm,
+    CAST(CASE WHEN s.saa * s.sbb = 0 THEN 0
+         ELSE floor(1000000e0 * CAST(s.sab AS DOUBLE)
+                    / sqrt(CAST(s.saa AS DOUBLE) * CAST(s.sbb AS DOUBLE)))
+         END AS BIGINT) AS cosine_ppm,
+    CAST(CASE WHEN (s.d * s.saa - s.sa * s.sa) * (s.d * s.sbb - s.sb * s.sb) <= 0
+         THEN 0
+         ELSE floor(1000000e0 * CAST(s.d * s.sab - s.sa * s.sb AS DOUBLE)
+                    / sqrt(CAST(s.d * s.saa - s.sa * s.sa AS DOUBLE)
+                           * CAST(s.d * s.sbb - s.sb * s.sb AS DOUBLE)))
+         END AS BIGINT) AS pearson_ppm,
+    CAST(floor(sqrt(CAST(s.d2 AS DOUBLE))) AS BIGINT) AS euclidean_distance_q,
+    CAST(floor(1000000000e0 / (1000e0 + sqrt(CAST(s.d2 AS DOUBLE)))) AS BIGINT)
+        AS euclidean_sim_ppm
+FROM sums s JOIN inter i USING (pair_id)
+ORDER BY s.pair_id
 """
 
     return sqls

@@ -117,6 +117,8 @@ _ORACLE_CHECKED = [
     "k1_coloring",
     "fastrp",
     "random_walks",
+    "linkpred_funcs",
+    "vector_similarity",
 ]
 
 
