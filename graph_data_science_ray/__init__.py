@@ -64,11 +64,15 @@ from graph_data_science_ray.functions.spanning import (
     minimum_spanning_forest,
     steiner_tree,
 )
+from graph_data_science_ray.functions.linkpred import link_prediction_scores
+from graph_data_science_ray.functions.simfunc import vector_similarity
 
 __all__ = [
     "Pregel",
     "PregelComputation",
     "TerminationFlag",
+    "link_prediction_scores",
+    "vector_similarity",
     "node2vec",
     "astar_route",
     "delta_stepping",

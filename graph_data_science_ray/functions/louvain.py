@@ -178,6 +178,7 @@ def _one_level_partitioned(
     max_rounds: int = 10,
     gamma: float = 1.0,
     constraint_ref=None,
+    constraint_ds=None,
     num_parts: int = 64,
     return_ds: bool = False,
 ):
@@ -192,6 +193,11 @@ def _one_level_partitioned(
 
     ``constraint_ref`` (Leiden refinement): a ray.put parent array, put
     ONCE per level by the caller and read map-side.
+    ``constraint_ds`` (Leiden refinement, Dataset form): a ``(node, lab)``
+    parent Dataset — the parent filter (parent[src] == parent[dst]) is
+    constant across rounds and commutes with the parity/self filters, so
+    it is applied ONCE up front as two hash-joins; deg/two_m stay
+    full-graph (gain terms use full degrees, matching the broadcast path).
     """
     import pyarrow as _pa
 
@@ -202,6 +208,53 @@ def _one_level_partitioned(
     # the block count geometrically across sub-rounds (each round's state
     # feeds the next round's joins) and tiny blocks drown the scheduler.
     num_parts = int(max(4, min(num_parts, node_count // 50_000 + 4)))
+
+    edges_mv = sym_edges
+    if constraint_ds is not None:
+        S_E3 = _pa.schema(
+            [("src", _pa.int64()), ("dst", _pa.int64()), ("weight", _pa.float64())]
+        )
+        e_slim = sym_edges.map_batches(
+            lambda t: pa.table(
+                {"src": t["src"].cast(_pa.int64()), "dst": t["dst"].cast(_pa.int64()),
+                 "weight": pc_cast_f64(t["weight"])}
+            ),
+            batch_format="pyarrow",
+        )
+        p_src = constraint_ds.map_batches(
+            lambda t: pa.table(
+                {"node": t["node"].cast(_pa.int64()), "ps": t["lab"].cast(_pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        p_dst = constraint_ds.map_batches(
+            lambda t: pa.table(
+                {"node": t["node"].cast(_pa.int64()), "pd": t["lab"].cast(_pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        e1 = hash_join(
+            e_slim, p_src, on=["src"], right_on=["node"], left_schema=S_E3,
+            right_schema=_pa.schema([("node", _pa.int64()), ("ps", _pa.int64())]),
+            num_parts=num_parts,
+        )
+        e2 = hash_join(
+            e1, p_dst, on=["dst"], right_on=["node"],
+            left_schema=S_E3.append(_pa.field("ps", _pa.int64())),
+            right_schema=_pa.schema([("node", _pa.int64()), ("pd", _pa.int64())]),
+            num_parts=num_parts,
+        )
+
+        def same_parent(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            keep = pc.equal(t["ps"], t["pd"])
+            f = t.filter(keep)
+            return pa.table({"src": f["src"], "dst": f["dst"], "weight": f["weight"]})
+
+        edges_mv = e2.map_batches(
+            same_parent, batch_format="pyarrow"
+        ).materialize()
 
     deg_ds = hash_aggregate(
         sym_edges.map_batches(
@@ -266,7 +319,7 @@ def _one_level_partitioned(
                      "w": pa.array(w[keep].astype(np.float64))}
                 )
 
-            half_ds = sym_edges.map_batches(half, batch_format="pyarrow")
+            half_ds = edges_mv.map_batches(half, batch_format="pyarrow")
             # attach the NEIGHBOR's community by joining on dst
             cand0 = hash_join(
                 half_ds, lab_ds, on=["dst"], right_on=["node"],
@@ -880,6 +933,228 @@ def _cc_within_communities(sym_edges: rd.Dataset, labels: np.ndarray) -> np.ndar
                 break
             comp = c2
     return comp
+
+
+def _cc_within_communities_ds(
+    sym_edges: rd.Dataset, lab_ds: rd.Dataset, node_count: int, num_parts: int = 64
+) -> rd.Dataset:
+    """Dataset counterpart of :func:`_cc_within_communities`: min-member
+    connected components restricted to same-label edges, with the
+    ``(node, comp)`` state and the filtered edge stream held in the
+    object store. Per round: a hash-min over incoming neighbors' comp
+    (union + aggregate, no left-join gymnastics) followed by one pointer
+    jump (comp := comp[comp], a self-join — the comp table is total over
+    [0, V) so the inner join loses nothing). The driver sees only the
+    monotone Σcomp scalar, whose stall is the exact convergence test
+    (comp is pointwise nonincreasing). Same unique fixpoint as the
+    broadcast variant: the hash-min component labeling is
+    schedule-independent."""
+    from graph_data_science_ray.pipelines.agg import hash_aggregate, hash_join
+
+    num_parts = int(max(4, min(num_parts, node_count // 50_000 + 4)))
+    S_E2 = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    S_LAB = pa.schema([("node", pa.int64()), ("lab", pa.int64())])
+    S_COMP = pa.schema([("node", pa.int64()), ("comp", pa.int64())])
+
+    e_slim = sym_edges.map_batches(
+        lambda t: pa.table(
+            {"src": t["src"].cast(pa.int64()), "dst": t["dst"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    l_src = lab_ds.map_batches(
+        lambda t: pa.table(
+            {"node": t["node"].cast(pa.int64()), "ls": t["lab"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    l_dst = lab_ds.map_batches(
+        lambda t: pa.table(
+            {"node": t["node"].cast(pa.int64()), "ld": t["lab"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    e1 = hash_join(
+        e_slim, l_src, on=["src"], right_on=["node"], left_schema=S_E2,
+        right_schema=pa.schema([("node", pa.int64()), ("ls", pa.int64())]),
+        num_parts=num_parts,
+    )
+    e2 = hash_join(
+        e1, l_dst, on=["dst"], right_on=["node"],
+        left_schema=S_E2.append(pa.field("ls", pa.int64())),
+        right_schema=pa.schema([("node", pa.int64()), ("ld", pa.int64())]),
+        num_parts=num_parts,
+    )
+
+    def same_label(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        f = t.filter(pc.equal(t["ls"], t["ld"]))
+        return pa.table({"src": f["src"], "dst": f["dst"]})
+
+    filtered = e2.map_batches(same_label, batch_format="pyarrow").materialize()
+
+    comp = (
+        rd.range(node_count)
+        .map_batches(
+            lambda t: pa.table(
+                {"node": t["id"].cast(pa.int64()), "comp": t["id"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(num_parts)
+        .materialize()
+    )
+    prev_sum = comp.sum("comp")
+    for _round in range(64):
+        cand = hash_join(
+            filtered, comp, on=["src"], right_on=["node"], left_schema=S_E2,
+            right_schema=S_COMP, num_parts=num_parts,
+        ).map_batches(
+            lambda t: pa.table({"node": t["dst"], "comp": t["comp"]}),
+            batch_format="pyarrow",
+        )
+        new = hash_aggregate(
+            cand.union(comp), ["node"], "comp", op="min", num_parts=num_parts
+        )
+        jumped = hash_join(
+            new,
+            new.map_batches(
+                lambda t: pa.table({"j": t["node"], "jc": t["comp"]}),
+                batch_format="pyarrow",
+            ),
+            on=["comp"], right_on=["j"], left_schema=S_COMP,
+            right_schema=pa.schema([("j", pa.int64()), ("jc", pa.int64())]),
+            num_parts=num_parts,
+        ).map_batches(
+            lambda t: pa.table({"node": t["node"], "comp": t["jc"]}),
+            batch_format="pyarrow",
+        )
+        comp = jumped.repartition(num_parts).materialize()
+        s = comp.sum("comp")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return comp
+
+
+def leiden_ds(
+    sym_edges: rd.Dataset,
+    node_count: int,
+    max_levels: int = 5,
+    max_rounds: int = 10,
+    gamma: float = 1.0,
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """Leiden with the DATASET result contract (the 10^10-node path):
+    local moves, the constrained refinement moves, the within-community
+    connectivity pass, level composition, re-densification and
+    contraction are all hash-partitioned Dataset operations — the driver
+    sees only scalar counts. Returns ``(node, community)`` over dense
+    ids, value-identical to ``leiden(..., state_mode="partitioned")``
+    (parity-tested). ``include_intermediate`` stays with the DataFrame
+    wrapper."""
+    from graph_data_science_ray.pipelines.agg import dense_rank_table, hash_join
+
+    S_LAB = pa.schema([("node", pa.int64()), ("lab", pa.int64())])
+    S_RANK = pa.schema([("lab", pa.int64()), ("rank", pa.int64())])
+
+    cur = (
+        rd.range(node_count)
+        .map_batches(
+            lambda t: pa.table(
+                {"node": t["id"].cast(pa.int64()), "lab": t["id"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(max(4, min(num_parts, node_count // 50_000 + 4)))
+        .materialize()
+    )
+    edges = sym_edges
+    n = node_count
+    for _level in range(max_levels):
+        lvl_ds, improved = _one_level_partitioned(
+            edges, n, max_rounds=max_rounds, gamma=gamma,
+            num_parts=num_parts, return_ds=True,
+        )
+        if not improved:
+            # refinement under singleton parents is the identity (no
+            # same-parent non-self edges), so the driver path's
+            # apply-then-break is a no-op here
+            break
+        lvl_ds = lvl_ds.materialize()
+        # refinement: constrained singleton moves (3 rounds, the
+        # _refine_within contract), then connected components within the
+        # refined labels — both Dataset-held
+        mv_ds, _ = _one_level_partitioned(
+            edges, n, max_rounds=3, gamma=gamma, num_parts=num_parts,
+            return_ds=True, constraint_ds=lvl_ds,
+        )
+        refined = _cc_within_communities_ds(
+            edges, mv_ds.materialize(), n, num_parts=num_parts
+        ).materialize()
+        # dense ranks of the refined labels (sorted distinct -> 0..n_new-1,
+        # identical numbering to the driver path's np.unique)
+        ranks = dense_rank_table(
+            refined.map_batches(
+                lambda t: pa.table({"lab": t["comp"].cast(pa.int64())}),
+                batch_format="pyarrow",
+            ),
+            "lab", num_parts=num_parts,
+        ).materialize()
+        n_new = ranks.count()
+        # compose cur through the REFINED partition (leiden contracts by
+        # the refined labels, not the move labels), then densify
+        ref_m = refined.map_batches(
+            lambda t: pa.table({"meta": t["node"], "mlab": t["comp"]}),
+            batch_format="pyarrow",
+        )
+        cur = hash_join(
+            cur, ref_m, on=["lab"], right_on=["meta"], left_schema=S_LAB,
+            right_schema=pa.schema([("meta", pa.int64()), ("mlab", pa.int64())]),
+            num_parts=num_parts,
+        ).map_batches(
+            lambda t: pa.table({"node": t["node"], "lab": t["mlab"]}),
+            batch_format="pyarrow",
+        )
+        cur = hash_join(
+            cur, ranks, on=["lab"], left_schema=S_LAB, right_schema=S_RANK,
+            num_parts=num_parts,
+        ).map_batches(
+            lambda t: pa.table({"node": t["node"], "lab": t["rank"]}),
+            batch_format="pyarrow",
+        ).materialize()
+        node_map = hash_join(
+            refined.map_batches(
+                lambda t: pa.table({"node": t["node"], "lab": t["comp"]}),
+                batch_format="pyarrow",
+            ),
+            ranks, on=["lab"], left_schema=S_LAB, right_schema=S_RANK,
+            num_parts=num_parts,
+        ).map_batches(
+            lambda t: pa.table({"node": t["node"], "rank": t["rank"]}),
+            batch_format="pyarrow",
+        )
+        edges = _contract_ds(edges, node_map, num_parts=num_parts).materialize()
+        n = int(n_new)
+        if n <= 1:
+            break
+    # normalize: community = min original member id per label
+    mins = hash_aggregate(
+        cur.map_batches(
+            lambda t: pa.table({"lab": t["lab"], "member": t["node"]}),
+            batch_format="pyarrow",
+        ),
+        ["lab"], "member", op="min", out_col="community", num_parts=num_parts,
+    )
+    return hash_join(
+        cur, mins, on=["lab"], left_schema=S_LAB,
+        right_schema=pa.schema([("lab", pa.int64()), ("community", pa.int64())]),
+        num_parts=num_parts,
+    ).map_batches(
+        lambda t: pa.table({"node": t["node"], "community": t["community"]}),
+        batch_format="pyarrow",
+    )
 
 
 def leiden(

@@ -97,6 +97,22 @@ class PregelComputation:
     # ONLY: results drift ~1e-7 per superstep from the float64 wire, so
     # the 1e-6 reference-conformance contract requires the default.
     message_precision: str = "float64"
+    # Async (same-superstep) message delivery — the reference's
+    # AsyncQueueMessenger (pregel/.../AsyncQueueMessenger.java:24),
+    # re-expressed for BSP shuffles: messages between nodes of the SAME
+    # partition are relaxed to a partition-local fixpoint inside the apply
+    # task before the next global shuffle (block-asynchronous execution).
+    # OPT-IN and only honored for scalar min-reducer computations whose
+    # fixpoint is schedule-independent (monotone relaxation: WCC hash-min,
+    # SSSP Bellman-Ford) — the converged output is then byte-identical to
+    # sync mode while global supersteps drop from O(graph diameter) to
+    # O(diameter of the partition quotient graph), i.e. fewer all-to-all
+    # shuffles on a real cluster. ``active_state_key`` names the state
+    # mask the engine rewrites to changed-THIS-SUPERSTEP after the local
+    # rounds (the next scatter must re-announce every node improved at
+    # any point of the superstep, not just the last local round).
+    async_local: bool = False
+    active_state_key: str = "changed"
 
     def init_state(self, block: dict) -> dict:
         raise NotImplementedError
@@ -520,7 +536,63 @@ def _apply(comp, block, state, q, *inbox):
         else:
             acc = np.full(n_local, -1, dtype=np.int64)
             received = np.zeros(n_local, dtype=bool)
+    async_local = (
+        getattr(comp, "async_local", False)
+        and comp.reducer == "min"
+        and acc.ndim == 1
+    )
+    if async_local:
+        v0 = np.asarray(comp.message_values(state, block)[0]).copy()
     stats = comp.apply_messages(state, acc, received, block)
+    if async_local:
+        # same-superstep delivery within the partition: relax local edges
+        # (both endpoints in [start, end)) to a fixpoint before returning
+        identity = _min_identity(comp)
+        dtype = np.float64 if comp.message_dtype == "float64" else np.int64
+        dst_sorted = block["dst_sorted"]
+        local = (dst_sorted >= start) & (dst_sorted < end)
+        if local.any():
+            l_src = block["src_idx"][local]
+            l_dst = dst_sorted[local] - start  # still ascending (masked sort)
+            l_w = (
+                block["w_sorted"][local]
+                if comp.edge_combine == "add"
+                else None
+            )
+            l_runs = np.empty(len(l_dst), dtype=bool)
+            l_runs[0] = True
+            l_runs[1:] = l_dst[1:] != l_dst[:-1]
+            l_starts = np.flatnonzero(l_runs)
+            l_ud = l_dst[l_starts]
+            for _round in range(n_local):  # monotone min => terminates
+                vals, active = comp.message_values(state, block)
+                if active is not None:
+                    send = np.where(active, vals, identity).astype(dtype)
+                else:
+                    send = np.asarray(vals, dtype=dtype)
+                ev = send[l_src]
+                if comp.edge_combine == "add":
+                    ev = np.where(ev == identity, identity, ev + l_w)
+                elif comp.edge_combine == "add_one":
+                    ev = np.where(ev == identity, identity, ev + 1)
+                acc2 = np.full(n_local, identity, dtype=dtype)
+                acc2[l_ud] = np.minimum.reduceat(ev, l_starts)
+                rec2 = acc2 != identity
+                if not rec2.any():
+                    break
+                before = np.asarray(comp.message_values(state, block)[0])
+                before = before.copy()
+                st2 = comp.apply_messages(state, acc2, rec2, block)
+                after = np.asarray(comp.message_values(state, block)[0])
+                for k, v in st2.items():
+                    if k.startswith("max_"):
+                        stats[k] = max(stats.get(k, 0.0), v)
+                    else:
+                        stats[k] = stats.get(k, 0) + v
+                if np.array_equal(before, after):
+                    break
+        vf = np.asarray(comp.message_values(state, block)[0])
+        state[comp.active_state_key] = vf != v0
     return state, stats
 
 

@@ -105,3 +105,34 @@ def test_louvain_ds_matches_partitioned_wrapper(graph_from_edges):
         assert np.array_equal(
             got["community"].to_numpy(), want["community"].to_numpy()
         ), (ml, mr)
+
+
+def test_leiden_ds_matches_partitioned_wrapper(graph_from_edges):
+    from graph_data_science_ray.functions.louvain import leiden, leiden_ds
+
+    # two triangle cliques joined by one edge + a pendant + a 4-cycle
+    edges = [
+        (0, 1), (1, 2), (2, 0),
+        (3, 4), (4, 5), (5, 3),
+        (2, 3), (5, 6),
+        (7, 8), (8, 9), (9, 10), (10, 7),
+    ]
+    gd, gu, idmap, enc, sym = graph_from_edges(edges)
+    n = len(idmap)
+    # broadcast==partitioned parity is covered by test_community_and_order;
+    # here only the Dataset contract vs the partitioned wrapper (one config
+    # — the partitioned/ds paths cost many materialize rounds each)
+    ml, mr = 3, 5
+    want = leiden(
+        sym, node_count=n, max_levels=ml, max_rounds=mr,
+        state_mode="partitioned",
+    ).sort_values("node").reset_index(drop=True)
+    got = (
+        leiden_ds(sym, node_count=n, max_levels=ml, max_rounds=mr,
+                  num_parts=4)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert np.array_equal(got["node"].to_numpy(), want["node"].to_numpy())
+    assert np.array_equal(
+        got["community"].to_numpy(), want["community"].to_numpy()
+    )
