@@ -153,6 +153,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "training_mix",
         # round-4 (session 2): AST subgraph filter + node regression
         "subgraph_filter_expr", "node_regression",
+        # round-4 (session 3): pair scorers + vector similarity
+        "linkpred_funcs", "vector_similarity",
     ):
         timed(name, lambda n=name: q[n](sf_dir))
 

@@ -250,39 +250,85 @@ def _mean_rows(X: np.ndarray, self_ids: np.ndarray, nbr: np.ndarray,
     return (src + gathered.sum(axis=1)) / cnt[:, None]
 
 
-def _support_inputs(feat_blocks, s2_blocks, bounds, sup: np.ndarray):
+def _project_rows(raw: np.ndarray, labl: np.ndarray, Wps: list) -> np.ndarray:
+    """Label-wise feature projection (reference
+    MultiLabelFeatureFunction.java:33 / LabelwiseFeatureProjection):
+    row i -> raw[i] @ Wps[label(i)].T. Per-label feature widths live as
+    ZERO-PADDED columns of a common (dp, f_max) weight shape — padded
+    columns contribute 0 forward and receive exactly 0 gradient
+    (gWp = gX^T @ raw and the raw entries are 0), so padding is
+    output-exact, not an approximation."""
+    dp = Wps[0].shape[0]
+    out = np.zeros((len(raw), dp), dtype=np.float64)
+    for lab in np.unique(labl):
+        sel = labl == lab
+        out[sel] = raw[sel] @ Wps[int(lab)].T
+    return out
+
+
+def _label_grads(gXp: np.ndarray, raw: np.ndarray, labl: np.ndarray,
+                 n_labels: int) -> list:
+    """Per-label projection gradients: gWp[l] = Σ_{i: lab=l} gXp_i ⊗ raw_i."""
+    dp, fmax = gXp.shape[1], raw.shape[1]
+    out = [np.zeros((dp, fmax), dtype=np.float64) for _ in range(n_labels)]
+    for lab in np.unique(labl):
+        sel = labl == lab
+        out[int(lab)] = gXp[sel].T @ raw[sel]
+    return out
+
+
+def _support_inputs(feat_blocks, s2_blocks, bounds, sup: np.ndarray,
+                    ml: tuple | None = None):
     """Layer-1 inputs for a sorted support set: gathers the support
     nodes' layer-2 samples, then ONLY the feature rows those samples and
     the support itself touch (per-block fetches — no V-sized read).
-    Returns (Xl, self_l, nbr_l) with LOCAL indices into Xl."""
+    Returns (Xl, self_l, nbr_l, mlcache) with LOCAL indices into Xl.
+
+    ``ml=(lab_blocks, Wps)``: multi-label mode — Xl is the label-wise
+    PROJECTED matrix and mlcache carries (raw, labl) for the projection
+    backward; single-label mode returns the raw gather and mlcache=None."""
     s2_sup = _gather_rows(s2_blocks, bounds, sup)        # (U, S2)
     ids_x = np.unique(np.concatenate([sup, s2_sup.ravel()]))
     ids_x = ids_x[ids_x >= 0]
     Xl = _gather_rows(feat_blocks, bounds, ids_x)
+    mlcache = None
+    if ml is not None:
+        lab_blocks, Wps = ml
+        labl = _gather_rows(lab_blocks, bounds, ids_x).astype(np.int64)
+        raw = Xl
+        Xl = _project_rows(raw, labl, Wps)
+        mlcache = (raw, labl)
 
     def local(ids):
         return np.searchsorted(ids_x, np.where(ids >= 0, ids, ids_x[0]))
 
     nbr_l = np.where(s2_sup >= 0, local(s2_sup), -1)
-    return Xl, local(sup), nbr_l
+    return Xl, local(sup), nbr_l, mlcache
 
 
-def _support_m1(feat_blocks, s2_blocks, bounds, sup: np.ndarray):
-    """Layer-1 MEAN inputs for a sorted support set."""
-    Xl, self_l, nbr_l = _support_inputs(feat_blocks, s2_blocks, bounds, sup)
-    return _mean_rows(Xl, self_l, nbr_l)                 # (U, f)
+def _support_m1(feat_blocks, s2_blocks, bounds, sup: np.ndarray,
+                ml: tuple | None = None):
+    """Layer-1 MEAN inputs for a sorted support set. Returns (m1, cache)
+    where cache = (Xl, self_l, nbr_l, mlcache) for the projection
+    backward (unused in single-label mode)."""
+    Xl, self_l, nbr_l, mlcache = _support_inputs(
+        feat_blocks, s2_blocks, bounds, sup, ml=ml
+    )
+    return _mean_rows(Xl, self_l, nbr_l), (Xl, self_l, nbr_l, mlcache)
 
 
 def _support_m1_pool(feat_blocks, s2_blocks, bounds, sup: np.ndarray,
-                     Wp1: np.ndarray):
+                     Wp1: np.ndarray, ml: tuple | None = None):
     """Layer-1 MAX-POOL inputs: m1 = concat(x_v, max-pool of
     relu(x_u Wp1^T) over v's layer-2 sample). Returns (m1, cache) where
-    cache = (Xl, P1, amax1) for the backward pass."""
-    Xl, self_l, nbr_l = _support_inputs(feat_blocks, s2_blocks, bounds, sup)
+    cache = (Xl, P1, amax1, self_l, mlcache) for the backward pass."""
+    Xl, self_l, nbr_l, mlcache = _support_inputs(
+        feat_blocks, s2_blocks, bounds, sup, ml=ml
+    )
     P1 = np.maximum(Xl @ Wp1.T, 0.0)
     agg1, amax1 = _pool_agg(P1, nbr_l)
     m1 = np.concatenate([Xl[self_l], agg1], axis=1)
-    return m1, (Xl, P1, amax1)
+    return m1, (Xl, P1, amax1, self_l, nbr_l, mlcache)
 
 
 @ray.remote
@@ -299,10 +345,13 @@ def _shard_grad(w_ref, feat_blocks, s1_blocks, s2_blocks, bounds,
     act = cfg["activation"]
     Q = cfg["negative_sample_weight"]
     agg_kind = cfg.get("aggregator", "mean")
+    n_labels = cfg.get("n_labels", 0)
+    lab_blocks = cfg.get("lab_blocks")
     if agg_kind == "pool":
-        W1, W2, Wp1, Wp2 = w_ref
+        W1, W2, Wp1, Wp2, *Wps = w_ref
     else:
-        W1, W2 = w_ref
+        W1, W2, *Wps = w_ref
+    ml = (lab_blocks, list(Wps)) if n_labels else None
 
     nodes = triples.ravel()             # 3B node ids, may repeat
     B = len(triples)
@@ -312,11 +361,13 @@ def _shard_grad(w_ref, feat_blocks, s1_blocks, s2_blocks, bounds,
     sup = uniq[uniq >= 0]               # drop the -1 padding id
     # compute h1 for every support node from its OWN layer-2 sample
     if agg_kind == "pool":
-        m1, (Xl, P1, amax1) = _support_m1_pool(
-            feat_blocks, s2_blocks, bounds, sup, Wp1
+        m1, (Xl, P1, amax1, self_l1, nbr_l0, mlcache) = _support_m1_pool(
+            feat_blocks, s2_blocks, bounds, sup, Wp1, ml=ml
         )
     else:
-        m1 = _support_m1(feat_blocks, s2_blocks, bounds, sup)  # (U, f)
+        m1, (Xl, self_l1, nbr_l0, mlcache) = _support_m1(
+            feat_blocks, s2_blocks, bounds, sup, ml=ml
+        )                                                # (U, f)
     z1 = m1 @ W1.T
     h1 = _act(z1, act)                                   # (U, dim)
     # lift back: h1 row for any id via searchsorted on sup (sorted)
@@ -375,11 +426,33 @@ def _shard_grad(w_ref, feat_blocks, s1_blocks, s2_blocks, bounds,
         np.add.at(gh1, flat_ids, flat_g)
     gz1 = gh1 * _act_grad(h1, act)
     gW1 = gz1.T @ m1
+    extra = []
     if agg_kind == "pool":
         gm1 = gz1 @ W1
         f = Xl.shape[1]
-        _gX, gWp1 = _pool_backward(gm1[:, f:], amax1, P1, Xl, Wp1)
-        return gW1, gW2, gWp1, gWp2, loss, B
+        gX_pool, gWp1 = _pool_backward(gm1[:, f:], amax1, P1, Xl, Wp1)
+        extra = [gWp1, gWp2]
+        if ml is not None:
+            # gXp = pooled-branch gradient + the self (concat) branch
+            gXp = gX_pool
+            np.add.at(gXp, self_l1, gm1[:, :f])
+            raw, labl = mlcache
+            extra += _label_grads(gXp, raw, labl, n_labels)
+    elif ml is not None:
+        # through the layer-1 mean back to the projected feature rows
+        gm1 = gz1 @ W1                                   # (U, dp)
+        raw, labl = mlcache
+        gXp = np.zeros_like(Xl)
+        mask0 = nbr_l0 >= 0
+        coef1 = gm1 / (1.0 + mask0.sum(axis=1))[:, None]
+        np.add.at(gXp, self_l1, coef1)
+        np.add.at(
+            gXp, np.where(mask0, nbr_l0, 0).ravel(),
+            (coef1[:, None, :] * mask0[:, :, None]).reshape(-1, gm1.shape[1]),
+        )
+        extra = _label_grads(gXp, raw, labl, n_labels)
+    if extra:
+        return (gW1, gW2, *extra, loss, B)
     return gW1, gW2, loss, B
 
 
@@ -399,6 +472,9 @@ def graphsage_train(
     feature_id_col: str = "node_id",
     feature_vec_col: str = "features",
     aggregator: str = "mean",
+    node_labels=None,
+    projected_dim: int | None = None,
+    label_col: str = "label",
 ) -> dict:
     """Train GraphSAGE weights; returns {"W1", "W2", "losses", ...}.
 
@@ -408,6 +484,15 @@ def graphsage_train(
     driver (the 10^10-node input contract); default = [degree, 1] (the
     reference's degreeAsProperty fallback). Deterministic at any
     parallelism: fixed shard split + shard-order gradient combine.
+
+    ``node_labels`` + ``projected_dim``: MULTI-LABEL mode (reference
+    MultiLabelFeatureFunction.java:33) — each node carries one label id
+    in [0, L) ((V,) int array, or a ``(node, label)`` Dataset sharded
+    partition-side) and a per-label TRAINED projection
+    ``Wp[l] : f_max -> projected_dim`` feeds the shared layers.
+    Per-label feature widths enter as zero-padded columns, which is
+    output-exact (padded columns contribute 0 forward and receive 0
+    gradient — see :func:`_project_rows`).
     """
     from graph_data_science_ray.functions.node2vec import _walk_matrix
 
@@ -428,6 +513,25 @@ def graphsage_train(
     if feat_blocks is None:
         features = np.asarray(features, dtype=np.float64)
         f = features.shape[1]
+
+    # multi-label: shard labels partition-side, swap f to the projected
+    # width (the shared layers see only projected rows)
+    lab_blocks, n_labels, f_raw = None, 0, int(f)
+    if node_labels is not None:
+        if projected_dim is None:
+            raise ValueError("multi-label mode requires projected_dim")
+        if isinstance(node_labels, np.ndarray):
+            labels_arr = np.asarray(node_labels, dtype=np.int64)
+            if len(labels_arr) != V:
+                raise ValueError("node_labels must have one entry per node")
+            n_labels = int(labels_arr.max()) + 1
+            lab_blocks = _shard_rows(labels_arr, bounds)
+        else:
+            n_labels = int(node_labels.max(label_col)) + 1
+            lab_blocks = _feat_blocks_from_ds(
+                node_labels, bounds, feature_id_col, label_col
+            )
+        f = int(projected_dim)
     S1, S2 = sample_sizes
 
     # sample matrices are born partition-held (one block ref per graph
@@ -483,11 +587,19 @@ def graphsage_train(
         feat_blocks = _shard_rows(features, bounds)
     cfg = {"activation": activation,
            "negative_sample_weight": float(negative_sample_weight),
-           "aggregator": aggregator}
+           "aggregator": aggregator,
+           "n_labels": n_labels, "lab_blocks": lab_blocks}
 
-    # Adam over the weight list (2 matrices for mean, 4 for pool) with
-    # the same fixed-shard-order gradient combine
+    # Adam over the weight list (2 matrices for mean, 4 for pool, plus
+    # one per-label projection each in multi-label mode) with the same
+    # fixed-shard-order gradient combine
     Ws = [W1, W2] if aggregator != "pool" else [W1, W2, Wp1, Wp2]
+    if n_labels:
+        Ws += [
+            _rand(f * f_raw, 101 + lab).reshape(f, f_raw)
+            / np.sqrt(max(f_raw, 1))
+            for lab in range(n_labels)
+        ]
     mS = [np.zeros_like(w) for w in Ws]
     vS = [np.zeros_like(w) for w in Ws]
     beta1, beta2, eps = 0.9, 0.999, 1e-8
@@ -526,23 +638,29 @@ def graphsage_train(
     out = {"W1": Ws[0], "W2": Ws[1], "losses": losses,
            "feat_blocks": feat_blocks, "s1_blocks": s1_blocks,
            "s2_blocks": s2_blocks, "boundaries": bounds,
-           "activation": activation, "aggregator": aggregator}
+           "activation": activation, "aggregator": aggregator,
+           "n_labels": n_labels, "lab_blocks": lab_blocks}
+    base = 4 if aggregator == "pool" else 2
     if aggregator == "pool":
         out["Wp1"], out["Wp2"] = Ws[2], Ws[3]
+    if n_labels:
+        out["Wps"] = Ws[base:]
     return out
 
 
 @ray.remote
 def _embed_part(pi: int, w_ref, feat_blocks, s1_blocks, s2_blocks, bounds,
-                activation: str, aggregator: str = "mean") -> tuple[int, np.ndarray]:
+                activation: str, aggregator: str = "mean",
+                n_labels: int = 0, lab_blocks=None) -> tuple[int, np.ndarray]:
     """Final embeddings for one partition's owned nodes (inference uses
     the same sampled neighborhoods, GraphSageEmbeddingsGenerator).
     Supports are neighborhood-local, so the per-block gathers touch only
     this partition's range plus its sampled neighbors' blocks."""
     if aggregator == "pool":
-        W1, W2, Wp1, Wp2 = w_ref
+        W1, W2, Wp1, Wp2, *Wps = w_ref
     else:
-        W1, W2 = w_ref
+        W1, W2, *Wps = w_ref
+    ml = (lab_blocks, list(Wps)) if n_labels else None
     start, end = int(bounds[pi]), int(bounds[pi + 1])
     own = np.arange(start, end, dtype=np.int64)
     if not len(own):
@@ -553,9 +671,11 @@ def _embed_part(pi: int, w_ref, feat_blocks, s1_blocks, s2_blocks, bounds,
     sup = np.unique(np.concatenate([own, n1.ravel()]))
     sup = sup[sup >= 0]
     if aggregator == "pool":
-        m1, _cache = _support_m1_pool(feat_blocks, s2_blocks, bounds, sup, Wp1)
+        m1, _cache = _support_m1_pool(
+            feat_blocks, s2_blocks, bounds, sup, Wp1, ml=ml
+        )
     else:
-        m1 = _support_m1(feat_blocks, s2_blocks, bounds, sup)
+        m1, _cache = _support_m1(feat_blocks, s2_blocks, bounds, sup, ml=ml)
     h1 = _act(m1 @ W1.T, activation)
     pos = np.searchsorted(sup, np.where(n1 >= 0, n1, sup[0]))
     mask = n1 >= 0
@@ -586,15 +706,19 @@ def graphsage(
         sample_sizes=sample_sizes, **train_kwargs,
     )
     agg_kind = model.get("aggregator", "mean")
+    n_labels = model.get("n_labels", 0)
     if agg_kind == "pool":
-        w_ref = ray.put((model["W1"], model["W2"], model["Wp1"], model["Wp2"]))
+        wtuple = (model["W1"], model["W2"], model["Wp1"], model["Wp2"])
     else:
-        w_ref = ray.put((model["W1"], model["W2"]))
+        wtuple = (model["W1"], model["W2"])
+    if n_labels:
+        wtuple = wtuple + tuple(model["Wps"])
+    w_ref = ray.put(wtuple)
     parts = ray.get([
         _embed_part.remote(
             pi, w_ref, model["feat_blocks"], model["s1_blocks"],
             model["s2_blocks"], model["boundaries"], model["activation"],
-            agg_kind,
+            agg_kind, n_labels, model.get("lab_blocks"),
         )
         for pi in range(graph.num_partitions)
     ])

@@ -63,3 +63,14 @@ def test_async_local_weighted_sssp_identical(graph_from_edges):
     a = run(False)
     b = run(True)
     assert np.array_equal(a, b)
+
+    # public-API surface: shortest_paths(async_local=True)
+    from graph_data_science_ray.functions.sssp import shortest_paths
+
+    s = shortest_paths(gu, source_key=src_key).sort_values("node").reset_index(drop=True)
+    t = (
+        shortest_paths(gu, source_key=src_key, async_local=True)
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(s, t)
