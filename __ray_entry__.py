@@ -2265,6 +2265,28 @@ def _q_graphsage(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("node").reset_index(drop=True)
 
 
+def _q_graphsage_multilabel(sf_dir: str) -> pd.DataFrame:
+    """Multi-label GraphSAGE (reference MultiLabelFeatureFunction.java:33):
+    per-label TRAINED projections feed the shared layers. Labels are the
+    dense-id parity (deterministic); label-1 rows carry a zero-padded
+    third feature column, exercising the padding-exactness contract.
+    Rows-only: sampled neighborhoods + Adam are not SQL-expressible."""
+    from graph_data_science_ray.functions.graphsage import graphsage
+
+    b = _bundle(sf_dir)
+    gu = b["gu"]
+    V = gu.node_count
+    deg = gu.out_degrees().astype(np.float64)
+    labels = np.arange(V, dtype=np.int64) % 2
+    feats = np.stack([deg, np.ones(V), np.log1p(deg)], axis=1)
+    feats[labels == 1, 2] = 0.0
+    out = graphsage(gu, features=feats, node_labels=labels, projected_dim=3,
+                    embedding_dim=16, sample_sizes=(10, 5), epochs=5, seed=19)
+    out["node"] = _strip(out["node"])
+    out["embedding"] = [",".join(f"{x:.6f}" for x in v) for v in out["embedding"]]
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def _q_sllpa(sf_dir: str) -> pd.DataFrame:
     from graph_data_science_ray.functions.community2 import sllpa
 
@@ -2569,6 +2591,13 @@ def _q_node2vec_valid(sf_dir: str) -> pd.DataFrame:
 def _q_graphsage_valid(sf_dir: str) -> pd.DataFrame:
     return _embedding_valid(
         _cached("graphsage", sf_dir, _q_graphsage), "embedding", 16
+    )
+
+
+def _q_graphsage_multilabel_valid(sf_dir: str) -> pd.DataFrame:
+    return _embedding_valid(
+        _cached("graphsage_multilabel", sf_dir, _q_graphsage_multilabel),
+        "embedding", 16,
     )
 
 
@@ -3526,6 +3555,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node2vec_valid": _q_node2vec_valid,
         "graphsage": lambda sf: _cached("graphsage", sf, _q_graphsage),
         "graphsage_valid": _q_graphsage_valid,
+        "graphsage_multilabel": lambda sf: _cached(
+            "graphsage_multilabel", sf, _q_graphsage_multilabel
+        ),
+        "graphsage_multilabel_valid": _q_graphsage_multilabel_valid,
         "sllpa": _q_sllpa,
         "max_k_cut": _q_max_k_cut,
         "celf": _q_celf,
@@ -5624,6 +5657,7 @@ SELECT CAST(least(50, (SELECT count(*) FROM reach)) AS BIGINT) AS n_sampled,
     )
     sqls["node2vec_valid"] = _EMB_VALID_SQL.format(d=16)
     sqls["graphsage_valid"] = _EMB_VALID_SQL.format(d=16)
+    sqls["graphsage_multilabel_valid"] = _EMB_VALID_SQL.format(d=16)
     sqls["hashgnn_valid"] = (
         f"WITH {_GRAPH_CTE} "
         "SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_rows, "
