@@ -538,7 +538,7 @@ def _apply(comp, block, state, q, *inbox):
             received = np.zeros(n_local, dtype=bool)
     async_local = (
         getattr(comp, "async_local", False)
-        and comp.reducer == "min"
+        and comp.reducer in ("min", "or")
         and acc.ndim == 1
     )
     if async_local:
@@ -546,9 +546,16 @@ def _apply(comp, block, state, q, *inbox):
     stats = comp.apply_messages(state, acc, received, block)
     if async_local:
         # same-superstep delivery within the partition: relax local edges
-        # (both endpoints in [start, end)) to a fixpoint before returning
-        identity = _min_identity(comp)
-        dtype = np.float64 if comp.message_dtype == "float64" else np.int64
+        # (both endpoints in [start, end)) to a fixpoint before returning.
+        # "or" (bitmask reachability/taint) is monotone like hash-min, so
+        # the fixpoint is schedule-independent too; NOT valid for kernels
+        # whose semantics read the superstep number (MSBFS depth waves).
+        if comp.reducer == "or":
+            identity = np.uint64(0)
+            dtype = np.uint64
+        else:
+            identity = _min_identity(comp)
+            dtype = np.float64 if comp.message_dtype == "float64" else np.int64
         dst_sorted = block["dst_sorted"]
         local = (dst_sorted >= start) & (dst_sorted < end)
         if local.any():
@@ -564,19 +571,23 @@ def _apply(comp, block, state, q, *inbox):
             l_runs[1:] = l_dst[1:] != l_dst[:-1]
             l_starts = np.flatnonzero(l_runs)
             l_ud = l_dst[l_starts]
-            for _round in range(n_local):  # monotone min => terminates
+            for _round in range(n_local):  # monotone min/or => terminates
                 vals, active = comp.message_values(state, block)
                 if active is not None:
                     send = np.where(active, vals, identity).astype(dtype)
                 else:
                     send = np.asarray(vals, dtype=dtype)
                 ev = send[l_src]
-                if comp.edge_combine == "add":
-                    ev = np.where(ev == identity, identity, ev + l_w)
-                elif comp.edge_combine == "add_one":
-                    ev = np.where(ev == identity, identity, ev + 1)
-                acc2 = np.full(n_local, identity, dtype=dtype)
-                acc2[l_ud] = np.minimum.reduceat(ev, l_starts)
+                if comp.reducer == "or":
+                    acc2 = np.full(n_local, identity, dtype=dtype)
+                    acc2[l_ud] = np.bitwise_or.reduceat(ev, l_starts)
+                else:
+                    if comp.edge_combine == "add":
+                        ev = np.where(ev == identity, identity, ev + l_w)
+                    elif comp.edge_combine == "add_one":
+                        ev = np.where(ev == identity, identity, ev + 1)
+                    acc2 = np.full(n_local, identity, dtype=dtype)
+                    acc2[l_ud] = np.minimum.reduceat(ev, l_starts)
                 rec2 = acc2 != identity
                 if not rec2.any():
                     break

@@ -74,3 +74,29 @@ def test_async_local_weighted_sssp_identical(graph_from_edges):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(s, t)
+
+
+def test_async_local_or_reducer_taint(graph_from_edges):
+    # the OR (bitmask) reducer is monotone like hash-min, so taint
+    # propagation admits the same partition-local fixpoint
+    from graph_data_science_ray.functions.sssp import _TaintProp
+
+    edges = _path_edges(24)
+    _, gu, _, _, _ = graph_from_edges(edges, num_partitions=3)
+    V = gu.node_count
+    seeds = np.zeros(V, dtype=bool)
+    seeds[0] = True
+
+    def run(async_local):
+        comp = _TaintProp(seeds.copy())
+        comp.async_local = async_local
+        comp.active_state_key = "new"
+        eng = Pregel(gu, comp)
+        refs = eng.run(max_iterations=200)
+        return eng.gather(refs, "taint"), len(eng.history)
+
+    a, it_s = run(False)
+    b, it_a = run(True)
+    assert np.array_equal(a.astype(bool), b.astype(bool))
+    assert a.astype(bool).all()  # path is connected: everything tainted
+    assert it_a < it_s
