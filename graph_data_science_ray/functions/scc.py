@@ -114,8 +114,15 @@ def scc(
     max_rounds: int = 100,
     mode: str = "auto",
     num_parts: int = 64,
+    async_local: bool = False,
 ) -> pd.DataFrame:
     """Exact SCC ids (min member id). Returns (node, component).
+
+    ``async_local=True`` (broadcast mode): both FW-BW fixpoints run in
+    the async-messenger mode (partition-local relaxation before each
+    global shuffle) — identical components (the min-id coloring and
+    reach fixpoints are schedule-independent), fewer supersteps per
+    outer round on long-diameter graphs.
 
     ``mode="broadcast"`` (default below 5M nodes): per outer FW-BW round
     the unassigned mask and the gathered color vector are O(V) driver
@@ -190,7 +197,9 @@ def scc(
             live, os.path.join(root_dir, f"f{rnd}"), node_count=node_count,
             num_partitions=num_partitions, directed=True,
         )
-        engine = Pregel(gf, _MinForward(unassigned.copy()))
+        comp_f = _MinForward(unassigned.copy())
+        comp_f.async_local = bool(async_local)
+        engine = Pregel(gf, comp_f)
         refs = engine.run(max_iterations=node_count + 2)
         colors = engine.gather(refs, "color")
         colors = np.where(unassigned & touched, colors, _I64_MAX)
@@ -215,7 +224,10 @@ def scc(
             rev, os.path.join(root_dir, f"b{rnd}"), node_count=node_count,
             num_partitions=num_partitions, directed=True,
         )
-        engine_b = Pregel(gr, _BackwardReach(colors.copy()))
+        comp_b = _BackwardReach(colors.copy())
+        comp_b.async_local = bool(async_local)
+        comp_b.active_state_key = "new"
+        engine_b = Pregel(gr, comp_b)
         refs_b = engine_b.run(max_iterations=node_count + 2)
         reached = engine_b.gather(refs_b, "reached").astype(bool)
 

@@ -100,3 +100,25 @@ def test_async_local_or_reducer_taint(graph_from_edges):
     assert np.array_equal(a.astype(bool), b.astype(bool))
     assert a.astype(bool).all()  # path is connected: everything tainted
     assert it_a < it_s
+
+
+def test_async_local_scc_parity(graph_from_edges):
+    # two directed cycles joined by a one-way bridge + a long tail
+    from graph_data_science_ray.functions.scc import scc
+
+    edges = (
+        [(i, (i + 1) % 6) for i in range(6)]
+        + [(10 + i, 10 + (i + 1) % 5) for i in range(5)]
+        + [(5, 10)]
+        + [(20 + i, 21 + i) for i in range(6)]  # acyclic tail: singletons
+    )
+    gd, _gu, idmap, enc, _sym = graph_from_edges(edges, num_partitions=3)
+    n = len(idmap)
+    a = scc(enc, n, idmap=idmap).sort_values("node").reset_index(drop=True)
+    b = (
+        scc(enc, n, idmap=idmap, async_local=True)
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert a["component"].nunique() > 2
