@@ -1793,6 +1793,15 @@ def _q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _q_duplicate_spans(sf_dir: str) -> pd.DataFrame:
+    """Cross-document duplicated 8-token spans (exact substring dedup
+    signal): per-doc distinct span count, duplicated-span count, flag."""
+    from graph_data_science_ray.stages.dedup import duplicate_spans
+
+    out = duplicate_spans(_docs(sf_dir), window=8).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_decontaminate(sf_dir: str) -> pd.DataFrame:
     """Benchmark n-gram decontamination: docs with doc_id % 37 == 0 act
     as the held-out benchmark; every other doc is flagged when it shares
@@ -3528,6 +3537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": _q_minhash_pairs,
         "simhash": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
+        "duplicate_spans": _q_duplicate_spans,
         "decontaminate": _q_decontaminate,
         "training_mix": _q_training_mix,
         "asof_join": _q_asof_join,
@@ -4504,6 +4514,34 @@ JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.7
 ORDER BY doc_a, doc_b
+"""
+
+    sqls["duplicate_spans"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS arr
+  FROM documents
+),
+sp AS (
+  SELECT DISTINCT doc_id, array_to_string(arr[i:i+7], ' ') AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(arr)-7)) AS i) g
+  WHERE len(arr) >= 8
+),
+nsp AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY 1),
+dup AS (SELECT s FROM sp GROUP BY s HAVING count(*) >= 2),
+dcnt AS (
+  SELECT sp.doc_id, count(*) AS dup_spans
+  FROM sp JOIN dup USING (s) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(n.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(c.dup_spans, 0) AS BIGINT) AS dup_spans,
+       CAST(coalesce(c.dup_spans, 0) >= 1 AS BIGINT) AS dup_flag
+FROM documents d
+LEFT JOIN nsp n USING (doc_id)
+LEFT JOIN dcnt c USING (doc_id)
+ORDER BY d.doc_id
 """
 
     sqls["decontaminate"] = r"""

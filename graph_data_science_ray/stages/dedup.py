@@ -633,6 +633,148 @@ def ngram_jaccard_dedup(
     return joined.map_batches(finish, batch_format="pandas")
 
 
+def _explode_spans(df: pd.DataFrame, window: int) -> pd.DataFrame:
+    """Distinct (doc_id, span) rows where span = ``window`` consecutive
+    whitespace tokens joined by single spaces (stride 1).
+
+    Same tokenization as ``_explode_shingles``; docs with fewer than
+    ``window`` tokens emit nothing (their span counts are zero-filled by
+    the caller). The span strings are built by ``window`` shifted
+    elementwise concats over the batch's flat token stream — no
+    per-span Python loop — and stay strings so an ANSI-SQL oracle can
+    reproduce them verbatim."""
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype=np.int64),
+         "span": pd.Series([], dtype=object)}
+    )
+    if not len(df):
+        return empty
+    texts = df["text"].fillna("").tolist()
+    ids = df["doc_id"].to_numpy(dtype=np.int64)
+    tok_lists = [_WORD.findall(t) for t in texts]
+    counts = np.fromiter(
+        (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+    )
+    flat = np.array([w for toks in tok_lists for w in toks], dtype=object)
+    n = len(flat)
+    if n < window:
+        return empty
+    doc_of = np.repeat(np.arange(len(texts)), counts)
+    m = n - window + 1
+    span = flat[:m].copy()
+    for j in range(1, window):
+        span = span + " "
+        span = span + flat[j : j + m]
+    same = doc_of[:m] == doc_of[window - 1 :]
+    if not same.any():
+        return empty
+    return pd.DataFrame(
+        {"doc_id": ids[doc_of[:m][same]], "span": span[same]}
+    ).drop_duplicates()
+
+
+def duplicate_spans(
+    docs: rd.Dataset,
+    window: int = 8,
+    num_parts: int = 64,
+    min_docs: int = 2,
+) -> rd.Dataset:
+    """Cross-document duplicated-span detection (exact substring dedup
+    signal at token granularity, the Lee et al. 2021 "Deduplicating
+    Training Data Makes Language Models Better" shape applied per fixed
+    ``window``-token span).
+
+    Returns one row per input doc:
+    ``(doc_id, n_spans, dup_spans, dup_flag)`` where ``n_spans`` is the
+    doc's DISTINCT span count, ``dup_spans`` how many of those spans
+    occur in at least ``min_docs`` distinct docs (itself included), and
+    ``dup_flag = dup_spans >= 1``. Docs shorter than ``window`` tokens
+    have zero spans and are never flagged.
+
+    Scale shape: explode to distinct (doc_id, span) rows (one shifted
+    elementwise concat per batch) → hash-partitioned per-span distinct-doc
+    counts → spans with count ≥ ``min_docs`` hash-join back to the
+    exploded rows → per-doc sums, zero-fill union with the full doc-id
+    list. Shuffle volume is O(total tokens); nothing is broadcast or
+    collected on the driver. Span keys are content strings — uniformly
+    distributed, no skew handling needed; a boilerplate span shared by
+    many docs costs one aggregate row plus its join fan-out (bounded by
+    the exploded rows that already exist), never a quadratic pair list.
+    """
+    import pyarrow as pa
+
+    from graph_data_science_ray.pipelines.agg import hash_aggregate, hash_join
+
+    docs = docs.select_columns(["doc_id", "text"])
+    exploded = docs.map_batches(
+        lambda df: _explode_spans(df, window),
+        batch_format="pandas", batch_size=2048,
+    ).materialize()  # consumed twice: per-doc sizes + dup-span join
+
+    span_docs = hash_aggregate(
+        exploded.map_batches(
+            lambda df: pd.DataFrame(
+                {"span": df["span"],
+                 "one": np.ones(len(df), dtype=np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        ["span"], "one", op="sum", num_parts=num_parts, out_col="nd",
+    )
+    dup_sp = span_docs.map_batches(
+        lambda df: df[df["nd"] >= min_docs][["span"]],
+        batch_format="pandas",
+    )
+    hit = hash_join(
+        exploded, dup_sp, on=["span"], num_parts=num_parts,
+        left_schema=pa.schema([("doc_id", pa.int64()), ("span", pa.string())]),
+        right_schema=pa.schema([("span", pa.string())]),
+    )
+
+    def _ones(df: pd.DataFrame, col: str) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype(np.int64),
+             col: np.ones(len(df), dtype=np.int64)}
+        )
+
+    def _zeros(df: pd.DataFrame, col: str) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype(np.int64),
+             col: np.zeros(len(df), dtype=np.int64)}
+        )
+
+    # zero-fill union with the full doc-id list on BOTH counters so every
+    # input doc gets exactly one output row.
+    n_spans = hash_aggregate(
+        docs.map_batches(lambda df: _zeros(df, "c"), batch_format="pandas")
+        .union(exploded.map_batches(lambda df: _ones(df, "c"),
+                                    batch_format="pandas")),
+        ["doc_id"], "c", op="sum", num_parts=num_parts, out_col="n_spans",
+    )
+    dup_cnt = hash_aggregate(
+        docs.map_batches(lambda df: _zeros(df, "d"), batch_format="pandas")
+        .union(hit.map_batches(lambda df: _ones(df, "d"),
+                               batch_format="pandas")),
+        ["doc_id"], "d", op="sum", num_parts=num_parts, out_col="dup_spans",
+    )
+    totals = hash_join(
+        n_spans, dup_cnt, on=["doc_id"], num_parts=num_parts,
+        left_schema=pa.schema([("doc_id", pa.int64()), ("n_spans", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()), ("dup_spans", pa.int64())]),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["dup_spans"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype(np.int64),
+             "n_spans": df["n_spans"].to_numpy(dtype=np.int64),
+             "dup_spans": d,
+             "dup_flag": (d >= 1).astype(np.int64)}
+        )
+
+    return totals.map_batches(finish, batch_format="pandas")
+
+
 def decontaminate(
     docs: rd.Dataset,
     benchmark: rd.Dataset,

@@ -95,6 +95,7 @@ _ORACLE_CHECKED = [
     "knn_euclidean",
     "knn_pearson",
     "decontaminate",
+    "duplicate_spans",
     "deterministic_shuffle",
     "training_mix",
     "degree_distribution",

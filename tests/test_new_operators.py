@@ -389,6 +389,41 @@ def test_dedup_exact_filter_returns_table():
     assert set(out.columns) == {"doc_id", "text", "lang"}
 
 
+def test_duplicate_spans_cross_doc_windows():
+    """4-token windows: docs 0 and 1 share the span "a b c d"; doc 2 is
+    short (<4 tokens, zero spans); doc 3 has spans but none duplicated.
+    A span repeated WITHIN one doc only must not flag it."""
+    from graph_data_science_ray.stages.dedup import duplicate_spans
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [
+                        "a b c d e",          # spans: "a b c d", "b c d e"
+                        "x a b c d",          # spans: "x a b c", "a b c d"
+                        "too short",           # no spans
+                        "p q r s t",          # unique spans
+                        "u v w u v w u v w",  # "u v w u" etc. repeat within
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    out = (
+        duplicate_spans(docs, window=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [0, 1, 2, 3, 4]
+    assert out["n_spans"].tolist() == [2, 2, 0, 2, 3]
+    assert out["dup_spans"].tolist() == [1, 1, 0, 0, 0]
+    assert out["dup_flag"].tolist() == [1, 1, 0, 0, 0]
+
+
 def test_boruvka_equal_weight_tie_no_cycle(graph_from_edges):
     """Equal-weight cross edges between three 2-node components form a
     3-cycle of picks; the union-find pick filter must keep the forest
