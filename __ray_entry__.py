@@ -1793,6 +1793,15 @@ def _q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Near-dup clusters: exact 3-gram Jaccard pair graph at 0.5 →
+    distributed hash-min connected components → canonical keeper."""
+    from graph_data_science_ray.stages.dedup import dedup_clusters
+
+    out = dedup_clusters(_docs(sf_dir), threshold=0.5).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_duplicate_spans(sf_dir: str) -> pd.DataFrame:
     """Cross-document duplicated 8-token spans (exact substring dedup
     signal): per-doc distinct span count, duplicated-span count, flag."""
@@ -3538,6 +3547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "duplicate_spans": _q_duplicate_spans,
+        "dedup_clusters": _q_dedup_clusters,
         "decontaminate": _q_decontaminate,
         "training_mix": _q_training_mix,
         "asof_join": _q_asof_join,
@@ -4514,6 +4524,52 @@ JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.7
 ORDER BY doc_a, doc_b
+"""
+
+    sqls["dedup_clusters"] = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS arr
+  FROM documents
+),
+sh0 AS (
+  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(arr)-2)) AS i) g
+  WHERE len(arr) >= 3
+  UNION
+  SELECT doc_id, array_to_string(arr, ' ') AS s
+  FROM toks WHERE len(arr) BETWEEN 1 AND 2
+),
+-- DuckDB quirk: under WITH RECURSIVE a non-recursive CTE's inner UNION
+-- degrades to UNION ALL, so dedup explicitly before counting
+sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.5
+),
+und AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS lab FROM documents
+  UNION
+  SELECT u.d AS node, r.lab FROM reach r JOIN und u ON u.s = r.node
+),
+comp AS (SELECT node AS doc_id, min(lab) AS cluster FROM reach GROUP BY node)
+SELECT doc_id, cluster,
+       CAST(doc_id = cluster AS BIGINT) AS is_keeper
+FROM comp ORDER BY doc_id
 """
 
     sqls["duplicate_spans"] = r"""

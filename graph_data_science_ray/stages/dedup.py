@@ -775,6 +775,105 @@ def duplicate_spans(
     return totals.map_batches(finish, batch_format="pandas")
 
 
+def dedup_clusters(
+    docs: rd.Dataset,
+    threshold: float = 0.5,
+    num_parts: int = 64,
+    max_rounds: int = 50,
+    pairs: rd.Dataset | None = None,
+) -> rd.Dataset:
+    """Near-duplicate CLUSTERS with a canonical keeper per cluster —
+    the step after pairwise dedup that a curation pipeline actually
+    needs (near-dup relations are not transitive pairwise; the keeper
+    set must come from connected components of the pair graph).
+
+    Builds the exact word-3-gram Jaccard pair graph at ``threshold``
+    (or accepts any precomputed (doc_a, doc_b) pair Dataset, e.g. from
+    ``dedup_minhash_lsh``) and runs a distributed hash-min connected
+    components fixpoint OVER THE PAIR DATASET — no CSR projection, no
+    driver state: per round, labels hash-join onto the symmetrized
+    pairs, messages min-aggregate per doc, and convergence is detected
+    by the scalar ``sum(label)`` (labels only decrease, so the sum is
+    strictly decreasing until fixpoint). Loop-carried label state is
+    re-materialized with a bounded block count each round.
+
+    Returns one row per input doc: ``(doc_id, cluster, is_keeper)``
+    where ``cluster`` is the smallest doc_id in the doc's near-dup
+    component (singletons cluster to themselves) and
+    ``is_keeper = doc_id == cluster``.
+    """
+    import pyarrow as pa
+
+    from graph_data_science_ray.pipelines.agg import (
+        hash_aggregate,
+        hash_join,
+        materialize_bounded,
+    )
+
+    if pairs is None:
+        pairs = ngram_jaccard_dedup(docs, threshold=threshold,
+                                    num_parts=num_parts)
+
+    def _sym(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_a"].to_numpy(dtype=np.int64)
+        b = df["doc_b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"s": np.concatenate([a, b]), "d": np.concatenate([b, a])}
+        )
+
+    sym = materialize_bounded(
+        pairs.map_batches(_sym, batch_format="pandas"), num_parts
+    )
+    labels = materialize_bounded(
+        docs.select_columns(["doc_id"]).map_batches(
+            lambda df: pd.DataFrame(
+                {"doc_id": df["doc_id"].astype(np.int64),
+                 "lab": df["doc_id"].astype(np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        num_parts,
+    )
+    lab_schema = pa.schema([("doc_id", pa.int64()), ("lab", pa.int64())])
+    sym_schema = pa.schema([("s", pa.int64()), ("d", pa.int64())])
+    prev_sum = labels.sum("lab")
+    for _ in range(max_rounds):
+        lab_s = labels.map_batches(
+            lambda df: df.rename(columns={"doc_id": "s"}),
+            batch_format="pandas",
+        )
+        msgs = hash_join(
+            sym, lab_s, on=["s"], num_parts=num_parts,
+            left_schema=sym_schema,
+            right_schema=pa.schema([("s", pa.int64()), ("lab", pa.int64())]),
+        ).map_batches(
+            lambda df: pd.DataFrame(
+                {"doc_id": df["d"].astype(np.int64),
+                 "lab": df["lab"].astype(np.int64)}
+            ),
+            batch_format="pandas",
+        )
+        labels = materialize_bounded(
+            hash_aggregate(labels.union(msgs), ["doc_id"], "lab",
+                           op="min", num_parts=num_parts),
+            num_parts,
+        )
+        cur_sum = labels.sum("lab")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy(dtype=np.int64)
+        lab = df["lab"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"doc_id": d, "cluster": lab,
+             "is_keeper": (d == lab).astype(np.int64)}
+        )
+
+    return labels.map_batches(finish, batch_format="pandas")
+
+
 def decontaminate(
     docs: rd.Dataset,
     benchmark: rd.Dataset,

@@ -96,6 +96,7 @@ _ORACLE_CHECKED = [
     "knn_pearson",
     "decontaminate",
     "duplicate_spans",
+    "dedup_clusters",
     "deterministic_shuffle",
     "training_mix",
     "degree_distribution",

@@ -424,6 +424,36 @@ def test_duplicate_spans_cross_doc_windows():
     assert out["dup_flag"].tolist() == [1, 1, 0, 0, 0]
 
 
+def test_dedup_clusters_transitive_chain():
+    """A~B and B~C above threshold but A~C below: near-dup is not
+    transitive pairwise, yet all three must land in ONE cluster with the
+    min doc_id as keeper. Unrelated docs stay singleton keepers."""
+    from graph_data_science_ray.stages.dedup import dedup_clusters
+
+    a = " ".join(f"t{i}" for i in range(10))           # t0..t9
+    b = " ".join(f"t{i}" for i in range(3, 13))        # t3..t12 (shares 5 shingles with a)
+    c = " ".join(f"t{i}" for i in range(6, 16))        # t6..t15 (shares with b, barely with a)
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([7, 3, 9, 20], pa.int64()),
+                "text": pa.array([a, b, c, "completely different words here"],
+                                  pa.string()),
+            }
+        )
+    )
+    out = (
+        dedup_clusters(docs, threshold=0.4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [3, 7, 9, 20]
+    # chain collapses to min id 3
+    assert out["cluster"].tolist() == [3, 3, 3, 20]
+    assert out["is_keeper"].tolist() == [1, 0, 0, 1]
+
+
 def test_boruvka_equal_weight_tie_no_cycle(graph_from_edges):
     """Equal-weight cross edges between three 2-node components form a
     3-cycle of picks; the union-find pick filter must keep the forest
