@@ -1956,6 +1956,18 @@ def _q_knn(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _q_knn_quantized(sf_dir: str) -> pd.DataFrame:
+    """int8 scalar-quantized top-k: INTEGER dot-product scores are
+    bit-exact, so ids + rank + score are all hash-compared."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.similarity import knn_quantized
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    res = knn_quantized(emb, query_ids=np.arange(10), k=5)
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def _q_knn_metric(sf_dir: str, metric: str) -> pd.DataFrame:
     """Brute-force top-k under the reference's euclidean/pearson knn
     metrics (similarity/knn/metrics/{Euclidean,Pearson}.java)."""
@@ -3556,6 +3568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_euclidean": lambda sf: _q_knn_metric(sf, "euclidean"),
         "knn_pearson": lambda sf: _q_knn_metric(sf, "pearson"),
         "knn_ivf": _q_knn_ivf,
+        "knn_quantized": _q_knn_quantized,
         "knn_lsh_multiband": _q_knn_lsh_multiband,
         "knn_descent": _q_knn_descent,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -5141,6 +5154,38 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 
     # full-probe IVF is exhaustive: identical contract to brute force
     sqls["knn_ivf"] = sqls["knn_cosine_topk"]
+
+    # int8 scalar quantization: integer dot products are bit-exact, so
+    # the score column itself is hash-compared (no float tie hazard)
+    sqls["knn_quantized"] = """
+WITH m AS (
+  SELECT max(abs(x)) AS mx FROM (
+    SELECT unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings)
+),
+ve AS (
+  SELECT vec_id, i, CAST(floor(127 * (e[i] / m.mx)) AS BIGINT) AS qi
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) t,
+       m,
+       LATERAL (SELECT unnest(generate_series(1, len(e))) AS i) g
+),
+qe AS (SELECT vec_id, i, qi FROM ve WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         sum(q.qi * c.qi) AS score
+  FROM qe q JOIN ve c ON c.i = q.i AND c.vec_id <> q.vec_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       CAST(score AS BIGINT) AS score
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
 
     sqls["knn_euclidean"] = """
 WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 10),

@@ -142,6 +142,114 @@ def _score_batch(
     return _BruteForceScorer(queries_ref, k, exclude_self, metric)(batch)
 
 
+# ---------------------------------------------------------------------------
+# int8 scalar-quantized ANN
+# ---------------------------------------------------------------------------
+
+
+def _quantize(mat: np.ndarray, mx: float) -> np.ndarray:
+    """Symmetric global-maxabs int8 codes: floor(127 * (x / mx)).
+
+    The float association (divide THEN multiply by 127.0, then floor)
+    is the contract — an ANSI-SQL oracle reproduces the codes bit-exactly
+    from the same float64 inputs."""
+    if mx == 0.0:
+        return np.zeros(mat.shape, dtype=np.int64)
+    return np.floor(127.0 * (mat / mx)).astype(np.int64)
+
+
+def embedding_maxabs(embeddings: rd.Dataset) -> float:
+    """Global max |x| over the embedding column (distributed: per-batch
+    partial max, scalar reduce). float32 parquet values upcast exactly
+    to float64, so the result is identical to SQL's max(abs(DOUBLE))."""
+    partial = embeddings.map_batches(
+        lambda df: pd.DataFrame(
+            {"mx": [float(np.abs(_stack(df["embedding"])).max())]
+             if len(df) else []}
+        ),
+        batch_format="pandas",
+    )
+    return float(partial.max("mx"))
+
+
+def knn_quantized(
+    embeddings: rd.Dataset,
+    query_ids: np.ndarray,
+    k: int = 5,
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """Exact top-k by INTEGER dot product over int8 scalar-quantized
+    codes — the memory/bandwidth-reduction path of ANN at corpus scale
+    (4x smaller than float32; int8 GEMM on real hardware). Codes are
+    symmetric global-maxabs: floor(127 * (x / mx)) with mx the
+    distributed global max |x|.
+
+    Because scores are small integers (|dot| <= 127^2 * dims), the
+    result is bit-exactly reproducible — no float tie hazards — and an
+    ANSI-SQL oracle checks (query_id, neighbor_id, rank, score)
+    verbatim. Rank orders by (score desc, neighbor_id asc).
+
+    Scale shape: mx is one scalar pass; the quantized query matrix is
+    ``ray.put`` once and read per task; candidates quantize per batch
+    and score with one int64 matmul; per-batch partial top-k rows
+    reduce on the driver (Q*k*blocks rows — tiny).
+    """
+    import functools
+
+    query_ids = np.asarray(query_ids, dtype=np.int64)
+    mx = embedding_maxabs(embeddings)
+    qdf = (
+        embeddings.filter(expr=f"vec_id in {query_ids.tolist()}")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    queries_ref = ray.put(
+        {"ids": qdf["vec_id"].to_numpy(dtype=np.int64),
+         "codes": _quantize(_stack(qdf["embedding"]), mx)}
+    )
+
+    def score(batch: pd.DataFrame, *, queries_ref, mx, k, exclude_self):
+        q = ray.get(queries_ref)
+        ids = batch["vec_id"].to_numpy(dtype=np.int64)
+        codes = _quantize(_stack(batch["embedding"]), mx)
+        scores = q["codes"] @ codes.T  # (Q, B) int64 — exact
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(q["ids"]):
+            s = scores[qi]
+            cand = ids
+            if exclude_self:
+                keep = ids != qid  # drop, don't sentinel: -int64.min overflows
+                s, cand = s[keep], ids[keep]
+            kk = min(k, len(cand))
+            order = np.lexsort((cand, -s))[:kk]
+            out_q.extend([qid] * len(order))
+            out_n.extend(cand[order])
+            out_s.extend(s[order])
+        return pd.DataFrame(
+            {"query_id": np.asarray(out_q, dtype=np.int64),
+             "neighbor_id": np.asarray(out_n, dtype=np.int64),
+             "score": np.asarray(out_s, dtype=np.int64)}
+        )
+
+    partials = embeddings.map_batches(
+        functools.partial(score, queries_ref=queries_ref, mx=mx, k=k,
+                          exclude_self=exclude_self),
+        batch_format="pandas",
+        batch_size=4096,
+    ).to_pandas()
+    out = []
+    for _, g in partials.groupby("query_id"):
+        g = g.sort_values(["score", "neighbor_id"],
+                          ascending=[False, True], kind="mergesort")
+        top = g.head(k).reset_index(drop=True)
+        top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+        out.append(top)
+    res = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+        columns=["query_id", "neighbor_id", "rank", "score"]
+    )
+    return res[["query_id", "neighbor_id", "rank", "score"]]
+
+
 class _HyperplaneBucketer:
     """LSH bucket keys from seeded random hyperplanes (built once/actor)."""
 

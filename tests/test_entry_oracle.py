@@ -97,6 +97,7 @@ _ORACLE_CHECKED = [
     "decontaminate",
     "duplicate_spans",
     "dedup_clusters",
+    "knn_quantized",
     "deterministic_shuffle",
     "training_mix",
     "degree_distribution",

@@ -109,6 +109,32 @@ def test_knn_brute_force_self_neighbors():
         assert top[q] == q + 20
 
 
+def test_knn_quantized_finds_near_twin():
+    """int8-quantized integer top-1 must still resolve each query's
+    near-twin, scores must be integer-typed and bounded by 127^2 * dims,
+    and the self row must never appear."""
+    from graph_data_science_ray.stages.similarity import knn_quantized
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((20, 8)).astype(np.float32)
+    vecs = np.concatenate([base, base + 1e-3])
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(40), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs]),
+            }
+        )
+    )
+    res = knn_quantized(ds, query_ids=np.arange(5), k=3)
+    assert res["score"].dtype == np.int64
+    assert (res["score"].abs() <= 127 * 127 * 8).all()
+    assert not (res["neighbor_id"] == res["query_id"]).any()
+    top = res[res["rank"] == 1].set_index("query_id")["neighbor_id"]
+    for q in range(5):
+        assert top[q] == q + 20
+
+
 def test_knn_lsh_buckets_return_rows():
     rng = np.random.default_rng(1)
     vecs = rng.standard_normal((100, 8))
