@@ -1793,6 +1793,22 @@ def _q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _q_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """Quality-weighted deterministic Bernoulli sampling flags:
+    p(keep) = 0.4 * n_chars / max(n_chars), integer acceptance test."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.sampling import weighted_sample_flags
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    out = weighted_sample_flags(
+        docs, "n_chars", rate_num=2, rate_den=5, salt="ws"
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
     """Near-dup clusters: exact 3-gram Jaccard pair graph at 0.5 →
     distributed hash-min connected components → canonical keeper."""
@@ -3560,6 +3576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "duplicate_spans": _q_duplicate_spans,
         "dedup_clusters": _q_dedup_clusters,
+        "weighted_sample": _q_weighted_sample,
         "decontaminate": _q_decontaminate,
         "training_mix": _q_training_mix,
         "asof_join": _q_asof_join,
@@ -4537,6 +4554,18 @@ JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.7
 ORDER BY doc_a, doc_b
+"""
+
+    sqls["weighted_sample"] = r"""
+WITH mw AS (SELECT max(n_chars) AS m FROM documents)
+SELECT doc_id,
+       CAST(
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ws'), 1, 8))
+              AS UBIGINT)
+         < (2 * n_chars * 4294967296) // (5 * mw.m)
+         AS BIGINT) AS kept
+FROM documents, mw
+ORDER BY doc_id
 """
 
     sqls["dedup_clusters"] = r"""

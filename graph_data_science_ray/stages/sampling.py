@@ -43,6 +43,7 @@ __all__ = [
     "top_k_per_group",
     "stratified_sample",
     "sample_global_k",
+    "weighted_sample_flags",
 ]
 
 
@@ -226,6 +227,62 @@ def _md5_rank_col(df: pd.DataFrame, id_col: str, salt: str) -> pd.Series:
         ],
         index=df.index,
     )
+
+
+def weighted_sample_flags(
+    ds: rd.Dataset,
+    weight_col: str,
+    rate_num: int = 1,
+    rate_den: int = 5,
+    salt: str = "ws",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Deterministic importance (quality-weighted) Bernoulli sampling:
+    row ``i`` is kept with probability
+    ``(rate_num/rate_den) * w_i / max_w`` — heavier/better rows are
+    proportionally more likely to survive (max-normalized so the
+    per-row probability needs only ONE tiny global aggregate).
+
+    All arithmetic is INTEGER: the acceptance test is
+    ``u32 < (rate_num * w_i * 2^32) // (rate_den * max_w)`` with
+    ``u32`` the first 32 bits of ``md5(f"{id}:{salt}")`` — no float
+    summation order anywhere, so the flags are bit-identical across
+    runs, parallelism levels and engines (DuckDB reproduces the test
+    verbatim; float acceptance probabilities would hash-drift on the
+    mean's reduction order). Weights must be non-negative integers
+    (token counts, char counts, quality ranks).
+
+    Returns (id, kept) flags for every input row — compose with a
+    hash-join (the ``dedup_exact_filter`` shape) to materialize the
+    sampled table. Scale shape: one scalar max aggregate + one
+    map-side pass; no shuffle.
+    """
+    if rate_num < 0 or rate_den <= 0:
+        raise ValueError("rate must be a non-negative rational")
+    max_w = int(ds.max(weight_col))
+    if max_w <= 0:
+        raise ValueError(f"max({weight_col}) must be positive")
+    den = rate_den * max_w
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[weight_col].to_numpy(dtype=np.int64)
+        if (w < 0).any():
+            raise ValueError(f"{weight_col} must be non-negative")
+        u32 = np.fromiter(
+            (
+                int(hashlib.md5(f"{i}:{salt}".encode("utf-8")).hexdigest()[:8], 16)
+                for i in df[id_col]
+            ),
+            dtype=np.int64,
+            count=len(df),
+        )
+        thr = (rate_num * w * np.int64(2**32)) // np.int64(den)
+        return pd.DataFrame(
+            {id_col: df[id_col].astype(np.int64),
+             "kept": (u32 < thr).astype(np.int64)}
+        )
+
+    return ds.map_batches(flags, batch_format="pandas", batch_size=8192)
 
 
 def stratified_sample(

@@ -98,6 +98,7 @@ _ORACLE_CHECKED = [
     "duplicate_spans",
     "dedup_clusters",
     "knn_quantized",
+    "weighted_sample",
     "deterministic_shuffle",
     "training_mix",
     "degree_distribution",

@@ -133,3 +133,42 @@ def test_deterministic_shuffle_stable_across_layouts(ray_session):
     # a permutation of 1..n, and not the identity
     assert sorted(a.tolist()) == list(range(1, 101))
     assert (a != np.arange(1, 101)).any()
+
+
+def test_weighted_sample_flags_monotone_and_exact():
+    """Keep-rate must rise with weight; weight == max with rate 1/1 is
+    always kept; zero weight is never kept; flags are layout-invariant."""
+    from graph_data_science_ray.stages.sampling import weighted_sample_flags
+
+    n = 600
+    w = np.concatenate([
+        np.zeros(200, dtype=np.int64),          # never kept
+        np.full(200, 100, dtype=np.int64),      # p = 0.5 * 100/1000
+        np.full(200, 1000, dtype=np.int64),     # p = 0.5
+    ])
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "w": pa.array(w, pa.int64())})
+    out = (
+        weighted_sample_flags(rd.from_arrow(t), "w", rate_num=1, rate_den=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["kept"][:200].sum() == 0
+    low = out["kept"][200:400].mean()
+    high = out["kept"][400:].mean()
+    assert low < high
+    assert abs(high - 0.5) < 0.15  # Bernoulli(0.5) over 200 draws
+
+    # rate 1/1 at max weight keeps EVERY max-weight row
+    full = (
+        weighted_sample_flags(rd.from_arrow(t), "w", rate_num=1, rate_den=1)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert full["kept"][400:].all()
+
+    # layout invariance: different block structure, identical flags
+    re = (
+        weighted_sample_flags(
+            rd.from_arrow(t).repartition(7), "w", rate_num=1, rate_den=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert (re["kept"] == out["kept"]).all()
