@@ -1793,6 +1793,16 @@ def _q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _q_hll_registers(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog 256-register table over document texts — the
+    mergeable approximate-distinct sketch, integer registers exactly
+    reproduced in SQL."""
+    from graph_data_science_ray.stages.sketch import hll_registers
+
+    out = hll_registers(_docs(sf_dir), "text").to_pandas()
+    return out.sort_values("register").reset_index(drop=True)
+
+
 def _q_weighted_sample(sf_dir: str) -> pd.DataFrame:
     """Quality-weighted deterministic Bernoulli sampling flags:
     p(keep) = 0.4 * n_chars / max(n_chars), integer acceptance test."""
@@ -3577,6 +3587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_spans": _q_duplicate_spans,
         "dedup_clusters": _q_dedup_clusters,
         "weighted_sample": _q_weighted_sample,
+        "hll_registers": _q_hll_registers,
         "decontaminate": _q_decontaminate,
         "training_mix": _q_training_mix,
         "asof_join": _q_asof_join,
@@ -4554,6 +4565,27 @@ JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.7
 ORDER BY doc_a, doc_b
+"""
+
+    sqls["hll_registers"] = r"""
+WITH h AS (
+  SELECT CAST(('0x' || substr(md5(coalesce(text, '')), 1, 8)) AS UBIGINT)
+         AS h32
+  FROM documents
+),
+bw AS (SELECT h32 // 16777216 AS register, h32 % 16777216 AS w FROM h),
+r AS (
+  SELECT register,
+         max(CASE WHEN w = 0 THEN 25
+             ELSE 25 - (CAST(floor(log2(CAST(w AS DOUBLE))) AS BIGINT) + 1)
+             END) AS rho
+  FROM bw GROUP BY 1
+),
+regs AS (SELECT unnest(generate_series(0, 255)) AS register)
+SELECT CAST(regs.register AS BIGINT) AS register,
+       CAST(coalesce(r.rho, 0) AS BIGINT) AS rho
+FROM regs LEFT JOIN r USING (register)
+ORDER BY register
 """
 
     sqls["weighted_sample"] = r"""

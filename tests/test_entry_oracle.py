@@ -99,6 +99,7 @@ _ORACLE_CHECKED = [
     "dedup_clusters",
     "knn_quantized",
     "weighted_sample",
+    "hll_registers",
     "deterministic_shuffle",
     "training_mix",
     "degree_distribution",

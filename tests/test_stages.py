@@ -701,3 +701,37 @@ def test_scale_embedding_scalers(ray_session):
     got = np.stack(ss["scaled"].to_list())
     want = (m - m.mean(axis=0)) / m.std(axis=0)
     assert np.allclose(got, want)
+
+
+def test_hll_registers_estimate_and_merge():
+    """HLL estimate within sketch tolerance of the true distinct count;
+    register tables are mergeable (elementwise max == whole-corpus
+    table); duplicates don't move the sketch."""
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+    from graph_data_science_ray.stages.sketch import (
+        approx_distinct,
+        hll_estimate,
+        hll_registers,
+    )
+
+    n = 3000
+    texts = [f"value-{i}" for i in range(n)] + [f"value-{i}" for i in range(500)]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds = rd.from_arrow(t)
+    est = approx_distinct(ds, "text")
+    assert abs(est - n) / n < 0.2  # 256 registers -> ~6.5% typical error
+
+    # mergeability: registers(half A) max registers(half B) == registers(all)
+    whole = (
+        hll_registers(ds, "text").to_pandas()
+        .sort_values("register").reset_index(drop=True)
+    )
+    a = hll_registers(rd.from_arrow(t.slice(0, 1500)), "text")
+    b = hll_registers(rd.from_arrow(t.slice(1500)), "text")
+    merged = (
+        hash_aggregate(a.union(b), ["register"], "rho", op="max", num_parts=4)
+        .to_pandas().sort_values("register").reset_index(drop=True)
+    )
+    assert (merged["rho"].to_numpy() == whole["rho"].to_numpy()).all()
+    assert hll_estimate(merged) == hll_estimate(whole)
