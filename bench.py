@@ -155,6 +155,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "subgraph_filter_expr", "node_regression",
         # round-4 (session 3): pair scorers + vector similarity
         "linkpred_funcs", "vector_similarity",
+        # round-4 (session 4): span dedup, cluster dedup, quantized ANN,
+        # weighted sampling, HLL sketch
+        "duplicate_spans", "dedup_clusters", "knn_quantized",
+        "weighted_sample", "hll_registers",
     ):
         timed(name, lambda n=name: q[n](sf_dir))
 
