@@ -1803,6 +1803,26 @@ def _q_hll_registers(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("register").reset_index(drop=True)
 
 
+def _q_cms_registers(sf_dir: str) -> pd.DataFrame:
+    """Count-Min 4x512 register table over document tokens — the
+    mergeable frequency sketch, integer registers exactly reproduced
+    in SQL (Cormode & Muthukrishnan 2005)."""
+    from graph_data_science_ray.stages.sketch import cms_registers
+
+    out = cms_registers(_docs(sf_dir), "text").to_pandas()
+    return out.sort_values(["hrow", "col"]).reset_index(drop=True)
+
+
+def _q_cms_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """CMS heavy hitters: tokens whose sketch estimate reaches 1 % of
+    the total token count — broadcast-sketch probe, no per-token
+    shuffle; integer estimates exactly reproduced in SQL."""
+    from graph_data_science_ray.stages.sketch import cms_heavy_hitters
+
+    out = cms_heavy_hitters(_docs(sf_dir), "text", min_share_ppm=10_000)
+    return out.to_pandas().sort_values("token").reset_index(drop=True)
+
+
 def _q_weighted_sample(sf_dir: str) -> pd.DataFrame:
     """Quality-weighted deterministic Bernoulli sampling flags:
     p(keep) = 0.4 * n_chars / max(n_chars), integer acceptance test."""
@@ -3588,6 +3608,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": _q_dedup_clusters,
         "weighted_sample": _q_weighted_sample,
         "hll_registers": _q_hll_registers,
+        "cms_registers": _q_cms_registers,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
         "decontaminate": _q_decontaminate,
         "training_mix": _q_training_mix,
         "asof_join": _q_asof_join,
@@ -4586,6 +4608,63 @@ SELECT CAST(regs.register AS BIGINT) AS register,
        CAST(coalesce(r.rho, 0) AS BIGINT) AS rho
 FROM regs LEFT JOIN r USING (register)
 ORDER BY register
+"""
+
+    sqls["cms_registers"] = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                x -> x <> '')) AS tok
+  FROM documents
+),
+rows_ AS (SELECT unnest(generate_series(0, 3)) AS hrow),
+h AS (
+  SELECT hrow,
+         CAST(('0x' || substr(md5(tok || ':cms' || CAST(hrow AS VARCHAR)),
+               1, 8)) AS UBIGINT) % 512 AS col
+  FROM toks CROSS JOIN rows_
+),
+c AS (SELECT hrow, col, count(*) AS cnt FROM h GROUP BY 1, 2),
+base AS (
+  SELECT r.hrow, u.col
+  FROM rows_ r CROSS JOIN (SELECT unnest(generate_series(0, 511)) AS col) u
+)
+SELECT CAST(base.hrow AS BIGINT) AS hrow, CAST(base.col AS BIGINT) AS col,
+       CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+FROM base LEFT JOIN c ON c.hrow = base.hrow AND c.col = base.col
+ORDER BY hrow, col
+"""
+
+    sqls["cms_heavy_hitters"] = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                x -> x <> '')) AS tok
+  FROM documents
+),
+rows_ AS (SELECT unnest(generate_series(0, 3)) AS hrow),
+h AS (
+  SELECT hrow,
+         CAST(('0x' || substr(md5(tok || ':cms' || CAST(hrow AS VARCHAR)),
+               1, 8)) AS UBIGINT) % 512 AS col
+  FROM toks CROSS JOIN rows_
+),
+c AS (SELECT hrow, col, count(*) AS cnt FROM h GROUP BY 1, 2),
+total AS (SELECT count(*) AS n FROM toks),
+dt AS (SELECT DISTINCT tok FROM toks),
+dh AS (
+  SELECT dt.tok, rows_.hrow,
+         CAST(('0x' || substr(md5(dt.tok || ':cms' ||
+               CAST(rows_.hrow AS VARCHAR)), 1, 8)) AS UBIGINT) % 512 AS col
+  FROM dt CROSS JOIN rows_
+),
+est AS (
+  SELECT dh.tok, min(c.cnt) AS est
+  FROM dh JOIN c ON c.hrow = dh.hrow AND c.col = dh.col
+  GROUP BY dh.tok
+)
+SELECT est.tok AS token, CAST(est.est AS BIGINT) AS est
+FROM est, total
+WHERE est.est >= (total.n * 10000) // 1000000
+ORDER BY token
 """
 
     sqls["weighted_sample"] = r"""

@@ -4,6 +4,13 @@ HyperLogLog distinct-count sketch (Flajolet et al. 2007): the one-pass,
 mergeable, fixed-size structure a 100-TB pipeline uses wherever an exact
 ``COUNT(DISTINCT ...)`` would force an all-to-all shuffle of every key.
 
+Count-Min sketch (Cormode & Muthukrishnan 2005): the mergeable
+fixed-size frequency sketch — per-batch partial register matrices
+summed by a tiny groupby, then BROADCAST (one ``ray.put``) for the
+heavy-hitter scan so no per-token shuffle ever happens. Registers are
+integer counts under md5-derived bucket hashes, so the whole structure
+is bit-exactly reproducible in ANSI SQL.
+
 Determinism contract: hashes are the first 32 bits of ``md5(value)`` —
 the repo's engine-independent hash (the ``fingerprint``/``hash_split``
 idiom) — so the REGISTER TABLE itself is bit-exactly reproducible in
@@ -28,7 +35,10 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-__all__ = ["hll_registers", "hll_estimate", "approx_distinct"]
+__all__ = [
+    "hll_registers", "hll_estimate", "approx_distinct",
+    "cms_registers", "cms_heavy_hitters",
+]
 
 _B = 8  # register-index bits; m = 256 registers
 _M = 1 << _B
@@ -107,3 +117,145 @@ def approx_distinct(ds: rd.Dataset, col: str) -> float:
     """Approximate ``COUNT(DISTINCT col)`` via :func:`hll_registers` —
     typical error ~1.04/sqrt(256) ≈ 6.5 %."""
     return hll_estimate(hll_registers(ds, col).to_pandas())
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# --------------------------------------------------------------------------
+
+_CMS_D = 4    # hash rows
+_CMS_W = 512  # columns per row
+
+
+def _cms_partial(df: pd.DataFrame, col: str) -> pd.DataFrame:
+    """Per-batch partial CMS register matrix as sparse (hrow, col, cnt)
+    rows. Tokens are whitespace-split words; per-batch ``value_counts``
+    collapses to the (tiny) batch vocabulary before any md5 is taken, so
+    hashing cost scales with distinct tokens, not token occurrences."""
+    empty = pd.DataFrame(
+        {"hrow": pd.Series([], dtype=np.int64),
+         "col": pd.Series([], dtype=np.int64),
+         "cnt": pd.Series([], dtype=np.int64)}
+    )
+    if not len(df):
+        return empty
+    counts = (
+        df[col].fillna("").astype(str).str.split().explode().dropna()
+        .value_counts()
+    )
+    if counts.empty:
+        return empty
+    toks = counts.index.to_numpy(dtype=object)
+    cnts = counts.to_numpy(dtype=np.int64)
+    parts = []
+    for i in range(_CMS_D):
+        cols = np.fromiter(
+            (
+                int(hashlib.md5(f"{t}:cms{i}".encode("utf-8")).hexdigest()[:8], 16)
+                % _CMS_W
+                for t in toks
+            ),
+            dtype=np.int64,
+            count=len(toks),
+        )
+        regs = np.zeros(_CMS_W, dtype=np.int64)
+        np.add.at(regs, cols, cnts)
+        nz = np.flatnonzero(regs)
+        parts.append(
+            pd.DataFrame(
+                {"hrow": np.full(len(nz), i, dtype=np.int64),
+                 "col": nz.astype(np.int64),
+                 "cnt": regs[nz]}
+            )
+        )
+    return pd.concat(parts, ignore_index=True)
+
+
+def cms_registers(ds: rd.Dataset, col: str) -> rd.Dataset:
+    """The 4x512 Count-Min register table for whitespace tokens of
+    ``col``: one row per register ``(hrow, col, cnt)``, zero-filled to
+    all 2048 registers. Hashes are ``md5(token || ':cms' || row)`` so
+    the integer registers are bit-exactly reproducible in ANSI SQL;
+    register tables from different shards merge by plain addition."""
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+
+    partials = ds.map_batches(
+        lambda df: _cms_partial(df, col),
+        batch_format="pandas", batch_size=8192,
+    )
+    base = pd.DataFrame(
+        {"hrow": np.repeat(np.arange(_CMS_D, dtype=np.int64), _CMS_W),
+         "col": np.tile(np.arange(_CMS_W, dtype=np.int64), _CMS_D),
+         "cnt": np.zeros(_CMS_D * _CMS_W, dtype=np.int64)}
+    )
+    return hash_aggregate(
+        rd.from_pandas(base).union(partials),
+        ["hrow", "col"], "cnt", op="sum", num_parts=8,
+    )
+
+
+def _cms_matrix(registers: pd.DataFrame) -> np.ndarray:
+    m = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    m[registers["hrow"].to_numpy(dtype=np.int64),
+      registers["col"].to_numpy(dtype=np.int64)] = (
+        registers["cnt"].to_numpy(dtype=np.int64)
+    )
+    return m
+
+
+def cms_heavy_hitters(
+    ds: rd.Dataset, col: str, min_share_ppm: int = 10_000
+) -> rd.Dataset:
+    """Heavy-hitter tokens via the Count-Min sketch: tokens whose CMS
+    estimate (min over the 4 register rows) reaches ``min_share_ppm``
+    parts-per-million of the total token count. Two streaming passes —
+    the 16 KiB register matrix is built once, ``ray.put`` once, and
+    probed per batch; no per-token shuffle. The integer estimates are
+    exact SQL-reproducible (the total is each register row's sum)."""
+    import ray
+
+    regs = _cms_matrix(cms_registers(ds, col).to_pandas())
+    total = int(regs[0].sum())  # every row sums to the total token count
+    threshold = total * int(min_share_ppm) // 1_000_000
+    regs_ref = ray.put(regs)
+
+    def probe(df: pd.DataFrame, m: np.ndarray) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"token": pd.Series([], dtype=object),
+             "est": pd.Series([], dtype=np.int64)}
+        )
+        if not len(df):
+            return empty
+        toks = (
+            df[col].fillna("").astype(str).str.split().explode().dropna()
+            .unique()
+        )
+        if not len(toks):
+            return empty
+        est = np.full(len(toks), np.iinfo(np.int64).max, dtype=np.int64)
+        for i in range(_CMS_D):
+            cols = np.fromiter(
+                (
+                    int(hashlib.md5(f"{t}:cms{i}".encode("utf-8")).hexdigest()[:8], 16)
+                    % _CMS_W
+                    for t in toks
+                ),
+                dtype=np.int64,
+                count=len(toks),
+            )
+            est = np.minimum(est, m[i, cols])
+        keep = est >= threshold
+        return pd.DataFrame(
+            {"token": np.asarray(toks, dtype=object)[keep],
+             "est": est[keep]}
+        )
+
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+
+    cand = ds.map_batches(
+        lambda df: probe(df, ray.get(regs_ref)),
+        batch_format="pandas", batch_size=8192,
+    )
+    # the same token gets the identical estimate in every batch; max ==
+    # distinct-first
+    return hash_aggregate(cand, ["token"], "est", op="max", num_parts=8)

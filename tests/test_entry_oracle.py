@@ -100,6 +100,8 @@ _ORACLE_CHECKED = [
     "knn_quantized",
     "weighted_sample",
     "hll_registers",
+    "cms_registers",
+    "cms_heavy_hitters",
     "deterministic_shuffle",
     "training_mix",
     "degree_distribution",

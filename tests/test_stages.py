@@ -735,3 +735,50 @@ def test_hll_registers_estimate_and_merge():
     )
     assert (merged["rho"].to_numpy() == whole["rho"].to_numpy()).all()
     assert hll_estimate(merged) == hll_estimate(whole)
+
+
+def test_cms_overestimate_and_merge():
+    """CMS estimates never undercount (min-over-rows >= true count);
+    register tables merge by addition; heavy hitters catch every token
+    above the share threshold (no false negatives by construction)."""
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+    from graph_data_science_ray.stages.sketch import (
+        cms_heavy_hitters,
+        cms_registers,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(40)]
+    # skewed: token w0 dominates
+    words = rng.choice(vocab, p=[0.3] + [0.7 / 39] * 39, size=6000)
+    texts = [" ".join(words[i:i + 20]) for i in range(0, 6000, 20)]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds = rd.from_arrow(t)
+
+    whole = (
+        cms_registers(ds, "text").to_pandas()
+        .sort_values(["hrow", "col"]).reset_index(drop=True)
+    )
+    # every register row sums to the total token count
+    assert (whole.groupby("hrow")["cnt"].sum() == 6000).all()
+
+    # mergeability: registers(A) + registers(B) == registers(all)
+    a = cms_registers(rd.from_arrow(t.slice(0, 150)), "text")
+    b = cms_registers(rd.from_arrow(t.slice(150)), "text")
+    merged = (
+        hash_aggregate(a.union(b), ["hrow", "col"], "cnt", op="sum",
+                       num_parts=4)
+        .to_pandas().sort_values(["hrow", "col"]).reset_index(drop=True)
+    )
+    assert (merged["cnt"].to_numpy() == whole["cnt"].to_numpy()).all()
+
+    # overestimate property + threshold recall
+    hh = cms_heavy_hitters(ds, "text", min_share_ppm=50_000).to_pandas()
+    true = pd.Series(words).value_counts()
+    for tok, est in zip(hh["token"], hh["est"]):
+        assert est >= true[tok]
+    thresh = 6000 * 50_000 // 1_000_000
+    for tok, cnt in true.items():
+        if cnt >= thresh:
+            assert tok in set(hh["token"])
