@@ -1874,6 +1874,25 @@ def _q_decontaminate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_bloom_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Bloom-filter benchmark decontamination (broadcast 8 KiB bit
+    array, zero corpus shuffle): docs with doc_id % 37 == 0 are the
+    benchmark; every other doc's distinct word-3-gram shingles probe
+    the filter. Deterministic md5 bits make the flags — including any
+    Bloom false positives — exactly SQL-reproducible."""
+    from graph_data_science_ray.stages.sketch import bloom_decontaminate
+
+    docs = _docs(sf_dir)
+    corpus = docs.map_batches(
+        lambda df: df[df["doc_id"] % 37 != 0], batch_format="pandas"
+    )
+    bench = docs.map_batches(
+        lambda df: df[df["doc_id"] % 37 == 0], batch_format="pandas"
+    )
+    out = bloom_decontaminate(corpus, bench).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_training_mix(sf_dir: str) -> pd.DataFrame:
     """FLAGSHIP composed curation pipeline, end-to-end as one streaming
     Dataset chain: exact dedup (keeper hash-join) → benchmark n-gram
@@ -3611,6 +3630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_registers": _q_cms_registers,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "decontaminate": _q_decontaminate,
+        "bloom_decontaminate": _q_bloom_decontaminate,
         "training_mix": _q_training_mix,
         "asof_join": _q_asof_join,
         "feature_backfill": _q_feature_backfill,
@@ -4780,6 +4800,51 @@ SELECT d.doc_id,
        CAST(coalesce(h.hits, 0) >= 1 AS BIGINT) AS contaminated
 FROM (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0) d
 LEFT JOIN hits h USING(doc_id)
+ORDER BY d.doc_id
+"""
+
+    sqls["bloom_decontaminate"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS arr
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(arr)-2)) AS i) g
+  WHERE len(arr) >= 3
+  UNION
+  SELECT doc_id, array_to_string(arr, ' ') AS s
+  FROM toks WHERE len(arr) BETWEEN 1 AND 2
+),
+ks AS (SELECT unnest(generate_series(0, 3)) AS i),
+bbits AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5(b.s || ':bf' || CAST(ks.i AS VARCHAR)),
+               1, 8)) AS UBIGINT) % 65536 AS bit
+  FROM (SELECT DISTINCT s FROM sh WHERE doc_id % 37 = 0) b CROSS JOIN ks
+),
+corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 37 <> 0),
+probe AS (
+  SELECT c.doc_id, c.s,
+         CAST(('0x' || substr(md5(c.s || ':bf' || CAST(ks.i AS VARCHAR)),
+               1, 8)) AS UBIGINT) % 65536 AS bit
+  FROM corpus c CROSS JOIN ks
+),
+shhit AS (
+  SELECT doc_id, s, count(*) AS c
+  FROM probe JOIN bbits USING (bit)
+  GROUP BY doc_id, s
+),
+dochits AS (
+  SELECT doc_id, count(*) AS bloom_hits FROM shhit WHERE c = 4 GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.bloom_hits, 0) AS BIGINT) AS bloom_hits,
+       CAST(coalesce(h.bloom_hits, 0) >= 1 AS BIGINT) AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0) d
+LEFT JOIN dochits h USING (doc_id)
 ORDER BY d.doc_id
 """
 

@@ -38,6 +38,7 @@ import ray.data as rd
 __all__ = [
     "hll_registers", "hll_estimate", "approx_distinct",
     "cms_registers", "cms_heavy_hitters",
+    "bloom_bits", "bloom_decontaminate",
 ]
 
 _B = 8  # register-index bits; m = 256 registers
@@ -259,3 +260,115 @@ def cms_heavy_hitters(
     # the same token gets the identical estimate in every batch; max ==
     # distinct-first
     return hash_aggregate(cand, ["token"], "est", op="max", num_parts=8)
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter benchmark decontamination
+# --------------------------------------------------------------------------
+
+_BF_BITS = 65_536  # 8 KiB bit array
+_BF_K = 4
+
+
+def _shingle_bits(sh: np.ndarray, i: int) -> np.ndarray:
+    return np.fromiter(
+        (
+            int(hashlib.md5(f"{s}:bf{i}".encode("utf-8")).hexdigest()[:8], 16)
+            % _BF_BITS
+            for s in sh
+        ),
+        dtype=np.int64,
+        count=len(sh),
+    )
+
+
+def bloom_bits(benchmark: rd.Dataset) -> rd.Dataset:
+    """The distinct set bits of a Bloom filter over the benchmark's
+    word-3-gram shingles (same shingling as
+    :func:`~graph_data_science_ray.stages.dedup.decontaminate`): k=4
+    md5-derived positions in a 65536-bit array. Returned as one
+    ``(bit,)`` row per set bit — mergeable by plain union+distinct, and
+    bit-exactly reproducible in ANSI SQL."""
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+    from graph_data_science_ray.stages.dedup import _explode_shingles
+
+    def to_bits(df: pd.DataFrame) -> pd.DataFrame:
+        ex = _explode_shingles(df)
+        if not len(ex):
+            return pd.DataFrame(
+                {"bit": pd.Series([], dtype=np.int64),
+                 "one": pd.Series([], dtype=np.int64)}
+            )
+        sh = ex["shingle"].unique()
+        bits = np.unique(
+            np.concatenate([_shingle_bits(sh, i) for i in range(_BF_K)])
+        )
+        return pd.DataFrame(
+            {"bit": bits, "one": np.ones(len(bits), dtype=np.int64)}
+        )
+
+    ex = benchmark.select_columns(["doc_id", "text"]).map_batches(
+        to_bits, batch_format="pandas", batch_size=2048
+    )
+    agg = hash_aggregate(ex, ["bit"], "one", op="max", num_parts=8)
+    return agg.select_columns(["bit"])
+
+
+def bloom_decontaminate(
+    docs: rd.Dataset, benchmark: rd.Dataset
+) -> rd.Dataset:
+    """Benchmark decontamination through a broadcast Bloom filter — the
+    100-TB-shape alternative to the shingle hash join of
+    ``stages.dedup.decontaminate``: the benchmark collapses to an 8 KiB
+    bit array (``ray.put`` once), and the corpus pass is a SINGLE
+    map-side sweep with per-doc reduction inside the batch — zero
+    shuffle over the corpus.
+
+    Returns one row per corpus doc ``(doc_id, bloom_hits,
+    contaminated)`` where ``bloom_hits`` counts the doc's DISTINCT
+    shingles whose k=4 bits are all set (an overestimate of true hits —
+    Bloom false positives are possible, never false negatives) and
+    ``contaminated = bloom_hits >= 1``. Deterministic md5 probes make
+    the flags (including any false positives) bit-exactly reproducible
+    in ANSI SQL."""
+    import ray
+
+    from graph_data_science_ray.stages.dedup import _explode_shingles
+
+    bp = bloom_bits(benchmark).to_pandas()
+    mask = np.zeros(_BF_BITS, dtype=bool)
+    mask[bp["bit"].to_numpy(dtype=np.int64)] = True
+    mask_ref = ray.put(mask)
+
+    def probe(df: pd.DataFrame, m: np.ndarray) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64),
+                 "bloom_hits": pd.Series([], dtype=np.int64),
+                 "contaminated": pd.Series([], dtype=np.int64)}
+            )
+        ex = _explode_shingles(df)
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        hits = pd.Series(np.zeros(len(ids), dtype=np.int64), index=ids)
+        if len(ex):
+            sh = ex["shingle"].to_numpy(dtype=object)
+            allhit = np.ones(len(sh), dtype=bool)
+            for i in range(_BF_K):
+                allhit &= m[_shingle_bits(sh, i)]
+            got = (
+                pd.Series(allhit.astype(np.int64))
+                .groupby(ex["doc_id"].to_numpy(dtype=np.int64)).sum()
+            )
+            hits.loc[got.index] = got.to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"doc_id": ids,
+             "bloom_hits": hits.to_numpy(dtype=np.int64),
+             "contaminated": (
+                 hits.to_numpy(dtype=np.int64) >= 1
+             ).astype(np.int64)}
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        lambda df: probe(df, ray.get(mask_ref)),
+        batch_format="pandas", batch_size=2048,
+    )

@@ -95,6 +95,7 @@ _ORACLE_CHECKED = [
     "knn_euclidean",
     "knn_pearson",
     "decontaminate",
+    "bloom_decontaminate",
     "duplicate_spans",
     "dedup_clusters",
     "knn_quantized",

@@ -782,3 +782,38 @@ def test_cms_overestimate_and_merge():
     for tok, cnt in true.items():
         if cnt >= thresh:
             assert tok in set(hh["token"])
+
+
+def test_bloom_decontaminate_superset_of_exact():
+    """Bloom decontamination never misses a true hit: its flag set is a
+    superset of the exact shingle-join decontaminate flags, and every
+    truly contaminated doc has bloom_hits >= its exact hits."""
+    from graph_data_science_ray.stages.dedup import decontaminate
+    from graph_data_science_ray.stages.sketch import bloom_decontaminate
+
+    rng = np.random.default_rng(13)
+    vocab = [f"t{i}" for i in range(60)]
+    bench_texts = [" ".join(rng.choice(vocab, size=12)) for _ in range(8)]
+    corpus_texts = [" ".join(rng.choice(vocab, size=15)) for _ in range(40)]
+    # plant exact 3-gram overlap into a third of the corpus
+    for j in range(0, 40, 3):
+        src = bench_texts[j % 8].split()
+        corpus_texts[j] = " ".join(
+            corpus_texts[j].split()[:5] + src[4:7] + ["zz"]
+        )
+    corpus = rd.from_arrow(pa.table(
+        {"doc_id": pa.array(range(40), pa.int64()),
+         "text": pa.array(corpus_texts, pa.string())}))
+    bench = rd.from_arrow(pa.table(
+        {"doc_id": pa.array(range(100, 108), pa.int64()),
+         "text": pa.array(bench_texts, pa.string())}))
+
+    exact = (decontaminate(corpus, bench).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    bloom = (bloom_decontaminate(corpus, bench).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    assert (bloom["doc_id"] == exact["doc_id"]).all()
+    # no false negatives: bloom flags everywhere exact flags
+    assert (bloom["contaminated"] >= exact["contaminated"]).all()
+    assert (bloom["bloom_hits"] >= exact["hits"]).all()
+    assert int(exact["contaminated"].sum()) >= 10  # planting worked
