@@ -1893,6 +1893,32 @@ def _q_bloom_decontaminate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_split_relationships(sf_dir: str) -> pd.DataFrame:
+    """Relationship holdout split (reference splitRelationships /
+    EdgeSplitter.splitPositiveExamples): 20 % of edges become the
+    'selected' positive set (label 1), the rest 'remaining' — decided
+    per edge by an all-integer md5 acceptance, map-side only, exactly
+    reproduced in SQL."""
+    import ray
+
+    from graph_data_science_ray.pipelines.ml import split_relationships
+
+    b = _bundle(sf_dir)
+    keys_ref = ray.put(_strip(b["idmap"].keys))
+
+    def decode(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(keys_ref)
+        return pd.DataFrame(
+            {"src": keys[df["src"].to_numpy(dtype=np.int64)],
+             "dst": keys[df["dst"].to_numpy(dtype=np.int64)],
+             "weight": df["weight"].to_numpy(dtype=np.float64)}
+        )
+
+    edges = b["enc"].map_batches(decode, batch_format="pandas")
+    out = split_relationships(edges, holdout_ppm=200_000).to_pandas()
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
 def _q_training_mix(sf_dir: str) -> pd.DataFrame:
     """FLAGSHIP composed curation pipeline, end-to-end as one streaming
     Dataset chain: exact dedup (keeper hash-join) → benchmark n-gram
@@ -3712,6 +3738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gds.similarity.* as distributed pair-scoring operators
         "linkpred_funcs": _q_linkpred_funcs,
         "vector_similarity": _q_vector_similarity,
+        "split_relationships": _q_split_relationships,
     }
 
 
@@ -4801,6 +4828,19 @@ SELECT d.doc_id,
 FROM (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0) d
 LEFT JOIN hits h USING(doc_id)
 ORDER BY d.doc_id
+"""
+
+    sqls["split_relationships"] = f"""
+WITH {_GRAPH_CTE}
+SELECT src, dst, weight,
+       CASE WHEN CAST(('0x' || substr(md5(src || '>' || dst || ':split'),
+                 1, 8)) AS UBIGINT) * 1000000 < 200000 * 4294967296
+            THEN 'selected' ELSE 'remaining' END AS split,
+       CAST(CAST(('0x' || substr(md5(src || '>' || dst || ':split'),
+                 1, 8)) AS UBIGINT) * 1000000 < 200000 * 4294967296
+            AS BIGINT) AS label
+FROM edges
+ORDER BY src, dst
 """
 
     sqls["bloom_decontaminate"] = r"""

@@ -517,6 +517,58 @@ def hash_split(ds: rd.Dataset, key_col: str, test_fraction: float,
     return train, test
 
 
+def split_relationships(
+    edges: rd.Dataset,
+    holdout_ppm: int = 200_000,
+    seed: str = "split",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> rd.Dataset:
+    """Relationship holdout split — the reference's splitRelationships
+    surface (ml/ml-algo/src/main/java/org/neo4j/gds/ml/splitting/
+    EdgeSplitter.java:75 splitPositiveExamples: holdoutFraction of
+    relationships become the 'selected' positive set with label 1, the
+    rest the 'remaining' training graph), re-expressed as a purely
+    map-side deterministic split: each edge's md5 acceptance
+    ``u32 * 1e6 < holdout_ppm * 2^32`` (all-integer, no float
+    reduction-order hazard) decides its side, so the split is
+    bit-exactly reproducible in ANSI SQL, identical at any parallelism,
+    and needs no seeded-RNG pass over a materialized edge list.
+
+    Adds ``split`` ('selected' | 'remaining') and ``label`` (1 | 0)
+    columns; zero shuffle.
+    """
+    import hashlib
+
+    lim = int(holdout_ppm) * 4294967296
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            df = df.copy()
+            df["split"] = pd.Series([], dtype=object)
+            df["label"] = pd.Series([], dtype=np.int64)
+            return df
+        keys = (
+            df[src_col].astype(str) + ">" + df[dst_col].astype(str)
+            + ":" + seed
+        )
+        h = np.fromiter(
+            (
+                int(hashlib.md5(k.encode("utf-8")).hexdigest()[:8], 16)
+                for k in keys
+            ),
+            dtype=np.int64,
+            count=len(df),
+        )
+        sel = h * 1_000_000 < lim
+        out = df.copy()
+        out["split"] = np.where(sel, "selected", "remaining")
+        out["label"] = sel.astype(np.int64)
+        return out
+
+    return edges.map_batches(tag, batch_format="pandas")
+
+
 def node_classification_pipeline(
     features_ds: rd.Dataset,
     label_col: str = "label",

@@ -72,6 +72,7 @@ _ORACLE_CHECKED = [
     "bpe_token_count",
     "dedup_exact_table",
     "lr_score",
+    "split_relationships",
     "dijkstra_route",
     "cypher_project",
     "ngram_jaccard",

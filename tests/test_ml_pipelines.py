@@ -205,3 +205,27 @@ def test_node_regression_pipeline_fits_linear_target():
     )
     assert res["model"].weights.tobytes() == res2["model"].weights.tobytes()
     assert res["model"].bias == res2["model"].bias
+
+
+def test_split_relationships_deterministic_and_fractional():
+    """split_relationships: the holdout side is decided per edge by an
+    integer md5 acceptance — identical across repartitionings, disjoint
+    and exhaustive, with the selected share near holdout_ppm."""
+    from graph_data_science_ray.pipelines.ml import split_relationships
+
+    n = 4000
+    df = pd.DataFrame(
+        {"src": [f"u{i}" for i in range(n)],
+         "dst": [f"u{(i * 7 + 1) % n}" for i in range(n)],
+         "weight": np.ones(n)}
+    )
+    a = (split_relationships(rd.from_pandas(df), holdout_ppm=200_000)
+         .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True))
+    b = (split_relationships(
+            rd.from_pandas(df).repartition(13), holdout_ppm=200_000)
+         .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True))
+    assert a.equals(b)
+    assert set(a["split"].unique()) == {"selected", "remaining"}
+    assert ((a["split"] == "selected") == (a["label"] == 1)).all()
+    share = (a["label"] == 1).mean()
+    assert 0.17 < share < 0.23
