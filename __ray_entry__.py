@@ -1874,6 +1874,26 @@ def _q_decontaminate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_source_mix(sf_dir: str) -> pd.DataFrame:
+    """Deterministic domain-mixture reweighting: target weight
+    ``(source_index % 4) + 1`` per source, global keep budget 50 % —
+    per-source integer quotas + all-integer md5 acceptance, exactly
+    reproduced in SQL."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.sampling import source_mix_flags
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"],
+    )
+    out = source_mix_flags(
+        docs, weight_of=lambda s: int(s[3:]) % 4 + 1,
+        budget_ppm=500_000,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_bloom_decontaminate(sf_dir: str) -> pd.DataFrame:
     """Bloom-filter benchmark decontamination (broadcast 8 KiB bit
     array, zero corpus shuffle): docs with doc_id % 37 == 0 are the
@@ -3657,6 +3677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "decontaminate": _q_decontaminate,
         "bloom_decontaminate": _q_bloom_decontaminate,
+        "source_mix": _q_source_mix,
         "training_mix": _q_training_mix,
         "asof_join": _q_asof_join,
         "feature_backfill": _q_feature_backfill,
@@ -4841,6 +4862,30 @@ SELECT src, dst, weight,
             AS BIGINT) AS label
 FROM edges
 ORDER BY src, dst
+"""
+
+    sqls["source_mix"] = r"""
+WITH n AS (SELECT source, count(*) AS ns FROM documents GROUP BY 1),
+w AS (
+  SELECT source, ns,
+         (CAST(substr(source, 4) AS BIGINT) % 4) + 1 AS wt
+  FROM n
+),
+tot AS (
+  SELECT (SELECT sum(wt * ns) FROM w) AS wsum,
+         (SELECT count(*) FROM documents) AS n_total
+),
+k AS (
+  SELECT w.source, w.ns,
+         ((tot.n_total * 500000) // 1000000) * w.wt * w.ns // tot.wsum AS ks
+  FROM w, tot
+)
+SELECT d.doc_id, d.source,
+       CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'),
+                 1, 8)) AS UBIGINT) * k.ns
+            < k.ks * 4294967296 AS BIGINT) AS kept
+FROM documents d JOIN k ON d.source = k.source
+ORDER BY d.doc_id
 """
 
     sqls["bloom_decontaminate"] = r"""

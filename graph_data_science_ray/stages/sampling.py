@@ -44,6 +44,7 @@ __all__ = [
     "stratified_sample",
     "sample_global_k",
     "weighted_sample_flags",
+    "source_mix_flags",
 ]
 
 
@@ -402,3 +403,83 @@ def deterministic_shuffle(
 
     tagged = ds.map_batches(attach, batch_format="pandas", batch_size=8192)
     return row_number(tagged, ["__h", id_col], out_col=out_col).drop_columns(["__h"])
+
+
+def source_mix_flags(
+    ds: rd.Dataset,
+    weight_of,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    budget_ppm: int = 500_000,
+    salt: str = "mix",
+) -> rd.Dataset:
+    """Deterministic domain-mixture reweighting — the "data mixing" step
+    of LLM training pipelines (rebalance a multi-source corpus toward
+    target domain weights before training, the static analogue of
+    DoReMi-style mixture tuning).
+
+    ``weight_of(source) -> int`` assigns each domain a small positive
+    integer target weight. With per-source counts ``n_s``, weighted
+    total ``W = sum_s w_s * n_s`` and a global keep budget
+    ``B = N * budget_ppm // 1e6``, each source gets a quota
+    ``k_s = B * w_s * n_s // W`` and every row of source ``s`` is kept
+    with probability ``k_s / n_s`` via the ALL-INTEGER acceptance
+    ``u32 * n_s < k_s * 2^32`` (``u32`` = first 32 md5 bits of
+    ``f"{id}:{salt}"``). No float appears anywhere, so the flags are
+    bit-identical across runs/parallelism and exactly reproducible in
+    ANSI SQL; quotas above ``n_s`` saturate to keep-all.
+
+    Returns ``(id, source, kept)`` for every row. Scale shape: one tiny
+    per-source count aggregate (|sources| rows, broadcast as a plain
+    dict), then a single map-side pass — no shuffle over the corpus.
+    """
+    if budget_ppm < 0:
+        raise ValueError("budget_ppm must be non-negative")
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+
+    counts = hash_aggregate(
+        ds.map_batches(
+            lambda df: pd.DataFrame(
+                {"source": df[source_col].astype(str),
+                 "one": np.ones(len(df), dtype=np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        ["source"], "one", op="sum", num_parts=8, out_col="ns",
+    ).to_pandas()
+    n_total = int(counts["ns"].sum())
+    budget = n_total * int(budget_ppm) // 1_000_000
+    w = counts["source"].map(lambda s: int(weight_of(s))).to_numpy(np.int64)
+    if (w <= 0).any():
+        raise ValueError("weight_of must return positive integers")
+    ns = counts["ns"].to_numpy(dtype=np.int64)
+    wtot = int((w * ns).sum())
+    ks = budget * w * ns // wtot
+    quota = dict(zip(counts["source"], zip(ks.tolist(), ns.tolist())))
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype=np.int64),
+                 "source": pd.Series([], dtype=object),
+                 "kept": pd.Series([], dtype=np.int64)}
+            )
+        src = df[source_col].astype(str)
+        k_arr = src.map(lambda s: quota[s][0]).to_numpy(np.int64)
+        n_arr = src.map(lambda s: quota[s][1]).to_numpy(np.int64)
+        u32 = np.fromiter(
+            (
+                int(hashlib.md5(f"{i}:{salt}".encode("utf-8")).hexdigest()[:8], 16)
+                for i in df[id_col]
+            ),
+            dtype=np.int64,
+            count=len(df),
+        )
+        kept = (u32 * n_arr) < (k_arr << np.int64(32))
+        return pd.DataFrame(
+            {id_col: df[id_col].to_numpy(dtype=np.int64),
+             "source": src.to_numpy(dtype=object),
+             "kept": kept.astype(np.int64)}
+        )
+
+    return ds.map_batches(flags, batch_format="pandas", batch_size=8192)

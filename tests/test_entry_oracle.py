@@ -97,6 +97,7 @@ _ORACLE_CHECKED = [
     "knn_pearson",
     "decontaminate",
     "bloom_decontaminate",
+    "source_mix",
     "duplicate_spans",
     "dedup_clusters",
     "knn_quantized",

@@ -172,3 +172,34 @@ def test_weighted_sample_flags_monotone_and_exact():
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     assert (re["kept"] == out["kept"]).all()
+
+
+def test_source_mix_flags_quota_and_determinism():
+    """source_mix_flags: per-source kept counts stay within the integer
+    quota, shares track the target weights, and flags are identical
+    across repartitionings."""
+    import pyarrow as pa
+
+    from graph_data_science_ray.stages.sampling import source_mix_flags
+
+    n = 3000
+    src = [f"src{i % 3}" for i in range(n)]
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "source": pa.array(src, pa.string())})
+    wf = lambda s: {"src0": 1, "src1": 2, "src2": 4}[s]
+    a = (source_mix_flags(rd.from_arrow(t), weight_of=wf, budget_ppm=500_000)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (source_mix_flags(rd.from_arrow(t).repartition(11), weight_of=wf,
+                          budget_ppm=500_000)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
+    kept = a[a["kept"] == 1].groupby("source").size()
+    # quotas: W = 1000*(1+2+4) = 7000, B = 1500 -> k = 1500*w*1000//7000
+    quota = {s: 1500 * wf(s) * 1000 // 7000 for s in ["src0", "src1", "src2"]}
+    for s in quota:
+        got = int(kept.get(s, 0))
+        # Bernoulli around k_s/n_s: within 5 sigma of the quota
+        sig = (quota[s] * (1 - quota[s] / 1000)) ** 0.5
+        assert abs(got - quota[s]) < 5 * sig + 1
+    # heavier sources keep proportionally more
+    assert kept["src2"] > kept["src1"] > kept["src0"]
