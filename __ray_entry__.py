@@ -136,6 +136,20 @@ def _q_degree(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_degree_in(sf_dir: str) -> pd.DataFrame:
+    """Unweighted in-degree (reference Orientation.REVERSE) — the
+    orientation knob of degree centrality, zero-filled over all nodes."""
+    import graph_data_science_ray as gdsr
+
+    b = _bundle(sf_dir)
+    deg = gdsr.degree_centrality(
+        b["enc"], idmap=b["idmap"], weighted=False, orientation="reverse"
+    )
+    return pd.DataFrame(
+        {"node": _strip(deg["node"]), "indeg": deg["degree"].astype(np.int64)}
+    )
+
+
 _TYPED: dict = {}
 
 
@@ -3760,6 +3774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkpred_funcs": _q_linkpred_funcs,
         "vector_similarity": _q_vector_similarity,
         "split_relationships": _q_split_relationships,
+        "degree_in": _q_degree_in,
     }
 
 
@@ -3851,6 +3866,13 @@ def oracle_sql() -> dict[str, str]:
         "SELECT n.node AS node, CAST(coalesce(o.wdeg, 0) AS DOUBLE) AS wdeg "
         "FROM nodes n LEFT JOIN (SELECT src AS node, sum(weight) AS wdeg "
         "FROM edges GROUP BY src) o USING(node)"
+    )
+
+    sqls["degree_in"] = (
+        f"WITH {_GRAPH_CTE} "
+        "SELECT n.node AS node, CAST(coalesce(o.indeg, 0) AS BIGINT) AS indeg "
+        "FROM nodes n LEFT JOIN (SELECT dst AS node, count(*) AS indeg "
+        "FROM edges GROUP BY dst) o USING(node)"
     )
 
     sqls["degree_distribution"] = f"""

@@ -73,6 +73,7 @@ _ORACLE_CHECKED = [
     "dedup_exact_table",
     "lr_score",
     "split_relationships",
+    "degree_in",
     "dijkstra_route",
     "cypher_project",
     "ngram_jaccard",
