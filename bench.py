@@ -159,6 +159,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # weighted sampling, HLL sketch
         "duplicate_spans", "dedup_clusters", "knn_quantized",
         "weighted_sample", "hll_registers",
+        # round-4 (session 5): CMS sketch, bloom decontamination,
+        # domain mixing, relationship split, in-degree
+        "cms_registers", "cms_heavy_hitters", "bloom_decontaminate",
+        "source_mix", "split_relationships", "degree_in",
     ):
         timed(name, lambda n=name: q[n](sf_dir))
 
