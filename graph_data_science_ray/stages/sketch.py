@@ -311,7 +311,15 @@ def bloom_bits(benchmark: rd.Dataset) -> rd.Dataset:
         to_bits, batch_format="pandas", batch_size=2048
     )
     agg = hash_aggregate(ex, ["bit"], "one", op="max", num_parts=8)
-    return agg.select_columns(["bit"])
+
+    # all-empty upstream blocks can lose the schema (engine-wide Ray
+    # pitfall) — re-assert it so consumers always see a `bit` column
+    def only_bit(df: pd.DataFrame) -> pd.DataFrame:
+        if "bit" not in df.columns:
+            return pd.DataFrame({"bit": pd.Series([], dtype=np.int64)})
+        return df[["bit"]]
+
+    return agg.map_batches(only_bit, batch_format="pandas")
 
 
 def bloom_decontaminate(
@@ -337,7 +345,8 @@ def bloom_decontaminate(
 
     bp = bloom_bits(benchmark).to_pandas()
     mask = np.zeros(_BF_BITS, dtype=bool)
-    mask[bp["bit"].to_numpy(dtype=np.int64)] = True
+    if len(bp):
+        mask[bp["bit"].to_numpy(dtype=np.int64)] = True
     mask_ref = ray.put(mask)
 
     def probe(df: pd.DataFrame, m: np.ndarray) -> pd.DataFrame:

@@ -817,3 +817,19 @@ def test_bloom_decontaminate_superset_of_exact():
     assert (bloom["contaminated"] >= exact["contaminated"]).all()
     assert (bloom["bloom_hits"] >= exact["hits"]).all()
     assert int(exact["contaminated"].sum()) >= 10  # planting worked
+
+
+def test_bloom_decontaminate_empty_benchmark():
+    """An empty benchmark flags nothing (schema-stable empty bit set)."""
+    from graph_data_science_ray.stages.sketch import bloom_decontaminate
+
+    empty = rd.from_arrow(pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "text": pa.array([], pa.string())}))
+    docs = rd.from_arrow(pa.table(
+        {"doc_id": pa.array([1, 2], pa.int64()),
+         "text": pa.array(["a b c d", "x y z w"], pa.string())}))
+    out = (bloom_decontaminate(docs, empty).to_pandas()
+           .sort_values("doc_id"))
+    assert out["contaminated"].tolist() == [0, 0]
+    assert out["bloom_hits"].tolist() == [0, 0]
