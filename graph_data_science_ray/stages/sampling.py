@@ -447,6 +447,15 @@ def source_mix_flags(
         ),
         ["source"], "one", op="sum", num_parts=8, out_col="ns",
     ).to_pandas()
+    if not len(counts) or "ns" not in counts.columns:  # empty corpus
+        return ds.map_batches(
+            lambda df: pd.DataFrame(
+                {id_col: pd.Series([], dtype=np.int64),
+                 "source": pd.Series([], dtype=object),
+                 "kept": pd.Series([], dtype=np.int64)}
+            ),
+            batch_format="pandas",
+        )
     n_total = int(counts["ns"].sum())
     budget = n_total * int(budget_ppm) // 1_000_000
     w = counts["source"].map(lambda s: int(weight_of(s))).to_numpy(np.int64)
