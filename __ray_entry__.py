@@ -1888,6 +1888,32 @@ def _q_decontaminate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_conversation_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-conversation trajectory quality metrics: turn count, distinct
+    actors, actor alternation under stable turn ordering, payload
+    chars — the structural filter signals for agent-trajectory
+    curation."""
+    import graph_data_science_ray as gdsr
+
+    from graph_data_science_ray.stages.trajectory import conversation_stats
+
+    turns = gdsr.events_as_transcripts(sf_dir)
+    out = conversation_stats(turns).to_pandas()
+    return out.sort_values("conv").reset_index(drop=True)
+
+
+def _q_turn_dedup(sf_dir: str) -> pd.DataFrame:
+    """Exact duplicate-turn flags across all conversations (keeper =
+    lexicographically smallest (conv, turn_idx) per distinct text)."""
+    import graph_data_science_ray as gdsr
+
+    from graph_data_science_ray.stages.trajectory import turn_dedup_flags
+
+    turns = gdsr.events_as_transcripts(sf_dir)
+    out = turn_dedup_flags(turns).to_pandas()
+    return out.sort_values(["conv", "turn_idx"]).reset_index(drop=True)
+
+
 def _q_source_mix(sf_dir: str) -> pd.DataFrame:
     """Deterministic domain-mixture reweighting: target weight
     ``(source_index % 4) + 1`` per source, global keep budget 50 % —
@@ -3692,6 +3718,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "bloom_decontaminate": _q_bloom_decontaminate,
         "source_mix": _q_source_mix,
+        "conversation_stats": _q_conversation_stats,
+        "turn_dedup": _q_turn_dedup,
         "training_mix": _q_training_mix,
         "asof_join": _q_asof_join,
         "feature_backfill": _q_feature_backfill,
@@ -4884,6 +4912,46 @@ SELECT src, dst, weight,
             AS BIGINT) AS label
 FROM edges
 ORDER BY src, dst
+"""
+
+    sqls["conversation_stats"] = r"""
+WITH t AS (
+  SELECT event_type AS conv,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS idx,
+         CAST(user_id AS VARCHAR) AS actor,
+         props AS txt
+  FROM events
+),
+l AS (
+  SELECT conv, actor, txt,
+         lag(actor) OVER (PARTITION BY conv ORDER BY idx) AS prev
+  FROM t
+)
+SELECT conv,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT actor) AS BIGINT) AS n_actors,
+       CAST(coalesce(sum(CASE WHEN prev IS NOT NULL AND actor <> prev
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_switches,
+       CAST(sum(length(txt)) AS BIGINT) AS sum_chars
+FROM l GROUP BY conv ORDER BY conv
+"""
+
+    sqls["turn_dedup"] = r"""
+WITH t AS (
+  SELECT event_type AS conv,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS idx,
+         props AS txt
+  FROM events
+)
+SELECT conv, CAST(idx - 1 AS BIGINT) AS turn_idx,
+       CAST(row_number() OVER (
+            PARTITION BY txt
+            ORDER BY conv || '#' || lpad(CAST(idx - 1 AS VARCHAR), 9, '0')
+       ) > 1 AS BIGINT) AS dup
+FROM t
+ORDER BY conv, turn_idx
 """
 
     sqls["source_mix"] = r"""

@@ -99,6 +99,8 @@ _ORACLE_CHECKED = [
     "decontaminate",
     "bloom_decontaminate",
     "source_mix",
+    "conversation_stats",
+    "turn_dedup",
     "duplicate_spans",
     "dedup_clusters",
     "knn_quantized",
