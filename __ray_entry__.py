@@ -13,6 +13,7 @@ here calls ``ray.init()`` / ``ray.shutdown()``.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 from collections.abc import Callable
@@ -1914,6 +1915,54 @@ def _q_turn_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["conv", "turn_idx"]).reset_index(drop=True)
 
 
+def _q_trajectory_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Composed trajectory-curation → graph-analytics flagship, oracled
+    END-TO-END: per-conversation quality stats gate the transcript set
+    (keep convs with actual back-and-forth, n_switches >= 1, then a
+    deterministic md5(conv)-even subsample), the kept conversations are
+    re-derived into a weighted edge graph, and fixed-round weighted
+    PageRank runs on that filtered graph. Every stage is the
+    individually-oracled operator; the composition is one pipeline."""
+    import graph_data_science_ray as gdsr
+    import ray
+
+    from graph_data_science_ray.pipelines.edges import (
+        derive_edges_encoded_grouped,
+    )
+    from graph_data_science_ray.stages.trajectory import conversation_stats
+
+    ts = gdsr.events_as_transcripts(sf_dir)
+    stats = conversation_stats(ts).to_pandas()  # |convs| rows — tiny
+    keep = {
+        c
+        for c, sw in zip(stats["conv"], stats["n_switches"])
+        if sw >= 1
+        and int(hashlib.md5(c.encode("utf-8")).hexdigest()[:8], 16) % 2 == 0
+    }
+    keep_ref = ray.put(keep)
+
+    kept = ts.map_batches(
+        lambda df: df[df["conv_id"].isin(ray.get(keep_ref))],
+        batch_format="pandas",
+    )
+    turns = gdsr.derive_turns(kept)
+    im = gdsr.IdMap.from_turns(turns)
+    enc = derive_edges_encoded_grouped(turns, im, num_partitions=8).materialize()
+    root = tempfile.mkdtemp(prefix="gdsr-traj-", dir="/tmp")
+    g = gdsr.GraphStore.project(
+        enc, os.path.join(root, "g"), idmap=im, num_partitions=8,
+        directed=True,
+    )
+    res = gdsr.pagerank(
+        g, damping=0.85, tolerance=0.0, max_iterations=_PR_ITERS + 1,
+        weighted=True,
+    )
+    return pd.DataFrame(
+        {"node": _strip(res["node"]),
+         "score": np.round(res["score"].to_numpy(), 6)}
+    )
+
+
 def _q_source_mix(sf_dir: str) -> pd.DataFrame:
     """Deterministic domain-mixture reweighting: target weight
     ``(source_index % 4) + 1`` per source, global keep budget 50 % —
@@ -3720,6 +3769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mix": _q_source_mix,
         "conversation_stats": _q_conversation_stats,
         "turn_dedup": _q_turn_dedup,
+        "trajectory_pagerank": _q_trajectory_pagerank,
         "training_mix": _q_training_mix,
         "asof_join": _q_asof_join,
         "feature_backfill": _q_feature_backfill,
@@ -4912,6 +4962,63 @@ SELECT src, dst, weight,
             AS BIGINT) AS label
 FROM edges
 ORDER BY src, dst
+"""
+
+    sqls["trajectory_pagerank"] = f"""
+WITH RECURSIVE
+t0 AS (
+    SELECT event_type AS conv,
+           row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+             AS idx,
+           CAST(user_id AS VARCHAR) AS actor
+    FROM events
+),
+l AS (
+    SELECT conv, actor,
+           lag(actor) OVER (PARTITION BY conv ORDER BY idx) AS prev
+    FROM t0
+),
+st AS (
+    SELECT conv,
+           coalesce(sum(CASE WHEN prev IS NOT NULL AND actor <> prev
+                          THEN 1 ELSE 0 END), 0) AS n_switches
+    FROM l GROUP BY conv
+),
+keep AS (
+    SELECT conv FROM st
+    WHERE n_switches >= 1
+      AND CAST(('0x' || substr(md5(conv), 1, 8)) AS UBIGINT) % 2 = 0
+),
+turns AS (SELECT * FROM t0 WHERE conv IN (SELECT conv FROM keep)),
+nodes AS (SELECT DISTINCT actor AS node FROM turns),
+pairs AS (
+    SELECT a.actor AS src, b.actor AS dst
+    FROM turns a JOIN turns b ON a.conv = b.conv AND b.idx = a.idx + 1
+    WHERE a.actor <> b.actor
+),
+edges AS (
+    SELECT src, dst, CAST(count(*) AS DOUBLE) AS weight
+    FROM pairs GROUP BY src, dst
+),
+outdeg AS (SELECT src AS node, sum(weight) AS wdeg FROM edges GROUP BY src),
+fan AS (
+    SELECT e.src AS src, e.dst AS dst, e.weight / o.wdeg AS frac,
+           FALSE AS is_self
+    FROM edges e JOIN outdeg o ON o.node = e.src
+    UNION ALL
+    SELECT node, node, 0.0, TRUE FROM nodes
+),
+pr AS (
+    SELECT 0 AS it, node, CAST(0.15 AS DOUBLE) AS rank FROM nodes
+    UNION ALL
+    SELECT p.it + 1 AS it, f.dst AS node,
+           0.15 + 0.85 * sum(CASE WHEN f.is_self THEN 0.0
+                              ELSE p.rank * f.frac END) AS rank
+    FROM pr p JOIN fan f ON f.src = p.node
+    WHERE p.it < {_PR_ITERS}
+    GROUP BY p.it, f.dst
+)
+SELECT node, round(rank, 6) AS score FROM pr WHERE it = {_PR_ITERS}
 """
 
     sqls["conversation_stats"] = r"""

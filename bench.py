@@ -163,7 +163,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # domain mixing, relationship split, in-degree
         "cms_registers", "cms_heavy_hitters", "bloom_decontaminate",
         "source_mix", "split_relationships", "degree_in",
-        "conversation_stats", "turn_dedup",
+        "conversation_stats", "turn_dedup", "trajectory_pagerank",
     ):
         timed(name, lambda n=name: q[n](sf_dir))
 

@@ -101,6 +101,7 @@ _ORACLE_CHECKED = [
     "source_mix",
     "conversation_stats",
     "turn_dedup",
+    "trajectory_pagerank",
     "duplicate_spans",
     "dedup_clusters",
     "knn_quantized",
