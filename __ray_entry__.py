@@ -1963,6 +1963,70 @@ def _q_trajectory_pagerank(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_role_transitions(sf_dir: str) -> pd.DataFrame:
+    """Global actor-transition (Markov) counts over consecutive turns,
+    self-transitions included — the monologue/alternation structure of
+    the trajectory set."""
+    import graph_data_science_ray as gdsr
+
+    from graph_data_science_ray.stages.trajectory import role_transitions
+
+    turns = gdsr.events_as_transcripts(sf_dir)
+    out = role_transitions(turns).to_pandas()
+    return out.sort_values(["prev_role", "role"]).reset_index(drop=True)
+
+
+def _q_turn_loops(sf_dir: str) -> pd.DataFrame:
+    """Agent-loop detection: per-turn flags for same-actor repeated
+    text within a conversation (stuck-agent signal)."""
+    import graph_data_science_ray as gdsr
+
+    from graph_data_science_ray.stages.trajectory import turn_loop_flags
+
+    turns = gdsr.events_as_transcripts(sf_dir)
+    out = turn_loop_flags(turns).to_pandas()
+    return out.sort_values(["conv", "turn_idx"]).reset_index(drop=True)
+
+
+def _q_turn_context(sf_dir: str) -> pd.DataFrame:
+    """SFT context-assembly accounting: per-turn count/chars of the
+    preceding 3-turn history window."""
+    import graph_data_science_ray as gdsr
+
+    from graph_data_science_ray.stages.trajectory import turn_context
+
+    turns = gdsr.events_as_transcripts(sf_dir)
+    out = turn_context(turns, k=3).to_pandas()
+    return out.sort_values(["conv", "turn_idx"]).reset_index(drop=True)
+
+
+def _q_pack_conversations(sf_dir: str) -> pd.DataFrame:
+    """Conversation-integrity sequence packing: whole conversations
+    assigned to training sequences by the exclusive token prefix sum
+    (budget 256 whitespace tokens)."""
+    import graph_data_science_ray as gdsr
+
+    from graph_data_science_ray.stages.trajectory import pack_conversations
+
+    turns = gdsr.events_as_transcripts(sf_dir)
+    out = pack_conversations(turns, budget=256).to_pandas()
+    return out.sort_values("conv").reset_index(drop=True)
+
+
+def _q_conversation_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Conversation-level EXACT near-duplicate pairs: turn texts
+    concatenate per conversation (stable turn order), then the exact
+    word-3-gram Jaccard set-similarity join runs over those documents
+    (threshold 0.1)."""
+    import graph_data_science_ray as gdsr
+
+    from graph_data_science_ray.stages.trajectory import conversation_jaccard
+
+    turns = gdsr.events_as_transcripts(sf_dir)
+    out = conversation_jaccard(turns, threshold=0.1).to_pandas()
+    return out.sort_values(["conv_a", "conv_b"]).reset_index(drop=True)
+
+
 def _q_source_mix(sf_dir: str) -> pd.DataFrame:
     """Deterministic domain-mixture reweighting: target weight
     ``(source_index % 4) + 1`` per source, global keep budget 50 % —
@@ -3853,6 +3917,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_similarity": _q_vector_similarity,
         "split_relationships": _q_split_relationships,
         "degree_in": _q_degree_in,
+        # trajectory batch 2: transition structure, loop detection,
+        # context-window accounting, conversation-integrity packing,
+        # conversation-level near-dup
+        "role_transitions": _q_role_transitions,
+        "turn_loops": _q_turn_loops,
+        "turn_context": _q_turn_context,
+        "pack_conversations": _q_pack_conversations,
+        "conversation_jaccard": _q_conversation_jaccard,
     }
 
 
@@ -5059,6 +5131,127 @@ SELECT conv, CAST(idx - 1 AS BIGINT) AS turn_idx,
        ) > 1 AS BIGINT) AS dup
 FROM t
 ORDER BY conv, turn_idx
+"""
+
+    sqls["role_transitions"] = r"""
+WITH t AS (
+  SELECT event_type AS conv,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS idx,
+         CAST(user_id AS VARCHAR) AS actor
+  FROM events
+),
+l AS (
+  SELECT conv, actor,
+         lag(actor) OVER (PARTITION BY conv ORDER BY idx) AS prev
+  FROM t
+)
+SELECT prev AS prev_role, actor AS role, CAST(count(*) AS BIGINT) AS n
+FROM l WHERE prev IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+    sqls["turn_loops"] = r"""
+WITH t AS (
+  SELECT event_type AS conv,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS idx,
+         CAST(user_id AS VARCHAR) AS actor,
+         props AS txt
+  FROM events
+),
+l AS (
+  SELECT conv, idx, txt,
+         lag(txt) OVER (PARTITION BY conv, actor ORDER BY idx) AS prev
+  FROM t
+)
+SELECT conv, CAST(idx - 1 AS BIGINT) AS turn_idx,
+       CAST(coalesce(txt = prev, FALSE) AS BIGINT) AS looped
+FROM l ORDER BY conv, turn_idx
+"""
+
+    sqls["turn_context"] = r"""
+WITH t AS (
+  SELECT event_type AS conv,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS idx,
+         props AS txt
+  FROM events
+)
+SELECT conv, CAST(idx - 1 AS BIGINT) AS turn_idx,
+       CAST(count(txt) OVER w AS BIGINT) AS ctx_turns,
+       CAST(coalesce(sum(length(txt)) OVER w, 0) AS BIGINT) AS ctx_chars
+FROM t
+WINDOW w AS (PARTITION BY conv ORDER BY idx
+             ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+ORDER BY conv, turn_idx
+"""
+
+    sqls["pack_conversations"] = r"""
+WITH t AS (
+  SELECT event_type AS conv, props AS txt FROM events
+),
+c AS (
+  SELECT conv,
+         CAST(sum(len(regexp_extract_all(txt, '\S+'))) AS BIGINT) AS n_tokens
+  FROM t GROUP BY conv
+),
+p AS (
+  SELECT conv, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY conv
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS o
+  FROM c
+)
+SELECT conv, n_tokens, o // 256 AS seq_id, o AS offset FROM p ORDER BY conv
+"""
+
+    sqls["conversation_jaccard"] = r"""
+WITH t AS (
+  SELECT event_type AS conv,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS idx,
+         props AS txt
+  FROM events
+),
+ct AS (SELECT conv, string_agg(txt, ' ' ORDER BY idx) AS text
+       FROM t GROUP BY conv),
+ids AS (
+  SELECT conv,
+         CAST(CAST(('0x' || substr(md5(conv), 1, 15)) AS UBIGINT) AS BIGINT)
+           AS did,
+         text
+  FROM ct
+),
+toks AS (
+  SELECT did, conv,
+         list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS arr
+  FROM ids
+),
+sh AS (
+  SELECT DISTINCT did, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(arr)-2)) AS i) g
+  WHERE len(arr) >= 3
+  UNION
+  SELECT did, array_to_string(arr, ' ') AS s
+  FROM toks WHERE len(arr) BETWEEN 1 AND 2
+),
+sizes AS (SELECT did, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.did AS da, b.did AS db, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.did < b.did
+  GROUP BY 1, 2
+)
+SELECT ia.conv AS conv_a, ib.conv AS conv_b,
+       round(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.did = i.da
+JOIN sizes sb ON sb.did = i.db
+JOIN ids ia ON ia.did = i.da
+JOIN ids ib ON ib.did = i.db
+WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.1
+ORDER BY conv_a, conv_b
 """
 
     sqls["source_mix"] = r"""

@@ -164,6 +164,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "cms_registers", "cms_heavy_hitters", "bloom_decontaminate",
         "source_mix", "split_relationships", "degree_in",
         "conversation_stats", "turn_dedup", "trajectory_pagerank",
+        # round-4 (session 6): trajectory batch 2
+        "role_transitions", "turn_loops", "turn_context",
+        "pack_conversations", "conversation_jaccard",
     ):
         timed(name, lambda n=name: q[n](sf_dir))
 

@@ -126,6 +126,25 @@ def hash_join(
     afields_l = [(n, lfields.get(n) or rfields[n], n in lnames) for n in out_names]
     afields_r = [(n, lfields.get(n) or rfields[n], n in rnames) for n in out_names]
 
+    def _filler(n: int, typ: pa.DataType) -> pa.Array:
+        """Typed ZERO filler for the other side's columns — NOT nulls:
+        Ray's groupby/sort promotes an int64 column that carries typed
+        nulls in some blocks to double, silently corrupting int64 values
+        above 2^53 (e.g. 64-bit hash keys). Fillers are never read —
+        ``join_part`` slices each side's own columns by ``__side``."""
+        if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+            return pa.array(np.zeros(n, dtype=typ.to_pandas_dtype()), type=typ)
+        if pa.types.is_boolean(typ):
+            return pa.array(np.zeros(n, dtype=bool), type=typ)
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            return pa.array([""] * n, type=typ)
+        if pa.types.is_timestamp(typ):
+            return pa.array(np.zeros(n, dtype=np.int64)).cast(typ)
+        if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+            off = pa.array(np.zeros(n + 1, dtype=np.int32))
+            return pa.ListArray.from_arrays(off, pa.array([], typ.value_type))
+        return pa.nulls(n, typ)  # fallback: types with no cheap zero
+
     def widen(t: pa.Table, fields, side: int, colmap=None) -> pa.Table:
         cols = {}
         for name, typ, mine in fields:
@@ -138,7 +157,7 @@ def hash_join(
                     ) if isinstance(col, pa.ChunkedArray) else col.storage
                 cols[name] = col.cast(typ)
             else:
-                cols[name] = pa.nulls(len(t), typ)
+                cols[name] = _filler(len(t), typ)
         cols["__side"] = pa.array(np.full(len(t), side, dtype=np.int8))
         return pa.table(cols)
 
@@ -170,10 +189,19 @@ def hash_join(
         elif pa.types.is_floating(t):
             dtype_map[n] = np.float64
 
+    def _col_to_pandas(c):
+        # integer columns carry typed nulls from the widening; the default
+        # pandas conversion goes through float64 and silently corrupts
+        # int64 values above 2^53 (e.g. 64-bit hash keys) — route them
+        # through the exact nullable Int64 dtype instead
+        if pa.types.is_integer(c.type):
+            return c.to_pandas(types_mapper=lambda _: pd.Int64Dtype())
+        return c.to_pandas()
+
     def join_part(t: pa.Table) -> pd.DataFrame:
         # per-column Arrow→pandas (plain object Series for lists/strings —
         # bypasses Ray's tensor-extension pandas path)
-        g = pd.DataFrame({n: t[n].to_pandas() for n in out_names})
+        g = pd.DataFrame({n: _col_to_pandas(t[n]) for n in out_names})
         side = t["__side"].to_numpy(zero_copy_only=False)
         lg = g.loc[side == 0, lnames]
         rg = g.loc[side == 1, on + rvalue]

@@ -20,17 +20,53 @@ structural quality and drops repeated turn payloads. Two operators:
   with the composite order key packed into one string so a plain
   ``min`` aggregate decides keepers deterministically.
 
-Both are integer/string-exact (no floats), so their driver oracles are
-verbatim ANSI SQL.
+Second batch (same scale shape — conversations are the natural
+partition key, the only shuffle is the conv hash exchange):
+
+- :func:`role_transitions` — the global actor-transition (Markov)
+  count matrix over consecutive turns, self-transitions INCLUDED (the
+  edge derivation drops them; trajectory analysis wants them — a
+  same-actor run is a "monologue" signal).
+- :func:`turn_loop_flags` — agent-loop detection: a turn is flagged
+  when the SAME actor's previous turn in the conversation carries
+  identical text (the stuck-tool-call / repeated-action signal).
+- :func:`turn_context` — SFT example-construction accounting: per
+  turn, how many of the preceding ``k`` turns exist and their total
+  payload chars (the context-window cost of training on that turn).
+- :func:`pack_conversations` — conversation-integrity sequence
+  packing: whole conversations assigned to training sequences by the
+  exclusive token prefix sum (``seq_id = tokens_before // budget``) in
+  deterministic conv order — the fixed-stride contract of
+  ``stages.window.pack_sequences`` lifted to conversation granularity
+  so no conversation is ever split mid-dialogue.
+- :func:`conversation_texts` / :func:`conversation_jaccard` —
+  conversation-level near-duplicate pairs: turns concatenate (stable
+  turn order) into one document per conversation, then the EXACT
+  word-3-gram Jaccard set-similarity join runs over those documents.
+
+All integer/string-exact (no floats except the final rounded jaccard,
+shared with :func:`stages.dedup.ngram_jaccard_dedup`), so the driver
+oracles are verbatim ANSI SQL.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import numpy as np
 import pandas as pd
 import ray.data as rd
 
-__all__ = ["conversation_stats", "turn_dedup_flags"]
+__all__ = [
+    "conversation_stats",
+    "turn_dedup_flags",
+    "role_transitions",
+    "turn_loop_flags",
+    "turn_context",
+    "pack_conversations",
+    "conversation_texts",
+    "conversation_jaccard",
+]
 
 
 def conversation_stats(
@@ -135,6 +171,295 @@ def turn_dedup_flags(
              "dup": (
                  df["k"].astype(str) != df["keeper"].astype(str)
              ).to_numpy().astype(np.int64)}
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def role_transitions(
+    turns: rd.Dataset,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    actor_col: str = "role",
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """Global actor-transition counts over consecutive turns.
+
+    One row per ordered actor pair: ``(prev_role, role, n)`` where
+    ``n`` counts conversations' adjacent-turn transitions under stable
+    turn ordering — the Markov transition matrix of the trajectory set.
+    Self-transitions are INCLUDED (unlike the edge derivation, which
+    drops them): a same-actor run is a monologue signal trajectory
+    filters select on.
+
+    Scale shape: per-conversation groups emit PARTIAL pair counts
+    (value_counts inside the group — one row per distinct pair per
+    conversation), then a hash-partitioned sum collapses them; the
+    final table is |actors|² at most, the shuffle is conv-hash +
+    tiny-partial exchange.
+    """
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(idx_col, kind="mergesort")
+        a = g[actor_col].astype(str).to_numpy(dtype=object)
+        if len(a) < 2:
+            return pd.DataFrame(
+                {"prev_role": pd.Series([], dtype=object),
+                 "role": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype=np.int64)}
+            )
+        pairs = pd.DataFrame({"prev_role": a[:-1], "role": a[1:]})
+        cnt = (
+            pairs.groupby(["prev_role", "role"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        cnt["n"] = cnt["n"].astype(np.int64)
+        return cnt
+
+    partials = turns.groupby(conv_col).map_groups(
+        per_group, batch_format="pandas"
+    )
+    return hash_aggregate(
+        partials, ["prev_role", "role"], "n", op="sum", num_parts=num_parts
+    )
+
+
+def turn_loop_flags(
+    turns: rd.Dataset,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    actor_col: str = "role",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Agent-loop detection: per-turn repeated-action flags.
+
+    Returns ``(conv, turn_idx, looped)`` with ``looped = 1`` iff the
+    SAME actor's previous turn within the conversation (by stable turn
+    order) carries byte-identical text — the stuck-agent / repeated
+    tool-call signal trajectory curation drops or truncates on.
+    Row-local per conversation group; no global state.
+    """
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(idx_col, kind="mergesort")
+        txt = g[text_col].astype(str)
+        prev = txt.groupby(g[actor_col].astype(str).to_numpy()).shift(1)
+        looped = (txt.to_numpy(dtype=object) == prev.to_numpy(dtype=object))
+        return pd.DataFrame(
+            {"conv": g[conv_col].astype(str).to_numpy(dtype=object),
+             "turn_idx": g[idx_col].to_numpy().astype(np.int64),
+             "looped": looped.astype(np.int64)}
+        )
+
+    return turns.groupby(conv_col).map_groups(per_group, batch_format="pandas")
+
+
+def turn_context(
+    turns: rd.Dataset,
+    k: int = 3,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """SFT context-assembly accounting for a ``k``-turn history window.
+
+    Returns ``(conv, turn_idx, ctx_turns, ctx_chars)``: how many of the
+    preceding ``k`` turns exist in the conversation and their total
+    payload chars — the context-window cost of constructing a training
+    example ending at this turn. Sliding prefix-sum per conversation
+    group (numpy cumsum difference), no cross-conversation state.
+    """
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(idx_col, kind="mergesort")
+        lens = g[text_col].astype(str).str.len().to_numpy(dtype=np.int64)
+        n = len(lens)
+        cum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(lens)])
+        pos = np.arange(n, dtype=np.int64)
+        lo = np.maximum(0, pos - k)
+        return pd.DataFrame(
+            {"conv": g[conv_col].astype(str).to_numpy(dtype=object),
+             "turn_idx": g[idx_col].to_numpy().astype(np.int64),
+             "ctx_turns": pos - lo,
+             "ctx_chars": cum[pos] - cum[lo]}
+        )
+
+    return turns.groupby(conv_col).map_groups(per_group, batch_format="pandas")
+
+
+def pack_conversations(
+    turns: rd.Dataset,
+    budget: int,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Conversation-integrity sequence packing.
+
+    Whole conversations (never split mid-dialogue) are assigned to
+    training sequences in deterministic ``conv`` order: per-conversation
+    whitespace-token totals feed the exclusive running sum, and
+    ``seq_id = tokens_before // budget`` — the fixed-stride contract of
+    :func:`stages.window.pack_sequences` lifted to conversation
+    granularity. A conversation longer than the residual bin capacity
+    overflows its bin (documented best-effort packing — the price of
+    the boundary guarantee).
+
+    Returns ``(conv, n_tokens, seq_id, offset)`` with ``offset`` = total
+    tokens before the conversation. Scale shape: conv-hash groupby for
+    the token totals (one row per conversation), then the O(#blocks)
+    two-pass running-sum scan.
+    """
+    from graph_data_science_ray.stages.window import running_sum
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        toks = int(g[text_col].astype(str).str.count(r"\S+").sum())
+        return pd.DataFrame(
+            {"conv": [str(g[conv_col].iloc[0])],
+             "n_tokens": np.array([toks], dtype=np.int64)}
+        )
+
+    counts = turns.groupby(conv_col).map_groups(
+        per_group, batch_format="pandas"
+    )
+    out = running_sum(
+        counts, ["conv"], "n_tokens", out_col="offset", inclusive=False
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        off = df["offset"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {"conv": df["conv"].astype(str).to_numpy(dtype=object),
+             "n_tokens": df["n_tokens"].to_numpy().astype(np.int64),
+             "seq_id": off // np.int64(budget),
+             "offset": off}
+        )
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def conversation_texts(
+    turns: rd.Dataset,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """One document per conversation: turn texts joined with a single
+    space in stable turn order — the document view conversation-level
+    dedup / fingerprinting operators run on. Returns ``(conv, text)``.
+    Conversations are bounded length by construction, so each group's
+    concat is a bounded in-memory string."""
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(idx_col, kind="mergesort")
+        return pd.DataFrame(
+            {"conv": [str(g[conv_col].iloc[0])],
+             "text": [" ".join(g[text_col].astype(str))]}
+        )
+
+    return turns.groupby(conv_col).map_groups(per_group, batch_format="pandas")
+
+
+def _conv_int_id(conv: pd.Series) -> np.ndarray:
+    """Deterministic md5-u60 int64 id for a conversation key (the
+    join key :func:`conversation_jaccard` feeds the int-keyed exact
+    set-similarity join with; 60 bits keeps it BIGINT-safe in SQL)."""
+    return np.fromiter(
+        (int(hashlib.md5(c.encode("utf-8")).hexdigest()[:15], 16)
+         for c in conv.astype(str)),
+        dtype=np.int64, count=len(conv),
+    )
+
+
+def conversation_jaccard(
+    turns: rd.Dataset,
+    threshold: float = 0.7,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """Conversation-level EXACT near-duplicate pairs.
+
+    Composes :func:`conversation_texts` with the exact word-3-gram
+    Jaccard set-similarity join (:func:`stages.dedup.ngram_jaccard_dedup`)
+    — the whole-trajectory dedup step (repeated conversations with
+    trivially different turn splits still share almost all shingles).
+
+    Conversation keys ride the join as deterministic md5-u60 int ids
+    (SQL-reproducible) and the tiny surviving pair set hash-joins the
+    string keys back. Returns ``(conv_a, conv_b, jaccard)`` with
+    ``conv_a`` / ``conv_b`` ordered by id.
+    """
+    import pyarrow as pa
+
+    from graph_data_science_ray.pipelines.agg import hash_join
+    from graph_data_science_ray.stages.dedup import ngram_jaccard_dedup
+
+    texts = conversation_texts(
+        turns, conv_col=conv_col, idx_col=idx_col, text_col=text_col
+    ).materialize()  # consumed twice: docs + id->conv mapping
+
+    def with_ids(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64),
+                 "text": pd.Series([], dtype=object)}
+            )
+        return pd.DataFrame(
+            {"doc_id": _conv_int_id(df["conv"]),
+             "text": df["text"].astype(str).to_numpy(dtype=object)}
+        )
+
+    docs = texts.map_batches(with_ids, batch_format="pandas")
+    pairs = ngram_jaccard_dedup(
+        docs, threshold=threshold, num_parts=num_parts
+    )
+
+    def mapping(col: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame(
+                    {col: pd.Series([], dtype=np.int64),
+                     col.replace("doc", "conv"): pd.Series([], dtype=object)}
+                )
+            return pd.DataFrame(
+                {col: _conv_int_id(df["conv"]),
+                 col.replace("doc", "conv"):
+                     df["conv"].astype(str).to_numpy(dtype=object)}
+            )
+        return fn
+
+    pair_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+         ("jaccard", pa.float64())]
+    )
+    map_a = texts.map_batches(mapping("doc_a"), batch_format="pandas")
+    map_b = texts.map_batches(mapping("doc_b"), batch_format="pandas")
+    joined = hash_join(
+        pairs, map_a, on=["doc_a"], num_parts=num_parts,
+        left_schema=pair_schema,
+        right_schema=pa.schema([("doc_a", pa.int64()), ("conv_a", pa.string())]),
+    )
+    joined = hash_join(
+        joined, map_b, on=["doc_b"], num_parts=num_parts,
+        left_schema=pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+             ("jaccard", pa.float64()), ("conv_a", pa.string())]
+        ),
+        right_schema=pa.schema([("doc_b", pa.int64()), ("conv_b", pa.string())]),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"conv_a": pd.Series([], dtype=object),
+                 "conv_b": pd.Series([], dtype=object),
+                 "jaccard": pd.Series([], dtype=np.float64)}
+            )
+        return df[["conv_a", "conv_b", "jaccard"]].astype(
+            {"conv_a": object, "conv_b": object, "jaccard": np.float64}
         )
 
     return joined.map_batches(finish, batch_format="pandas")

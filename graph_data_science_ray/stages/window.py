@@ -55,7 +55,12 @@ def _sorted_refs(ds: rd.Dataset, order_cols: list[str]):
 def _block_stat(df: pd.DataFrame, value_col: str | None):
     if value_col is None:
         return len(df)
-    return (len(df), df[value_col].to_numpy().sum() if len(df) else 0)
+    # a range-partitioned sort can emit EMPTY blocks that carry no
+    # columns at all (the lose-schema-on-empty-blocks pitfall) — treat
+    # them as zero and let the caller drop them
+    if not len(df) or value_col not in df.columns:
+        return (0, 0)
+    return (len(df), df[value_col].to_numpy().sum())
 
 
 @ray.remote
@@ -89,8 +94,14 @@ def running_sum(
     offsets = np.concatenate([[0], np.cumsum(sums)[:-1]])
     out = [
         _apply_running.remote(r, value_col, off, out_col, inclusive)
-        for r, off in zip(refs, offsets)
+        for (r, off, st) in zip(refs, offsets, stats)
+        if st[0] > 0  # schema-less empty sort blocks contribute nothing
     ]
+    if not out:
+        return rd.from_pandas(
+            pd.DataFrame({value_col: pd.Series([], dtype=np.int64),
+                          out_col: pd.Series([], dtype=np.int64)})
+        )
     return rd.from_pandas_refs(out)
 
 
@@ -110,8 +121,13 @@ def row_number(
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
     out = [
         _apply_rownum.remote(r, int(off), out_col)
-        for r, off in zip(refs, offsets)
+        for r, off, c in zip(refs, offsets, counts)
+        if c > 0  # schema-less empty sort blocks contribute nothing
     ]
+    if not out:
+        return rd.from_pandas(
+            pd.DataFrame({out_col: pd.Series([], dtype=np.int64)})
+        )
     return rd.from_pandas_refs(out)
 
 
@@ -156,6 +172,14 @@ def lag_column(
     sized driver traffic, no row data)."""
     sort_cols = ([key_col] if key_col else []) + list(order_cols)
     refs = _sorted_refs(ds, sort_cols)
+    counts = ray.get([_block_stat.remote(r, None) for r in refs])
+    # drop schema-less empty sort blocks BEFORE chaining tails — an
+    # empty interior block must not break boundary continuity
+    refs = [r for r, c in zip(refs, counts) if c > 0]
+    if not refs:
+        return rd.from_pandas(
+            pd.DataFrame({out_col: pd.Series([], dtype=object)})
+        )
     tails = ray.get([_block_tail.remote(r) for r in refs])
     out = []
     for i, r in enumerate(refs):

@@ -52,3 +52,131 @@ def test_turn_dedup_flags_keeper_order_and_determinism():
     assert flags[("a", 1)] == 0   # first "world"
     assert flags[("c", 0)] == 1   # repeated across convs
     assert flags[("b", 0)] == 0 and flags[("b", 1)] == 1
+
+
+def test_role_transitions_counts_and_self_transitions():
+    from graph_data_science_ray.stages.trajectory import role_transitions
+
+    out = (role_transitions(_turns()).to_pandas()
+           .sort_values(["prev_role", "role"]).reset_index(drop=True))
+    got = {(p, r): n for p, r, n in
+           zip(out["prev_role"], out["role"], out["n"])}
+    # conv a: u1->u2, u2->u1; conv b: u3->u3 (self-transition kept)
+    assert got == {("u1", "u2"): 1, ("u2", "u1"): 1, ("u3", "u3"): 1}
+    b = (role_transitions(_turns().repartition(5)).to_pandas()
+         .sort_values(["prev_role", "role"]).reset_index(drop=True))
+    assert out.equals(b)
+
+
+def test_turn_loop_flags_same_actor_repeat():
+    from graph_data_science_ray.stages.trajectory import turn_loop_flags
+
+    out = (turn_loop_flags(_turns()).to_pandas()
+           .sort_values(["conv", "turn_idx"]).reset_index(drop=True))
+    flags = dict(zip(zip(out["conv"], out["turn_idx"]), out["looped"]))
+    # conv a: u1 repeats "hello" at idx 2 (same actor, intervening u2 turn)
+    assert flags[("a", 2)] == 1
+    assert flags[("a", 0)] == 0 and flags[("a", 1)] == 0
+    # conv b: u3 repeats "solo" consecutively
+    assert flags[("b", 1)] == 1 and flags[("b", 0)] == 0
+    # cross-conv dup is NOT a loop
+    assert flags[("c", 0)] == 0
+
+
+def test_turn_context_window_accounting():
+    from graph_data_science_ray.stages.trajectory import turn_context
+
+    out = (turn_context(_turns(), k=2).to_pandas()
+           .sort_values(["conv", "turn_idx"]).reset_index(drop=True))
+    row = {(c, i): (t, ch) for c, i, t, ch in
+           zip(out["conv"], out["turn_idx"],
+               out["ctx_turns"], out["ctx_chars"])}
+    # conv a texts: hello(5), world(5), hello(5)
+    assert row[("a", 0)] == (0, 0)
+    assert row[("a", 1)] == (1, 5)
+    assert row[("a", 2)] == (2, 10)
+    # conv b: solo(4), solo(4)
+    assert row[("b", 1)] == (1, 4)
+    assert row[("c", 0)] == (0, 0)
+
+
+def test_pack_conversations_prefix_sum_contract():
+    from graph_data_science_ray.stages.trajectory import pack_conversations
+
+    out = (pack_conversations(_turns(), budget=3).to_pandas()
+           .sort_values("conv").reset_index(drop=True))
+    # token totals: a=3, b=2, c=1 (one \S+ token per turn)
+    assert out["conv"].tolist() == ["a", "b", "c"]
+    assert out["n_tokens"].tolist() == [3, 2, 1]
+    assert out["offset"].tolist() == [0, 3, 5]
+    assert out["seq_id"].tolist() == [0, 1, 1]
+    b = (pack_conversations(_turns().repartition(5), budget=3).to_pandas()
+         .sort_values("conv").reset_index(drop=True))
+    assert out.equals(b)
+
+
+def test_conversation_jaccard_exact_pairs():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.trajectory import conversation_jaccard
+
+    rows = [
+        ("x", 0, "u1", "the quick brown fox jumps"),
+        ("x", 1, "u2", "over the lazy dog"),
+        # y = same dialogue, different turn split -> near-dup of x
+        ("y", 0, "u1", "the quick brown fox"),
+        ("y", 1, "u2", "jumps over the lazy dog"),
+        ("z", 0, "u3", "completely different content here entirely"),
+    ]
+    turns = rd.from_arrow(pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows], pa.string()),
+        "text": pa.array([r[3] for r in rows], pa.string()),
+    }))
+    out = conversation_jaccard(turns, threshold=0.5).to_pandas()
+    # x and y concatenate to the identical 9-token document: jaccard 1.0
+    assert len(out) == 1
+    pair = {out["conv_a"].iloc[0], out["conv_b"].iloc[0]}
+    assert pair == {"x", "y"}
+    assert out["jaccard"].iloc[0] == 1.0
+
+
+def test_hash_join_preserves_int64_above_2_53():
+    """Regression: null-widened int64 columns used to ride Ray's
+    groupby/sort as double, corrupting values above 2^53 (64-bit hash
+    keys). The zero-filler widening must keep every bit, including
+    through a CHAINED second join (whose left side is join-1 output
+    blocks)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graph_data_science_ray.pipelines.agg import hash_join
+
+    big_a, big_b = 294186462471603296, 710810379057940483
+    left = rd.from_pandas(pd.DataFrame({
+        "doc_a": np.array([big_a], dtype=np.int64),
+        "doc_b": np.array([big_b], dtype=np.int64),
+        "c": np.array([7], dtype=np.int64)}))
+    ra = rd.from_pandas(pd.DataFrame({
+        "doc_a": np.array([big_a, 12345], dtype=np.int64),
+        "na": np.array([7, 1], dtype=np.int64)}))
+    rb = rd.from_pandas(pd.DataFrame({
+        "doc_b": np.array([big_b, 67890], dtype=np.int64),
+        "nb": np.array([7, 1], dtype=np.int64)}))
+    s = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                   ("c", pa.int64())])
+    j1 = hash_join(left, ra, on=["doc_a"], left_schema=s,
+                   right_schema=pa.schema([("doc_a", pa.int64()),
+                                           ("na", pa.int64())]))
+    j2 = hash_join(
+        j1, rb, on=["doc_b"],
+        left_schema=pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                               ("c", pa.int64()), ("na", pa.int64())]),
+        right_schema=pa.schema([("doc_b", pa.int64()), ("nb", pa.int64())]))
+    out = j2.to_pandas()
+    assert len(out) == 1
+    assert int(out["doc_a"].iloc[0]) == big_a
+    assert int(out["doc_b"].iloc[0]) == big_b
+    assert out["na"].iloc[0] == 7 and out["nb"].iloc[0] == 7
