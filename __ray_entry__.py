@@ -2027,6 +2027,42 @@ def _q_conversation_jaccard(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["conv_a", "conv_b"]).reset_index(drop=True)
 
 
+def _q_turn_latency(sf_dir: str) -> pd.DataFrame:
+    """Per-turn response latency in exact integer microseconds under
+    stable turn ordering (first turn 0)."""
+    import graph_data_science_ray as gdsr
+
+    from graph_data_science_ray.stages.trajectory import turn_latency
+
+    turns = gdsr.events_as_transcripts(sf_dir)
+    out = turn_latency(turns).to_pandas()
+    return out.sort_values(["conv", "turn_idx"]).reset_index(drop=True)
+
+
+def _q_latency_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-conversation latency aggregates: gap count, wall span, max
+    idle gap (exact int64 microseconds)."""
+    import graph_data_science_ray as gdsr
+
+    from graph_data_science_ray.stages.trajectory import latency_stats
+
+    turns = gdsr.events_as_transcripts(sf_dir)
+    out = latency_stats(turns).to_pandas()
+    return out.sort_values("conv").reset_index(drop=True)
+
+
+def _q_conversation_novelty(sf_dir: str) -> pd.DataFrame:
+    """Per-conversation word-3-gram novelty (distinct/total as integer
+    ppm) — the trajectory-level repetition signal."""
+    import graph_data_science_ray as gdsr
+
+    from graph_data_science_ray.stages.trajectory import conversation_novelty
+
+    turns = gdsr.events_as_transcripts(sf_dir)
+    out = conversation_novelty(turns).to_pandas()
+    return out.sort_values("conv").reset_index(drop=True)
+
+
 def _q_source_mix(sf_dir: str) -> pd.DataFrame:
     """Deterministic domain-mixture reweighting: target weight
     ``(source_index % 4) + 1`` per source, global keep budget 50 % —
@@ -3925,6 +3961,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_context": _q_turn_context,
         "pack_conversations": _q_pack_conversations,
         "conversation_jaccard": _q_conversation_jaccard,
+        "turn_latency": _q_turn_latency,
+        "latency_stats": _q_latency_stats,
+        "conversation_novelty": _q_conversation_novelty,
     }
 
 
@@ -5252,6 +5291,77 @@ JOIN ids ia ON ia.did = i.da
 JOIN ids ib ON ib.did = i.db
 WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.1
 ORDER BY conv_a, conv_b
+"""
+
+    sqls["turn_latency"] = r"""
+WITH t AS (
+  SELECT event_type AS conv,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS idx,
+         ts
+  FROM events
+)
+SELECT conv, CAST(idx - 1 AS BIGINT) AS turn_idx,
+       CAST(coalesce(date_diff('microsecond',
+            lag(ts) OVER (PARTITION BY conv ORDER BY idx), ts), 0) AS BIGINT)
+         AS latency_us
+FROM t ORDER BY conv, turn_idx
+"""
+
+    sqls["latency_stats"] = r"""
+WITH t AS (
+  SELECT event_type AS conv,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS idx,
+         ts
+  FROM events
+),
+d AS (
+  SELECT conv,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY conv ORDER BY idx), ts) AS gap
+  FROM t
+)
+SELECT conv,
+       CAST(count(gap) AS BIGINT) AS n_gaps,
+       CAST(coalesce(sum(gap), 0) AS BIGINT) AS total_us,
+       CAST(coalesce(max(gap), 0) AS BIGINT) AS max_us
+FROM d GROUP BY conv ORDER BY conv
+"""
+
+    sqls["conversation_novelty"] = r"""
+WITH t AS (
+  SELECT event_type AS conv,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS idx,
+         props AS txt
+  FROM events
+),
+ct AS (SELECT conv, string_agg(txt, ' ' ORDER BY idx) AS text
+       FROM t GROUP BY conv),
+toks AS (
+  SELECT conv,
+         list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS arr
+  FROM ct
+),
+sh AS (
+  SELECT conv, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(arr)-2)) AS i) g
+  WHERE len(arr) >= 3
+),
+agg AS (
+  SELECT conv, CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(count(DISTINCT s) AS BIGINT) AS n_distinct
+  FROM sh GROUP BY conv
+)
+SELECT c.conv,
+       CAST(coalesce(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+       CAST(CASE WHEN coalesce(a.n_shingles, 0) > 0
+            THEN 1000000 * a.n_distinct // a.n_shingles ELSE 0 END AS BIGINT)
+         AS novelty_ppm
+FROM ct c LEFT JOIN agg a USING (conv) ORDER BY c.conv
 """
 
     sqls["source_mix"] = r"""

@@ -167,6 +167,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # round-4 (session 6): trajectory batch 2
         "role_transitions", "turn_loops", "turn_context",
         "pack_conversations", "conversation_jaccard",
+        "turn_latency", "latency_stats", "conversation_novelty",
     ):
         timed(name, lambda n=name: q[n](sf_dir))
 

@@ -66,6 +66,9 @@ __all__ = [
     "pack_conversations",
     "conversation_texts",
     "conversation_jaccard",
+    "turn_latency",
+    "latency_stats",
+    "conversation_novelty",
 ]
 
 
@@ -463,3 +466,110 @@ def conversation_jaccard(
         )
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+def turn_latency(
+    turns: rd.Dataset,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    ts_col: str = "ts",
+) -> rd.Dataset:
+    """Per-turn response latency in EXACT integer microseconds.
+
+    Returns ``(conv, turn_idx, latency_us)`` where ``latency_us`` is
+    the timestamp delta to the previous turn in the conversation under
+    stable turn ordering (first turn: 0). The latency profile is a
+    trajectory-quality signal (abandoned sessions, tool stalls) and the
+    deltas are exact int64, so the oracle is verbatim SQL
+    ``date_diff``. Row-local per conversation group.
+    """
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(idx_col, kind="mergesort")
+        t = g[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        lat = np.zeros(len(t), dtype=np.int64)
+        if len(t) > 1:
+            lat[1:] = t[1:] - t[:-1]
+        return pd.DataFrame(
+            {"conv": g[conv_col].astype(str).to_numpy(dtype=object),
+             "turn_idx": g[idx_col].to_numpy().astype(np.int64),
+             "latency_us": lat}
+        )
+
+    return turns.groupby(conv_col).map_groups(per_group, batch_format="pandas")
+
+
+def latency_stats(
+    turns: rd.Dataset,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    ts_col: str = "ts",
+) -> rd.Dataset:
+    """Per-conversation latency aggregates: ``(conv, n_gaps, total_us,
+    max_us)`` over consecutive-turn timestamp deltas (stable turn
+    order). ``total_us`` is the conversation's wall span, ``max_us``
+    its longest idle gap — the session-staleness filter signal. All
+    exact int64."""
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(idx_col, kind="mergesort")
+        t = g[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        d = t[1:] - t[:-1] if len(t) > 1 else np.array([], dtype=np.int64)
+        return pd.DataFrame(
+            {"conv": [str(g[conv_col].iloc[0])],
+             "n_gaps": np.array([len(d)], dtype=np.int64),
+             "total_us": np.array([int(d.sum())], dtype=np.int64),
+             "max_us": np.array(
+                 [int(d.max()) if len(d) else 0], dtype=np.int64)}
+        )
+
+    return turns.groupby(conv_col).map_groups(per_group, batch_format="pandas")
+
+
+def conversation_novelty(
+    turns: rd.Dataset,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Per-conversation n-gram novelty: ``(conv, n_shingles,
+    n_distinct, novelty_ppm)`` over word-3-grams of the concatenated
+    turn text (stable order) — the trajectory-level repetition signal
+    (a looping agent's novelty collapses). ``novelty_ppm =
+    1e6 * n_distinct // n_shingles`` (integer, order-independent);
+    conversations with fewer than 3 tokens report zero shingles and
+    ppm 0. Row-local per conversation document."""
+    import re
+
+    word = re.compile(r"\S+")
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"conv": pd.Series([], dtype=object),
+                 "n_shingles": pd.Series([], dtype=np.int64),
+                 "n_distinct": pd.Series([], dtype=np.int64),
+                 "novelty_ppm": pd.Series([], dtype=np.int64)}
+            )
+        convs, total, dist = [], [], []
+        for conv, text in zip(df["conv"], df["text"]):
+            toks = word.findall(text)
+            n = max(0, len(toks) - 2)
+            sh = {" ".join(toks[i:i + 3]) for i in range(n)}
+            convs.append(str(conv))
+            total.append(n)
+            dist.append(len(sh))
+        total = np.array(total, dtype=np.int64)
+        dist = np.array(dist, dtype=np.int64)
+        ppm = np.where(total > 0, 1_000_000 * dist // np.maximum(total, 1), 0)
+        return pd.DataFrame(
+            {"conv": np.array(convs, dtype=object),
+             "n_shingles": total,
+             "n_distinct": dist,
+             "novelty_ppm": ppm.astype(np.int64)}
+        )
+
+    texts = conversation_texts(
+        turns, conv_col=conv_col, idx_col=idx_col, text_col=text_col
+    )
+    return texts.map_batches(per_doc, batch_format="pandas", batch_size=256)

@@ -180,3 +180,58 @@ def test_hash_join_preserves_int64_above_2_53():
     assert int(out["doc_a"].iloc[0]) == big_a
     assert int(out["doc_b"].iloc[0]) == big_b
     assert out["na"].iloc[0] == 7 and out["nb"].iloc[0] == 7
+
+
+def _ts_turns():
+    import pyarrow as pa
+    import ray.data as rd
+
+    us = np.array([0, 5_000_000, 12_000_000, 100, 200],
+                  dtype="datetime64[us]")
+    rows = [("a", 0, "u1", "x y z"), ("a", 1, "u2", "x y z"),
+            ("a", 2, "u1", "w q r"), ("b", 0, "u3", "p"), ("b", 1, "u3", "p")]
+    return rd.from_arrow(pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows], pa.string()),
+        "text": pa.array([r[3] for r in rows], pa.string()),
+        "ts": pa.array(us),
+    }))
+
+
+def test_turn_latency_exact_microseconds():
+    from graph_data_science_ray.stages.trajectory import turn_latency
+
+    out = (turn_latency(_ts_turns()).to_pandas()
+           .sort_values(["conv", "turn_idx"]).reset_index(drop=True))
+    lat = dict(zip(zip(out["conv"], out["turn_idx"]), out["latency_us"]))
+    assert lat[("a", 0)] == 0
+    assert lat[("a", 1)] == 5_000_000
+    assert lat[("a", 2)] == 7_000_000
+    assert lat[("b", 0)] == 0 and lat[("b", 1)] == 100
+
+
+def test_latency_stats_span_and_max_gap():
+    from graph_data_science_ray.stages.trajectory import latency_stats
+
+    out = (latency_stats(_ts_turns()).to_pandas()
+           .sort_values("conv").reset_index(drop=True))
+    assert out["conv"].tolist() == ["a", "b"]
+    assert out["n_gaps"].tolist() == [2, 1]
+    assert out["total_us"].tolist() == [12_000_000, 100]
+    assert out["max_us"].tolist() == [7_000_000, 100]
+
+
+def test_conversation_novelty_ppm():
+    from graph_data_science_ray.stages.trajectory import conversation_novelty
+
+    out = (conversation_novelty(_ts_turns()).to_pandas()
+           .sort_values("conv").reset_index(drop=True))
+    row = {c: (s, d, p) for c, s, d, p in
+           zip(out["conv"], out["n_shingles"], out["n_distinct"],
+               out["novelty_ppm"])}
+    # conv a doc: "x y z x y z w q r" -> 7 shingles, 6 distinct
+    # ("x y z" repeats)
+    assert row["a"] == (7, 6, 1_000_000 * 6 // 7)
+    # conv b doc: "p p" -> fewer than 3 tokens: zero shingles, ppm 0
+    assert row["b"] == (0, 0, 0)
