@@ -2063,6 +2063,21 @@ def _q_conversation_novelty(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("conv").reset_index(drop=True)
 
 
+def _q_trajectory_pack(sf_dir: str) -> pd.DataFrame:
+    """Composed trajectory flagship, oracled END-TO-END: exact
+    duplicate-turn flags and agent-loop flags gate the turn set, the
+    surviving turns pack into training sequences at conversation
+    granularity (budget 256) — trajectory curation → packing in one
+    streaming chain of individually-oracled stages."""
+    import graph_data_science_ray as gdsr
+
+    from graph_data_science_ray.stages.trajectory import trajectory_pack
+
+    turns = gdsr.events_as_transcripts(sf_dir)
+    out = trajectory_pack(turns, budget=256).to_pandas()
+    return out.sort_values("conv").reset_index(drop=True)
+
+
 def _q_source_mix(sf_dir: str) -> pd.DataFrame:
     """Deterministic domain-mixture reweighting: target weight
     ``(source_index % 4) + 1`` per source, global keep budget 50 % —
@@ -3964,6 +3979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_latency": _q_turn_latency,
         "latency_stats": _q_latency_stats,
         "conversation_novelty": _q_conversation_novelty,
+        "trajectory_pack": _q_trajectory_pack,
     }
 
 
@@ -5362,6 +5378,49 @@ SELECT c.conv,
             THEN 1000000 * a.n_distinct // a.n_shingles ELSE 0 END AS BIGINT)
          AS novelty_ppm
 FROM ct c LEFT JOIN agg a USING (conv) ORDER BY c.conv
+"""
+
+    sqls["trajectory_pack"] = r"""
+WITH t AS (
+  SELECT event_type AS conv,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS idx,
+         CAST(user_id AS VARCHAR) AS actor,
+         props AS txt
+  FROM events
+),
+dup AS (
+  SELECT conv, idx,
+         row_number() OVER (
+              PARTITION BY txt
+              ORDER BY conv || '#' || lpad(CAST(idx - 1 AS VARCHAR), 9, '0')
+         ) > 1 AS is_dup
+  FROM t
+),
+lp AS (
+  SELECT conv, idx,
+         coalesce(txt = lag(txt) OVER (PARTITION BY conv, actor
+                                       ORDER BY idx), FALSE) AS is_loop
+  FROM t
+),
+kept AS (
+  SELECT t.conv, t.txt
+  FROM t JOIN dup USING (conv, idx) JOIN lp USING (conv, idx)
+  WHERE NOT dup.is_dup AND NOT lp.is_loop
+),
+c AS (
+  SELECT conv,
+         CAST(sum(len(regexp_extract_all(txt, '\S+'))) AS BIGINT) AS n_tokens
+  FROM kept GROUP BY conv
+),
+p AS (
+  SELECT conv, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY conv
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS o
+  FROM c
+)
+SELECT conv, n_tokens, o // 256 AS seq_id, o AS offset FROM p ORDER BY conv
 """
 
     sqls["source_mix"] = r"""

@@ -69,6 +69,7 @@ __all__ = [
     "turn_latency",
     "latency_stats",
     "conversation_novelty",
+    "trajectory_pack",
 ]
 
 
@@ -573,3 +574,84 @@ def conversation_novelty(
         turns, conv_col=conv_col, idx_col=idx_col, text_col=text_col
     )
     return texts.map_batches(per_doc, batch_format="pandas", batch_size=256)
+
+
+def trajectory_pack(
+    turns: rd.Dataset,
+    budget: int,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    actor_col: str = "role",
+    text_col: str = "text",
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """Composed trajectory-curation flagship: duplicate-turn flags and
+    agent-loop flags gate the turn set, and the surviving turns pack
+    into training sequences at conversation granularity.
+
+    ONE streaming chain of the individually-oracled stages:
+    :func:`turn_dedup_flags` (cross-conversation exact dedup, keeper =
+    smallest ``(conv, turn_idx)``) ∘ :func:`turn_loop_flags`
+    (same-actor repeated-text turns dropped) → hash-join both flag
+    tables back onto the turns → :func:`pack_conversations` over the
+    kept turns. Returns ``(conv, n_tokens, seq_id, offset)``;
+    conversations whose every turn is dropped vanish. Every shuffle is
+    conv- or text-hash-partitioned; the only driver state is the
+    O(#blocks) running-sum scan inside the packer.
+    """
+    import pyarrow as pa
+
+    from graph_data_science_ray.pipelines.agg import hash_join
+
+    def base(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"conv": pd.Series([], dtype=object),
+                 "turn_idx": pd.Series([], dtype=np.int64),
+                 "text": pd.Series([], dtype=object)}
+            )
+        return pd.DataFrame(
+            {"conv": df[conv_col].astype(str).to_numpy(dtype=object),
+             "turn_idx": df[idx_col].to_numpy().astype(np.int64),
+             "text": df[text_col].astype(str).to_numpy(dtype=object)}
+        )
+
+    rows = turns.map_batches(base, batch_format="pandas")
+    dup = turn_dedup_flags(
+        turns, conv_col=conv_col, idx_col=idx_col, text_col=text_col
+    )
+    loops = turn_loop_flags(
+        turns, conv_col=conv_col, idx_col=idx_col,
+        actor_col=actor_col, text_col=text_col,
+    )
+    j = hash_join(
+        rows, dup, on=["conv", "turn_idx"], num_parts=num_parts,
+        left_schema=pa.schema(
+            [("conv", pa.string()), ("turn_idx", pa.int64()),
+             ("text", pa.string())]
+        ),
+        right_schema=pa.schema(
+            [("conv", pa.string()), ("turn_idx", pa.int64()),
+             ("dup", pa.int64())]
+        ),
+    )
+    j = hash_join(
+        j, loops, on=["conv", "turn_idx"], num_parts=num_parts,
+        left_schema=pa.schema(
+            [("conv", pa.string()), ("turn_idx", pa.int64()),
+             ("text", pa.string()), ("dup", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("conv", pa.string()), ("turn_idx", pa.int64()),
+             ("looped", pa.int64())]
+        ),
+    )
+    kept = j.map_batches(
+        lambda df: df[(df["dup"] == 0) & (df["looped"] == 0)][
+            ["conv", "turn_idx", "text"]
+        ],
+        batch_format="pandas",
+    )
+    return pack_conversations(
+        kept, budget, conv_col="conv", text_col="text"
+    )

@@ -235,3 +235,22 @@ def test_conversation_novelty_ppm():
     assert row["a"] == (7, 6, 1_000_000 * 6 // 7)
     # conv b doc: "p p" -> fewer than 3 tokens: zero shingles, ppm 0
     assert row["b"] == (0, 0, 0)
+
+
+def test_trajectory_pack_composition():
+    """Dup turns and looped turns are dropped before packing; token
+    totals reflect only surviving turns."""
+    from graph_data_science_ray.stages.trajectory import trajectory_pack
+
+    # conv a: "hello"(u1), "world"(u2), "hello"(u1 dup+loop -> dropped)
+    # conv b: "solo"(u3), "solo"(u3 dup+loop -> dropped)
+    # conv c: "world"(u4) cross-conv dup -> dropped; conv c vanishes
+    out = (trajectory_pack(_turns(), budget=2).to_pandas()
+           .sort_values("conv").reset_index(drop=True))
+    assert out["conv"].tolist() == ["a", "b"]
+    assert out["n_tokens"].tolist() == [2, 1]   # a: hello world; b: solo
+    assert out["offset"].tolist() == [0, 2]
+    assert out["seq_id"].tolist() == [0, 1]
+    b = (trajectory_pack(_turns().repartition(5), budget=2).to_pandas()
+         .sort_values("conv").reset_index(drop=True))
+    assert out.equals(b)
