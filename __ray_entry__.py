@@ -2063,6 +2063,27 @@ def _q_conversation_novelty(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("conv").reset_index(drop=True)
 
 
+def _q_reciprocity(sf_dir: str) -> pd.DataFrame:
+    """Directed-edge reciprocity (Newman): fraction of edges whose
+    reverse also exists — all-integer canonical-pair aggregate."""
+    from graph_data_science_ray.functions.graph_stats import reciprocity
+
+    b = _bundle(sf_dir)
+    return reciprocity(b["enc"])
+
+
+def _q_assortativity(sf_dir: str) -> pd.DataFrame:
+    """Degree assortativity over the undirected edge set: exact integer
+    moment sums and the single-division Pearson r (rational — the
+    symmetric marginals cancel the square root)."""
+    from graph_data_science_ray.functions.graph_stats import (
+        degree_assortativity,
+    )
+
+    b = _bundle(sf_dir)
+    return degree_assortativity(b["sym"])
+
+
 def _q_trajectory_pack(sf_dir: str) -> pd.DataFrame:
     """Composed trajectory flagship, oracled END-TO-END: exact
     duplicate-turn flags and agent-loop flags gate the turn set, the
@@ -3980,6 +4001,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latency_stats": _q_latency_stats,
         "conversation_novelty": _q_conversation_novelty,
         "trajectory_pack": _q_trajectory_pack,
+        # global graph-structure stats (Newman reciprocity/assortativity)
+        "reciprocity": _q_reciprocity,
+        "assortativity": _q_assortativity,
     }
 
 
@@ -5378,6 +5402,49 @@ SELECT c.conv,
             THEN 1000000 * a.n_distinct // a.n_shingles ELSE 0 END AS BIGINT)
          AS novelty_ppm
 FROM ct c LEFT JOIN agg a USING (conv) ORDER BY c.conv
+"""
+
+    sqls["reciprocity"] = f"""
+WITH {_GRAPH_CTE},
+c AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+         sum(CASE WHEN src < dst THEN 1 ELSE 2 END) AS s
+  FROM edges GROUP BY 1, 2
+),
+t AS (
+  SELECT (SELECT count(*) FROM edges) AS n_edges,
+         2 * (SELECT count(*) FROM c WHERE s = 3) AS n_reciprocal
+)
+SELECT CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_reciprocal AS BIGINT) AS n_reciprocal,
+       CAST(1000000 * n_reciprocal // n_edges AS BIGINT) AS reciprocity_ppm
+FROM t
+"""
+
+    sqls["assortativity"] = f"""
+WITH {_GRAPH_CTE},
+{_UND_CTE},
+deg AS (SELECT src AS node, count(*) AS d FROM undw GROUP BY 1),
+e AS (
+  SELECT dx.d AS degx, dy.d AS degy
+  FROM undw u
+  JOIN deg dx ON dx.node = u.src
+  JOIN deg dy ON dy.node = u.dst
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(degx) AS BIGINT) AS sx,
+         CAST(sum(degx * degx) AS BIGINT) AS sxx,
+         CAST(sum(degx * degy) AS BIGINT) AS sxy
+  FROM e
+)
+SELECT n, sx AS sum_x, sxx AS sum_xx, sxy AS sum_xy,
+       CAST(n * sxy - sx * sx AS BIGINT) AS num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS den,
+       CASE WHEN n * sxx - sx * sx = 0 THEN 0.0e0
+            ELSE CAST(n * sxy - sx * sx AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) END AS r
+FROM s
 """
 
     sqls["trajectory_pack"] = r"""

@@ -1,0 +1,159 @@
+"""Global link-graph structure statistics: reciprocity and degree
+assortativity.
+
+Two classic whole-graph metrics the reference's stats modes do not
+cover but every link-graph analysis toolkit reports (Newman 2002/2003):
+
+- :func:`reciprocity` — the fraction of directed edges whose reverse
+  edge also exists. All-integer: one canonical-pair hash aggregate
+  (``(min,max) -> sum of direction codes``; a pair summing to 3 has
+  both directions), then scalar counts. ppm is non-negative so integer
+  floor division matches ANSI SQL ``//`` exactly.
+- :func:`degree_assortativity` — the Pearson correlation of endpoint
+  degrees over the undirected edge set. Because the symmetrized table
+  carries BOTH orientations of every edge, the x/y marginals coincide
+  exactly (Sx == Sy, Sxx == Syy) and the correlation is the RATIONAL
+  ``num/den`` with integer ``num = n*Sxy - Sx², den = n*Sxx - Sx²`` —
+  no square root. The result row carries the exact integer sums plus
+  one IEEE double division, bit-identical to the SQL oracle. int64
+  overflow bound: ``n * Sxx`` must stay below 2^63 (documented; at
+  larger scales the partials are small enough to re-reduce in Python
+  ints driver-side, the sums being O(#blocks)).
+
+Scale shape: one hash-partitioned aggregate (reciprocity) or one degree
+aggregate + two hash joins (assortativity) + map-side integer partials;
+the driver sees O(#blocks) partial rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+__all__ = ["reciprocity", "degree_assortativity"]
+
+
+def reciprocity(edges: rd.Dataset, num_parts: int = 64) -> pd.DataFrame:
+    """Directed-edge reciprocity over a distinct ``(src, dst)`` edge
+    table (self-loop-free, as the derivation guarantees). Returns one
+    row ``(n_edges, n_reciprocal, reciprocity_ppm)``."""
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+
+    def code(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=np.int64),
+                 "b": pd.Series([], dtype=np.int64),
+                 "v": pd.Series([], dtype=np.int64)}
+            )
+        s = df["src"].to_numpy(dtype=np.int64)
+        d = df["dst"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"a": np.minimum(s, d), "b": np.maximum(s, d),
+             "v": np.where(s < d, 1, 2).astype(np.int64)}
+        )
+
+    pairs = hash_aggregate(
+        edges.map_batches(code, batch_format="pandas"),
+        ["a", "b"], "v", op="sum", num_parts=num_parts,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"pairs3": np.array(
+                [int((df["v"].to_numpy() == 3).sum()) if len(df) else 0],
+                dtype=np.int64)}
+        )
+
+    n_edges = int(edges.count())
+    both = int(
+        pairs.map_batches(partial, batch_format="pandas").sum(on="pairs3")
+        or 0
+    )
+    n_recip = 2 * both
+    return pd.DataFrame(
+        {"n_edges": np.array([n_edges], dtype=np.int64),
+         "n_reciprocal": np.array([n_recip], dtype=np.int64),
+         "reciprocity_ppm": np.array(
+             [1_000_000 * n_recip // n_edges if n_edges else 0],
+             dtype=np.int64)}
+    )
+
+
+def degree_assortativity(sym_edges: rd.Dataset, num_parts: int = 64) -> pd.DataFrame:
+    """Degree assortativity over a symmetrized edge table (both
+    orientations present). Returns one row ``(n, sum_x, sum_xx, sum_xy,
+    num, den, r)`` — exact integer sums and the single-division double
+    ``r = num / den`` (0.0 when den == 0, i.e. a regular graph)."""
+    import pyarrow as pa
+
+    from graph_data_science_ray.pipelines.agg import hash_aggregate, hash_join
+
+    ones = sym_edges.map_batches(
+        lambda df: pd.DataFrame(
+            {"src": df["src"].to_numpy(dtype=np.int64),
+             "one": np.ones(len(df), dtype=np.int64)}
+        ),
+        batch_format="pandas",
+    )
+    deg = hash_aggregate(ones, ["src"], "one", op="sum",
+                         num_parts=num_parts, out_col="deg")
+
+    e = sym_edges.map_batches(
+        lambda df: pd.DataFrame(
+            {"src": df["src"].to_numpy(dtype=np.int64),
+             "dst": df["dst"].to_numpy(dtype=np.int64)}
+        ),
+        batch_format="pandas",
+    )
+    degx = deg.map_batches(
+        lambda df: df.rename(columns={"deg": "degx"}), batch_format="pandas"
+    )
+    degy = deg.map_batches(
+        lambda df: df.rename(columns={"src": "dst", "deg": "degy"}),
+        batch_format="pandas",
+    )
+    j = hash_join(
+        e, degx, on=["src"], num_parts=num_parts,
+        left_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+        right_schema=pa.schema([("src", pa.int64()), ("degx", pa.int64())]),
+    )
+    j = hash_join(
+        j, degy, on=["dst"], num_parts=num_parts,
+        left_schema=pa.schema(
+            [("src", pa.int64()), ("dst", pa.int64()), ("degx", pa.int64())]
+        ),
+        right_schema=pa.schema([("dst", pa.int64()), ("degy", pa.int64())]),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            z = np.zeros(1, dtype=np.int64)
+            return pd.DataFrame({"n": z, "sx": z, "sxx": z, "sxy": z})
+        x = df["degx"].to_numpy(dtype=np.int64)
+        y = df["degy"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"n": np.array([len(df)], dtype=np.int64),
+             "sx": np.array([int(x.sum())], dtype=np.int64),
+             "sxx": np.array([int((x * x).sum())], dtype=np.int64),
+             "sxy": np.array([int((x * y).sum())], dtype=np.int64)}
+        )
+
+    parts = j.map_batches(partial, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    sx = int(parts["sx"].sum())
+    sxx = int(parts["sxx"].sum())
+    sxy = int(parts["sxy"].sum())
+    num = n * sxy - sx * sx
+    den = n * sxx - sx * sx
+    r = float(np.float64(num) / np.float64(den)) if den else 0.0
+    return pd.DataFrame(
+        {"n": np.array([n], dtype=np.int64),
+         "sum_x": np.array([sx], dtype=np.int64),
+         "sum_xx": np.array([sxx], dtype=np.int64),
+         "sum_xy": np.array([sxy], dtype=np.int64),
+         "num": np.array([num], dtype=np.int64),
+         "den": np.array([den], dtype=np.int64),
+         "r": np.array([r], dtype=np.float64)}
+    )
