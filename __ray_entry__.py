@@ -2063,6 +2063,15 @@ def _q_conversation_novelty(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("conv").reset_index(drop=True)
 
 
+def _q_bigram_nll(sf_dir: str) -> pd.DataFrame:
+    """Bigram-LM NLL per document in integer micro-nats (corpus MLE
+    conditional model, per-ln floor-ppm discipline)."""
+    from graph_data_science_ray.stages.ir import bigram_nll
+
+    out = bigram_nll(_docs(sf_dir)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_reciprocity(sf_dir: str) -> pd.DataFrame:
     """Directed-edge reciprocity (Newman): fraction of edges whose
     reverse also exists — all-integer canonical-pair aggregate."""
@@ -4004,6 +4013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # global graph-structure stats (Newman reciprocity/assortativity)
         "reciprocity": _q_reciprocity,
         "assortativity": _q_assortativity,
+        "bigram_nll": _q_bigram_nll,
     }
 
 
@@ -5402,6 +5412,45 @@ SELECT c.conv,
             THEN 1000000 * a.n_distinct // a.n_shingles ELSE 0 END AS BIGINT)
          AS novelty_ppm
 FROM ct c LEFT JOIN agg a USING (conv) ORDER BY c.conv
+"""
+
+    sqls["bigram_nll"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(coalesce(text, ''), '\S+'),
+                        x -> lower(x)) AS arr
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, arr[i] AS w1, arr[i] || ' ' || arr[i+1] AS b
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(arr)-1)) AS i) g
+  WHERE len(arr) >= 2
+),
+tfb AS (
+  SELECT doc_id, w1, b, CAST(count(*) AS BIGINT) AS tf
+  FROM bg GROUP BY 1, 2, 3
+),
+cb AS (SELECT b, sum(tf) AS c FROM tfb GROUP BY 1),
+cp AS (SELECT w1, sum(tf) AS c FROM tfb GROUP BY 1),
+lnb AS (SELECT b,
+        CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000e0) AS BIGINT) AS lnb_ppm
+        FROM cb),
+lnp AS (SELECT w1,
+        CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000e0) AS BIGINT) AS lnp_ppm
+        FROM cp),
+s AS (
+  SELECT t.doc_id,
+         CAST(sum(t.tf) AS BIGINT) AS n_bigrams,
+         CAST(sum(t.tf * (lnp.lnp_ppm - lnb.lnb_ppm)) AS BIGINT) AS nll_ppm
+  FROM tfb t
+  JOIN lnb ON lnb.b = t.b
+  JOIN lnp ON lnp.w1 = t.w1
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(s.nll_ppm, 0) AS BIGINT) AS nll_ppm
+FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id
 """
 
     sqls["reciprocity"] = f"""

@@ -168,7 +168,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "role_transitions", "turn_loops", "turn_context",
         "pack_conversations", "conversation_jaccard",
         "turn_latency", "latency_stats", "conversation_novelty",
-        "trajectory_pack", "reciprocity", "assortativity",
+        "trajectory_pack", "reciprocity", "assortativity", "bigram_nll",
     ):
         timed(name, lambda n=name: q[n](sf_dir))
 

@@ -53,6 +53,8 @@ __all__ = [
     "tf_idf_topk",
     "bm25_topk",
     "unigram_nll",
+    "bigram_nll",
+    "doc_bigrams",
 ]
 
 _TOKEN = re.compile(r"\S+")
@@ -441,4 +443,225 @@ def unigram_nll(docs: rd.Dataset, num_parts: int = 64) -> rd.Dataset:
         .map_batches(tag2, batch_format="pandas")
         .groupby("__part2")
         .map_groups(pick, batch_format="pandas")
+    )
+
+
+def doc_bigrams(docs: rd.Dataset, batch_size: int = 4096) -> rd.Dataset:
+    """(doc_id, w1, bg, tf) rows: lowercased ``\\S+`` token bigrams with
+    their prefix token, counted per document. Built by one shifted
+    elementwise concat over the batch's flat token stream (the
+    ``_explode_shingles`` trick at window 2) — no per-bigram Python
+    loop. Documents with fewer than 2 tokens emit nothing."""
+    import re
+
+    word = re.compile(r"\S+")
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype=np.int64),
+         "w1": pd.Series([], dtype=object),
+         "bg": pd.Series([], dtype=object),
+         "tf": pd.Series([], dtype=np.int64)}
+    )
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return empty
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        tok_lists = [
+            [t.lower() for t in word.findall(x)]
+            for x in df["text"].fillna("")
+        ]
+        counts = np.fromiter(
+            (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+        )
+        flat = np.array(
+            [w for toks in tok_lists for w in toks], dtype=object
+        )
+        n = len(flat)
+        if n < 2:
+            return empty
+        doc_of = np.repeat(np.arange(len(tok_lists)), counts)
+        same = doc_of[: n - 1] == doc_of[1:]
+        if not same.any():
+            return empty
+        w1 = flat[: n - 1][same]
+        bg = (flat[: n - 1] + " " + flat[1:])[same]
+        out = pd.DataFrame(
+            {"doc_id": ids[doc_of[: n - 1][same]], "w1": w1, "bg": bg}
+        )
+        tf = (
+            out.groupby(["doc_id", "w1", "bg"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        tf["tf"] = tf["tf"].astype(np.int64)
+        return tf
+
+    return docs.map_batches(
+        per_batch, batch_format="pandas", batch_size=batch_size
+    )
+
+
+def bigram_nll(docs: rd.Dataset, num_parts: int = 64) -> rd.Dataset:
+    """Bigram-LM negative log-likelihood per document, in micro-nats.
+
+    Corpus MLE conditional model: ``P(w2|w1) = C(w1 w2) / C(w1 ·)``
+    where ``C(w1 ·)`` counts ``w1`` as a bigram prefix. Every document's
+    bigrams contribute to the corpus counts, so no probability is zero
+    and no smoothing is needed. Returns ``(doc_id, n_bigrams, nll_ppm)``
+    with ``nll_ppm = Σ_b tf_b * (floor(ln C_prefix * 1e6) -
+    floor(ln C_bigram * 1e6))`` — each ``ln`` floored to integer ppm
+    BEFORE any sum (the repo's order-independent integer discipline,
+    same as :func:`unigram_nll`). Documents with fewer than 2 tokens
+    emit ``(doc_id, 0, 0)``.
+
+    Fully join-based: bigram and prefix count tables (vocabulary-sized)
+    hash-join back to the (doc, w1, bg, tf) rows; nothing corpus-sized
+    touches the driver.
+    """
+    import pyarrow as pa
+
+    from graph_data_science_ray.pipelines.agg import hash_join
+
+    rows = doc_bigrams(docs).materialize()
+
+    cbg = hash_aggregate(
+        rows.map_batches(
+            lambda df: pd.DataFrame(
+                {"bg": df["bg"], "c": df["tf"].astype(np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        ["bg"], "c", op="sum", num_parts=num_parts,
+    )
+    cpre = hash_aggregate(
+        rows.map_batches(
+            lambda df: pd.DataFrame(
+                {"w1": df["w1"], "c": df["tf"].astype(np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        ["w1"], "c", op="sum", num_parts=num_parts,
+    )
+
+    def ln_ppm(col_in: str, col_out: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {col_in: df[col_in],
+                 col_out: np.floor(
+                     np.log(df["c"].to_numpy(dtype=np.float64)) * 1e6
+                 ).astype(np.int64)}
+            )
+        return fn
+
+    lnb = cbg.map_batches(ln_ppm("bg", "lnb_ppm"), batch_format="pandas")
+    lnp = cpre.map_batches(ln_ppm("w1", "lnp_ppm"), batch_format="pandas")
+
+    j = hash_join(
+        rows, lnb, on=["bg"], num_parts=num_parts,
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("w1", pa.string()),
+             ("bg", pa.string()), ("tf", pa.int64())]
+        ),
+        right_schema=pa.schema([("bg", pa.string()), ("lnb_ppm", pa.int64())]),
+    )
+    j = hash_join(
+        j, lnp, on=["w1"], num_parts=num_parts,
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("w1", pa.string()),
+             ("bg", pa.string()), ("tf", pa.int64()),
+             ("lnb_ppm", pa.int64())]
+        ),
+        right_schema=pa.schema([("w1", pa.string()), ("lnp_ppm", pa.int64())]),
+    )
+
+    def per_doc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64),
+                 "n_bigrams": pd.Series([], dtype=np.int64),
+                 "nll_ppm": pd.Series([], dtype=np.int64)}
+            )
+        tf = df["tf"].to_numpy(dtype=np.int64)
+        g = pd.DataFrame(
+            {"doc_id": df["doc_id"].astype(np.int64),
+             "n_bigrams": tf,
+             "nll_ppm": tf * (
+                 df["lnp_ppm"].to_numpy(dtype=np.int64)
+                 - df["lnb_ppm"].to_numpy(dtype=np.int64)
+             )}
+        )
+        return g.groupby("doc_id", sort=False).sum().reset_index()
+
+    scored = hash_aggregate(
+        j.map_batches(per_doc_partial, batch_format="pandas")
+        .map_batches(
+            lambda df: df.melt(
+                id_vars=["doc_id"], var_name="k", value_name="v"
+            ),
+            batch_format="pandas",
+        ),
+        ["doc_id", "k"], "v", op="sum", num_parts=num_parts,
+    )
+
+    def unmelt(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64),
+                 "k": pd.Series([], dtype=object),
+                 "v": pd.Series([], dtype=np.int64)}
+            )
+        return df
+
+    # zero-fill: every doc id appears, docs with <2 tokens get (0, 0)
+    zeros = docs.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df["doc_id"].astype(np.int64),
+             "k": pd.Series(["n_bigrams"] * len(df), dtype=object),
+             "v": np.zeros(len(df), dtype=np.int64)}
+        ),
+        batch_format="pandas",
+    )
+    zeros2 = docs.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df["doc_id"].astype(np.int64),
+             "k": pd.Series(["nll_ppm"] * len(df), dtype=object),
+             "v": np.zeros(len(df), dtype=np.int64)}
+        ),
+        batch_format="pandas",
+    )
+    full = hash_aggregate(
+        scored.map_batches(unmelt, batch_format="pandas")
+        .union(zeros).union(zeros2),
+        ["doc_id", "k"], "v", op="sum", num_parts=num_parts,
+    )
+
+    def pivot(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.pivot_table(
+            index="doc_id", columns="k", values="v", aggfunc="sum",
+            fill_value=0,
+        ).reset_index()
+        return pd.DataFrame(
+            {"doc_id": w["doc_id"].astype(np.int64),
+             "n_bigrams": w.get(
+                 "n_bigrams", pd.Series(0, index=w.index)
+             ).astype(np.int64),
+             "nll_ppm": w.get(
+                 "nll_ppm", pd.Series(0, index=w.index)
+             ).astype(np.int64)}
+        )
+
+    def tag_doc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__doc_part"] = (
+            df["doc_id"].to_numpy(dtype=np.int64) % num_parts
+        ).astype(np.int64)
+        return df
+
+    return (
+        full.map_batches(tag_doc, batch_format="pandas")
+        .groupby("__doc_part")
+        .map_groups(
+            lambda g: pivot(g.drop(columns="__doc_part")),
+            batch_format="pandas",
+        )
     )

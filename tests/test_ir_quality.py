@@ -207,3 +207,31 @@ def test_dag_longest_path_chain(graph_from_edges, tmp_path):
 
     got = dict(zip(keys_to_ids(out["node"]), out["layer"]))
     assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bigram_nll_closed_form():
+    """Two-doc corpus with hand-computable bigram counts."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.ir import bigram_nll
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.array([1, 2, 3], dtype=np.int64),
+        "text": ["a b a b", "a b c", "x"],
+    })).repartition(2)
+    out = (bigram_nll(docs).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # bigram counts: "a b": 3 (2 in d1, 1 in d2); "b a": 1; "b c": 1
+    # prefix counts: a·: 3, b·: 2
+    ln = lambda c: int(np.floor(np.log(float(c)) * 1e6))
+    d1 = 2 * (ln(3) - ln(3)) + 1 * (ln(2) - ln(1))   # 2x "a b" + "b a"
+    d2 = 1 * (ln(3) - ln(3)) + 1 * (ln(2) - ln(1))   # "a b" + "b c"
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert out["n_bigrams"].tolist() == [3, 2, 0]
+    assert out["nll_ppm"].tolist() == [d1, d2, 0]
+    # determinism across partitioning
+    b = (bigram_nll(docs.repartition(5)).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert out.equals(b)
