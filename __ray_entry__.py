@@ -2093,6 +2093,15 @@ def _q_assortativity(sf_dir: str) -> pd.DataFrame:
     return degree_assortativity(b["sym"])
 
 
+def _q_rich_club(sf_dir: str) -> pd.DataFrame:
+    """Rich-club coefficients phi(k) at fixed thresholds — all-integer
+    club-edge/possible-pair ratios over the undirected graph."""
+    from graph_data_science_ray.functions.graph_stats import rich_club
+
+    b = _bundle(sf_dir)
+    return rich_club(b["sym"], ks=(1, 2, 4, 8, 16))
+
+
 def _q_trajectory_pack(sf_dir: str) -> pd.DataFrame:
     """Composed trajectory flagship, oracled END-TO-END: exact
     duplicate-turn flags and agent-loop flags gate the turn set, the
@@ -4014,6 +4023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reciprocity": _q_reciprocity,
         "assortativity": _q_assortativity,
         "bigram_nll": _q_bigram_nll,
+        "rich_club": _q_rich_club,
     }
 
 
@@ -5494,6 +5504,32 @@ SELECT n, sx AS sum_x, sxx AS sum_xx, sxy AS sum_xy,
             ELSE CAST(n * sxy - sx * sx AS DOUBLE)
                  / CAST(n * sxx - sx * sx AS DOUBLE) END AS r
 FROM s
+"""
+
+    sqls["rich_club"] = f"""
+WITH {_GRAPH_CTE},
+{_UND_CTE},
+deg AS (SELECT src AS node, count(*) AS d FROM undw GROUP BY 1),
+e AS (
+  SELECT least(dx.d, dy.d) AS m
+  FROM undw u
+  JOIN deg dx ON dx.node = u.src
+  JOIN deg dy ON dy.node = u.dst
+),
+ks AS (SELECT unnest([1, 2, 4, 8, 16]) AS k),
+stats AS (
+  SELECT ks.k,
+         (SELECT count(*) FROM deg WHERE d > ks.k) AS n_nodes,
+         (SELECT count(*) FROM e WHERE m > ks.k) // 2 AS n_edges
+  FROM ks
+)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(CASE WHEN n_nodes >= 2
+            THEN 1000000 * 2 * n_edges // (n_nodes * (n_nodes - 1))
+            ELSE 0 END AS BIGINT) AS phi_ppm
+FROM stats ORDER BY k
 """
 
     sqls["trajectory_pack"] = r"""

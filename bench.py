@@ -169,6 +169,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "pack_conversations", "conversation_jaccard",
         "turn_latency", "latency_stats", "conversation_novelty",
         "trajectory_pack", "reciprocity", "assortativity", "bigram_nll",
+        "rich_club",
     ):
         timed(name, lambda n=name: q[n](sf_dir))
 

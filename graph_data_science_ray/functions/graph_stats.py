@@ -31,7 +31,7 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-__all__ = ["reciprocity", "degree_assortativity"]
+__all__ = ["reciprocity", "degree_assortativity", "rich_club"]
 
 
 def reciprocity(edges: rd.Dataset, num_parts: int = 64) -> pd.DataFrame:
@@ -156,4 +156,106 @@ def degree_assortativity(sym_edges: rd.Dataset, num_parts: int = 64) -> pd.DataF
          "num": np.array([num], dtype=np.int64),
          "den": np.array([den], dtype=np.int64),
          "r": np.array([r], dtype=np.float64)}
+    )
+
+
+def rich_club(
+    sym_edges: rd.Dataset,
+    ks: tuple = (1, 2, 4, 8, 16),
+    num_parts: int = 64,
+) -> pd.DataFrame:
+    """Rich-club coefficients φ(k) over the undirected graph (Zhou &
+    Mondragón 2004): among nodes with degree > k, the realized fraction
+    of possible links. Returns one row per threshold ``(k, n_nodes,
+    n_edges, phi_ppm)`` with ``phi_ppm = 1e6 * 2*E_k //
+    (N_k*(N_k-1))`` — all-integer, zero when fewer than 2 club nodes.
+
+    Scale shape: one degree aggregate; per-edge ``min(degx, degy)``
+    histogram + per-node degree histogram (both distinct-degree-sized,
+    ≪ E) reduce driver-side to suffix counts — no per-k passes.
+    ``sym_edges`` carries both orientations, so each undirected edge is
+    counted twice and E_k = suffix_count / 2 exactly.
+    """
+    import pyarrow as pa
+
+    from graph_data_science_ray.pipelines.agg import hash_aggregate, hash_join
+
+    ones = sym_edges.map_batches(
+        lambda df: pd.DataFrame(
+            {"src": df["src"].to_numpy(dtype=np.int64),
+             "one": np.ones(len(df), dtype=np.int64)}
+        ),
+        batch_format="pandas",
+    )
+    deg = hash_aggregate(ones, ["src"], "one", op="sum",
+                         num_parts=num_parts, out_col="deg").materialize()
+
+    # node-degree histogram (distinct-degree-sized)
+    dh = hash_aggregate(
+        deg.map_batches(
+            lambda df: pd.DataFrame(
+                {"d": df["deg"].to_numpy(dtype=np.int64),
+                 "c": np.ones(len(df), dtype=np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        ["d"], "c", op="sum", num_parts=num_parts,
+    ).to_pandas()
+
+    # per-edge min-endpoint-degree histogram
+    e = sym_edges.map_batches(
+        lambda df: pd.DataFrame(
+            {"src": df["src"].to_numpy(dtype=np.int64),
+             "dst": df["dst"].to_numpy(dtype=np.int64)}
+        ),
+        batch_format="pandas",
+    )
+    degx = deg.map_batches(
+        lambda df: df.rename(columns={"deg": "degx"}), batch_format="pandas"
+    )
+    degy = deg.map_batches(
+        lambda df: df.rename(columns={"src": "dst", "deg": "degy"}),
+        batch_format="pandas",
+    )
+    j = hash_join(
+        e, degx, on=["src"], num_parts=num_parts,
+        left_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+        right_schema=pa.schema([("src", pa.int64()), ("degx", pa.int64())]),
+    )
+    j = hash_join(
+        j, degy, on=["dst"], num_parts=num_parts,
+        left_schema=pa.schema(
+            [("src", pa.int64()), ("dst", pa.int64()), ("degx", pa.int64())]
+        ),
+        right_schema=pa.schema([("dst", pa.int64()), ("degy", pa.int64())]),
+    )
+
+    def mind_hist(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"d": pd.Series([], dtype=np.int64),
+                 "c": pd.Series([], dtype=np.int64)}
+            )
+        m = np.minimum(df["degx"].to_numpy(dtype=np.int64),
+                       df["degy"].to_numpy(dtype=np.int64))
+        g = pd.DataFrame({"d": m, "c": np.ones(len(m), dtype=np.int64)})
+        return g.groupby("d", sort=False).sum().reset_index()
+
+    eh = hash_aggregate(
+        j.map_batches(mind_hist, batch_format="pandas"),
+        ["d"], "c", op="sum", num_parts=num_parts,
+    ).to_pandas()
+
+    rows = []
+    for k in ks:
+        n_k = int(dh.loc[dh["d"] > k, "c"].sum())
+        e_k = int(eh.loc[eh["d"] > k, "c"].sum()) // 2
+        possible = n_k * (n_k - 1) // 2
+        phi = 1_000_000 * 2 * e_k // (n_k * (n_k - 1)) if n_k >= 2 else 0
+        rows.append((int(k), n_k, e_k, phi, possible))
+    return pd.DataFrame(
+        {"k": np.array([r[0] for r in rows], dtype=np.int64),
+         "n_nodes": np.array([r[1] for r in rows], dtype=np.int64),
+         "n_edges": np.array([r[2] for r in rows], dtype=np.int64),
+         "phi_ppm": np.array([r[3] for r in rows], dtype=np.int64)}
     )

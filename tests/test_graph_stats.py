@@ -57,3 +57,20 @@ def test_degree_assortativity_regular_graph_zero_den():
     out = degree_assortativity(_edges(pairs))
     assert out["den"].iloc[0] == 0
     assert out["r"].iloc[0] == 0.0
+
+
+def test_rich_club_star_plus_clique():
+    from graph_data_science_ray.functions.graph_stats import rich_club
+
+    # triangle {0,1,2} (deg>=2 each) plus pendant 3-0 (deg 1 for node 3;
+    # node 0 deg 3)
+    und = [(0, 1), (1, 2), (2, 0), (0, 3)]
+    pairs = und + [(b, a) for a, b in und]
+    out = rich_club(_edges(pairs), ks=(1, 2))
+    row = {k: (n, e, p) for k, n, e, p in
+           zip(out["k"], out["n_nodes"], out["n_edges"], out["phi_ppm"])}
+    # k=1: club = {0,1,2} (degs 3,2,2) -> 3 nodes, 3 edges among them,
+    # phi = 3/3 = 1
+    assert row[1] == (3, 3, 1_000_000)
+    # k=2: club = {0} -> fewer than 2 nodes, phi 0
+    assert row[2] == (1, 0, 0)
