@@ -1532,6 +1532,20 @@ def _q_doc_freq(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("term").reset_index(drop=True)
 
 
+
+
+def _q_vocab_topk(sf_dir: str) -> pd.DataFrame:
+    """EXACT corpus-wide top-50 term frequencies (the exact complement
+    of the CMS heavy-hitter sketch): map-side partial counts, term-hash
+    shuffle, per-partition sound local top-k, answer-sized driver merge.
+    Ordered (tf DESC, term ASC)."""
+    from graph_data_science_ray.stages.ir import term_counts_topk
+
+    out = term_counts_topk(_docs(sf_dir), k=50)
+    return out.reset_index(drop=True)
+
+
+
 def _q_tf_idf_topk(sf_dir: str) -> pd.DataFrame:
     """Per-doc top-3 terms by tf·ln(N/df); broadcast-df strategy (the
     join strategy is parity-tested in pytest)."""
@@ -4024,6 +4038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity": _q_assortativity,
         "bigram_nll": _q_bigram_nll,
         "rich_club": _q_rich_club,
+        "vocab_topk": _q_vocab_topk,
     }
 
 
@@ -7106,5 +7121,16 @@ SELECT s.pair_id,
 FROM sums s JOIN inter i USING (pair_id)
 ORDER BY s.pair_id
 """
+
+
+    sqls["vocab_topk"] = r"""
+WITH toks AS (
+  SELECT lower(t) AS term
+  FROM (SELECT unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS t
+        FROM documents)
+)
+SELECT term, CAST(count(*) AS BIGINT) AS tf
+FROM toks GROUP BY term
+ORDER BY tf DESC, term ASC LIMIT 50"""
 
     return sqls

@@ -55,6 +55,7 @@ __all__ = [
     "unigram_nll",
     "bigram_nll",
     "doc_bigrams",
+    "term_counts_topk",
 ]
 
 _TOKEN = re.compile(r"\S+")
@@ -665,3 +666,85 @@ def bigram_nll(docs: rd.Dataset, num_parts: int = 64) -> rd.Dataset:
             batch_format="pandas",
         )
     )
+
+
+def term_counts_topk(
+    docs: rd.Dataset, k: int = 50, num_parts: int = 64
+) -> pd.DataFrame:
+    """EXACT corpus-wide top-``k`` term frequencies, ``(term, tf)``
+    ordered by ``(tf DESC, term ASC)``.
+
+    The exact complement of the Count-Min heavy hitters
+    (:func:`stages.sketch.cms_heavy_hitters`): where CMS trades exactness
+    for a 16 KiB summary, this pays one vocabulary-sized shuffle for
+    verbatim counts. Scale shape:
+
+    - map-side partial counts — each batch's token stream collapses to
+      its batch vocabulary BEFORE the shuffle (the combiner), so the
+      exchange is O(batch_vocab), not O(tokens);
+    - hash-partition by term, per-partition final sums;
+    - per-partition LOCAL top-k — after the hash aggregate every term's
+      total lives in exactly one partition, so a partition's top-k is
+      globally sound and the driver merges only ``num_parts * k``
+      candidate rows (answer-sized, never the vocabulary).
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"term": pd.Series([], dtype=object),
+             "tf": pd.Series([], dtype=np.int64)}
+        )
+        if not len(batch):
+            return empty
+        toks = [
+            w.lower()
+            for t in batch["text"].fillna("")
+            for w in _TOKEN.findall(t or "")
+        ]
+        if not toks:
+            return empty
+        g = (
+            pd.DataFrame({"term": np.array(toks, dtype=object)})
+            .groupby("term", sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        g["tf"] = g["tf"].astype(np.int64)
+        return g
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__part"] = (_stable_row_hash(df, ["term"]) % num_parts).astype(
+            np.int64
+        )
+        return df
+
+    def combine_topk(g: pd.DataFrame, *, kk=int(k)) -> pd.DataFrame:
+        agg = (
+            g.groupby("term", sort=False)["tf"].sum().reset_index()
+        )
+        agg["tf"] = agg["tf"].astype(np.int64)
+        # local top-k is globally sound: this partition owns every
+        # occurrence of its terms
+        agg = agg.sort_values(
+            ["tf", "term"], ascending=[False, True], kind="mergesort"
+        ).head(kk)
+        return agg[["term", "tf"]]
+
+    cands = (
+        docs.map_batches(partial, batch_format="pandas", batch_size=4096)
+        .map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(
+            lambda g: combine_topk(g.drop(columns="__part")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    out = (
+        cands.sort_values(["tf", "term"], ascending=[False, True], kind="mergesort")
+        .head(int(k))
+        .reset_index(drop=True)
+    )
+    out["tf"] = out["tf"].astype(np.int64)
+    return out

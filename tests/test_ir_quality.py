@@ -235,3 +235,25 @@ def test_bigram_nll_closed_form():
     b = (bigram_nll(docs.repartition(5)).to_pandas()
          .sort_values("doc_id").reset_index(drop=True))
     assert out.equals(b)
+
+
+def test_term_counts_topk_exact_and_partition_invariant():
+    """Hand-computable corpus; top-k order (tf DESC, term ASC); ties
+    break lexicographically; result invariant to partitioning."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.ir import term_counts_topk
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.array([1, 2, 3, 4], dtype=np.int64),
+        "text": ["a b a", "B c a", "c d", None],
+    })).repartition(3)
+    out = term_counts_topk(docs, k=3, num_parts=4)
+    # counts: a=3, b=2 (case-folded), c=2, d=1 -> top3 = a, b, c
+    assert out["term"].tolist() == ["a", "b", "c"]
+    assert out["tf"].tolist() == [3, 2, 2]
+    again = term_counts_topk(docs.repartition(1), k=3, num_parts=7)
+    assert out.equals(again)
+    # k larger than vocab returns everything
+    full = term_counts_topk(docs, k=100)
+    assert full["tf"].sum() == 8 and len(full) == 4
