@@ -1546,6 +1546,21 @@ def _q_vocab_topk(sf_dir: str) -> pd.DataFrame:
 
 
 
+def _q_hyperanf_registers(sf_dir: str) -> pd.DataFrame:
+    """HyperANF (Boldi et al. 2011) register table after 3 BSP rounds on
+    the undirected graph: every node's m=16 HLL registers of its 3-hop
+    ball, bit-exact (md5 init, monotone max-merge) — the driver oracle
+    reproduces all three rounds in SQL verbatim."""
+    from graph_data_science_ray.functions.anf import anf_registers
+
+    b = _bundle(sf_dir)
+    out = anf_registers(b["gu"], rounds=3)
+    out["node"] = _strip(out["node"].to_numpy())
+    out["register"] = out["register"].astype(np.int64)
+    out["rho"] = out["rho"].astype(np.int64)
+    return out.sort_values(["node", "register"]).reset_index(drop=True)
+
+
 def _q_tf_idf_topk(sf_dir: str) -> pd.DataFrame:
     """Per-doc top-3 terms by tf·ln(N/df); broadcast-df strategy (the
     join strategy is parity-tested in pytest)."""
@@ -4039,6 +4054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_nll": _q_bigram_nll,
         "rich_club": _q_rich_club,
         "vocab_topk": _q_vocab_topk,
+        "hyperanf_registers": _q_hyperanf_registers,
     }
 
 
@@ -7132,5 +7148,59 @@ WITH toks AS (
 SELECT term, CAST(count(*) AS BIGINT) AS tf
 FROM toks GROUP BY term
 ORDER BY tf DESC, term ASC LIMIT 50"""
+
+
+    sqls["hyperanf_registers"] = f"""
+WITH {_GRAPH_CTE}, {_UND_CTE},
+ids AS (
+  SELECT node, CAST(row_number() OVER (ORDER BY node) - 1 AS BIGINT) AS gid
+  FROM nodes
+),
+e AS (
+  SELECT s.gid AS src, d.gid AS dst
+  FROM undw u JOIN ids s ON s.node = u.src JOIN ids d ON d.node = u.dst
+),
+h AS (
+  SELECT gid,
+         CAST(('0x' || substr(md5(CAST(gid AS VARCHAR)), 1, 8)) AS UBIGINT)
+           AS h32
+  FROM ids
+),
+init AS (
+  SELECT gid,
+         CAST(h32 // 268435456 AS BIGINT) AS register,
+         CAST(CASE WHEN h32 % 268435456 = 0 THEN 29
+              ELSE 29 - (CAST(floor(log2(CAST(h32 % 268435456 AS DOUBLE)))
+                         AS BIGINT) + 1)
+              END AS BIGINT) AS rho
+  FROM h
+),
+r1 AS MATERIALIZED (
+  SELECT gid, register, max(rho) AS rho FROM (
+    SELECT gid, register, rho FROM init
+    UNION ALL
+    SELECT e.dst AS gid, i.register, i.rho FROM e JOIN init i ON i.gid = e.src
+  ) GROUP BY gid, register
+),
+r2 AS MATERIALIZED (
+  SELECT gid, register, max(rho) AS rho FROM (
+    SELECT gid, register, rho FROM r1
+    UNION ALL
+    SELECT e.dst AS gid, i.register, i.rho FROM e JOIN r1 i ON i.gid = e.src
+  ) GROUP BY gid, register
+),
+r3 AS MATERIALIZED (
+  SELECT gid, register, max(rho) AS rho FROM (
+    SELECT gid, register, rho FROM r2
+    UNION ALL
+    SELECT e.dst AS gid, i.register, i.rho FROM e JOIN r2 i ON i.gid = e.src
+  ) GROUP BY gid, register
+),
+regs AS (SELECT CAST(unnest(generate_series(0, 15)) AS BIGINT) AS register),
+grid AS (SELECT ids.node, ids.gid, regs.register FROM ids CROSS JOIN regs)
+SELECT g.node AS node, g.register AS register,
+       CAST(coalesce(r3.rho, 0) AS BIGINT) AS rho
+FROM grid g LEFT JOIN r3 ON r3.gid = g.gid AND r3.register = g.register
+ORDER BY node, register"""
 
     return sqls

@@ -225,9 +225,14 @@ def _scatter_reduced(comp, block, state, num_parts, bounds):
                 edge_vals = np.where(edge_vals == identity, identity, edge_vals + 1)
             reduced = np.minimum.reduceat(edge_vals, run_starts)
     elif comp.reducer == "or":
-        send = np.where(active, vals, 0).astype(np.uint64)
-        edge_vals = send[src_idx]
-        reduced = np.bitwise_or.reduceat(edge_vals, run_starts)
+        if vals.ndim == 2:  # vector bitmask messages (HyperANF registers)
+            send = np.where(active[:, None], vals, 0).astype(np.uint64)
+            edge_vals = send[src_idx]
+            reduced = np.bitwise_or.reduceat(edge_vals, run_starts, axis=0)
+        else:
+            send = np.where(active, vals, 0).astype(np.uint64)
+            edge_vals = send[src_idx]
+            reduced = np.bitwise_or.reduceat(edge_vals, run_starts)
     else:  # pragma: no cover
         raise ValueError(comp.reducer)
     # ONE payload object per scatter (dst ids, reduced values, per-dest-
@@ -441,7 +446,13 @@ def _apply(comp, block, state, q, *inbox):
             acc[idx] += msg["val"][s:e]
             received[idx] = True
     elif comp.reducer == "or":
-        acc = np.zeros(n_local, dtype=np.uint64)
+        width = comp.message_width
+        for msg in inbox:
+            if msg is not None and msg["val"].ndim == 2:
+                width = msg["val"].shape[1]
+                break
+        shape = (n_local,) if width is None else (n_local, width)
+        acc = np.zeros(shape, dtype=np.uint64)
         received = np.zeros(n_local, dtype=bool)
         for msg in inbox:
             if msg is None:
