@@ -1561,6 +1561,35 @@ def _q_hyperanf_registers(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["node", "register"]).reset_index(drop=True)
 
 
+def _q_k_truss(sf_dir: str) -> pd.DataFrame:
+    """4-truss of the undirected graph (support-peeling fixpoint, round
+    cap 6 pinned to the oracle): surviving canonical edges with their
+    final in-subgraph support. Peeling is tie-break-free, so the result
+    is exact; the oracle replays every round in materialized SQL CTEs."""
+    from graph_data_science_ray.functions.truss import k_truss
+
+    b = _bundle(sf_dir)
+    keys = b["idmap"].keys
+    out, _rounds = k_truss(
+        b["sym"], k=4, node_count=len(keys), max_rounds=6, num_partitions=8
+    )
+    df = out.to_pandas()
+    if "src" not in df.columns:  # fully-empty Dataset loses schema (Ray pitfall)
+        df = pd.DataFrame(
+            {"src": pd.Series([], dtype=np.int64),
+             "dst": pd.Series([], dtype=np.int64),
+             "support": pd.Series([], dtype=np.int64)}
+        )
+    df = pd.DataFrame(
+        {
+            "src": _strip(keys[df["src"].to_numpy(dtype=np.int64)]),
+            "dst": _strip(keys[df["dst"].to_numpy(dtype=np.int64)]),
+            "support": df["support"].astype(np.int64),
+        }
+    )
+    return df.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
 def _q_tf_idf_topk(sf_dir: str) -> pd.DataFrame:
     """Per-doc top-3 terms by tf·ln(N/df); broadcast-df strategy (the
     join strategy is parity-tested in pytest)."""
@@ -4055,6 +4084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rich_club": _q_rich_club,
         "vocab_topk": _q_vocab_topk,
         "hyperanf_registers": _q_hyperanf_registers,
+        "k_truss": _q_k_truss,
     }
 
 
@@ -7202,5 +7232,130 @@ SELECT g.node AS node, g.register AS register,
        CAST(coalesce(r3.rho, 0) AS BIGINT) AS rho
 FROM grid g LEFT JOIN r3 ON r3.gid = g.gid AND r3.register = g.register
 ORDER BY node, register"""
+
+
+    sqls["k_truss"] = f"""
+WITH {_GRAPH_CTE},
+e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges
+),
+tri1 AS MATERIALIZED (
+  SELECT x.u AS a, x.v AS b, y.v AS c
+  FROM e0 x JOIN e0 y ON y.u = x.v
+  JOIN e0 z ON z.u = x.u AND z.v = y.v
+),
+sup1 AS MATERIALIZED (
+  SELECT u, v, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT a AS u, b AS v FROM tri1
+    UNION ALL SELECT b AS u, c AS v FROM tri1
+    UNION ALL SELECT a AS u, c AS v FROM tri1
+  ) GROUP BY u, v
+),
+e1 AS MATERIALIZED (
+  SELECT e.u, e.v FROM e0 e
+  LEFT JOIN sup1 s ON s.u = e.u AND s.v = e.v
+  WHERE coalesce(s.cnt, 0) >= 2
+),
+tri2 AS MATERIALIZED (
+  SELECT x.u AS a, x.v AS b, y.v AS c
+  FROM e1 x JOIN e1 y ON y.u = x.v
+  JOIN e1 z ON z.u = x.u AND z.v = y.v
+),
+sup2 AS MATERIALIZED (
+  SELECT u, v, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT a AS u, b AS v FROM tri2
+    UNION ALL SELECT b AS u, c AS v FROM tri2
+    UNION ALL SELECT a AS u, c AS v FROM tri2
+  ) GROUP BY u, v
+),
+e2 AS MATERIALIZED (
+  SELECT e.u, e.v FROM e1 e
+  LEFT JOIN sup2 s ON s.u = e.u AND s.v = e.v
+  WHERE coalesce(s.cnt, 0) >= 2
+),
+tri3 AS MATERIALIZED (
+  SELECT x.u AS a, x.v AS b, y.v AS c
+  FROM e2 x JOIN e2 y ON y.u = x.v
+  JOIN e2 z ON z.u = x.u AND z.v = y.v
+),
+sup3 AS MATERIALIZED (
+  SELECT u, v, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT a AS u, b AS v FROM tri3
+    UNION ALL SELECT b AS u, c AS v FROM tri3
+    UNION ALL SELECT a AS u, c AS v FROM tri3
+  ) GROUP BY u, v
+),
+e3 AS MATERIALIZED (
+  SELECT e.u, e.v FROM e2 e
+  LEFT JOIN sup3 s ON s.u = e.u AND s.v = e.v
+  WHERE coalesce(s.cnt, 0) >= 2
+),
+tri4 AS MATERIALIZED (
+  SELECT x.u AS a, x.v AS b, y.v AS c
+  FROM e3 x JOIN e3 y ON y.u = x.v
+  JOIN e3 z ON z.u = x.u AND z.v = y.v
+),
+sup4 AS MATERIALIZED (
+  SELECT u, v, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT a AS u, b AS v FROM tri4
+    UNION ALL SELECT b AS u, c AS v FROM tri4
+    UNION ALL SELECT a AS u, c AS v FROM tri4
+  ) GROUP BY u, v
+),
+e4 AS MATERIALIZED (
+  SELECT e.u, e.v FROM e3 e
+  LEFT JOIN sup4 s ON s.u = e.u AND s.v = e.v
+  WHERE coalesce(s.cnt, 0) >= 2
+),
+tri5 AS MATERIALIZED (
+  SELECT x.u AS a, x.v AS b, y.v AS c
+  FROM e4 x JOIN e4 y ON y.u = x.v
+  JOIN e4 z ON z.u = x.u AND z.v = y.v
+),
+sup5 AS MATERIALIZED (
+  SELECT u, v, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT a AS u, b AS v FROM tri5
+    UNION ALL SELECT b AS u, c AS v FROM tri5
+    UNION ALL SELECT a AS u, c AS v FROM tri5
+  ) GROUP BY u, v
+),
+e5 AS MATERIALIZED (
+  SELECT e.u, e.v FROM e4 e
+  LEFT JOIN sup5 s ON s.u = e.u AND s.v = e.v
+  WHERE coalesce(s.cnt, 0) >= 2
+),
+tri6 AS MATERIALIZED (
+  SELECT x.u AS a, x.v AS b, y.v AS c
+  FROM e5 x JOIN e5 y ON y.u = x.v
+  JOIN e5 z ON z.u = x.u AND z.v = y.v
+),
+sup6 AS MATERIALIZED (
+  SELECT u, v, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT a AS u, b AS v FROM tri6
+    UNION ALL SELECT b AS u, c AS v FROM tri6
+    UNION ALL SELECT a AS u, c AS v FROM tri6
+  ) GROUP BY u, v
+),
+e6 AS MATERIALIZED (
+  SELECT e.u, e.v FROM e5 e
+  LEFT JOIN sup6 s ON s.u = e.u AND s.v = e.v
+  WHERE coalesce(s.cnt, 0) >= 2
+),
+triF AS MATERIALIZED (
+  SELECT x.u AS a, x.v AS b, y.v AS c
+  FROM e6 x JOIN e6 y ON y.u = x.v
+  JOIN e6 z ON z.u = x.u AND z.v = y.v
+),
+supF AS MATERIALIZED (
+  SELECT u, v, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT a AS u, b AS v FROM triF
+    UNION ALL SELECT b AS u, c AS v FROM triF
+    UNION ALL SELECT a AS u, c AS v FROM triF
+  ) GROUP BY u, v
+)
+SELECT e.u AS src, e.v AS dst,
+       CAST(coalesce(s.cnt, 0) AS BIGINT) AS support
+FROM e6 e LEFT JOIN supF s ON s.u = e.u AND s.v = e.v
+ORDER BY src, dst"""
 
     return sqls
