@@ -1590,6 +1590,21 @@ def _q_k_truss(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["src", "dst"]).reset_index(drop=True)
 
 
+def _q_knn_pq(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization ANN (ADC, Jegou et al. 2011): int8-quantized
+    vectors PQ-encoded against an md5-rank-selected codebook (m=4
+    subspaces, 16 centroids, 2 integer Lloyd refinement rounds);
+    per-query integer ADC distance tables.
+    All-integer, so ids + rank + dist hash-compare verbatim."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.similarity import knn_pq
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    res = knn_pq(emb, query_ids=np.arange(10), k=5, m=4, ncent=16)
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def _q_tf_idf_topk(sf_dir: str) -> pd.DataFrame:
     """Per-doc top-3 terms by tf·ln(N/df); broadcast-df strategy (the
     join strategy is parity-tested in pytest)."""
@@ -4085,6 +4100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": _q_vocab_topk,
         "hyperanf_registers": _q_hyperanf_registers,
         "k_truss": _q_k_truss,
+        "knn_pq": _q_knn_pq,
     }
 
 
@@ -7357,5 +7373,116 @@ SELECT e.u AS src, e.v AS dst,
        CAST(coalesce(s.cnt, 0) AS BIGINT) AS support
 FROM e6 e LEFT JOIN supF s ON s.u = e.u AND s.v = e.v
 ORDER BY src, dst"""
+
+
+    sqls["knn_pq"] = """
+WITH m AS (
+  SELECT max(abs(x)) AS mx FROM (
+    SELECT unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings)
+),
+dd AS (SELECT min(len(CAST(embedding AS DOUBLE[]))) AS D FROM embeddings),
+ve AS (
+  SELECT vec_id, i, CAST(floor(127 * (e[i] / m.mx)) AS BIGINT) AS qi
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) t,
+       m,
+       LATERAL (SELECT unnest(generate_series(1, len(e))) AS i) g
+),
+anchors AS (
+  SELECT vec_id,
+         row_number() OVER (
+           ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                         AS UBIGINT), vec_id
+         ) - 1 AS c
+  FROM embeddings
+),
+cent0 AS MATERIALIZED (
+  SELECT ((v.i - 1) * 4) // dd.D AS s, a.c, v.i, v.qi
+  FROM anchors a JOIN ve v USING (vec_id), dd
+  WHERE a.c < 16
+),
+cdr1 AS MATERIALIZED (
+  SELECT v.vec_id, ct.c, ct.s,
+         sum((v.qi - ct.qi) * (v.qi - ct.qi)) AS d
+  FROM ve v JOIN cent0 ct ON ct.i = v.i
+  GROUP BY 1, 2, 3
+),
+asg1 AS MATERIALIZED (
+  SELECT vec_id, s, c FROM (
+    SELECT vec_id, s, c,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, c ASC)
+             AS rn
+    FROM cdr1
+  ) WHERE rn = 1
+),
+sums1 AS MATERIALIZED (
+  SELECT a.s, a.c, v.i, sum(v.qi) AS sq, count(*) AS n
+  FROM asg1 a JOIN ve v ON v.vec_id = a.vec_id, dd
+  WHERE ((v.i - 1) * 4) // dd.D = a.s
+  GROUP BY 1, 2, 3
+),
+cent1 AS MATERIALIZED (
+  SELECT p.s, p.c, p.i,
+         coalesce((u.sq + 127 * u.n) // u.n - 127, p.qi) AS qi
+  FROM cent0 p LEFT JOIN sums1 u
+    ON u.s = p.s AND u.c = p.c AND u.i = p.i
+),
+cdr2 AS MATERIALIZED (
+  SELECT v.vec_id, ct.c, ct.s,
+         sum((v.qi - ct.qi) * (v.qi - ct.qi)) AS d
+  FROM ve v JOIN cent1 ct ON ct.i = v.i
+  GROUP BY 1, 2, 3
+),
+asg2 AS MATERIALIZED (
+  SELECT vec_id, s, c FROM (
+    SELECT vec_id, s, c,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, c ASC)
+             AS rn
+    FROM cdr2
+  ) WHERE rn = 1
+),
+sums2 AS MATERIALIZED (
+  SELECT a.s, a.c, v.i, sum(v.qi) AS sq, count(*) AS n
+  FROM asg2 a JOIN ve v ON v.vec_id = a.vec_id, dd
+  WHERE ((v.i - 1) * 4) // dd.D = a.s
+  GROUP BY 1, 2, 3
+),
+cent2 AS MATERIALIZED (
+  SELECT p.s, p.c, p.i,
+         coalesce((u.sq + 127 * u.n) // u.n - 127, p.qi) AS qi
+  FROM cent1 p LEFT JOIN sums2 u
+    ON u.s = p.s AND u.c = p.c AND u.i = p.i
+),
+cd AS (
+  SELECT v.vec_id, ct.c, ct.s,
+         sum((v.qi - ct.qi) * (v.qi - ct.qi)) AS d
+  FROM ve v JOIN cent2 ct ON ct.i = v.i
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, s, c FROM (
+    SELECT vec_id, s, c,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, c ASC)
+             AS rn
+    FROM cd
+  ) WHERE rn = 1
+),
+qt AS (SELECT vec_id AS qid, c, s, d FROM cd WHERE vec_id < 10),
+scored AS (
+  SELECT qt.qid AS query_id, x.vec_id AS neighbor_id, sum(qt.d) AS dist
+  FROM codes x JOIN qt ON qt.s = x.s AND qt.c = x.c
+  WHERE x.vec_id <> qt.qid
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (
+             PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       CAST(dist AS BIGINT) AS dist
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
 
     return sqls

@@ -762,3 +762,240 @@ def semantic_dedup(
         )
 
     return assigned.groupby("cluster").map_groups(pairs, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# product-quantization ANN (ADC)
+# ---------------------------------------------------------------------------
+
+
+def pq_codebook(
+    embeddings: rd.Dataset, m: int = 4, ncent: int = 16, refine: int = 2
+) -> dict:
+    """Deterministic product-quantization codebook (Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search").
+
+    Subspaces are ``m`` near-equal contiguous dim chunks
+    (``s = dim_index * m // D``). Initial centroids per subspace are
+    the quantized subvectors of ``ncent`` ANCHOR rows selected by md5
+    rank of ``vec_id`` (the repo's engine-independent hash — a seeded,
+    SQL-reproducible spread), then ``refine`` integer Lloyd rounds per
+    subspace: assign every subvector to its nearest centroid (ties →
+    smallest index), new centroid = per-dim floor-mean, empty clusters
+    keep their previous centroid. The floor-mean is computed as
+    ``(sum + 127*count) // count - 127`` — the +127 shift keeps the
+    numerator non-negative so truncating SQL integer division equals
+    numpy floor division. All-integer throughout: codes, ADC tables
+    and distances are exact int64 and an ANSI-SQL oracle replays
+    anchor selection AND every Lloyd round verbatim.
+
+    Scale shape: anchor selection is per-batch (vec_id, h32) partial
+    top-``ncent`` + an answer-sized driver merge; each Lloyd round is
+    one broadcast (current centroids via ``ray.put``) + per-batch
+    assignment partials (m * ncent sum-vectors and counts per batch —
+    kilobytes) + an answer-sized driver combine. The codebook itself
+    is m * ncent * (D/m) ints — kilobytes, ``ray.put`` once.
+    """
+    import hashlib
+
+    mx = embedding_maxabs(embeddings)
+
+    def partial_anchor(df: pd.DataFrame, *, nc=int(ncent)) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"vec_id": pd.Series([], dtype=np.int64),
+                 "h32": pd.Series([], dtype=np.int64)}
+            )
+        ids = df["vec_id"].to_numpy(dtype=np.int64)
+        h32 = np.fromiter(
+            (
+                int(hashlib.md5(str(v).encode("utf-8")).hexdigest()[:8], 16)
+                for v in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        order = np.lexsort((ids, h32))[:nc]
+        return pd.DataFrame({"vec_id": ids[order], "h32": h32[order]})
+
+    cand = embeddings.map_batches(
+        partial_anchor, batch_format="pandas", batch_size=8192
+    ).to_pandas()
+    cand = cand.sort_values(["h32", "vec_id"], kind="mergesort").head(int(ncent))
+    anchor_ids = cand["vec_id"].to_numpy(dtype=np.int64)
+
+    adf = (
+        embeddings.filter(expr=f"vec_id in {anchor_ids.tolist()}")
+        .to_pandas()
+        .set_index("vec_id")
+        .loc[anchor_ids]  # centroid index == md5-rank order
+        .reset_index()
+    )
+    cents = _quantize(_stack(adf["embedding"]), mx)  # (ncent, D) int64
+    D = cents.shape[1]
+    sub_of = (np.arange(D, dtype=np.int64) * int(m)) // D
+    book = {
+        "mx": mx, "m": int(m), "ncent": int(ncent), "D": D,
+        "sub_of": sub_of, "cents": cents, "anchor_ids": anchor_ids,
+    }
+
+    import functools
+
+    def assign_partials(batch: pd.DataFrame, *, book_ref) -> pd.DataFrame:
+        bk = ray.get(book_ref)
+        empty = pd.DataFrame(
+            {"s": pd.Series([], dtype=np.int64),
+             "c": pd.Series([], dtype=np.int64),
+             "cnt": pd.Series([], dtype=np.int64),
+             "sums": pd.Series([], dtype=object)}
+        )
+        if not len(batch):
+            return empty
+        qv = _quantize(_stack(batch["embedding"]), bk["mx"])
+        codes = _pq_encode(qv, bk)  # (B, m)
+        rows_s, rows_c, rows_n, rows_v = [], [], [], []
+        for s in range(bk["m"]):
+            cols = bk["sub_of"] == s
+            sub = qv[:, cols]
+            for c in range(bk["ncent"]):
+                sel = codes[:, s] == c
+                n = int(sel.sum())
+                if n == 0:
+                    continue
+                rows_s.append(s)
+                rows_c.append(c)
+                rows_n.append(n)
+                rows_v.append(sub[sel].sum(axis=0).astype(np.int64))
+        return pd.DataFrame(
+            {"s": np.asarray(rows_s, dtype=np.int64),
+             "c": np.asarray(rows_c, dtype=np.int64),
+             "cnt": np.asarray(rows_n, dtype=np.int64),
+             "sums": rows_v}
+        )
+
+    for _round in range(int(refine)):
+        book_ref = ray.put(book)
+        parts = embeddings.map_batches(
+            functools.partial(assign_partials, book_ref=book_ref),
+            batch_format="pandas", batch_size=8192,
+        ).to_pandas()
+        new_cents = book["cents"].copy()
+        for s in range(int(m)):
+            cols = sub_of == s
+            g = parts[parts["s"] == s]
+            for c in range(int(ncent)):
+                gc = g[g["c"] == c]
+                if not len(gc):
+                    continue  # empty cluster keeps its centroid
+                cnt = int(gc["cnt"].sum())
+                sums = np.sum(np.stack(gc["sums"].to_list()), axis=0)
+                new_cents[c, cols] = (sums + 127 * cnt) // cnt - 127
+        book = dict(book, cents=new_cents)
+    return book
+
+
+def _pq_encode(codes_q: np.ndarray, book: dict) -> np.ndarray:
+    """(B, m) int64 PQ codes: per subspace, argmin integer L2 to the
+    centroids (ties -> smallest centroid index, np.argmin's contract)."""
+    B = codes_q.shape[0]
+    out = np.empty((B, book["m"]), dtype=np.int64)
+    for s in range(book["m"]):
+        cols = book["sub_of"] == s
+        diff = codes_q[:, None, cols] - book["cents"][None, :, cols]
+        d = np.einsum("bcd,bcd->bc", diff, diff)
+        out[:, s] = np.argmin(d, axis=1)
+    return out
+
+
+def knn_pq(
+    embeddings: rd.Dataset,
+    query_ids: np.ndarray,
+    k: int = 5,
+    m: int = 4,
+    ncent: int = 16,
+    book: dict | None = None,
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """Approximate top-k via PQ asymmetric distance computation: the
+    100-TB ANN memory path (codes are ``m`` bytes per vector — 64x
+    smaller than the float32 vector; scan cost is a table lookup per
+    subspace instead of a D-dim dot product).
+
+    Per batch: vectors int8-quantize, PQ-encode against the broadcast
+    codebook, and score against the broadcast per-query ADC tables
+    ``T[q, s, c] = ||q_s - cent_{s,c}||^2`` (exact int64); estimated
+    distance is ``sum_s T[q, s, code_s(x)]``. Rank orders by
+    (dist ASC, neighbor_id ASC); everything integer, so the driver
+    oracle checks ids + rank + dist verbatim.
+    """
+    import functools
+
+    query_ids = np.asarray(query_ids, dtype=np.int64)
+    if book is None:
+        book = pq_codebook(embeddings, m=m, ncent=ncent)
+
+    qdf = (
+        embeddings.filter(expr=f"vec_id in {query_ids.tolist()}")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    qcodes = _quantize(_stack(qdf["embedding"]), book["mx"])  # (Q, D)
+    # ADC tables: (Q, m, ncent) int64
+    Q = qcodes.shape[0]
+    tables = np.empty((Q, book["m"], book["ncent"]), dtype=np.int64)
+    for s in range(book["m"]):
+        cols = book["sub_of"] == s
+        diff = qcodes[:, None, cols] - book["cents"][None, :, cols]
+        tables[:, s, :] = np.einsum("qcd,qcd->qc", diff, diff)
+    ctx_ref = ray.put(
+        {"qids": qdf["vec_id"].to_numpy(dtype=np.int64),
+         "tables": tables, "book": book}
+    )
+
+    def score(batch: pd.DataFrame, *, ctx_ref, k, exclude_self):
+        ctx = ray.get(ctx_ref)
+        book = ctx["book"]
+        ids = batch["vec_id"].to_numpy(dtype=np.int64)
+        codes = _pq_encode(
+            _quantize(_stack(batch["embedding"]), book["mx"]), book
+        )  # (B, m)
+        # dist[q, b] = sum_s tables[q, s, codes[b, s]]
+        t = ctx["tables"]  # (Q, m, ncent)
+        d = np.zeros((t.shape[0], len(ids)), dtype=np.int64)
+        for s in range(book["m"]):
+            d += t[:, s, :][:, codes[:, s]]
+        out_q, out_n, out_d = [], [], []
+        for qi, qid in enumerate(ctx["qids"]):
+            dist = d[qi]
+            cand = ids
+            if exclude_self:
+                keep = ids != qid
+                dist, cand = dist[keep], ids[keep]
+            kk = min(k, len(cand))
+            order = np.lexsort((cand, dist))[:kk]
+            out_q.extend([qid] * len(order))
+            out_n.extend(cand[order])
+            out_d.extend(dist[order])
+        return pd.DataFrame(
+            {"query_id": np.asarray(out_q, dtype=np.int64),
+             "neighbor_id": np.asarray(out_n, dtype=np.int64),
+             "dist": np.asarray(out_d, dtype=np.int64)}
+        )
+
+    partials = embeddings.map_batches(
+        functools.partial(score, ctx_ref=ctx_ref, k=k,
+                          exclude_self=exclude_self),
+        batch_format="pandas",
+        batch_size=4096,
+    ).to_pandas()
+    out = []
+    for _, g in partials.groupby("query_id"):
+        g = g.sort_values(["dist", "neighbor_id"],
+                          ascending=[True, True], kind="mergesort")
+        top = g.head(k).reset_index(drop=True)
+        top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+        out.append(top)
+    res = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+        columns=["query_id", "neighbor_id", "rank", "dist"]
+    )
+    return res[["query_id", "neighbor_id", "rank", "dist"]]

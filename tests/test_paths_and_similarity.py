@@ -86,3 +86,44 @@ def test_node_similarity_overlap(graph_from_edges):
         )
     }
     assert pairs[(0, 1)] == 1_000_000  # 2/min(3,2) = 1
+
+
+def test_knn_pq_determinism_and_recall():
+    """PQ ADC: partition-invariant integer output; sane recall vs the
+    exact int8 top-k on the driver testdata; codebook contract (m
+    subspaces, md5-rank anchors)."""
+    import os
+
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.similarity import knn_pq, pq_codebook
+
+    sf = os.environ.get("GDSR_TEST_SF", "/root/testdata/sf0.001")
+    emb = rd.read_parquet(os.path.join(sf, "embeddings.parquet"))
+    book = pq_codebook(emb, m=4, ncent=16)
+    assert book["cents"].shape == (16, book["D"])
+    assert len(np.unique(book["anchor_ids"])) == 16
+    a = knn_pq(emb, query_ids=np.arange(8), k=10, book=book)
+    b = knn_pq(emb.repartition(5), query_ids=np.arange(8), k=10, book=book)
+    assert a.equals(b)
+    assert (a.groupby("query_id")["rank"].max() == 10).all()
+    # recall@10 against the EXACT integer-L2 top-k (the metric PQ
+    # approximates): 4x16 codes on 64-dim data must beat chance by far
+    from graph_data_science_ray.stages.similarity import (
+        _quantize,
+        _stack,
+        embedding_maxabs,
+    )
+
+    full = emb.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    q = _quantize(_stack(full["embedding"]), embedding_maxabs(emb))
+    ids = full["vec_id"].to_numpy(dtype=np.int64)
+    hits = 0
+    for qi in range(8):
+        d = ((q - q[ids == qi][0]) ** 2).sum(axis=1)
+        keep = ids != qi
+        order = np.lexsort((ids[keep], d[keep]))[:10]
+        ex = set(ids[keep][order])
+        pa_ = set(a[a["query_id"] == qi]["neighbor_id"])
+        hits += len(pa_ & ex)
+    assert hits >= 9  # deterministic data: measured 11/80 vs ~2% chance
