@@ -1605,6 +1605,17 @@ def _q_knn_pq(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _q_hashed_features(sf_dir: str) -> pd.DataFrame:
+    """Feature hashing: 64-bucket md5 token folding, sparse long-format
+    (doc_id, bucket, cnt) — the vocabulary-free featurizer. Exact."""
+    from graph_data_science_ray.stages.ir import hashed_features
+
+    out = hashed_features(_docs(sf_dir), dim=64).to_pandas()
+    for c in ("doc_id", "bucket", "cnt"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["doc_id", "bucket"]).reset_index(drop=True)
+
+
 def _q_tf_idf_topk(sf_dir: str) -> pd.DataFrame:
     """Per-doc top-3 terms by tf·ln(N/df); broadcast-df strategy (the
     join strategy is parity-tested in pytest)."""
@@ -4101,6 +4112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hyperanf_registers": _q_hyperanf_registers,
         "k_truss": _q_k_truss,
         "knn_pq": _q_knn_pq,
+        "hashed_features": _q_hashed_features,
     }
 
 
@@ -7484,5 +7496,20 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
        CAST(dist AS BIGINT) AS dist
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
+
+
+    sqls["hashed_features"] = r"""
+WITH toks AS (
+  SELECT doc_id, lower(t) AS term
+  FROM (SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '\S+'))
+          AS t
+        FROM documents)
+)
+SELECT doc_id,
+       CAST(CAST(('0x' || substr(md5(term), 1, 8)) AS UBIGINT) % 64
+            AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM toks GROUP BY 1, 2
+ORDER BY doc_id, bucket"""
 
     return sqls

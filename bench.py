@@ -170,6 +170,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "turn_latency", "latency_stats", "conversation_novelty",
         "trajectory_pack", "reciprocity", "assortativity", "bigram_nll",
         "rich_club",
+        # round-4 (session 7): exact vocab top-k, HyperANF, k-truss, PQ-ANN
+        "vocab_topk", "hyperanf_registers", "k_truss", "knn_pq",
     ):
         timed(name, lambda n=name: q[n](sf_dir))
 

@@ -56,6 +56,7 @@ __all__ = [
     "bigram_nll",
     "doc_bigrams",
     "term_counts_topk",
+    "hashed_features",
 ]
 
 _TOKEN = re.compile(r"\S+")
@@ -748,3 +749,63 @@ def term_counts_topk(
     )
     out["tf"] = out["tf"].astype(np.int64)
     return out
+
+
+def hashed_features(
+    docs: rd.Dataset, dim: int = 64, num_parts: int = 64
+) -> rd.Dataset:
+    """Feature hashing (Weinberger et al. 2009, "Feature Hashing for
+    Large Scale Multitask Learning"): each document's token counts fold
+    into a FIXED ``dim``-bucket integer vector via ``md5(token) % dim``
+    — the vocabulary-free featurizer a 100-TB pipeline feeds to kmeans
+    / knn / linear models without ever shuffling a vocabulary.
+
+    Returns sparse long-format ``(doc_id, bucket, cnt)`` rows (dense
+    layout is a trivial pivot; long format keeps the driver compare and
+    downstream joins schema-stable). Row-local — tokens hash and
+    collapse inside each batch, one doc-hash shuffle combines rows of
+    re-batched docs; md5 keeps the buckets bit-exactly reproducible in
+    ANSI SQL.
+    """
+    import hashlib
+
+    def partial(batch: pd.DataFrame, *, d=int(dim)) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series([], dtype=np.int64),
+             "bucket": pd.Series([], dtype=np.int64),
+             "cnt": pd.Series([], dtype=np.int64)}
+        )
+        if not len(batch):
+            return empty
+        tok_lists = [
+            [w.lower() for w in _TOKEN.findall(t or "")]
+            for t in batch["text"].fillna("")
+        ]
+        counts = np.fromiter(
+            (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+        )
+        if counts.sum() == 0:
+            return empty
+        flat = [w for toks in tok_lists for w in toks]
+        buckets = np.fromiter(
+            (
+                int(hashlib.md5(w.encode("utf-8")).hexdigest()[:8], 16) % d
+                for w in flat
+            ),
+            dtype=np.int64,
+            count=len(flat),
+        )
+        doc_of = np.repeat(batch["doc_id"].to_numpy(dtype=np.int64), counts)
+        g = (
+            pd.DataFrame({"doc_id": doc_of, "bucket": buckets})
+            .groupby(["doc_id", "bucket"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    return hash_aggregate(
+        docs.map_batches(partial, batch_format="pandas", batch_size=4096),
+        ["doc_id", "bucket"], "cnt", op="sum", num_parts=num_parts,
+    )

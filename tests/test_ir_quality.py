@@ -257,3 +257,32 @@ def test_term_counts_topk_exact_and_partition_invariant():
     # k larger than vocab returns everything
     full = term_counts_topk(docs, k=100)
     assert full["tf"].sum() == 8 and len(full) == 4
+
+
+def test_hashed_features_exact_and_fold():
+    """Hand-checkable folding: same token always lands in one bucket;
+    counts sum across repeats; partition-invariant."""
+    import hashlib
+
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.ir import hashed_features
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.array([1, 2], dtype=np.int64),
+        "text": ["a a b", "A c"],
+    })).repartition(2)
+    out = (hashed_features(docs, dim=8).to_pandas()
+           .sort_values(["doc_id", "bucket"]).reset_index(drop=True))
+    bk = lambda w: int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 8
+    # doc1: a->2 at bk(a), b->1 at bk(b); doc2: a->1, c->1 (case-folded)
+    exp = pd.DataFrame({
+        "doc_id": [1, 1, 2, 2],
+        "bucket": [bk("a"), bk("b"), bk("a"), bk("c")],
+        "cnt": [2, 1, 1, 1],
+    }).sort_values(["doc_id", "bucket"]).reset_index(drop=True)
+    assert out.astype(np.int64).equals(exp.astype(np.int64))
+    again = (hashed_features(docs.repartition(1), dim=8, num_parts=3)
+             .to_pandas().sort_values(["doc_id", "bucket"])
+             .reset_index(drop=True))
+    assert out.equals(again)
