@@ -1616,6 +1616,20 @@ def _q_hashed_features(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_id", "bucket"]).reset_index(drop=True)
 
 
+def _q_latency_moments(sf_dir: str) -> pd.DataFrame:
+    """Per-conversation latency moments (n, sum, sum-of-squares in
+    exact int64 microseconds) — the burstiness/Fano-factor signal."""
+    import graph_data_science_ray as gdsr
+
+    from graph_data_science_ray.stages.trajectory import latency_moments
+
+    turns = gdsr.events_as_transcripts(sf_dir)
+    out = latency_moments(turns).to_pandas()
+    for c in ("n_gaps", "sum_us", "sumsq_ms2"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("conv").reset_index(drop=True)
+
+
 def _q_tf_idf_topk(sf_dir: str) -> pd.DataFrame:
     """Per-doc top-3 terms by tf·ln(N/df); broadcast-df strategy (the
     join strategy is parity-tested in pytest)."""
@@ -4113,6 +4127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_truss": _q_k_truss,
         "knn_pq": _q_knn_pq,
         "hashed_features": _q_hashed_features,
+        "latency_moments": _q_latency_moments,
     }
 
 
@@ -7511,5 +7526,27 @@ SELECT doc_id,
        CAST(count(*) AS BIGINT) AS cnt
 FROM toks GROUP BY 1, 2
 ORDER BY doc_id, bucket"""
+
+
+    sqls["latency_moments"] = r"""
+WITH t AS (
+  SELECT event_type AS conv,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS idx,
+         ts
+  FROM events
+),
+d AS (
+  SELECT conv,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY conv ORDER BY idx), ts) AS gap
+  FROM t
+)
+SELECT conv,
+       CAST(count(gap) AS BIGINT) AS n_gaps,
+       CAST(coalesce(sum(gap), 0) AS BIGINT) AS sum_us,
+       CAST(coalesce(sum((gap // 1000) * (gap // 1000)), 0) AS BIGINT)
+         AS sumsq_ms2
+FROM d GROUP BY conv ORDER BY conv"""
 
     return sqls

@@ -70,6 +70,7 @@ __all__ = [
     "latency_stats",
     "conversation_novelty",
     "trajectory_pack",
+    "latency_moments",
 ]
 
 
@@ -655,3 +656,36 @@ def trajectory_pack(
     return pack_conversations(
         kept, budget, conv_col="conv", text_col="text"
     )
+
+
+def latency_moments(
+    turns: rd.Dataset,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    ts_col: str = "ts",
+) -> rd.Dataset:
+    """Per-conversation response-latency MOMENTS: ``(conv, n_gaps,
+    sum_us, sumsq_us)`` over consecutive-turn timestamp deltas (stable
+    turn order) — the burstiness signal :func:`latency_stats` can't
+    express (variance / Fano factor = f(sum, sumsq, n); a steady agent
+    and a stall-then-burst agent share the same total but not the same
+    second moment). Exact int64 discipline: ``sum_us`` is exact
+    microseconds; the squared term uses MILLISECOND gaps
+    (``sumsq_ms2 = sum((gap_us // 1000)^2)``) so a multi-hour gap
+    squared stays far below 2^63 — squaring raw microseconds overflows
+    int64 at ~2.5 hours. Same scale shape as every trajectory op: one
+    conv-hash groupby, conversations are bounded."""
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(idx_col, kind="mergesort")
+        t = g[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        d = t[1:] - t[:-1] if len(t) > 1 else np.array([], dtype=np.int64)
+        return pd.DataFrame(
+            {"conv": [str(g[conv_col].iloc[0])],
+             "n_gaps": np.array([len(d)], dtype=np.int64),
+             "sum_us": np.array([int(d.sum())], dtype=np.int64),
+             "sumsq_ms2": np.array(
+                 [int(((d // 1000) * (d // 1000)).sum())], dtype=np.int64)}
+        )
+
+    return turns.groupby(conv_col).map_groups(per_group, batch_format="pandas")

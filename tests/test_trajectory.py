@@ -254,3 +254,25 @@ def test_trajectory_pack_composition():
     b = (trajectory_pack(_turns().repartition(5), budget=2).to_pandas()
          .sort_values("conv").reset_index(drop=True))
     assert out.equals(b)
+
+
+def test_latency_moments_exact():
+    """Hand-computed gaps; ms-squared discipline; empty-gap conv."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.trajectory import latency_moments
+
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    turns = rd.from_pandas(pd.DataFrame({
+        "conv_id": ["a", "a", "a", "b"],
+        "turn_idx": np.array([0, 1, 2, 0], dtype=np.int32),
+        "ts": [base, base + np.timedelta64(1_500_000, "us"),
+               base + np.timedelta64(4_500_000, "us"), base],
+    }))
+    out = (latency_moments(turns).to_pandas()
+           .sort_values("conv").reset_index(drop=True))
+    # conv a: gaps 1.5s, 3.0s -> sum 4.5e6 us; ms^2: 1500^2 + 3000^2
+    assert out["conv"].tolist() == ["a", "b"]
+    assert out["n_gaps"].tolist() == [2, 0]
+    assert out["sum_us"].tolist() == [4_500_000, 0]
+    assert out["sumsq_ms2"].tolist() == [1500**2 + 3000**2, 0]
