@@ -1630,6 +1630,23 @@ def _q_latency_moments(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("conv").reset_index(drop=True)
 
 
+def _q_knn_ivfpq(sf_dir: str) -> pd.DataFrame:
+    """IVF-PQ composed ANN: integer coarse quantizer (m=1 PQ codebook,
+    8 lists, 2 Lloyd rounds) prunes to nprobe=2 lists; PQ ADC (m=4, 16
+    centroids, 2 Lloyd rounds) scores survivors. The oracle replays the
+    ENTIRE composition — both codebooks, probes, ranking — in SQL."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.similarity import knn_ivfpq
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    res = knn_ivfpq(
+        emb, query_ids=np.arange(10), k=5, num_lists=8, nprobe=2,
+        m=4, ncent=16, refine=2,
+    )
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def _q_tf_idf_topk(sf_dir: str) -> pd.DataFrame:
     """Per-doc top-3 terms by tf·ln(N/df); broadcast-df strategy (the
     join strategy is parity-tested in pytest)."""
@@ -4128,6 +4145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_pq": _q_knn_pq,
         "hashed_features": _q_hashed_features,
         "latency_moments": _q_latency_moments,
+        "knn_ivfpq": _q_knn_ivfpq,
     }
 
 
@@ -7548,5 +7566,197 @@ SELECT conv,
        CAST(coalesce(sum((gap // 1000) * (gap // 1000)), 0) AS BIGINT)
          AS sumsq_ms2
 FROM d GROUP BY conv ORDER BY conv"""
+
+
+    sqls["knn_ivfpq"] = """
+WITH m AS (
+  SELECT max(abs(x)) AS mx FROM (
+    SELECT unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings)
+),
+dd AS (SELECT min(len(CAST(embedding AS DOUBLE[]))) AS D FROM embeddings),
+ve AS (
+  SELECT vec_id, i, CAST(floor(127 * (e[i] / m.mx)) AS BIGINT) AS qi
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) t,
+       m,
+       LATERAL (SELECT unnest(generate_series(1, len(e))) AS i) g
+),
+anchors AS (
+  SELECT vec_id,
+         row_number() OVER (
+           ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                         AS UBIGINT), vec_id
+         ) - 1 AS c
+  FROM embeddings
+),
+ccent0 AS MATERIALIZED (
+  SELECT ((v.i - 1) * 1) // dd.D AS s, a.c, v.i, v.qi
+  FROM anchors a JOIN ve v USING (vec_id), dd
+  WHERE a.c < 8
+),
+ccdr1 AS MATERIALIZED (
+  SELECT v.vec_id, ct.c, ct.s,
+         sum((v.qi - ct.qi) * (v.qi - ct.qi)) AS d
+  FROM ve v JOIN ccent0 ct ON ct.i = v.i
+  GROUP BY 1, 2, 3
+),
+casg1 AS MATERIALIZED (
+  SELECT vec_id, s, c FROM (
+    SELECT vec_id, s, c,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, c ASC)
+             AS rn
+    FROM ccdr1
+  ) WHERE rn = 1
+),
+csums1 AS MATERIALIZED (
+  SELECT a.s, a.c, v.i, sum(v.qi) AS sq, count(*) AS n
+  FROM casg1 a JOIN ve v ON v.vec_id = a.vec_id, dd
+  WHERE ((v.i - 1) * 1) // dd.D = a.s
+  GROUP BY 1, 2, 3
+),
+ccent1 AS MATERIALIZED (
+  SELECT pp.s, pp.c, pp.i,
+         coalesce((u.sq + 127 * u.n) // u.n - 127, pp.qi) AS qi
+  FROM ccent0 pp LEFT JOIN csums1 u
+    ON u.s = pp.s AND u.c = pp.c AND u.i = pp.i
+),
+ccdr2 AS MATERIALIZED (
+  SELECT v.vec_id, ct.c, ct.s,
+         sum((v.qi - ct.qi) * (v.qi - ct.qi)) AS d
+  FROM ve v JOIN ccent1 ct ON ct.i = v.i
+  GROUP BY 1, 2, 3
+),
+casg2 AS MATERIALIZED (
+  SELECT vec_id, s, c FROM (
+    SELECT vec_id, s, c,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, c ASC)
+             AS rn
+    FROM ccdr2
+  ) WHERE rn = 1
+),
+csums2 AS MATERIALIZED (
+  SELECT a.s, a.c, v.i, sum(v.qi) AS sq, count(*) AS n
+  FROM casg2 a JOIN ve v ON v.vec_id = a.vec_id, dd
+  WHERE ((v.i - 1) * 1) // dd.D = a.s
+  GROUP BY 1, 2, 3
+),
+ccent2 AS MATERIALIZED (
+  SELECT pp.s, pp.c, pp.i,
+         coalesce((u.sq + 127 * u.n) // u.n - 127, pp.qi) AS qi
+  FROM ccent1 pp LEFT JOIN csums2 u
+    ON u.s = pp.s AND u.c = pp.c AND u.i = pp.i
+),
+fcent0 AS MATERIALIZED (
+  SELECT ((v.i - 1) * 4) // dd.D AS s, a.c, v.i, v.qi
+  FROM anchors a JOIN ve v USING (vec_id), dd
+  WHERE a.c < 16
+),
+fcdr1 AS MATERIALIZED (
+  SELECT v.vec_id, ct.c, ct.s,
+         sum((v.qi - ct.qi) * (v.qi - ct.qi)) AS d
+  FROM ve v JOIN fcent0 ct ON ct.i = v.i
+  GROUP BY 1, 2, 3
+),
+fasg1 AS MATERIALIZED (
+  SELECT vec_id, s, c FROM (
+    SELECT vec_id, s, c,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, c ASC)
+             AS rn
+    FROM fcdr1
+  ) WHERE rn = 1
+),
+fsums1 AS MATERIALIZED (
+  SELECT a.s, a.c, v.i, sum(v.qi) AS sq, count(*) AS n
+  FROM fasg1 a JOIN ve v ON v.vec_id = a.vec_id, dd
+  WHERE ((v.i - 1) * 4) // dd.D = a.s
+  GROUP BY 1, 2, 3
+),
+fcent1 AS MATERIALIZED (
+  SELECT pp.s, pp.c, pp.i,
+         coalesce((u.sq + 127 * u.n) // u.n - 127, pp.qi) AS qi
+  FROM fcent0 pp LEFT JOIN fsums1 u
+    ON u.s = pp.s AND u.c = pp.c AND u.i = pp.i
+),
+fcdr2 AS MATERIALIZED (
+  SELECT v.vec_id, ct.c, ct.s,
+         sum((v.qi - ct.qi) * (v.qi - ct.qi)) AS d
+  FROM ve v JOIN fcent1 ct ON ct.i = v.i
+  GROUP BY 1, 2, 3
+),
+fasg2 AS MATERIALIZED (
+  SELECT vec_id, s, c FROM (
+    SELECT vec_id, s, c,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, c ASC)
+             AS rn
+    FROM fcdr2
+  ) WHERE rn = 1
+),
+fsums2 AS MATERIALIZED (
+  SELECT a.s, a.c, v.i, sum(v.qi) AS sq, count(*) AS n
+  FROM fasg2 a JOIN ve v ON v.vec_id = a.vec_id, dd
+  WHERE ((v.i - 1) * 4) // dd.D = a.s
+  GROUP BY 1, 2, 3
+),
+fcent2 AS MATERIALIZED (
+  SELECT pp.s, pp.c, pp.i,
+         coalesce((u.sq + 127 * u.n) // u.n - 127, pp.qi) AS qi
+  FROM fcent1 pp LEFT JOIN fsums2 u
+    ON u.s = pp.s AND u.c = pp.c AND u.i = pp.i
+),
+ccd AS (
+  SELECT v.vec_id, ct.c, sum((v.qi - ct.qi) * (v.qi - ct.qi)) AS d
+  FROM ve v JOIN ccent2 ct ON ct.i = v.i
+  GROUP BY 1, 2
+),
+casg AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC)
+             AS rn
+    FROM ccd
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS qid, c FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC)
+             AS rn
+    FROM ccd WHERE vec_id < 10
+  ) WHERE rn <= 2
+),
+fcd AS (
+  SELECT v.vec_id, ct.c, ct.s,
+         sum((v.qi - ct.qi) * (v.qi - ct.qi)) AS d
+  FROM ve v JOIN fcent2 ct ON ct.i = v.i
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, s, c FROM (
+    SELECT vec_id, s, c,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, c ASC)
+             AS rn
+    FROM fcd
+  ) WHERE rn = 1
+),
+qt AS (SELECT vec_id AS qid, c, s, d FROM fcd WHERE vec_id < 10),
+scored AS (
+  SELECT qt.qid AS query_id, x.vec_id AS neighbor_id, sum(qt.d) AS dist
+  FROM codes x
+  JOIN qt ON qt.s = x.s AND qt.c = x.c
+  JOIN casg ON casg.vec_id = x.vec_id
+  JOIN probe ON probe.qid = qt.qid AND probe.c = casg.c
+  WHERE x.vec_id <> qt.qid
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (
+             PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       CAST(dist AS BIGINT) AS dist
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
 
     return sqls

@@ -999,3 +999,119 @@ def knn_pq(
         columns=["query_id", "neighbor_id", "rank", "dist"]
     )
     return res[["query_id", "neighbor_id", "rank", "dist"]]
+
+
+def knn_ivfpq(
+    embeddings: rd.Dataset,
+    query_ids: np.ndarray,
+    k: int = 5,
+    num_lists: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    ncent: int = 16,
+    refine: int = 2,
+    coarse: dict | None = None,
+    book: dict | None = None,
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """IVF-PQ: the composed corpus-scale ANN path — a coarse integer
+    quantizer prunes the candidate set to ``nprobe``/``num_lists`` of
+    the corpus, PQ ADC scores the survivors from ``m``-byte codes.
+
+    Both stages reuse :func:`pq_codebook`'s all-integer machinery: the
+    coarse quantizer IS a PQ codebook with ``m=1`` (one subspace =
+    whole vector, ``num_lists`` centroids, same md5-rank anchors +
+    integer Lloyd rounds), so list assignment, probe selection
+    (integer L2 to coarse centroids, ties → smaller list id) and ADC
+    distances are all exact int64 and the driver oracle replays the
+    ENTIRE composition — both codebooks' Lloyd rounds, the probe
+    pruning, and the final ranking — verbatim in SQL.
+
+    At corpus scale the coarse assignment becomes the partition key:
+    write the code table partitioned by list id once and probes prune
+    AT THE READ (only nprobe/num_lists of the files open); here the
+    pruning happens inside streaming batches, same contract as
+    ``knn_ivf``. Output ranks by (dist ASC, neighbor_id ASC).
+    """
+    import functools
+
+    query_ids = np.asarray(query_ids, dtype=np.int64)
+    if coarse is None:
+        coarse = pq_codebook(embeddings, m=1, ncent=num_lists, refine=refine)
+    if book is None:
+        book = pq_codebook(embeddings, m=m, ncent=ncent, refine=refine)
+
+    qdf = (
+        embeddings.filter(expr=f"vec_id in {query_ids.tolist()}")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    qcodes = _quantize(_stack(qdf["embedding"]), book["mx"])  # (Q, D)
+    Q = qcodes.shape[0]
+    # probe lists: integer L2 to the coarse centroids, nprobe smallest
+    cdiff = qcodes[:, None, :] - coarse["cents"][None, :, :]
+    cdist = np.einsum("qcd,qcd->qc", cdiff, cdiff)  # (Q, num_lists)
+    probes = np.empty((Q, int(nprobe)), dtype=np.int64)
+    for qi in range(Q):
+        probes[qi] = np.lexsort(
+            (np.arange(cdist.shape[1]), cdist[qi])
+        )[: int(nprobe)]
+    # ADC tables vs the fine codebook
+    tables = np.empty((Q, book["m"], book["ncent"]), dtype=np.int64)
+    for s in range(book["m"]):
+        cols = book["sub_of"] == s
+        diff = qcodes[:, None, cols] - book["cents"][None, :, cols]
+        tables[:, s, :] = np.einsum("qcd,qcd->qc", diff, diff)
+    ctx_ref = ray.put(
+        {"qids": qdf["vec_id"].to_numpy(dtype=np.int64),
+         "tables": tables, "probes": probes,
+         "book": book, "coarse": coarse}
+    )
+
+    def score(batch: pd.DataFrame, *, ctx_ref, k, exclude_self):
+        ctx = ray.get(ctx_ref)
+        book, coarse = ctx["book"], ctx["coarse"]
+        ids = batch["vec_id"].to_numpy(dtype=np.int64)
+        qv = _quantize(_stack(batch["embedding"]), book["mx"])
+        lists = _pq_encode(qv, coarse)[:, 0]  # (B,) coarse list ids
+        codes = _pq_encode(qv, book)  # (B, m)
+        t = ctx["tables"]
+        d = np.zeros((t.shape[0], len(ids)), dtype=np.int64)
+        for s in range(book["m"]):
+            d += t[:, s, :][:, codes[:, s]]
+        out_q, out_n, out_d = [], [], []
+        for qi, qid in enumerate(ctx["qids"]):
+            probed = np.isin(lists, ctx["probes"][qi])
+            if exclude_self:
+                probed &= ids != qid
+            if not probed.any():
+                continue
+            dist, cand = d[qi][probed], ids[probed]
+            kk = min(k, len(cand))
+            order = np.lexsort((cand, dist))[:kk]
+            out_q.extend([qid] * len(order))
+            out_n.extend(cand[order])
+            out_d.extend(dist[order])
+        return pd.DataFrame(
+            {"query_id": np.asarray(out_q, dtype=np.int64),
+             "neighbor_id": np.asarray(out_n, dtype=np.int64),
+             "dist": np.asarray(out_d, dtype=np.int64)}
+        )
+
+    partials = embeddings.map_batches(
+        functools.partial(score, ctx_ref=ctx_ref, k=k,
+                          exclude_self=exclude_self),
+        batch_format="pandas",
+        batch_size=4096,
+    ).to_pandas()
+    out = []
+    for _, g in partials.groupby("query_id"):
+        g = g.sort_values(["dist", "neighbor_id"],
+                          ascending=[True, True], kind="mergesort")
+        top = g.head(k).reset_index(drop=True)
+        top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+        out.append(top)
+    res = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+        columns=["query_id", "neighbor_id", "rank", "dist"]
+    )
+    return res[["query_id", "neighbor_id", "rank", "dist"]]

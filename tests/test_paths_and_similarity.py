@@ -127,3 +127,33 @@ def test_knn_pq_determinism_and_recall():
         pa_ = set(a[a["query_id"] == qi]["neighbor_id"])
         hits += len(pa_ & ex)
     assert hits >= 9  # deterministic data: measured 11/80 vs ~2% chance
+
+
+def test_knn_ivfpq_prunes_and_matches_pq_on_probed_lists():
+    """IVF-PQ: results are a subset of candidates in probed lists, the
+    composition is partition-invariant, and every returned dist equals
+    the full-PQ ADC dist for the same pair (the coarse stage only
+    PRUNES, never rescores)."""
+    import os
+
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.similarity import (
+        knn_ivfpq,
+        knn_pq,
+        pq_codebook,
+    )
+
+    sf = os.environ.get("GDSR_TEST_SF", "/root/testdata/sf0.001")
+    emb = rd.read_parquet(os.path.join(sf, "embeddings.parquet"))
+    book = pq_codebook(emb, m=4, ncent=16, refine=2)
+    a = knn_ivfpq(emb, query_ids=np.arange(6), k=5, book=book)
+    b = knn_ivfpq(emb.repartition(5), query_ids=np.arange(6), k=5, book=book)
+    assert a.equals(b)
+    # big-k PQ distances are the ground truth the pruned variant samples
+    full = knn_pq(emb, query_ids=np.arange(6), k=600, book=book)
+    ref = {
+        (r.query_id, r.neighbor_id): r.dist for r in full.itertuples()
+    }
+    for r in a.itertuples():
+        assert ref[(r.query_id, r.neighbor_id)] == r.dist
