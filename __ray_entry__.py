@@ -1647,6 +1647,45 @@ def _q_knn_ivfpq(sf_dir: str) -> pd.DataFrame:
     return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _q_media_ahash(sf_dir: str) -> pd.DataFrame:
+    """REAL perceptual-hash path, exactly oracled: the same synthesized
+    8x8 netpbm images as media_resize go through the actor-pool AHasher
+    (real decode -> integer grayscale -> division-free mean threshold
+    64*gray > total -> 64-bit hex hash). The SQL oracle rebuilds every
+    bit from the closed-form pixel grid and re-packs the hex string."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.multimodal import (
+        ahash_images,
+        encode_netpbm,
+    )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        r = np.arange(8)[:, None, None]
+        c = np.arange(8)[None, :, None]
+        payloads = []
+        for i in df["doc_id"].astype(np.int64):
+            arr = np.concatenate(
+                [(i + 3 * r + 5 * c) % 256, (2 * i + r + 0 * c) % 256,
+                 (i + 7 * c + 0 * r) % 256],
+                axis=2,
+            ).astype(np.uint8)
+            payloads.append(encode_netpbm(arr))
+        return pd.DataFrame(
+            {"media_id": df["doc_id"].astype(np.int64), "kind": "image",
+             "payload": payloads}
+        )
+
+    media = docs.map_batches(synth, batch_format="pandas", batch_size=256)
+    out = ahash_images(media, size=8, strict=True).to_pandas()
+    out["nbits"] = out["nbits"].astype(np.int64)
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def _q_tf_idf_topk(sf_dir: str) -> pd.DataFrame:
     """Per-doc top-3 terms by tf·ln(N/df); broadcast-df strategy (the
     join strategy is parity-tested in pytest)."""
@@ -4146,6 +4185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hashed_features": _q_hashed_features,
         "latency_moments": _q_latency_moments,
         "knn_ivfpq": _q_knn_ivfpq,
+        "media_ahash": _q_media_ahash,
     }
 
 
@@ -7757,6 +7797,40 @@ ranked AS (
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
        CAST(dist AS BIGINT) AS dist
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+    sqls["media_ahash"] = """
+WITH grid AS (
+  SELECT d.doc_id AS media_id, r.r, c.c,
+         ((d.doc_id + 3 * r.r + 5 * c.c) % 256
+          + (2 * d.doc_id + r.r) % 256
+          + (d.doc_id + 7 * c.c) % 256) // 3 AS gray
+  FROM documents d
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS r) r
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS c) c
+),
+tot AS (SELECT media_id, sum(gray) AS total FROM grid GROUP BY media_id),
+bits AS (
+  SELECT g.media_id, g.r * 8 + g.c AS b,
+         CASE WHEN 64 * g.gray > t.total THEN 1 ELSE 0 END AS bit
+  FROM grid g JOIN tot t USING (media_id)
+),
+nib AS (
+  SELECT media_id, 15 - (b // 4) AS k,
+         sum(bit * (CASE b % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                    WHEN 2 THEN 4 ELSE 8 END)) AS v
+  FROM bits GROUP BY 1, 2
+)
+SELECT n.media_id,
+       string_agg(substr('0123456789abcdef', CAST(n.v AS INTEGER) + 1, 1),
+                  '' ORDER BY n.k) AS ahash,
+       CAST(b.nbits AS BIGINT) AS nbits
+FROM nib n
+JOIN (SELECT media_id, sum(bit) AS nbits FROM bits GROUP BY 1) b
+  USING (media_id)
+GROUP BY n.media_id, b.nbits
+ORDER BY media_id
 """
 
     return sqls

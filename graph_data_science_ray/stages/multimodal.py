@@ -387,3 +387,82 @@ def sample_frames(
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def image_ahash(arr: np.ndarray, size: int = 8) -> str:
+    """Average-hash (aHash) of a decoded image — the standard cheap
+    perceptual near-duplicate fingerprint for image corpora: resize to
+    ``size``x``size`` (real nearest-neighbor on decoded pixels),
+    integer grayscale ``(r + g + b) // 3``, threshold each cell against
+    the mean, pack 64 bits MSB-first into a 16-hex-char string.
+
+    All-integer discipline: the threshold is expressed as
+    ``size*size * gray > total`` (no division, no float mean), bit
+    index is ``row*size + col``, so the hash is bit-exactly
+    reproducible — including in ANSI SQL over closed-form synthesized
+    pixels. Returns the zero-padded lowercase hex string (strings
+    sidestep the int64-sign hazard of a set bit 63)."""
+    img = _nn_resize(arr, size, size)
+    if img.ndim == 3:
+        gray = (
+            img[:, :, 0].astype(np.int64)
+            + img[:, :, 1].astype(np.int64)
+            + img[:, :, 2].astype(np.int64)
+        ) // 3
+    else:
+        gray = img.astype(np.int64)
+    total = int(gray.sum())
+    n = size * size
+    bits = (n * gray.reshape(-1)) > total  # bit b = row*size + col
+    h = 0
+    for b in np.flatnonzero(bits):
+        h |= 1 << int(b)
+    return format(h, f"0{n // 4}x")
+
+
+class AHasher:
+    """Actor-pool stage: (media_id, payload) -> (media_id, ahash,
+    nbits). ``strict=True`` raises on undecodable payloads (netpbm is
+    the real in-sandbox codec); otherwise they are skipped."""
+
+    def __init__(self, size: int = 8, strict: bool = False):
+        self.size = int(size)
+        self.strict = bool(strict)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids, hashes, nbits = [], [], []
+        for mid, payload in zip(df["media_id"], df["payload"]):
+            arr = decode_netpbm(bytes(payload))
+            if arr is None:
+                if self.strict:
+                    raise NotImplementedError(
+                        "non-netpbm image payload (jpeg/png decoders are "
+                        "declared stand-ins in this sandbox)"
+                    )
+                continue
+            h = image_ahash(arr, self.size)
+            ids.append(int(mid))
+            hashes.append(h)
+            nbits.append(bin(int(h, 16)).count("1"))
+        return pd.DataFrame(
+            {"media_id": pd.Series(ids, dtype=np.int64),
+             "ahash": pd.Series(hashes, dtype=object),
+             "nbits": pd.Series(nbits, dtype=np.int64)}
+        )
+
+
+def ahash_images(
+    media: "rd.Dataset", size: int = 8, concurrency: int = 4,
+    strict: bool = False,
+):
+    """Perceptual-hash every image: actor-pool ``map_batches`` over the
+    opaque payload column (decode state is per-actor). Downstream exact
+    near-dup = groupby(ahash) (identical-hash clusters); hamming-ball
+    near-dup composes with the SimHash band-bucket machinery of
+    ``stages/dedup.py`` (split the 64 bits into bands, bucket-join)."""
+    return media.map_batches(
+        AHasher(size=size, strict=strict),
+        batch_format="pandas",
+        batch_size=256,
+        concurrency=concurrency,
+    )

@@ -833,3 +833,25 @@ def test_bloom_decontaminate_empty_benchmark():
            .sort_values("doc_id"))
     assert out["contaminated"].tolist() == [0, 0]
     assert out["bloom_hits"].tolist() == [0, 0]
+
+
+def test_image_ahash_contract():
+    """aHash: identical images share the hash, a negated image flips
+    it, resize path engages for non-8x8 inputs, hex is 16 chars."""
+    from graph_data_science_ray.stages.multimodal import (
+        _nn_resize,
+        image_ahash,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    h1 = image_ahash(img)
+    assert len(h1) == 16 and int(h1, 16) >= 0
+    assert image_ahash(img) == h1  # deterministic
+    # hash of the pre-resized image equals hash of the original
+    assert image_ahash(_nn_resize(img, 8, 8)) == h1
+    # gradient image: top half dark, bottom bright -> lower 32 bits set
+    grad = np.zeros((8, 8), dtype=np.uint8)
+    grad[4:, :] = 255
+    hg = image_ahash(grad)
+    assert int(hg, 16) == int("ffffffff00000000", 16)
