@@ -1686,6 +1686,24 @@ def _q_media_ahash(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def _q_doc_length_quantiles(sf_dir: str) -> pd.DataFrame:
+    """EXACT discrete quantiles of document length via distributed
+    rank-select: one range-partitioned sort, O(#blocks) counts on the
+    driver, one value read per requested rank. DuckDB quantile_disc
+    rank semantics (ceil(q*n)-1), so SQL compares verbatim."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.window import quantiles_disc
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["n_chars"]
+    )
+    out = quantiles_disc(docs, "n_chars", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+    out["q"] = out["q"].astype(np.float64)
+    out["value"] = out["value"].astype(np.int64)
+    return out.sort_values("q").reset_index(drop=True)
+
+
 def _q_tf_idf_topk(sf_dir: str) -> pd.DataFrame:
     """Per-doc top-3 terms by tf·ln(N/df); broadcast-df strategy (the
     join strategy is parity-tested in pytest)."""
@@ -4186,6 +4204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latency_moments": _q_latency_moments,
         "knn_ivfpq": _q_knn_ivfpq,
         "media_ahash": _q_media_ahash,
+        "doc_length_quantiles": _q_doc_length_quantiles,
     }
 
 
@@ -7831,6 +7850,22 @@ JOIN (SELECT media_id, sum(bit) AS nbits FROM bits GROUP BY 1) b
   USING (media_id)
 GROUP BY n.media_id, b.nbits
 ORDER BY media_id
+"""
+
+
+    sqls["doc_length_quantiles"] = """
+SELECT 0.1e0 AS q, CAST(quantile_disc(n_chars, 0.1) AS BIGINT) AS value FROM documents
+UNION ALL
+SELECT 0.25e0 AS q, CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS value FROM documents
+UNION ALL
+SELECT 0.5e0 AS q, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS value FROM documents
+UNION ALL
+SELECT 0.75e0 AS q, CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS value FROM documents
+UNION ALL
+SELECT 0.9e0 AS q, CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS value FROM documents
+UNION ALL
+SELECT 0.99e0 AS q, CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS value FROM documents
+ORDER BY q
 """
 
     return sqls

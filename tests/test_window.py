@@ -93,3 +93,29 @@ def test_pack_sequences_contract():
     )
     assert out["offset"].tolist() == [i * 100 for i in range(10)]
     assert out["seq_id"].tolist() == [i * 100 // 250 for i in range(10)]
+
+
+def test_rank_select_and_quantiles_disc():
+    """Order statistics across many blocks; tie values; DuckDB
+    quantile_disc parity on a known vector."""
+    import duckdb
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.window import quantiles_disc, rank_select
+
+    vals = np.array([5, 1, 3, 3, 9, 7, 1, 8, 2, 6], dtype=np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(4)
+    sel = rank_select(ds, "x", [0, 4, 9])
+    srt = np.sort(vals)
+    assert sel["value"].tolist() == [srt[0], srt[4], srt[9]]
+    qs = [0.0, 0.3, 0.5, 0.9, 1.0]
+    out = quantiles_disc(ds, "x", qs)
+    for q, v in zip(out["q"], out["value"]):
+        ref = duckdb.sql(
+            f"SELECT quantile_disc(x, {q}) FROM (SELECT unnest({vals.tolist()}) AS x)"
+        ).fetchone()[0]
+        assert v == ref, (q, v, ref)
+    import pytest
+
+    with pytest.raises(ValueError):
+        rank_select(ds, "x", [10])
