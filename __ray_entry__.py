@@ -1704,6 +1704,22 @@ def _q_doc_length_quantiles(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("q").reset_index(drop=True)
 
 
+def _q_corpus_profile(sf_dir: str) -> pd.DataFrame:
+    """One-pass corpus profile (docs, tokens, exact vocab size, max tf,
+    exact length p50/p90) — all integers, five exact SQL aggregates."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.ir import corpus_profile
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "n_chars"],
+    )
+    out = corpus_profile(docs)
+    out["value"] = out["value"].astype(np.int64)
+    return out.sort_values("metric").reset_index(drop=True)
+
+
 def _q_tf_idf_topk(sf_dir: str) -> pd.DataFrame:
     """Per-doc top-3 terms by tf·ln(N/df); broadcast-df strategy (the
     join strategy is parity-tested in pytest)."""
@@ -4205,6 +4221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivfpq": _q_knn_ivfpq,
         "media_ahash": _q_media_ahash,
         "doc_length_quantiles": _q_doc_length_quantiles,
+        "corpus_profile": _q_corpus_profile,
     }
 
 
@@ -7866,6 +7883,25 @@ SELECT 0.9e0 AS q, CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS value FROM doc
 UNION ALL
 SELECT 0.99e0 AS q, CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS value FROM documents
 ORDER BY q
+"""
+
+
+    sqls["corpus_profile"] = f"""
+WITH {_TOKS_CTE}
+SELECT 'len_p50' AS metric,
+       CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS value FROM documents
+UNION ALL
+SELECT 'len_p90', CAST(quantile_disc(n_chars, 0.9) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'max_tf', CAST(max(tf) AS BIGINT)
+FROM (SELECT term, sum(tf) AS tf FROM tf GROUP BY term)
+UNION ALL
+SELECT 'n_docs', CAST(count(*) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'n_tokens', CAST(count(*) AS BIGINT) FROM toks
+UNION ALL
+SELECT 'vocab_size', CAST(count(DISTINCT term) AS BIGINT) FROM toks
+ORDER BY metric
 """
 
     return sqls

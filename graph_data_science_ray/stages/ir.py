@@ -57,6 +57,7 @@ __all__ = [
     "doc_bigrams",
     "term_counts_topk",
     "hashed_features",
+    "corpus_profile",
 ]
 
 _TOKEN = re.compile(r"\S+")
@@ -808,4 +809,69 @@ def hashed_features(
     return hash_aggregate(
         docs.map_batches(partial, batch_format="pandas", batch_size=4096),
         ["doc_id", "bucket"], "cnt", op="sum", num_parts=num_parts,
+    )
+
+
+def corpus_profile(docs: rd.Dataset, num_parts: int = 64) -> pd.DataFrame:
+    """One-pass corpus profile — the summary table a curation run
+    prints before any filtering decision: ``(metric, value)`` integer
+    rows for document count, token count, exact vocabulary size, max
+    term frequency, and exact length percentiles (p50/p90 of
+    ``n_chars`` under DuckDB quantile_disc rank semantics).
+
+    Composition of the repo's own scale shapes: token stats ride the
+    map-side partial-count + term-hash aggregate of :func:`doc_terms`
+    (vocab size and max tf are per-partition-sound after the hash
+    aggregate, so only num_parts scalars reach the driver); length
+    percentiles ride ``stages.window.rank_select`` (one sort,
+    O(#blocks) counts, two value reads). Everything integer — the
+    driver oracle is a UNION of five exact SQL aggregates."""
+    from graph_data_science_ray.stages.window import quantiles_disc
+
+    n_docs = docs.count()
+
+    def tf_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return _batch_doc_terms(df)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__part"] = (_stable_row_hash(df, ["term"]) % num_parts).astype(
+            np.int64
+        )
+        return df
+
+    def part_stats(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("term", sort=False)["tf"].sum()
+        return pd.DataFrame(
+            {"n_terms": np.array([len(agg)], dtype=np.int64),
+             "n_tokens": np.array([int(agg.sum())], dtype=np.int64),
+             "max_tf": np.array(
+                 [int(agg.max()) if len(agg) else 0], dtype=np.int64)}
+        )
+
+    stats = (
+        docs.map_batches(tf_partial, batch_format="pandas", batch_size=4096)
+        .map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(
+            lambda g: part_stats(g.drop(columns="__part")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    qs = quantiles_disc(docs.select_columns(["n_chars"]), "n_chars", [0.5, 0.9])
+    vals = dict(zip(qs["q"], qs["value"]))
+    return pd.DataFrame(
+        {
+            "metric": ["len_p50", "len_p90", "max_tf", "n_docs",
+                       "n_tokens", "vocab_size"],
+            "value": np.array(
+                [int(vals[0.5]), int(vals[0.9]),
+                 int(stats["max_tf"].max()) if len(stats) else 0,
+                 int(n_docs),
+                 int(stats["n_tokens"].sum()),
+                 int(stats["n_terms"].sum())],
+                dtype=np.int64,
+            ),
+        }
     )
