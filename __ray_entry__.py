@@ -1720,6 +1720,47 @@ def _q_corpus_profile(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("metric").reset_index(drop=True)
 
 
+def _q_image_near_dup(sf_dir: str) -> pd.DataFrame:
+    """Perceptual image near-dup pairs: synthesized netpbm images (one
+    per doc, id-mixing pixel formula) -> real decode -> aHash -> 4-band
+    bucket join -> exact hamming verify. max_hamming=3 < num_bands, so
+    banding is EXACT by pigeonhole (no recall loss) and the SQL oracle
+    (bit_count(xor) over closed-form hashes) compares verbatim."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.multimodal import (
+        ahash_near_dup,
+        encode_netpbm,
+    )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        r = np.arange(8)[:, None, None]
+        c = np.arange(8)[None, :, None]
+        payloads = []
+        for i in df["doc_id"].astype(np.int64):
+            arr = np.concatenate(
+                [(i * (1 + 3 * r + 5 * c)) % 256,
+                 (i * i + 7 * r + 11 * c) % 256,
+                 (i * (r + c + 1) + 13) % 256],
+                axis=2,
+            ).astype(np.uint8)
+            payloads.append(encode_netpbm(arr))
+        return pd.DataFrame(
+            {"media_id": df["doc_id"].astype(np.int64), "kind": "image",
+             "payload": payloads}
+        )
+
+    media = docs.map_batches(synth, batch_format="pandas", batch_size=256)
+    out = ahash_near_dup(media, max_hamming=3, num_bands=4)
+    for col in ("id_a", "id_b", "hamming"):
+        out[col] = out[col].astype(np.int64)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def _q_tf_idf_topk(sf_dir: str) -> pd.DataFrame:
     """Per-doc top-3 terms by tf·ln(N/df); broadcast-df strategy (the
     join strategy is parity-tested in pytest)."""
@@ -4222,6 +4263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_ahash": _q_media_ahash,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "corpus_profile": _q_corpus_profile,
+        "image_near_dup": _q_image_near_dup,
     }
 
 
@@ -7902,6 +7944,33 @@ SELECT 'n_tokens', CAST(count(*) AS BIGINT) FROM toks
 UNION ALL
 SELECT 'vocab_size', CAST(count(DISTINCT term) AS BIGINT) FROM toks
 ORDER BY metric
+"""
+
+
+    sqls["image_near_dup"] = """
+WITH grid AS (
+  SELECT d.doc_id AS media_id, r.r, c.c,
+         ((d.doc_id * (1 + 3 * r.r + 5 * c.c)) % 256
+          + (d.doc_id * d.doc_id + 7 * r.r + 11 * c.c) % 256
+          + (d.doc_id * (r.r + c.c + 1) + 13) % 256) // 3 AS gray
+  FROM documents d
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS r) r
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS c) c
+),
+tot AS (SELECT media_id, sum(gray) AS total FROM grid GROUP BY media_id),
+hh AS (
+  SELECT g.media_id,
+         CAST(sum(CASE WHEN 64 * g.gray > t.total
+                  THEN CAST(CAST(2 AS HUGEINT) ** (g.r * 8 + g.c) AS HUGEINT)
+                  ELSE 0 END) AS UBIGINT) AS h
+  FROM grid g JOIN tot t USING (media_id)
+  GROUP BY g.media_id
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+FROM hh a JOIN hh b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.h, b.h)) <= 3
+ORDER BY id_a, id_b
 """
 
     return sqls

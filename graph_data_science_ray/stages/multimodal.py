@@ -466,3 +466,141 @@ def ahash_images(
         batch_size=256,
         concurrency=concurrency,
     )
+
+
+def ahash_near_dup(
+    media: "rd.Dataset",
+    max_hamming: int = 10,
+    num_bands: int = 4,
+    size: int = 8,
+    concurrency: int = 4,
+    broadcast_limit: int = 50_000_000,
+) -> pd.DataFrame:
+    """Perceptual near-duplicate image pairs: aHash each image, split
+    the 64-bit hash into ``num_bands`` contiguous bands, bucket-join on
+    (band, band_value) — two images within hamming distance ``d`` share
+    at least one identical band whenever ``d < num_bands`` by
+    pigeonhole, and band-bucketing keeps the candidate set far below
+    all-pairs for larger ``d`` — then verify candidates by exact
+    hamming distance ``popcount(xor)``.
+
+    Same shape as the MinHash-LSH banding of ``stages/dedup.py``: the
+    only shuffle is the band-bucket groupby; verification reads the
+    (id -> hash) table via one ``ray.put`` broadcast (images ≪ pairs;
+    beyond ``broadcast_limit`` ids compose the hash-join verify path of
+    ``stages.dedup.minhash_near_dup`` instead — documented contract).
+    Returns exact ``(id_a, id_b, hamming)`` pairs (id_a < id_b), fully
+    SQL-reproducible (DuckDB ``bit_count(xor(...))``)."""
+    hashes = ahash_images(media, size=size, concurrency=concurrency)
+
+    band_bits = 64 // int(num_bands)
+    mask = (1 << band_bits) - 1
+
+    def to_bands(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"media_id": pd.Series([], dtype=np.int64),
+             "band": pd.Series([], dtype=np.int64),
+             "key": pd.Series([], dtype=np.int64)}
+        )
+        if not len(df) or "ahash" not in df.columns:
+            return empty
+        ids = df["media_id"].to_numpy(dtype=np.int64)
+        hv = np.array([int(h, 16) for h in df["ahash"]], dtype=np.uint64)
+        rows = []
+        for k in range(int(num_bands)):
+            rows.append(
+                pd.DataFrame(
+                    {"media_id": ids,
+                     "band": np.full(len(ids), k, dtype=np.int64),
+                     "key": ((hv >> np.uint64(band_bits * k))
+                             & np.uint64(mask)).astype(np.int64)}
+                )
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["media_id"].to_numpy(dtype=np.int64))
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=np.int64),
+                 "b": pd.Series([], dtype=np.int64)}
+            )
+        li = np.repeat(np.arange(n), np.arange(n - 1, -1, -1))
+        ri = (np.arange(len(li)) -
+              np.repeat(np.cumsum(np.arange(n - 1, -1, -1))
+                        - np.arange(n - 1, -1, -1), np.arange(n - 1, -1, -1))
+              + li + 1)
+        return pd.DataFrame({"a": ids[li], "b": ids[ri]})
+
+    cand = (
+        hashes.map_batches(to_bands, batch_format="pandas")
+        .groupby(["band", "key"])
+        .map_groups(
+            lambda g: bucket_pairs(g), batch_format="pandas"
+        )
+    )
+    # distinct pairs (a pair can match in several bands)
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+
+    def one(df: pd.DataFrame) -> pd.DataFrame:
+        keep = [c for c in ("a", "b") if c in df.columns]
+        if len(keep) < 2 or not len(df):
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=np.int64),
+                 "b": pd.Series([], dtype=np.int64),
+                 "one": pd.Series([], dtype=np.int64)}
+            )
+        out = df[["a", "b"]].copy()
+        out["one"] = np.int64(1)
+        return out
+
+    pairs = hash_aggregate(
+        cand.map_batches(one, batch_format="pandas"),
+        ["a", "b"], "one", op="max", num_parts=8,
+    )
+
+    # broadcast verify (id -> hash); images ≪ candidate pairs
+    hdf = hashes.to_pandas()
+    if len(hdf) > broadcast_limit:  # pragma: no cover - corpus-scale path
+        raise NotImplementedError(
+            "beyond broadcast_limit compose the hash-join verify of "
+            "stages.dedup.minhash_near_dup"
+        )
+    import ray as _ray
+
+    table_ref = _ray.put(
+        dict(zip(hdf["media_id"].astype(np.int64),
+                 (int(h, 16) for h in hdf["ahash"])))
+    )
+
+    def verify(df: pd.DataFrame, *, thr=int(max_hamming)) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series([], dtype=np.int64),
+             "id_b": pd.Series([], dtype=np.int64),
+             "hamming": pd.Series([], dtype=np.int64)}
+        )
+        if not len(df) or "a" not in df.columns:
+            return empty
+        tbl = _ray.get(table_ref)
+        a = df["a"].to_numpy(dtype=np.int64)
+        b = df["b"].to_numpy(dtype=np.int64)
+        ham = np.fromiter(
+            (bin(tbl[x] ^ tbl[y]).count("1") for x, y in zip(a, b)),
+            dtype=np.int64, count=len(a),
+        )
+        keep = ham <= thr
+        return pd.DataFrame(
+            {"id_a": a[keep], "id_b": b[keep], "hamming": ham[keep]}
+        )
+
+    out = pairs.map_batches(verify, batch_format="pandas").to_pandas()
+    if "id_a" not in out.columns:
+        out = pd.DataFrame(
+            {"id_a": pd.Series([], dtype=np.int64),
+             "id_b": pd.Series([], dtype=np.int64),
+             "hamming": pd.Series([], dtype=np.int64)}
+        )
+    return (
+        out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )

