@@ -1761,6 +1761,39 @@ def _q_image_near_dup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def _q_audio_fingerprint(sf_dir: str) -> pd.DataFrame:
+    """REAL audio fingerprint path, exactly oracled: 256-sample PCM16
+    WAVs (closed-form samples) through the strict AudioFingerprinter —
+    64 frame energies, division-free mean threshold, hex hash. The SQL
+    oracle rebuilds every frame energy and re-packs the hex string."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.multimodal import (
+        encode_wav,
+        fingerprint_audio,
+    )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        t = np.arange(256, dtype=np.int64)
+        payloads = []
+        for i in df["doc_id"].astype(np.int64):
+            samples = ((i * 13 + t * 7) % 4001 - 2000).astype(np.int16)
+            payloads.append(encode_wav(samples, rate=8000))
+        return pd.DataFrame(
+            {"media_id": df["doc_id"].astype(np.int64), "kind": "audio",
+             "payload": payloads}
+        )
+
+    media = docs.map_batches(synth, batch_format="pandas", batch_size=256)
+    out = fingerprint_audio(media, frames=64, strict=True).to_pandas()
+    out["nbits"] = out["nbits"].astype(np.int64)
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def _q_tf_idf_topk(sf_dir: str) -> pd.DataFrame:
     """Per-doc top-3 terms by tf·ln(N/df); broadcast-df strategy (the
     join strategy is parity-tested in pytest)."""
@@ -4264,6 +4297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": _q_doc_length_quantiles,
         "corpus_profile": _q_corpus_profile,
         "image_near_dup": _q_image_near_dup,
+        "audio_fingerprint": _q_audio_fingerprint,
     }
 
 
@@ -7971,6 +8005,42 @@ SELECT a.media_id AS id_a, b.media_id AS id_b,
 FROM hh a JOIN hh b ON a.media_id < b.media_id
 WHERE bit_count(xor(a.h, b.h)) <= 3
 ORDER BY id_a, id_b
+"""
+
+
+    sqls["audio_fingerprint"] = """
+WITH grid AS (
+  SELECT d.doc_id AS media_id, t.t,
+         abs((d.doc_id * 13 + t.t * 7) % 4001 - 2000) AS a,
+         (t.t * 64) // 256 AS frame
+  FROM documents d
+  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS t) t
+),
+fe AS (
+  SELECT media_id, frame, sum(a) AS energy
+  FROM grid GROUP BY 1, 2
+),
+tot AS (SELECT media_id, sum(energy) AS total FROM fe GROUP BY media_id),
+bits AS (
+  SELECT f.media_id, f.frame AS b,
+         CASE WHEN 64 * f.energy > t.total THEN 1 ELSE 0 END AS bit
+  FROM fe f JOIN tot t USING (media_id)
+),
+nib AS (
+  SELECT media_id, 15 - (b // 4) AS k,
+         sum(bit * (CASE b % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                    WHEN 2 THEN 4 ELSE 8 END)) AS v
+  FROM bits GROUP BY 1, 2
+)
+SELECT n.media_id,
+       string_agg(substr('0123456789abcdef', CAST(n.v AS INTEGER) + 1, 1),
+                  '' ORDER BY n.k) AS afp,
+       CAST(bc.nbits AS BIGINT) AS nbits
+FROM nib n
+JOIN (SELECT media_id, sum(bit) AS nbits FROM bits GROUP BY 1) bc
+  USING (media_id)
+GROUP BY n.media_id, bc.nbits
+ORDER BY media_id
 """
 
     return sqls

@@ -604,3 +604,71 @@ def ahash_near_dup(
     return (
         out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     )
+
+
+def audio_fingerprint(samples: np.ndarray, frames: int = 64) -> str:
+    """Frame-energy audio fingerprint (the aHash analogue for PCM
+    audio): split the sample stream into ``frames`` near-equal chunks
+    (``frame = sample_index * frames // n``), per-frame integer energy
+    ``sum(|s|)``, threshold each frame against the mean energy
+    (division-free: ``frames * energy > total``), pack ``frames`` bits
+    MSB-first into a hex string. All-integer — bit-exactly
+    reproducible in ANSI SQL over closed-form synthesized samples."""
+    s = np.abs(np.asarray(samples, dtype=np.int64))
+    if s.ndim == 2:  # (n, channels) from decode_wav: channel-sum energy
+        s = s.sum(axis=1)
+    n = len(s)
+    if n == 0:
+        return "0" * (frames // 4)
+    idx = (np.arange(n, dtype=np.int64) * int(frames)) // n
+    energy = np.zeros(int(frames), dtype=np.int64)
+    np.add.at(energy, idx, s)
+    total = int(energy.sum())
+    bits = (int(frames) * energy) > total
+    h = 0
+    for b in np.flatnonzero(bits):
+        h |= 1 << int(b)
+    return format(h, f"0{frames // 4}x")
+
+
+class AudioFingerprinter:
+    """Actor-pool stage: (media_id, payload) -> (media_id, afp, nbits);
+    ``strict=True`` raises on non-WAV payloads (mp3/flac decoders are
+    declared stand-ins in this sandbox)."""
+
+    def __init__(self, frames: int = 64, strict: bool = False):
+        self.frames = int(frames)
+        self.strict = bool(strict)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids, fps, nbits = [], [], []
+        for mid, payload in zip(df["media_id"], df["payload"]):
+            samples = decode_wav(bytes(payload))
+            if samples is None:
+                if self.strict:
+                    raise NotImplementedError("non-WAV audio payload")
+                continue
+            h = audio_fingerprint(samples, self.frames)
+            ids.append(int(mid))
+            fps.append(h)
+            nbits.append(bin(int(h, 16)).count("1"))
+        return pd.DataFrame(
+            {"media_id": pd.Series(ids, dtype=np.int64),
+             "afp": pd.Series(fps, dtype=object),
+             "nbits": pd.Series(nbits, dtype=np.int64)}
+        )
+
+
+def fingerprint_audio(
+    media: "rd.Dataset", frames: int = 64, concurrency: int = 4,
+    strict: bool = False,
+):
+    """Fingerprint every audio payload (actor-pool map_batches); exact
+    duplicate detection = groupby(afp); hamming near-dup composes with
+    the band-bucket join of :func:`ahash_near_dup`."""
+    return media.map_batches(
+        AudioFingerprinter(frames=frames, strict=strict),
+        batch_format="pandas",
+        batch_size=256,
+        concurrency=concurrency,
+    )

@@ -905,3 +905,23 @@ def test_ahash_near_dup_planted_pair():
     )
     got = list(out.itertuples(index=False, name=None))
     assert got == ref
+
+
+def test_audio_fingerprint_contract():
+    """Deterministic frame-energy hash; silence hashes to zero bits;
+    a loud tail flips exactly the tail frames."""
+    from graph_data_science_ray.stages.multimodal import (
+        audio_fingerprint,
+        decode_wav,
+        encode_wav,
+    )
+
+    silent = np.zeros(256, dtype=np.int16)
+    assert audio_fingerprint(silent) == "0" * 16
+    loud_tail = np.zeros(256, dtype=np.int16)
+    loud_tail[192:] = 1000  # frames 48..63 carry all the energy
+    h = int(audio_fingerprint(loud_tail), 16)
+    assert h == sum(1 << b for b in range(48, 64))
+    # decode round trip preserves the fingerprint
+    rt = decode_wav(encode_wav(loud_tail, rate=8000))
+    assert audio_fingerprint(rt) == audio_fingerprint(loud_tail)
