@@ -1794,6 +1794,35 @@ def _q_audio_fingerprint(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def _q_graph_profile(sf_dir: str) -> pd.DataFrame:
+    """One-query graph profile (the corpus_profile analogue for the
+    link graph): nodes, directed distinct edges, undirected edges, max
+    undirected degree, global triangles, directed density in integer
+    ppm — each an existing exact distributed primitive, composed."""
+    import graph_data_science_ray as gdsr
+
+    from graph_data_science_ray.functions.triangles import triangle_count
+
+    b = _bundle(sf_dir)
+    V = len(b["idmap"].keys)
+    n_edges = b["enc"].count()
+    n_und = b["sym"].count() // 2
+    deg = gdsr.degree_centrality(b["sym"], node_count=V, weighted=False)
+    max_deg = int(deg["degree"].max())
+    _tri, total = triangle_count(b["sym"], idmap=b["idmap"], num_partitions=8)
+    density_ppm = 1_000_000 * n_edges // (V * (V - 1)) if V > 1 else 0
+    return pd.DataFrame(
+        {
+            "metric": ["density_ppm", "max_degree", "n_edges", "n_nodes",
+                       "n_und_edges", "triangles"],
+            "value": np.array(
+                [density_ppm, max_deg, n_edges, V, n_und, int(total)],
+                dtype=np.int64,
+            ),
+        }
+    )
+
+
 def _q_tf_idf_topk(sf_dir: str) -> pd.DataFrame:
     """Per-doc top-3 terms by tf·ln(N/df); broadcast-df strategy (the
     join strategy is parity-tested in pytest)."""
@@ -4298,6 +4327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_profile": _q_corpus_profile,
         "image_near_dup": _q_image_near_dup,
         "audio_fingerprint": _q_audio_fingerprint,
+        "graph_profile": _q_graph_profile,
     }
 
 
@@ -8041,6 +8071,41 @@ JOIN (SELECT media_id, sum(bit) AS nbits FROM bits GROUP BY 1) bc
   USING (media_id)
 GROUP BY n.media_id, bc.nbits
 ORDER BY media_id
+"""
+
+
+    sqls["graph_profile"] = f"""
+WITH {_GRAPH_CTE},
+{_UND_CTE},
+fwd AS (
+    SELECT DISTINCT
+        CASE WHEN src < dst THEN src ELSE dst END AS a,
+        CASE WHEN src < dst THEN dst ELSE src END AS b
+    FROM edges
+),
+tri AS (
+    SELECT e1.a AS x, e1.b AS y, e3.b AS z
+    FROM fwd e1
+    JOIN fwd e2 ON e2.a = e1.b
+    JOIN fwd e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+vv AS (SELECT count(*) AS v FROM nodes),
+ee AS (SELECT count(*) AS e FROM edges)
+SELECT 'density_ppm' AS metric,
+       CAST(1000000 * ee.e // (vv.v * (vv.v - 1)) AS BIGINT) AS value
+FROM vv, ee
+UNION ALL
+SELECT 'max_degree', CAST(max(d) AS BIGINT)
+FROM (SELECT src, count(*) AS d FROM undw GROUP BY src)
+UNION ALL
+SELECT 'n_edges', CAST(count(*) AS BIGINT) FROM edges
+UNION ALL
+SELECT 'n_nodes', CAST(count(*) AS BIGINT) FROM nodes
+UNION ALL
+SELECT 'n_und_edges', CAST(count(*) AS BIGINT) FROM fwd
+UNION ALL
+SELECT 'triangles', CAST(count(*) AS BIGINT) FROM tri
+ORDER BY metric
 """
 
     return sqls

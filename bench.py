@@ -173,7 +173,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # round-4 (session 7): exact vocab top-k, HyperANF, k-truss, PQ-ANN
         "vocab_topk", "hyperanf_registers", "k_truss", "knn_pq",
         "hashed_features", "latency_moments", "knn_ivfpq", "media_ahash",
-        "doc_length_quantiles", "corpus_profile", "image_near_dup", "audio_fingerprint",
+        "doc_length_quantiles", "corpus_profile", "image_near_dup", "audio_fingerprint", "graph_profile",
     ):
         timed(name, lambda n=name: q[n](sf_dir))
 
