@@ -342,6 +342,9 @@ def _q_lcc(sf_dir: str) -> pd.DataFrame:
 _SSSP_ROUNDS = 30
 _KCORE_K = 10
 _KCORE_ROUNDS = 20
+# >= directed diameter at both test scales (measured 2); post-fixpoint
+# closure rounds are no-ops under the min-aggregate
+_ECC_ROUNDS = 4
 
 
 def _q_sssp(sf_dir: str) -> pd.DataFrame:
@@ -1821,6 +1824,28 @@ def _q_graph_profile(sf_dir: str) -> pd.DataFrame:
             ),
         }
     )
+
+
+def _q_eccentricity(sf_dir: str) -> pd.DataFrame:
+    """Exact per-node eccentricity over the directed graph: max hop
+    distance to any reached node, computed as 64-way MSBFS waves with
+    per-partition column maxima — driver traffic is answer-sized."""
+    from graph_data_science_ray.functions.apsp import eccentricity
+
+    b = _bundle(sf_dir)
+    res = eccentricity(b["gd"])
+    return pd.DataFrame(
+        {"node": _strip(res["node"]), "ecc": res["ecc"].astype(np.int64)}
+    )
+
+
+def _q_graph_diameter(sf_dir: str) -> pd.DataFrame:
+    """Exact directed diameter + radius (max/min eccentricity) — the
+    exact companion of the HyperANF ``effective_diameter`` sketch."""
+    from graph_data_science_ray.functions.apsp import graph_diameter
+
+    b = _bundle(sf_dir)
+    return graph_diameter(b["gd"])
 
 
 def _q_tf_idf_topk(sf_dir: str) -> pd.DataFrame:
@@ -4328,6 +4353,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_near_dup": _q_image_near_dup,
         "audio_fingerprint": _q_audio_fingerprint,
         "graph_profile": _q_graph_profile,
+        "eccentricity": _q_eccentricity,
+        "graph_diameter": _q_graph_diameter,
     }
 
 
@@ -8107,5 +8134,43 @@ UNION ALL
 SELECT 'triangles', CAST(count(*) AS BIGINT) FROM tri
 ORDER BY metric
 """
+
+    # fixed-round BFS closure (K=4 >= directed diameter at both test
+    # scales; post-fixpoint rounds are no-ops under the min-aggregate,
+    # so early engine convergence stays equal — the apsp discipline)
+    _ecc_closure = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+fan AS (
+    SELECT src, dst, 1 AS w FROM edges
+    UNION ALL
+    SELECT node, node, 0 FROM nodes
+),
+dist AS (
+    SELECT 0 AS it, node AS source, node AS target, 0 AS d FROM nodes
+    UNION ALL
+    SELECT p.it + 1 AS it, p.source AS source, f.dst AS target,
+           min(p.d + f.w) AS d
+    FROM dist p JOIN fan f ON f.src = p.target
+    WHERE p.it < {_ECC_ROUNDS}
+    GROUP BY p.it, p.source, f.dst
+),
+ecc AS (
+    SELECT source, max(d) AS e FROM dist
+    WHERE it = {_ECC_ROUNDS} GROUP BY source
+)"""
+
+    sqls["eccentricity"] = (
+        _ecc_closure
+        + "\nSELECT source AS node, CAST(e AS BIGINT) AS ecc FROM ecc"
+    )
+
+    sqls["graph_diameter"] = (
+        _ecc_closure
+        + """
+SELECT 'diameter' AS metric, CAST(max(e) AS BIGINT) AS value FROM ecc
+UNION ALL
+SELECT 'radius', CAST(min(e) AS BIGINT) FROM ecc
+ORDER BY metric"""
+    )
 
     return sqls

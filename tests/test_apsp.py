@@ -73,3 +73,40 @@ def test_wave_split_parity(graph_from_edges):
     hi = _pairs(all_shortest_paths(gd, sources=np.arange(64, 70)))
     merged = {**lo, **hi}
     assert full == merged
+
+
+def test_eccentricity_matches_apsp_max(graph_from_edges):
+    from graph_data_science_ray.functions.apsp import eccentricity
+
+    # two components: a directed path and an isolated 2-cycle
+    edges = [(0, 1), (1, 2), (2, 3), (4, 5), (5, 4)]
+    gd, _, _, _, _ = graph_from_edges(edges)
+    pairs = _pairs(all_shortest_paths(gd))
+    want = {}
+    for (s, _t), d in pairs.items():
+        want[s] = max(want.get(s, 0), int(d))
+    ecc = eccentricity(gd)
+    got = dict(zip(keys_to_ids(ecc["node"]), ecc["ecc"].astype(int)))
+    assert got == want
+    # path head reaches 3 hops; cycle nodes reach 1; sink node 0
+    assert got[0] == 3 and got[3] == 0 and got[4] == 1
+
+
+def test_graph_diameter_readout(graph_from_edges):
+    from graph_data_science_ray.functions.apsp import graph_diameter
+
+    gd, gu, _, _, _ = graph_from_edges([(0, 1), (1, 2), (2, 3)])
+    d = graph_diameter(gd).set_index("metric")["value"]
+    assert d["diameter"] == 3  # head of the path
+    assert d["radius"] == 0  # the sink only reaches itself
+    du = graph_diameter(gu).set_index("metric")["value"]
+    assert du["diameter"] == 3 and du["radius"] == 2
+
+
+def test_eccentricity_sources_subset(graph_from_edges):
+    from graph_data_science_ray.functions.apsp import eccentricity
+
+    gd, _, _, _, _ = graph_from_edges([(0, 1), (1, 2), (2, 3), (3, 0)])
+    ecc = eccentricity(gd, sources=np.array([0, 2]))
+    got = dict(zip(keys_to_ids(ecc["node"]), ecc["ecc"].astype(int)))
+    assert got == {0: 3, 2: 3}
