@@ -1876,6 +1876,21 @@ def _q_bm25_topk(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "score_ppm"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_token_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-doc token-distribution self-entropy in integer micro-nats
+    (repetitiveness quality filter) — shuffle-free row-local stage."""
+    from graph_data_science_ray.stages.ir import token_entropy
+
+    out = token_entropy(_docs(sf_dir)).to_pandas()
+    for c in ("n_tokens", "ent_ppm"):
+        out[c] = out[c].astype(np.int64)
+    return (
+        out[["doc_id", "n_tokens", "ent_ppm"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_unigram_nll(sf_dir: str) -> pd.DataFrame:
     """Unigram-LM negative log-likelihood per doc in integer micro-nats
     (per-term ln floored to ppm BEFORE summing -> order-independent)."""
@@ -4355,6 +4370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_profile": _q_graph_profile,
         "eccentricity": _q_eccentricity,
         "graph_diameter": _q_graph_diameter,
+        "token_entropy": _q_token_entropy,
     }
 
 
@@ -6234,6 +6250,21 @@ SELECT d.doc_id,
        coalesce(per.n_tokens, 0) AS n_tokens,
        coalesce(per.n_tokens * lnt.lnt_ppm - per.s, 0) AS nll_ppm
 FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id, lnt
+ORDER BY d.doc_id"""
+
+    sqls["token_entropy"] = f"""
+WITH {_TOKS_CTE},
+per AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n,
+               CAST(sum(tf * CAST(floor(ln(CAST(tf AS DOUBLE)) * 1000000e0)
+                                  AS BIGINT)) AS BIGINT) AS s
+        FROM tf GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(per.n, 0) AS n_tokens,
+       CAST(coalesce(
+           (per.n * CAST(floor(ln(CAST(per.n AS DOUBLE)) * 1000000e0)
+                         AS BIGINT) - per.s) // per.n,
+           0) AS BIGINT) AS ent_ppm
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 ORDER BY d.doc_id"""
 
     sqls["bm25_topk"] = _bm25_oracle_sql()

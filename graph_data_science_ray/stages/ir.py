@@ -875,3 +875,58 @@ def corpus_profile(docs: rd.Dataset, num_parts: int = 64) -> pd.DataFrame:
             ),
         }
     )
+
+
+def token_entropy(docs: rd.Dataset, batch_size: int = 4096) -> rd.Dataset:
+    """Per-document token-distribution entropy in integer micro-nats.
+
+    The repetitiveness quality signal (a low-entropy document repeats a
+    few tokens): ``H(doc) = ln(n) - (1/n) * Σ_w c_w ln(c_w)`` over the
+    document's own term counts — the self-information complement of the
+    corpus-model :func:`unigram_nll`.
+
+    Integer discipline (hash-exact across parallelism and in SQL):
+    every ``ln`` floors to integer ppm BEFORE any sum, so
+    ``ent_ppm = (n * floor(ln n * 1e6) - Σ_w c_w * floor(ln c_w * 1e6)) // n``.
+    The numerator is non-negative (floor∘ln is monotone and c_w <= n), so
+    numpy floor-division and DuckDB's truncating ``//`` agree.
+
+    Entirely row-local — the term counts are within-document — so this
+    is one shuffle-free ``map_batches`` stage; at 100 TB it pipelines
+    with the read and never exchanges a byte.
+    """
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "n_tokens": pd.Series([], dtype=np.int64),
+                    "ent_ppm": pd.Series([], dtype=np.int64),
+                }
+            )
+        doc_ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        n_out = np.zeros(len(batch), dtype=np.int64)
+        ent = np.zeros(len(batch), dtype=np.int64)
+        tf = _batch_doc_terms(batch)  # vectorized explode + one groupby
+        if len(tf):
+            c = tf["tf"].to_numpy(dtype=np.int64)
+            term_ppm = c * np.floor(
+                np.log(c.astype(np.float64)) * 1e6
+            ).astype(np.int64)
+            per_doc = (
+                pd.DataFrame({"doc_id": tf["doc_id"], "n": c, "s": term_ppm})
+                .groupby("doc_id", sort=False)
+                .sum()
+            )
+            idx = pd.Series(np.arange(len(batch)), index=doc_ids)
+            rows = idx.loc[per_doc.index].to_numpy()
+            n = per_doc["n"].to_numpy(dtype=np.int64)
+            flnn = np.floor(np.log(n.astype(np.float64)) * 1e6).astype(np.int64)
+            n_out[rows] = n
+            ent[rows] = (n * flnn - per_doc["s"].to_numpy(dtype=np.int64)) // n
+        return pd.DataFrame(
+            {"doc_id": doc_ids, "n_tokens": n_out, "ent_ppm": ent}
+        )
+
+    return docs.map_batches(score, batch_format="pandas", batch_size=batch_size)

@@ -286,3 +286,25 @@ def test_hashed_features_exact_and_fold():
              .to_pandas().sort_values(["doc_id", "bucket"])
              .reset_index(drop=True))
     assert out.equals(again)
+
+
+def test_token_entropy_integer_exact():
+    from graph_data_science_ray.stages.ir import token_entropy
+
+    ds = _docs(["a a b", "x x x x", "", "p q r"])
+    out = token_entropy(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # doc 0: n=3, counts {a:2, b:1} -> (3*floor(ln3*1e6) - 2*floor(ln2*1e6)) // 3
+    ln2, ln3 = 693147, 1098612
+    assert out.loc[0, "n_tokens"] == 3
+    assert out.loc[0, "ent_ppm"] == (3 * ln3 - 2 * ln2) // 3
+    # uniform repetition -> zero entropy; empty doc -> zeros
+    assert out.loc[1, "ent_ppm"] == 0
+    assert out.loc[2, "n_tokens"] == 0 and out.loc[2, "ent_ppm"] == 0
+    # all-distinct -> maximal ln(n) entropy
+    assert out.loc[3, "ent_ppm"] == ln3
+    # row-local: repartitioning cannot change anything
+    out2 = (
+        token_entropy(_docs(["a a b", "x x x x", "", "p q r"]).repartition(4))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
