@@ -3529,6 +3529,34 @@ def _q_node_classification(sf_dir: str) -> pd.DataFrame:
     ).sort_values("vec_id").reset_index(drop=True)
 
 
+def _q_wcc_threshold(sf_dir: str) -> pd.DataFrame:
+    """WCC with the reference's relationship-weight threshold config
+    (Wcc.java / SampledStrategy.java:258-264 — only edges with
+    ``weight > threshold`` union): the documented caller-side contract
+    (functions/wcc.py docstring) filters the directed edge table at
+    weight > 2 BEFORE symmetrize + projection, so sub-threshold pairs
+    never even shuffle; every node keeps its row (singletons stay
+    self-labelled min-id components)."""
+    import graph_data_science_ray as gdsr
+
+    b = _bundle(sf_dir)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["weight"].to_numpy() > 2.0]
+
+    filt = b["enc"].map_batches(keep, batch_format="pandas")
+    sym = gdsr.symmetrize(filt, num_partitions=8)
+    root = tempfile.mkdtemp(prefix="gdsr-wcct-", dir="/tmp")
+    g = gdsr.GraphStore.project(
+        sym, os.path.join(root, "g"), idmap=b["idmap"],
+        num_partitions=8, directed=False,
+    )
+    res = gdsr.wcc(g)
+    return pd.DataFrame(
+        {"node": _strip(res["node"]), "component": _strip(res["component"])}
+    )
+
+
 def _q_subgraph_filter_expr(sf_dir: str) -> pd.DataFrame:
     """Subgraph filter through the reference's EXPRESSION AST surface
     (subgraph-filtering/.../expression/ExpressionParser.java, parsed by
@@ -4371,6 +4399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eccentricity": _q_eccentricity,
         "graph_diameter": _q_graph_diameter,
         "token_entropy": _q_token_entropy,
+        "wcc_threshold": _q_wcc_threshold,
     }
 
 
@@ -4652,6 +4681,18 @@ SELECT node, round(rank, 6) AS score FROM pr WHERE it = {_PR_ITERS}
     sqls["wcc"] = f"""
 WITH RECURSIVE {_GRAPH_CTE},
 und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach AS (
+    SELECT node, node AS lab FROM nodes
+    UNION
+    SELECT u.dst AS node, r.lab FROM reach r JOIN und u ON u.src = r.node
+)
+SELECT node, min(lab) AS component FROM reach GROUP BY node
+"""
+
+    sqls["wcc_threshold"] = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+ef AS (SELECT src, dst FROM edges WHERE weight > 2),
+und AS (SELECT src, dst FROM ef UNION SELECT dst, src FROM ef),
 reach AS (
     SELECT node, node AS lab FROM nodes
     UNION

@@ -133,6 +133,11 @@ _ORACLE_CHECKED = [
     "random_walks",
     "linkpred_funcs",
     "vector_similarity",
+    # round-4 session-8 batch
+    "eccentricity",
+    "graph_diameter",
+    "token_entropy",
+    "wcc_threshold",
 ]
 
 
