@@ -2149,6 +2149,29 @@ def _q_hll_registers(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("register").reset_index(drop=True)
 
 
+def _q_hll_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source HyperLogLog register tables over document texts — the
+    distributed ``approx COUNT(DISTINCT text) GROUP BY source``. Sparse
+    contract: only observed (rho > 0) registers; the SQL oracle checks
+    every integer register verbatim."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.sketch import hll_registers_by
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    out = hll_registers_by(docs, "source", "text").to_pandas()
+    out["register"] = out["register"].astype(np.int64)
+    out["rho"] = out["rho"].astype(np.int64)
+    return (
+        out[["source", "register", "rho"]]
+        .sort_values(["source", "register"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_cms_registers(sf_dir: str) -> pd.DataFrame:
     """Count-Min 4x512 register table over document tokens — the
     mergeable frequency sketch, integer registers exactly reproduced
@@ -4400,6 +4423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_diameter": _q_graph_diameter,
         "token_entropy": _q_token_entropy,
         "wcc_threshold": _q_wcc_threshold,
+        "hll_by_source": _q_hll_by_source,
     }
 
 
@@ -5335,6 +5359,26 @@ SELECT CAST(regs.register AS BIGINT) AS register,
        CAST(coalesce(r.rho, 0) AS BIGINT) AS rho
 FROM regs LEFT JOIN r USING (register)
 ORDER BY register
+"""
+
+    sqls["hll_by_source"] = r"""
+WITH h AS (
+  SELECT source,
+         CAST(('0x' || substr(md5(coalesce(text, '')), 1, 8)) AS UBIGINT)
+         AS h32
+  FROM documents
+),
+bw AS (SELECT source, h32 // 16777216 AS register, h32 % 16777216 AS w FROM h)
+SELECT source,
+       CAST(register AS BIGINT) AS register,
+       CAST(max(CASE WHEN w = 0 THEN 25
+                ELSE 25 - (CAST(floor(log2(CAST(w AS DOUBLE))) AS BIGINT) + 1)
+                END) AS BIGINT) AS rho
+FROM bw GROUP BY source, register
+HAVING max(CASE WHEN w = 0 THEN 25
+           ELSE 25 - (CAST(floor(log2(CAST(w AS DOUBLE))) AS BIGINT) + 1)
+           END) > 0
+ORDER BY source, register
 """
 
     sqls["cms_registers"] = r"""

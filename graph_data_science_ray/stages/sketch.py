@@ -37,6 +37,7 @@ import ray.data as rd
 
 __all__ = [
     "hll_registers", "hll_estimate", "approx_distinct",
+    "hll_registers_by", "approx_distinct_by",
     "cms_registers", "cms_heavy_hitters",
     "bloom_bits", "bloom_decontaminate",
 ]
@@ -381,3 +382,73 @@ def bloom_decontaminate(
         lambda df: probe(df, ray.get(mask_ref)),
         batch_format="pandas", batch_size=2048,
     )
+
+
+# --------------------------------------------------------------------------
+# Grouped HyperLogLog (approximate COUNT(DISTINCT col) ... GROUP BY key)
+# --------------------------------------------------------------------------
+
+
+def _partial_registers_by(df: pd.DataFrame, key_col: str, col: str) -> pd.DataFrame:
+    """Per-batch sparse (key, register, rho) partials — one md5 per row,
+    then a single batch groupby-max; hashing cost is row count, shuffle
+    cost is (batch keys x touched registers)."""
+    if not len(df):
+        return pd.DataFrame(
+            {key_col: pd.Series([], dtype=object),
+             "register": pd.Series([], dtype=np.int64),
+             "rho": pd.Series([], dtype=np.int64)}
+        )
+    vals = df[col].fillna("").astype(str)
+    h32 = np.fromiter(
+        (int(hashlib.md5(v.encode("utf-8")).hexdigest()[:8], 16) for v in vals),
+        dtype=np.int64, count=len(vals),
+    )
+    bucket = h32 >> _WBITS
+    w = h32 & ((1 << _WBITS) - 1)
+    bl = np.frexp(w.astype(np.float64))[1].astype(np.int64)
+    rho = np.where(w == 0, np.int64(_WBITS + 1), np.int64(_WBITS + 1) - bl)
+    return (
+        pd.DataFrame(
+            {key_col: df[key_col].to_numpy(), "register": bucket, "rho": rho}
+        )
+        .groupby([key_col, "register"], sort=False)["rho"]
+        .max()
+        .reset_index()
+    )
+
+
+def hll_registers_by(ds: rd.Dataset, key_col: str, col: str) -> rd.Dataset:
+    """Per-group HyperLogLog register tables: sparse
+    ``(key, register, rho)`` rows with only OBSERVED registers (an
+    absent row means rho 0 — unlike the dense global
+    :func:`hll_registers`, zero-filling per key would need the key
+    universe). Registers max-merge, so map-side batch partials shuffle
+    only (keys x <=256) rows per batch regardless of row count — the
+    distributed ``approx COUNT(DISTINCT col) GROUP BY key``."""
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+
+    partials = ds.map_batches(
+        lambda df: _partial_registers_by(df, key_col, col),
+        batch_format="pandas", batch_size=8192,
+    )
+    return hash_aggregate(
+        partials, [key_col, "register"], "rho", op="max", num_parts=8
+    )
+
+
+def approx_distinct_by(ds: rd.Dataset, key_col: str, col: str) -> pd.DataFrame:
+    """Per-key approximate distinct counts from :func:`hll_registers_by`
+    — the driver pull is answer-sized (keys x <=256 register rows)."""
+    regs = hll_registers_by(ds, key_col, col).to_pandas()
+    out = []
+    for key, g in regs.groupby(key_col, sort=True):
+        dense = pd.DataFrame(
+            {"register": np.arange(_M, dtype=np.int64),
+             "rho": np.zeros(_M, dtype=np.int64)}
+        )
+        dense.loc[g["register"].to_numpy(dtype=np.int64), "rho"] = (
+            g["rho"].to_numpy(dtype=np.int64)
+        )
+        out.append((key, hll_estimate(dense)))
+    return pd.DataFrame(out, columns=[key_col, "estimate"])

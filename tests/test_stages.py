@@ -925,3 +925,47 @@ def test_audio_fingerprint_contract():
     # decode round trip preserves the fingerprint
     rt = decode_wav(encode_wav(loud_tail, rate=8000))
     assert audio_fingerprint(rt) == audio_fingerprint(loud_tail)
+
+
+def test_hll_grouped_matches_per_key_global():
+    """Grouped HLL: each key's sparse register set equals the nonzero
+    registers of a global HLL run on that key's rows alone; estimates
+    track per-key distinct counts; repartitioning is a no-op."""
+    from graph_data_science_ray.stages.sketch import (
+        approx_distinct_by,
+        hll_registers,
+        hll_registers_by,
+    )
+
+    texts, keys = [], []
+    for i in range(1200):
+        texts.append(f"a-{i}")
+        keys.append("a")
+    for i in range(300):
+        texts.append(f"b-{i % 50}")  # 50 distinct under key b
+        keys.append("b")
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "source": pa.array(keys, pa.string())})
+    ds = rd.from_arrow(t)
+    grouped = (
+        hll_registers_by(ds, "source", "text").to_pandas()
+        .sort_values(["source", "register"]).reset_index(drop=True)
+    )
+    for key in ("a", "b"):
+        rows = rd.from_arrow(t.filter(pa.compute.equal(t["source"], key)))
+        solo = hll_registers(rows, "text").to_pandas()
+        solo = solo[solo["rho"] > 0].sort_values("register")
+        g = grouped[grouped["source"] == key]
+        assert (g["register"].to_numpy() == solo["register"].to_numpy()).all()
+        assert (g["rho"].to_numpy() == solo["rho"].to_numpy()).all()
+
+    est = approx_distinct_by(ds, "source", "text").set_index("source")["estimate"]
+    assert abs(est["a"] - 1200) / 1200 < 0.2
+    assert abs(est["b"] - 50) / 50 < 0.35  # small-range correction regime
+
+    g2 = (
+        hll_registers_by(ds.repartition(7), "source", "text").to_pandas()
+        .sort_values(["source", "register"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(grouped, g2)
