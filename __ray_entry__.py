@@ -2172,6 +2172,49 @@ def _q_hll_by_source(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_edges_tooled(sf_dir: str) -> pd.DataFrame:
+    """Role/TOOL interaction edge table — the north-star mixed actor
+    graph: the deterministic tool-fill adapter promotes a third of turns
+    to ``tool:`` actors, and edge derivation keys consecutive turns by
+    ``_actor_key`` (tool: wins over role: when set, pipelines/edges.py).
+    SQL mirrors the fill rule verbatim."""
+    import graph_data_science_ray as gdsr
+
+    from graph_data_science_ray.pipelines.edges import (
+        derive_edges_encoded_grouped,
+    )
+    from graph_data_science_ray.sources.transcripts import (
+        events_as_transcripts_tools,
+    )
+
+    ts = events_as_transcripts_tools(sf_dir)
+    turns = gdsr.derive_turns(ts).materialize()
+    im = gdsr.IdMap.from_turns(turns)
+    enc = derive_edges_encoded_grouped(turns, im, num_partitions=8)
+    df = enc.to_pandas()
+    keys = im.keys
+    return pd.DataFrame(
+        {
+            "src": keys[df["src"].to_numpy(dtype=np.int64)],
+            "dst": keys[df["dst"].to_numpy(dtype=np.int64)],
+            "weight": df["weight"].astype(np.float64),
+        }
+    )
+
+
+def _q_tool_usage(sf_dir: str) -> pd.DataFrame:
+    """Per-tool usage census (turns + distinct conversations) over the
+    tool-filled transcript view — two-level distributed aggregate."""
+    from graph_data_science_ray.sources.transcripts import (
+        events_as_transcripts_tools,
+    )
+    from graph_data_science_ray.stages.trajectory import tool_usage
+
+    ts = events_as_transcripts_tools(sf_dir)
+    out = tool_usage(ts).to_pandas()
+    return out.sort_values("tool").reset_index(drop=True)
+
+
 def _q_cms_registers(sf_dir: str) -> pd.DataFrame:
     """Count-Min 4x512 register table over document tokens — the
     mergeable frequency sketch, integer registers exactly reproduced
@@ -4424,6 +4467,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_entropy": _q_token_entropy,
         "wcc_threshold": _q_wcc_threshold,
         "hll_by_source": _q_hll_by_source,
+        "edges_tooled": _q_edges_tooled,
+        "tool_usage": _q_tool_usage,
     }
 
 
@@ -5359,6 +5404,33 @@ SELECT CAST(regs.register AS BIGINT) AS register,
        CAST(coalesce(r.rho, 0) AS BIGINT) AS rho
 FROM regs LEFT JOIN r USING (register)
 ORDER BY register
+"""
+
+    sqls["edges_tooled"] = """
+WITH turns AS (
+    SELECT event_type AS conv,
+           row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+               AS idx,
+           CASE WHEN event_id % 3 = 0
+                THEN 'tool:t' || CAST(user_id % 7 AS VARCHAR)
+                ELSE 'role:' || CAST(user_id AS VARCHAR) END AS actor
+    FROM events
+),
+pairs AS (
+    SELECT a.actor AS src, b.actor AS dst
+    FROM turns a JOIN turns b ON a.conv = b.conv AND b.idx = a.idx + 1
+    WHERE a.actor <> b.actor
+)
+SELECT src, dst, CAST(count(*) AS DOUBLE) AS weight
+FROM pairs GROUP BY src, dst
+"""
+
+    sqls["tool_usage"] = """
+SELECT 't' || CAST(user_id % 7 AS VARCHAR) AS tool,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_convs
+FROM events WHERE event_id % 3 = 0
+GROUP BY 1 ORDER BY 1
 """
 
     sqls["hll_by_source"] = r"""

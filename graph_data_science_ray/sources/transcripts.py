@@ -220,3 +220,45 @@ def events_as_transcripts(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.groupby("event_type").map_groups(to_turns, batch_format="pandas")
+
+
+def events_as_transcripts_tools(sf_dir: str) -> rd.Dataset:
+    """:func:`events_as_transcripts` with a deterministic tool fill.
+
+    The driver's events table has no tool column, so this adapter binds
+    one by a fixed rule (mirrored verbatim in the SQL oracles):
+    ``tool = 't' || (user_id % 7)`` on every turn whose ``event_id`` is
+    divisible by 3, else NULL — about a third of turns become tool
+    invocations over 7 distinct tools. Downstream, edge derivation's
+    ``_actor_key`` promotes those turns to ``tool:`` actor keys (the
+    north-star role/tool interaction graph), exactly as it does for real
+    transcripts whose tool column is populated.
+    """
+    import pandas as pd
+
+    ds = rd.read_parquet(
+        f"{sf_dir.rstrip('/')}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "props"],
+    )
+
+    def to_turns(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].astype(np.int64).to_numpy()
+        eid = g["event_id"].astype(np.int64).to_numpy()
+        tool = np.where(
+            eid % 3 == 0,
+            np.char.add("t", (uid % 7).astype("U1")).astype(object),
+            None,
+        )
+        return pd.DataFrame(
+            {
+                "conv_id": g["event_type"].astype(str),
+                "turn_idx": np.arange(len(g), dtype=np.int32),
+                "role": uid.astype(str),
+                "text": g["props"].astype(str),
+                "tool": pd.Series(tool, dtype=object),
+                "ts": g["ts"].values,
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(to_turns, batch_format="pandas")

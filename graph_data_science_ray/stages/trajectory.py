@@ -689,3 +689,48 @@ def latency_moments(
         )
 
     return turns.groupby(conv_col).map_groups(per_group, batch_format="pandas")
+
+
+def tool_usage(turns: rd.Dataset, num_parts: int = 16) -> rd.Dataset:
+    """Per-tool usage stats: ``(tool, n_turns, n_convs)`` over turns
+    whose tool column is set — the tool-call census a trajectory
+    curation pass starts from.
+
+    Two-level distributed aggregate: map-side (tool, conv) partial
+    counts hash-sum to per-conversation counts (bounded by
+    tools x convs), then one tiny per-tool combine yields turn totals
+    and distinct-conversation counts — the distinct never shuffles raw
+    turns twice.
+    """
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"tool": pd.Series([], dtype=object),
+                 "conv_id": pd.Series([], dtype=object),
+                 "c": pd.Series([], dtype=np.int64)}
+            )
+        m = df["tool"].notna() & (df["tool"].astype(object) != "")
+        sub = df[m]
+        return pd.DataFrame(
+            {"tool": sub["tool"].astype(str),
+             "conv_id": sub["conv_id"].astype(str),
+             "c": np.ones(int(m.sum()), dtype=np.int64)}
+        )
+
+    per_conv = hash_aggregate(
+        turns.map_batches(pairs, batch_format="pandas"),
+        ["tool", "conv_id"], "c", op="sum", num_parts=num_parts,
+    )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("tool", sort=False)
+        out = g["c"].agg(n_turns="sum", n_convs="count").reset_index()
+        out["n_turns"] = out["n_turns"].astype(np.int64)
+        out["n_convs"] = out["n_convs"].astype(np.int64)
+        return out
+
+    return (
+        per_conv.groupby("tool").map_groups(combine, batch_format="pandas")
+    )

@@ -138,6 +138,9 @@ _ORACLE_CHECKED = [
     "graph_diameter",
     "token_entropy",
     "wcc_threshold",
+    "hll_by_source",
+    "edges_tooled",
+    "tool_usage",
 ]
 
 

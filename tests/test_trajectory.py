@@ -276,3 +276,32 @@ def test_latency_moments_exact():
     assert out["n_gaps"].tolist() == [2, 0]
     assert out["sum_us"].tolist() == [4_500_000, 0]
     assert out["sumsq_ms2"].tolist() == [1500**2 + 3000**2, 0]
+
+def test_tool_usage_counts():
+    from graph_data_science_ray.stages.trajectory import tool_usage
+
+    def mk():
+        rows = [
+            ("c1", 0, "a", "x", None),
+            ("c1", 1, "b", "y", "grep"),
+            ("c1", 2, "a", "z", "grep"),
+            ("c2", 0, "a", "x", "grep"),
+            ("c2", 1, "b", "y", "bash"),
+            ("c3", 0, "a", "x", ""),  # empty string is not a tool
+        ]
+        return rd.from_arrow(pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "tool": pa.array([r[4] for r in rows], pa.string()),
+        }))
+
+    out = tool_usage(mk()).to_pandas().sort_values("tool").reset_index(drop=True)
+    assert list(out["tool"]) == ["bash", "grep"]
+    assert list(out["n_turns"]) == [1, 3]
+    assert list(out["n_convs"]) == [1, 2]
+    # partition-invariant
+    out2 = (tool_usage(mk().repartition(5)).to_pandas()
+            .sort_values("tool").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, out2)
