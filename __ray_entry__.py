@@ -2172,12 +2172,15 @@ def _q_hll_by_source(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def _q_edges_tooled(sf_dir: str) -> pd.DataFrame:
-    """Role/TOOL interaction edge table — the north-star mixed actor
-    graph: the deterministic tool-fill adapter promotes a third of turns
-    to ``tool:`` actors, and edge derivation keys consecutive turns by
-    ``_actor_key`` (tool: wins over role: when set, pipelines/edges.py).
-    SQL mirrors the fill rule verbatim."""
+_TOOL_BUNDLES: dict = {}
+
+
+def _tool_bundle(sf_dir: str) -> dict:
+    """Projected graph over the tool-filled transcript view (the
+    north-star mixed role/tool actor space); cached per sf_dir like
+    ``_bundle``."""
+    if sf_dir in _TOOL_BUNDLES:
+        return _TOOL_BUNDLES[sf_dir]
     import graph_data_science_ray as gdsr
 
     from graph_data_science_ray.pipelines.edges import (
@@ -2190,15 +2193,47 @@ def _q_edges_tooled(sf_dir: str) -> pd.DataFrame:
     ts = events_as_transcripts_tools(sf_dir)
     turns = gdsr.derive_turns(ts).materialize()
     im = gdsr.IdMap.from_turns(turns)
-    enc = derive_edges_encoded_grouped(turns, im, num_partitions=8)
-    df = enc.to_pandas()
-    keys = im.keys
+    enc = derive_edges_encoded_grouped(turns, im, num_partitions=8).materialize()
+    root = tempfile.mkdtemp(prefix="gdsr-toolg-", dir="/tmp")
+    g = gdsr.GraphStore.project(
+        enc, os.path.join(root, "g"), idmap=im, num_partitions=8, directed=True
+    )
+    b = {"idmap": im, "enc": enc, "gd": g}
+    _TOOL_BUNDLES[sf_dir] = b
+    return b
+
+
+def _q_edges_tooled(sf_dir: str) -> pd.DataFrame:
+    """Role/TOOL interaction edge table — the north-star mixed actor
+    graph: the deterministic tool-fill adapter promotes a third of turns
+    to ``tool:`` actors, and edge derivation keys consecutive turns by
+    ``_actor_key`` (tool: wins over role: when set, pipelines/edges.py).
+    SQL mirrors the fill rule verbatim."""
+    b = _tool_bundle(sf_dir)
+    df = b["enc"].to_pandas()
+    keys = b["idmap"].keys
     return pd.DataFrame(
         {
             "src": keys[df["src"].to_numpy(dtype=np.int64)],
             "dst": keys[df["dst"].to_numpy(dtype=np.int64)],
             "weight": df["weight"].astype(np.float64),
         }
+    )
+
+
+def _q_pagerank_tooled(sf_dir: str) -> pd.DataFrame:
+    """The flagship on the north-star mixed graph: weighted PageRank at
+    fixed rounds over role/tool interaction edges — tool vertices rank
+    alongside user roles in one actor space."""
+    import graph_data_science_ray as gdsr
+
+    b = _tool_bundle(sf_dir)
+    res = gdsr.pagerank(
+        b["gd"], damping=0.85, tolerance=0.0,
+        max_iterations=_PR_ITERS + 1, weighted=True,
+    )
+    return pd.DataFrame(
+        {"node": res["node"], "score": np.round(res["score"].to_numpy(), 6)}
     )
 
 
@@ -4469,6 +4504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_by_source": _q_hll_by_source,
         "edges_tooled": _q_edges_tooled,
         "tool_usage": _q_tool_usage,
+        "pagerank_tooled": _q_pagerank_tooled,
     }
 
 
@@ -4482,6 +4518,29 @@ turns AS (
     SELECT event_type AS conv,
            row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS idx,
            CAST(user_id AS VARCHAR) AS actor
+    FROM events
+),
+nodes AS (SELECT DISTINCT actor AS node FROM turns),
+pairs AS (
+    SELECT a.actor AS src, b.actor AS dst
+    FROM turns a JOIN turns b ON a.conv = b.conv AND b.idx = a.idx + 1
+    WHERE a.actor <> b.actor
+),
+edges AS (
+    SELECT src, dst, CAST(count(*) AS DOUBLE) AS weight FROM pairs GROUP BY src, dst
+)
+"""
+
+# tooled variant of _GRAPH_CTE: mirrors events_as_transcripts_tools'
+# deterministic fill (tool = 't' || user_id % 7 on event_id % 3 == 0) and
+# _actor_key's tool-over-role promotion (pipelines/edges.py)
+_GRAPH_TOOL_CTE = """
+turns AS (
+    SELECT event_type AS conv,
+           row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS idx,
+           CASE WHEN event_id % 3 = 0
+                THEN 'tool:t' || CAST(user_id % 7 AS VARCHAR)
+                ELSE 'role:' || CAST(user_id AS VARCHAR) END AS actor
     FROM events
 ),
 nodes AS (SELECT DISTINCT actor AS node FROM turns),
@@ -5406,23 +5465,29 @@ FROM regs LEFT JOIN r USING (register)
 ORDER BY register
 """
 
-    sqls["edges_tooled"] = """
-WITH turns AS (
-    SELECT event_type AS conv,
-           row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
-               AS idx,
-           CASE WHEN event_id % 3 = 0
-                THEN 'tool:t' || CAST(user_id % 7 AS VARCHAR)
-                ELSE 'role:' || CAST(user_id AS VARCHAR) END AS actor
-    FROM events
+    sqls["edges_tooled"] = (
+        f"WITH {_GRAPH_TOOL_CTE} SELECT src, dst, weight FROM edges"
+    )
+
+    sqls["pagerank_tooled"] = f"""
+WITH RECURSIVE {_GRAPH_TOOL_CTE},
+outdeg AS (SELECT src AS node, sum(weight) AS wdeg FROM edges GROUP BY src),
+fan AS (
+    SELECT e.src AS src, e.dst AS dst, e.weight / o.wdeg AS frac, FALSE AS is_self
+    FROM edges e JOIN outdeg o ON o.node = e.src
+    UNION ALL
+    SELECT node, node, 0.0, TRUE FROM nodes
 ),
-pairs AS (
-    SELECT a.actor AS src, b.actor AS dst
-    FROM turns a JOIN turns b ON a.conv = b.conv AND b.idx = a.idx + 1
-    WHERE a.actor <> b.actor
+pr AS (
+    SELECT 0 AS it, node, CAST(0.15 AS DOUBLE) AS rank FROM nodes
+    UNION ALL
+    SELECT p.it + 1 AS it, f.dst AS node,
+           0.15 + 0.85 * sum(CASE WHEN f.is_self THEN 0.0 ELSE p.rank * f.frac END) AS rank
+    FROM pr p JOIN fan f ON f.src = p.node
+    WHERE p.it < {_PR_ITERS}
+    GROUP BY p.it, f.dst
 )
-SELECT src, dst, CAST(count(*) AS DOUBLE) AS weight
-FROM pairs GROUP BY src, dst
+SELECT node, round(rank, 6) AS score FROM pr WHERE it = {_PR_ITERS}
 """
 
     sqls["tool_usage"] = """
