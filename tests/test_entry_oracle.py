@@ -84,13 +84,15 @@ _ORACLE_CHECKED = [
     "range_join",
     "winnow_fingerprints",
     "louvain_valid",
-    "max_k_cut_valid",
-    "sllpa_valid",
-    "minhash_valid",
+    "max_k_cut",
+    "sllpa",
+    "minhash_near_dup",
     "feature_backfill",
-    "knn_descent_valid",
-    "celf_valid",
+    "knn_descent",
+    "celf",
     "fastrp_valid",
+    "simhash",
+    "louvain_modularity",
     "knn_lsh_multiband",
     "all_shortest_paths",
     "apsp_weighted",
@@ -161,10 +163,11 @@ def test_query_matches_oracle(con, name):
             assert (a.astype(str) == b.astype(str)).all(), f"col {c}"
 
 
-def test_rows_only_queries_produce_rows():
-    for name in ("simhash",):
-        out = entry.queries()[name](SF_DIR)
-        assert len(out) > 0
+def test_every_query_has_an_oracle():
+    """Round-4 contract: EVERY registered query is exactly checkable —
+    the driver should record zero ``no_oracle`` rows."""
+    qs, sqls = entry.queries(), entry.oracle_sql()
+    assert set(qs) == set(sqls)
 
 
 def test_every_oracle_key_has_a_query():
