@@ -4325,6 +4325,63 @@ def _q_louvain_modularity(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_funnel(sf_dir: str) -> pd.DataFrame:
+    """Ordered min-time-greedy funnel over the events stream: users
+    reaching each of signup → view → click → purchase in order (stage k
+    counted only strictly after the stage-(k-1) reach time)."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.sessions import funnel_counts
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    out = funnel_counts(
+        ev, stages=("signup", "view", "click", "purchase")
+    ).to_pandas()
+    return out.sort_values("stage_idx").reset_index(drop=True)
+
+
+def _q_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention matrix: (cohort_day, offset_days, users) with
+    the cohort = integer epoch-day of a user's first event."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.sessions import retention_cohorts
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    out = retention_cohorts(ev).to_pandas()
+    return out.sort_values(["cohort_day", "offset_days"]).reset_index(drop=True)
+
+
+def _q_actor_trigrams(sf_dir: str) -> pd.DataFrame:
+    """Consecutive actor trigram counts over the transcript turns — the
+    common-path structure of the trajectory set."""
+    import graph_data_science_ray as gdsr
+
+    from graph_data_science_ray.stages.trajectory import actor_ngrams
+
+    turns = gdsr.events_as_transcripts(sf_dir)
+    out = actor_ngrams(turns, n=3).to_pandas()
+    return out.sort_values("gram").reset_index(drop=True)
+
+
+def _q_pmi_bigrams(sf_dir: str) -> pd.DataFrame:
+    """Corpus PMI collocations over adjacent token bigrams, integer-ppm
+    ln discipline, min_count=5."""
+    from graph_data_science_ray.stages.ir import pmi_bigrams
+
+    out = pmi_bigrams(_docs(sf_dir), min_count=5).to_pandas()
+    return out.sort_values(["w1", "w2"]).reset_index(drop=True)
+
+
+def _q_readability(sf_dir: str) -> pd.DataFrame:
+    """Flesch readability accounting per document: exact word /
+    sentence / syllable-heuristic counts."""
+    from graph_data_science_ray.stages.quality import readability
+
+    out = readability(_docs(sf_dir)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: events → edge table → weighted
     PageRank; returns (node, score) rows."""
@@ -4525,6 +4582,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edges_tooled": _q_edges_tooled,
         "tool_usage": _q_tool_usage,
         "pagerank_tooled": _q_pagerank_tooled,
+        # session-8 batch: events-stream product analytics + corpus
+        # collocation/readability + actor paths
+        "funnel": _q_funnel,
+        "retention_cohorts": _q_retention,
+        "actor_trigrams": _q_actor_trigrams,
+        "pmi_bigrams": _q_pmi_bigrams,
+        "readability": _q_readability,
     }
 
 
@@ -8487,5 +8551,122 @@ UNION ALL
 SELECT 'radius', CAST(min(e) AS BIGINT) FROM ecc
 ORDER BY metric"""
     )
+
+    # ordered funnel: stage k's reach time = earliest stage-k event
+    # STRICTLY after the stage-(k-1) reach time (min-time greedy)
+    sqls["funnel"] = """
+WITH s0 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+s1 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s0 ON s0.user_id = e.user_id AND e.ts > s0.t
+  WHERE e.event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'click' GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS stage_idx, 'signup' AS stage,
+         CAST((SELECT count(*) FROM s0) AS BIGINT) AS users
+  UNION ALL SELECT 1, 'view', (SELECT count(*) FROM s1)
+  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+) ORDER BY stage_idx
+"""
+
+    sqls["retention_cohorts"] = """
+WITH d AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events
+),
+c AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY 1),
+a AS (
+  SELECT DISTINCT d.user_id, c.cohort, d.day - c.cohort AS off
+  FROM d JOIN c ON c.user_id = d.user_id
+)
+SELECT cohort AS cohort_day, off AS offset_days,
+       CAST(count(*) AS BIGINT) AS users
+FROM a GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+    sqls["actor_trigrams"] = """
+WITH t AS (
+  SELECT event_type AS conv,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS idx,
+         CAST(user_id AS VARCHAR) AS actor
+  FROM events
+),
+l AS (
+  SELECT conv, actor,
+         lag(actor) OVER (PARTITION BY conv ORDER BY idx) AS p1,
+         lag(actor, 2) OVER (PARTITION BY conv ORDER BY idx) AS p2
+  FROM t
+)
+SELECT p2 || '>' || p1 || '>' || actor AS gram,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM l WHERE p2 IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+    # PMI collocations: every ln floored to integer ppm independently
+    # (the unigram_nll discipline), then pure BIGINT arithmetic
+    sqls["pmi_bigrams"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(coalesce(text, ''), '\S+'),
+                        x -> lower(x)) AS arr
+  FROM documents
+),
+bg AS (
+  SELECT arr[i] AS w1, arr[i+1] AS w2
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(arr)-1)) AS i) g
+  WHERE len(arr) >= 2
+),
+cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy FROM bg GROUP BY 1, 2),
+tot AS (SELECT sum(c_xy) AS t FROM cb),
+cx AS (SELECT w1, CAST(floor(ln(CAST(sum(c_xy) AS DOUBLE)) * 1000000e0)
+               AS BIGINT) AS lnx FROM cb GROUP BY 1),
+cy AS (SELECT w2, CAST(floor(ln(CAST(sum(c_xy) AS DOUBLE)) * 1000000e0)
+               AS BIGINT) AS lny FROM cb GROUP BY 1)
+SELECT b.w1, b.w2, b.c_xy,
+       CAST(floor(ln(CAST((SELECT t FROM tot) AS DOUBLE)) * 1000000e0)
+            AS BIGINT)
+       + CAST(floor(ln(CAST(b.c_xy AS DOUBLE)) * 1000000e0) AS BIGINT)
+       - cx.lnx - cy.lny AS pmi_ppm
+FROM cb b
+JOIN cx ON cx.w1 = b.w1
+JOIN cy ON cy.w2 = b.w2
+WHERE b.c_xy >= 5
+ORDER BY b.w1, b.w2
+"""
+
+    sqls["readability"] = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]+'))
+            AS BIGINT) AS n_words,
+       CAST(CASE
+         WHEN len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]+')) = 0
+         THEN 0
+         ELSE greatest(1, len(list_filter(
+           regexp_extract_all(coalesce(text, ''), '[^.!?]+'),
+           s -> regexp_matches(s, '[A-Za-z]+'))))
+       END AS BIGINT) AS n_sentences,
+       CAST(coalesce(list_sum(list_transform(
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z]+'),
+         w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))), 0)
+       AS BIGINT) AS n_syllables
+FROM documents ORDER BY doc_id
+"""
 
     return sqls

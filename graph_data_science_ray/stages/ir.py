@@ -930,3 +930,122 @@ def token_entropy(docs: rd.Dataset, batch_size: int = 4096) -> rd.Dataset:
         )
 
     return docs.map_batches(score, batch_format="pandas", batch_size=batch_size)
+
+
+def pmi_bigrams(
+    docs: rd.Dataset,
+    min_count: int = 5,
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """Pointwise mutual information of adjacent token bigrams — the
+    classic collocation extractor (Church & Hanks 1990) over the whole
+    corpus.  Returns ``(w1, w2, c_xy, pmi_ppm)`` for bigrams occurring
+    at least ``min_count`` times, where
+
+        pmi_ppm = floor(ln T·1e6) + floor(ln c_xy·1e6)
+                  − floor(ln c_x·1e6) − floor(ln c_y·1e6)
+
+    with ``T`` the corpus bigram total and ``c_x``/``c_y`` the
+    positional marginals (first-word / second-word totals).  Flooring
+    each ``ln`` to integer ppm BEFORE the arithmetic keeps every value
+    an exact integer — order-independent and reproducible verbatim by
+    the SQL oracle (the ``unigram_nll`` float discipline).
+
+    Fully join-based: the corpus bigram table aggregates once, each
+    marginal is a second tiny aggregate hash-joined back; nothing
+    vocabulary-sized touches the driver.
+    """
+    import pyarrow as pa
+
+    from graph_data_science_ray.pipelines.agg import hash_aggregate, hash_join
+
+    bg = doc_bigrams(docs)
+
+    def split_partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["bg"].astype(str)
+        return pd.DataFrame(
+            {
+                "w1": df["w1"].astype(str).to_numpy(dtype=object),
+                "w2": b.str.split(" ", n=1).str[1].to_numpy(dtype=object),
+                "c_xy": df["tf"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    counts = hash_aggregate(
+        bg.map_batches(split_partial, batch_format="pandas"),
+        ["w1", "w2"], "c_xy", op="sum", num_parts=num_parts,
+    ).materialize()
+    total = int(counts.sum("c_xy") or 0)
+    empty = pd.DataFrame(
+        {"w1": pd.Series([], dtype=object), "w2": pd.Series([], dtype=object),
+         "c_xy": pd.Series([], dtype=np.int64),
+         "pmi_ppm": pd.Series([], dtype=np.int64)}
+    )
+    if total == 0:
+        return rd.from_pandas(empty)
+    lnt_ppm = int(np.floor(np.log(float(total)) * 1e6))
+
+    def marg(col: str, out: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {col: df[col], out: df["c_xy"].to_numpy(dtype=np.int64)}
+            )
+
+        return hash_aggregate(
+            counts.map_batches(fn, batch_format="pandas"),
+            [col], out, op="sum", num_parts=num_parts,
+        )
+
+    def ln_col(src: str, dst: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df[dst] = np.floor(
+                np.log(df[src].to_numpy(dtype=np.float64)) * 1e6
+            ).astype(np.int64)
+            return df.drop(columns=[src])
+
+        return fn
+
+    cx = marg("w1", "c_x").map_batches(ln_col("c_x", "lnx_ppm"), batch_format="pandas")
+    cy = marg("w2", "c_y").map_batches(ln_col("c_y", "lny_ppm"), batch_format="pandas")
+
+    kept = counts.filter(
+        expr=f"c_xy >= {int(min_count)}"
+    ) if min_count > 1 else counts
+
+    j1 = hash_join(
+        kept, cx, on=["w1"],
+        left_schema=pa.schema(
+            [("w1", pa.string()), ("w2", pa.string()), ("c_xy", pa.int64())]
+        ),
+        right_schema=pa.schema([("w1", pa.string()), ("lnx_ppm", pa.int64())]),
+        num_parts=num_parts,
+    )
+    j2 = hash_join(
+        j1, cy, on=["w2"],
+        left_schema=pa.schema(
+            [("w1", pa.string()), ("w2", pa.string()), ("c_xy", pa.int64()),
+             ("lnx_ppm", pa.int64())]
+        ),
+        right_schema=pa.schema([("w2", pa.string()), ("lny_ppm", pa.int64())]),
+        num_parts=num_parts,
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return empty
+        c = df["c_xy"].to_numpy(dtype=np.int64)
+        ln_xy = np.floor(np.log(c.astype(np.float64)) * 1e6).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "w1": df["w1"].astype(str).to_numpy(dtype=object),
+                "w2": df["w2"].astype(str).to_numpy(dtype=object),
+                "c_xy": c,
+                "pmi_ppm": lnt_ppm
+                + ln_xy
+                - df["lnx_ppm"].to_numpy(dtype=np.int64)
+                - df["lny_ppm"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return j2.map_batches(score, batch_format="pandas")

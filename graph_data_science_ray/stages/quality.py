@@ -203,3 +203,56 @@ def pii_scrub(
     return docs.map_batches(
         PiiScrub(emit_text), batch_format="pandas", batch_size=batch_size
     )
+
+
+def readability(docs: rd.Dataset, batch_size: int = 4096) -> rd.Dataset:
+    """Flesch-style readability accounting, shuffle-free.
+
+    Per document: ``(doc_id, n_words, n_sentences, n_syllables)`` with
+    words = ``[A-Za-z]+`` runs, sentences = non-blank ``[.!?]``-separated
+    segments (min 1 when any word exists), and syllables = per-word
+    ``[aeiouy]+`` group count clamped to at least 1 (the standard
+    heuristic).  All three are exact integers, so the reading-ease float
+
+        206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+
+    is derivable downstream without the engine committing to a float
+    reduction order.  Row-local ``map_batches`` — a pure scan stage.
+    """
+    word_re = re.compile(r"[A-Za-z]+")
+    syl_re = re.compile(r"[aeiouy]+")
+    sent_re = re.compile(r"[^.!?]+")
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("").astype(str).reset_index(drop=True)
+        words = texts.str.findall(word_re)
+        n_words = words.str.len().to_numpy(dtype=np.int64)
+        ex = words.explode().dropna()
+        syl = ex.str.lower().str.count(syl_re).clip(lower=1)
+        n_syll = np.zeros(len(df), dtype=np.int64)
+        if len(syl):
+            agg = syl.groupby(level=0).sum()
+            n_syll[agg.index.to_numpy(dtype=np.int64)] = agg.to_numpy(
+                dtype=np.int64
+            )
+        segs = texts.str.findall(sent_re).explode().dropna()
+        n_sents = np.zeros(len(df), dtype=np.int64)
+        if len(segs):
+            hit = segs.str.contains(word_re).astype(np.int64)
+            agg = hit.groupby(level=0).sum()
+            n_sents[agg.index.to_numpy(dtype=np.int64)] = agg.to_numpy(
+                dtype=np.int64
+            )
+        n_sents = np.where(n_words > 0, np.maximum(n_sents, 1), 0)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "n_words": n_words,
+                "n_sentences": n_sents,
+                "n_syllables": n_syll,
+            }
+        )
+
+    return docs.map_batches(
+        per_batch, batch_format="pandas", batch_size=batch_size
+    )

@@ -451,3 +451,134 @@ def range_join(
     return _hash_partition(both, key_col, num_parts).map_groups(
         per_part, batch_format="pandas"
     )
+
+
+def funnel_counts(
+    events: rd.Dataset,
+    stages: tuple = ("signup", "view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """Ordered funnel: how many users reach each stage, in order.
+
+    Stage 0 is reached at a user's earliest ``stages[0]`` event; stage k
+    is reached at the earliest ``stages[k]`` event STRICTLY after the
+    stage-(k-1) reach time (the classic min-time greedy funnel, so the
+    result is schedule-independent).  Returns one row per stage:
+    ``(stage_idx, stage, users)``.
+
+    Scale shape: the read is pruned to (user, type, ts) and filtered to
+    the k stage types before the single user-hash exchange; each
+    partition then folds its users' funnels in k-1 vectorized
+    groupby-min passes (no per-user Python), emitting k partial count
+    rows per partition, summed by a tiny final aggregate.  The driver
+    sees exactly k rows.
+    """
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+
+    stages = tuple(str(s) for s in stages)
+    stage_set = set(stages)
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[type_col].astype(str).isin(stage_set)
+        out = pd.DataFrame(
+            {
+                user_col: df.loc[m, user_col].to_numpy(),
+                type_col: df.loc[m, type_col].astype(str).to_numpy(),
+                "__us": df.loc[m, ts_col]
+                .astype("datetime64[us]")
+                .astype(np.int64)
+                .to_numpy(),
+            }
+        )
+        return out
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        reach = None  # Series: user -> reach time of previous stage
+        counts = np.zeros(len(stages), dtype=np.int64)
+        for k, st in enumerate(stages):
+            rows = g.loc[g[type_col] == st, [user_col, "__us"]]
+            if k > 0:
+                prev = rows[user_col].map(reach)
+                rows = rows.loc[prev.notna() & (rows["__us"] > prev)]
+            reach = rows.groupby(user_col)["__us"].min()
+            counts[k] = len(reach)
+            if not len(reach):
+                counts[k + 1 :] = 0
+                break
+        return pd.DataFrame(
+            {
+                "stage_idx": np.arange(len(stages), dtype=np.int64),
+                "stage": list(stages),
+                "users": counts,
+            }
+        )
+
+    pruned = events.map_batches(prune, batch_format="pandas")
+    partials = _hash_partition(pruned, user_col, num_parts).map_groups(
+        per_part, batch_format="pandas"
+    )
+    return hash_aggregate(
+        partials, ["stage_idx", "stage"], "users", op="sum", num_parts=8
+    )
+
+
+def retention_cohorts(
+    events: rd.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """Cohort retention matrix: ``(cohort_day, offset_days, users)``.
+
+    A user's cohort is the integer epoch-day of their first event;
+    ``users`` counts distinct users of that cohort active exactly
+    ``offset_days`` days after it (offset 0 is the cohort size itself).
+    All-integer (epoch-microseconds // 86400e6), so the driver oracle
+    reproduces it verbatim.
+
+    Scale shape: one user-hash exchange co-locates each user's rows;
+    each partition computes first-day and distinct activity days in two
+    C-speed groupby passes and emits already-user-deduped partial
+    ``(cohort, offset)`` counts; a tiny final aggregate sums them (the
+    output is at most |days|² rows).
+    """
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                user_col: df[user_col].to_numpy(),
+                "__day": (
+                    df[ts_col].astype("datetime64[us]").astype(np.int64)
+                    // 86_400_000_000
+                ).to_numpy(dtype=np.int64),
+            }
+        )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        act = g.drop_duplicates([user_col, "__day"])
+        first = act.groupby(user_col)["__day"].transform("min")
+        out = pd.DataFrame(
+            {
+                "cohort_day": first.to_numpy(dtype=np.int64),
+                "offset_days": (act["__day"] - first).to_numpy(dtype=np.int64),
+            }
+        )
+        cnt = (
+            out.groupby(["cohort_day", "offset_days"], sort=False)
+            .size()
+            .reset_index(name="users")
+        )
+        cnt["users"] = cnt["users"].astype(np.int64)
+        return cnt
+
+    pruned = events.map_batches(prune, batch_format="pandas")
+    partials = _hash_partition(pruned, user_col, num_parts).map_groups(
+        per_part, batch_format="pandas"
+    )
+    return hash_aggregate(
+        partials, ["cohort_day", "offset_days"], "users", op="sum", num_parts=8
+    )

@@ -71,6 +71,7 @@ __all__ = [
     "conversation_novelty",
     "trajectory_pack",
     "latency_moments",
+    "actor_ngrams",
 ]
 
 
@@ -734,3 +735,56 @@ def tool_usage(turns: rd.Dataset, num_parts: int = 16) -> rd.Dataset:
     return (
         per_conv.groupby("tool").map_groups(combine, batch_format="pandas")
     )
+
+
+def actor_ngrams(
+    turns: rd.Dataset,
+    n: int = 3,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    actor_col: str = "role",
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """Consecutive actor n-gram counts — the "common path" structure of
+    the trajectory set (``role_transitions`` generalized from pairs to
+    length-``n`` runs).  One row per distinct actor sequence:
+    ``(gram, cnt)`` with the sequence joined by ``>``.
+
+    Scale shape identical to :func:`role_transitions`: per-conversation
+    groups emit partial gram counts (one shifted elementwise string
+    concat over the ordered actor array — no per-gram Python loop),
+    then a hash-partitioned sum collapses them; the output is at most
+    |actors|^n rows and the only shuffle is the conv hash exchange.
+    """
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+
+    if n < 2:
+        raise ValueError("actor_ngrams needs n >= 2")
+
+    empty = pd.DataFrame(
+        {"gram": pd.Series([], dtype=object),
+         "cnt": pd.Series([], dtype=np.int64)}
+    )
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(idx_col, kind="mergesort")
+        a = g[actor_col].astype(str).to_numpy(dtype=object)
+        m = len(a) - n + 1
+        if m <= 0:
+            return empty
+        gram = a[:m].copy()
+        for k in range(1, n):
+            gram = gram + ">" + a[k : m + k]
+        cnt = (
+            pd.DataFrame({"gram": gram})
+            .groupby("gram", sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        cnt["cnt"] = cnt["cnt"].astype(np.int64)
+        return cnt
+
+    partials = turns.groupby(conv_col).map_groups(
+        per_group, batch_format="pandas"
+    )
+    return hash_aggregate(partials, ["gram"], "cnt", op="sum", num_parts=num_parts)

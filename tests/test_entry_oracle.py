@@ -143,6 +143,12 @@ _ORACLE_CHECKED = [
     "hll_by_source",
     "edges_tooled",
     "tool_usage",
+    # session-8 batch
+    "funnel",
+    "retention_cohorts",
+    "actor_trigrams",
+    "pmi_bigrams",
+    "readability",
 ]
 
 

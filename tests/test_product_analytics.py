@@ -1,0 +1,106 @@
+"""Funnel / retention semantics over a hand-built event log, plus the
+collocation and readability corpus ops on tiny fixtures."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _events():
+    # user 1: full ordered funnel; user 2: purchase BEFORE click (stage
+    # order violated at the last hop); user 3: signup only.
+    rows = [
+        (0, "2024-01-01 00:00:00", 1, "signup"),
+        (1, "2024-01-01 01:00:00", 1, "view"),
+        (2, "2024-01-02 02:00:00", 1, "click"),
+        (3, "2024-01-03 03:00:00", 1, "purchase"),
+        (4, "2024-01-01 00:00:00", 2, "signup"),
+        (5, "2024-01-01 01:00:00", 2, "view"),
+        (6, "2024-01-01 03:00:00", 2, "purchase"),
+        (7, "2024-01-01 04:00:00", 2, "click"),
+        (8, "2024-01-05 00:00:00", 3, "signup"),
+    ]
+    return rd.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(
+            [np.datetime64(r[1], "us") for r in rows], pa.timestamp("us")
+        ),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    }))
+
+
+def test_funnel_ordered_strictly_after():
+    from graph_data_science_ray.stages.sessions import funnel_counts
+
+    out = (funnel_counts(_events()).to_pandas()
+           .sort_values("stage_idx").reset_index(drop=True))
+    assert out["stage"].tolist() == ["signup", "view", "click", "purchase"]
+    # user 2 reaches click (after view) but its purchase precedes click
+    assert out["users"].tolist() == [3, 2, 2, 1]
+
+
+def test_funnel_strict_inequality_on_tied_ts():
+    from graph_data_science_ray.stages.sessions import funnel_counts
+
+    ev = rd.from_arrow(pa.table({
+        "event_id": pa.array([0, 1], pa.int64()),
+        "ts": pa.array(
+            [np.datetime64("2024-01-01", "us")] * 2, pa.timestamp("us")
+        ),
+        "user_id": pa.array([7, 7], pa.int64()),
+        "event_type": pa.array(["signup", "view"], pa.string()),
+    }))
+    out = (funnel_counts(ev, stages=("signup", "view")).to_pandas()
+           .sort_values("stage_idx").reset_index(drop=True))
+    assert out["users"].tolist() == [1, 0]  # tie is NOT strictly after
+
+
+def test_retention_cohorts_offsets():
+    from graph_data_science_ray.stages.sessions import retention_cohorts
+
+    out = (retention_cohorts(_events()).to_pandas()
+           .sort_values(["cohort_day", "offset_days"])
+           .reset_index(drop=True))
+    d0 = 19723  # 2024-01-01 epoch day
+    # users 1+2 cohort d0: both active offset 0; user 1 also offsets 1, 2
+    # user 3 cohort d0+4, offset 0
+    assert out.values.tolist() == [
+        [d0, 0, 2], [d0, 1, 1], [d0, 2, 1], [d0 + 4, 0, 1],
+    ]
+
+
+def _docs(texts):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+
+
+def test_pmi_exact_integer_ppm():
+    from graph_data_science_ray.stages.ir import pmi_bigrams
+
+    # "x y x y z": bigrams x>y (2), y>x (1), y>z (1); T=4.
+    # PMI(x,y) = ln(T*c_xy/(c_x*c_y)) = ln(4*2/(2*2)) = ln 2, and the
+    # floored-ppm discipline gives floor(ln4e6)+floor(ln2e6)-2*floor(ln2e6)
+    out = pmi_bigrams(_docs(["x y x y z"]), min_count=2).to_pandas()
+    assert len(out) == 1
+    assert out["w1"].iloc[0] == "x" and out["w2"].iloc[0] == "y"
+    assert int(out["c_xy"].iloc[0]) == 2
+    ln = lambda v: int(np.floor(np.log(float(v)) * 1e6))
+    assert int(out["pmi_ppm"].iloc[0]) == ln(4) + ln(2) - ln(2) - ln(2)
+
+
+def test_readability_counts():
+    from graph_data_science_ray.stages.quality import readability
+
+    out = (readability(_docs([
+        "The cat sat. The dog ran!",   # 6 words, 2 sentences
+        "",                             # empty
+        "rhythm",                       # no vowel group -> clamped to 1
+    ])).to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["n_words"].tolist() == [6, 0, 1]
+    assert out["n_sentences"].tolist() == [2, 0, 1]
+    # the(1) cat(1) sat(1) the(1) dog(1) ran(1) = 6; rhythm: y group = 1
+    assert out["n_syllables"].tolist() == [6, 0, 1]

@@ -305,3 +305,28 @@ def test_tool_usage_counts():
     out2 = (tool_usage(mk().repartition(5)).to_pandas()
             .sort_values("tool").reset_index(drop=True))
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_actor_ngrams_trigrams():
+    from graph_data_science_ray.stages.trajectory import actor_ngrams
+
+    out = (actor_ngrams(_turns(), n=3).to_pandas()
+           .sort_values("gram").reset_index(drop=True))
+    # conv a: u1>u2>u1; conv b/c too short to emit
+    assert out["gram"].tolist() == ["u1>u2>u1"]
+    assert out["cnt"].tolist() == [1]
+
+
+def test_actor_ngrams_pairs_match_transitions():
+    from graph_data_science_ray.stages.trajectory import (
+        actor_ngrams,
+        role_transitions,
+    )
+
+    bi = (actor_ngrams(_turns(), n=2).to_pandas()
+          .sort_values("gram").reset_index(drop=True))
+    tr = role_transitions(_turns()).to_pandas()
+    tr["gram"] = tr["prev_role"] + ">" + tr["role"]
+    tr = tr.sort_values("gram").reset_index(drop=True)
+    assert bi["gram"].tolist() == tr["gram"].tolist()
+    assert bi["cnt"].tolist() == tr["n"].tolist()
