@@ -4382,6 +4382,80 @@ def _q_readability(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+_PCA_ROUNDS = 8
+
+
+def _q_pca_power(sf_dir: str) -> pd.DataFrame:
+    """Top principal component of the embedding table by integer-exact
+    power iteration (quantize → integer centered scatter → fixed-round
+    floor-division iteration) — bit-exact at any parallelism and
+    replayed verbatim by the SQL oracle."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.scale import pca_power
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    return pca_power(emb, rounds=_PCA_ROUNDS).reset_index(drop=True)
+
+
+def _pca_oracle_sql() -> str:
+    """Verbatim SQL replay of ``stages.scale.pca_power``: the quantize
+    floor is the only float op; every later step is BIGINT arithmetic
+    with floor division spelled via the positive-mod trick (DuckDB
+    ``//`` truncates; numpy ``//`` floors)."""
+    parts = [
+        """e0 AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)""",
+        """x AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS dim, CAST(floor(v[i] * 4096e0) AS BIGINT) AS q
+  FROM e0, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g
+)""",
+        "nn AS (SELECT count(*) AS n FROM embeddings)",
+        "s AS (SELECT dim, CAST(sum(q) AS BIGINT) AS sv FROM x GROUP BY dim)",
+        """m AS (
+  SELECT dim, CAST((sv - ((sv % n + n) % n)) // n AS BIGINT) AS mv
+  FROM s, nn
+)""",
+        """xc AS MATERIALIZED (
+  SELECT x.vec_id, x.dim, x.q - m.mv AS qc FROM x JOIN m ON m.dim = x.dim
+)""",
+        """c AS MATERIALIZED (
+  SELECT a.dim AS i, b.dim AS j, CAST(sum(a.qc * b.qc) AS BIGINT) AS cv
+  FROM xc a JOIN xc b ON a.vec_id = b.vec_id GROUP BY 1, 2
+)""",
+        "den AS (SELECT greatest(1, max(abs(cv)) // 65536) AS dv FROM c)",
+        """cn AS MATERIALIZED (
+  SELECT i, j, CAST((cv - ((cv % dv + dv) % dv)) // dv AS BIGINT) AS cv
+  FROM c, den
+)""",
+        "v0 AS (SELECT DISTINCT i AS dim, CAST(16384 AS BIGINT) AS v FROM cn)",
+    ]
+    for r in range(1, _PCA_ROUNDS + 1):
+        p = r - 1
+        parts.append(
+            f"""w{r} AS MATERIALIZED (
+  SELECT cn.i AS dim, CAST(sum(cn.cv * v{p}.v) AS BIGINT) AS w
+  FROM cn JOIN v{p} ON v{p}.dim = cn.j GROUP BY 1
+)"""
+        )
+        parts.append(
+            f"""v{r} AS MATERIALIZED (
+  SELECT dim,
+         CAST((w * 16384 - ((w * 16384 % mx + mx) % mx)) // mx AS BIGINT) AS v
+  FROM w{r}, (SELECT max(abs(w)) AS mx FROM w{r})
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT dim, v FROM v{_PCA_ROUNDS} ORDER BY dim"
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: events → edge table → weighted
     PageRank; returns (node, score) rows."""
@@ -4589,6 +4663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "actor_trigrams": _q_actor_trigrams,
         "pmi_bigrams": _q_pmi_bigrams,
         "readability": _q_readability,
+        "pca_power": _q_pca_power,
     }
 
 
@@ -8668,5 +8743,7 @@ SELECT doc_id,
        AS BIGINT) AS n_syllables
 FROM documents ORDER BY doc_id
 """
+
+    sqls["pca_power"] = _pca_oracle_sql()
 
     return sqls

@@ -180,3 +180,105 @@ def scale_embedding(
         return out
 
     return ds.map_batches(apply, batch_size=4096, batch_format="pandas")
+
+
+def pca_power(
+    embeddings: rd.Dataset,
+    rounds: int = 8,
+    quant: int = 4096,
+    vec_scale: int = 16384,
+    norm_shift: int = 16,
+    num_parts: int = 16,
+) -> pd.DataFrame:
+    """Top principal component by integer-exact power iteration.
+
+    Every arithmetic step is integer (after one initial quantization
+    ``q = floor(x·quant)`` per coordinate), so the result is bit-exact
+    across any parallelism level AND verbatim-reproducible by an ANSI-SQL
+    oracle — the ``eigenvector_exact`` contract lifted to embeddings:
+
+    1. quantize each coordinate (the ONLY float op, identical on both
+       sides: float64 multiply then floor);
+    2. integer column sums → integer floor-division means ``m``;
+    3. exact centered scatter ``C = Σ (q−m)(q−m)ᵀ`` (distributed d×d
+       partial matmuls, hash-aggregated per cell);
+    4. ``C' = C ÷ max(1, max|C| >> norm_shift)`` (floor division), then
+       ``rounds`` fixed iterations ``v ← floor(C'v · vec_scale /
+       max|C'v|)`` from the all-ones vector.
+
+    Overflow headroom (int64): |q−m| ≤ 2·quant, so |C| ≤ 4·quant²·n —
+    safe to n ≈ 2^37 rows at the default quant; after the ÷ step every
+    iterate term is ≤ d·2^17·vec_scale ≈ 2^37.
+
+    Scale shape: two streaming passes over the embedding table (sum
+    pass, centered-product pass with the d-vector mean broadcast); the
+    driver reduces only d and d² integer cells, then iterates on a d×d
+    matrix.  Returns the answer-sized ``(dim, v)`` frame (d rows).
+    """
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+
+    qf = float(quant)
+
+    def sum_partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in df["embedding"]]
+        )
+        q = np.floor(x * qf).astype(np.int64)
+        d = q.shape[1]
+        return pd.DataFrame(
+            {
+                "dim": np.arange(d, dtype=np.int64),
+                "s": q.sum(axis=0),
+            }
+        )
+
+    n = int(embeddings.count() or 0)  # metadata-only on parquet reads
+    stats = hash_aggregate(
+        embeddings.map_batches(sum_partial, batch_format="pandas"),
+        ["dim"], "s", op="sum", num_parts=num_parts,
+    ).to_pandas().sort_values("dim")
+    d = len(stats)
+    if d == 0 or n == 0:
+        return pd.DataFrame(
+            {"dim": pd.Series([], dtype=np.int64),
+             "v": pd.Series([], dtype=np.int64)}
+        )
+    m = stats["s"].to_numpy(dtype=np.int64) // n  # floor division
+    mref = ray.put(m)
+
+    def scatter_partial(df: pd.DataFrame) -> pd.DataFrame:
+        mm = ray.get(mref)
+        x = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in df["embedding"]]
+        )
+        qc = np.floor(x * qf).astype(np.int64) - mm[None, :]
+        c = qc.T @ qc  # (d, d) int64, exact
+        dd = c.shape[0]
+        i, j = np.meshgrid(
+            np.arange(dd, dtype=np.int64),
+            np.arange(dd, dtype=np.int64),
+            indexing="ij",
+        )
+        return pd.DataFrame(
+            {"i": i.ravel(), "j": j.ravel(), "cv": c.ravel()}
+        )
+
+    cells = hash_aggregate(
+        embeddings.map_batches(scatter_partial, batch_format="pandas"),
+        ["i", "j"], "cv", op="sum", num_parts=num_parts,
+    ).to_pandas()
+    c = np.zeros((d, d), dtype=np.int64)
+    c[cells["i"].to_numpy(dtype=np.int64), cells["j"].to_numpy(dtype=np.int64)] = (
+        cells["cv"].to_numpy(dtype=np.int64)
+    )
+
+    den = max(1, int(np.abs(c).max()) >> norm_shift)
+    cn = c // den  # floor division, both signs
+    v = np.full(d, int(vec_scale), dtype=np.int64)
+    for _ in range(int(rounds)):
+        w = cn @ v
+        mx = int(np.abs(w).max())
+        if mx == 0:
+            break
+        v = (w * int(vec_scale)) // mx
+    return pd.DataFrame({"dim": np.arange(d, dtype=np.int64), "v": v})

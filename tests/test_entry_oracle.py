@@ -149,6 +149,7 @@ _ORACLE_CHECKED = [
     "actor_trigrams",
     "pmi_bigrams",
     "readability",
+    "pca_power",
 ]
 
 
