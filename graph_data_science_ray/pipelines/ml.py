@@ -136,6 +136,82 @@ def _grad_partial(W, b, X, yidx, K, class_w):
     return gW, gb, float(ll.sum()), len(yidx)
 
 
+@ray.remote(num_cpus=1)
+class _ShardHolder:
+    """Holds a contiguous run of canonical shard blocks as dense
+    ``(X, y)`` matrices.  The blocks are fetched from the object store
+    ONCE at construction; every training epoch is then a single actor
+    method call returning per-block gradient partials — the per-epoch
+    Dataset execution (task submission + block re-read + to_pandas,
+    ~100 ms/epoch of pure orchestration at small n) disappears while
+    the combine stays in exact block order, so determinism across block
+    layouts is unchanged (the canonical sort+repartition fixes the
+    layout before actors are created)."""
+
+    def __init__(self, refs: list, feature_col: str, d: int):
+        self.mats = []
+        for r in refs:
+            t = ray.get(r)
+            # straight from Arrow (no to_pandas: the feature column may
+            # be Ray's tensor extension type, unregistered here)
+            if t.num_rows == 0 or feature_col not in t.schema.names:
+                self.mats.append(
+                    (np.zeros((0, d)), np.zeros(0, dtype=np.int64))
+                )
+                continue
+            X = np.stack(
+                [
+                    np.asarray(x, dtype=np.float64)
+                    for x in t[feature_col].to_pylist()
+                ]
+            )
+            self.mats.append(
+                (X, t["_y"].to_numpy(zero_copy_only=False))
+            )
+
+    def linear_grads(self, w: np.ndarray, b: float) -> list:
+        out = []
+        for X, y in self.mats:
+            r = X @ w + b - y.astype(np.float64)
+            out.append(
+                (2.0 * (X.T @ r), 2.0 * float(r.sum()),
+                 float((r * r).sum()), len(y))
+            )
+        return out
+
+    def softmax_grads(self, W: np.ndarray, b: np.ndarray, cw) -> list:
+        out = []
+        for X, y in self.mats:
+            if len(X) == 0:
+                out.append(
+                    (np.zeros_like(W), np.zeros(W.shape[1]), 0.0, 0)
+                )
+                continue
+            out.append(
+                _grad_partial(W, b, X, y.astype(np.int64), W.shape[1], cw)
+            )
+        return out
+
+
+def _shard_actors(
+    shards: rd.Dataset, feature_col: str, d: int, max_actors: int = 32
+) -> list:
+    """Create :class:`_ShardHolder` actors over contiguous runs of the
+    materialized shard Dataset's blocks (block order preserved, so the
+    driver's fixed-order combine is identical to iterating blocks)."""
+    refs = shards.to_arrow_refs()
+    # never request more 1-CPU actors than the cluster can schedule
+    # (leaving one core of headroom) — otherwise creation deadlocks
+    cpus = int(ray.cluster_resources().get("CPU", 1))
+    k = max(1, min(int(max_actors), max(1, cpus - 1), len(refs)))
+    groups = np.array_split(np.arange(len(refs)), k)
+    return [
+        _ShardHolder.remote([refs[i] for i in g], feature_col, d)
+        for g in groups
+        if len(g)
+    ]
+
+
 def train_logistic_regression(
     ds: rd.Dataset,
     label_col: str = "label",
@@ -173,7 +249,6 @@ def train_logistic_regression(
     cw = None
     if class_weights is not None:
         cw = np.array([float(class_weights.get(c, 1.0)) for c in classes])
-    cref = ray.put((classes, cw))
 
     # persist the (X, y-index) shards once; every epoch re-reads blocks
     def to_xy(df: pd.DataFrame) -> pd.DataFrame:
@@ -208,28 +283,17 @@ def train_logistic_regression(
     prev_loss = np.inf
     flat_epochs = 0
 
+    actors = _shard_actors(shards, feature_col, d)
     for epoch in range(1, max_epochs + 1):
-        wref = ray.put((W, b))
-
-        def partial(df: pd.DataFrame) -> pd.DataFrame:
-            Wl, bl = ray.get(wref)
-            _cls, cwl = ray.get(cref)
-            X = np.stack(
-                [np.asarray(x, dtype=np.float64) for x in df[feature_col]]
-            ) if len(df) else np.zeros((0, Wl.shape[0]))
-            y = df["_y"].to_numpy(dtype=np.int64)
-            gW, gb, ll, n = _grad_partial(Wl, bl, X, y, Wl.shape[1], cwl)
-            return pd.DataFrame({
-                "gW": [gW.ravel()], "gb": [gb], "ll": [ll], "n": [n],
-            })
-
-        parts = shards.map_batches(partial, batch_format="pandas").to_pandas()
-        # fixed-order combine (blocks keep dataset order) => deterministic
+        nested = ray.get([a.softmax_grads.remote(W, b, cw) for a in actors])
+        # fixed-order combine (actors hold contiguous block runs in
+        # dataset order) => deterministic
         gW = np.zeros_like(W); gb = np.zeros_like(b); loss = 0.0
-        for _, row in parts.iterrows():
-            gW += np.asarray(row["gW"], dtype=np.float64).reshape(d, K)
-            gb += np.asarray(row["gb"], dtype=np.float64)
-            loss += float(row["ll"])
+        for group in nested:
+            for gWp, gbp, llp, _n in group:
+                gW += np.asarray(gWp, dtype=np.float64).reshape(d, K)
+                gb += np.asarray(gbp, dtype=np.float64)
+                loss += float(llp)
         gW = gW / n_total + 2.0 * penalty * W
         gb = gb / n_total
         loss = loss / n_total + penalty * float((W * W).sum())
@@ -339,27 +403,15 @@ def train_linear_regression(
     prev_loss = np.inf
     flat_epochs = 0
 
+    actors = _shard_actors(shards, feature_col, d)
     for epoch in range(1, max_epochs + 1):
-        wref = ray.put((w, b))
-
-        def partial(df: pd.DataFrame) -> pd.DataFrame:
-            wl, bl = ray.get(wref)
-            X = np.stack(
-                [np.asarray(x, dtype=np.float64) for x in df[feature_col]]
-            ) if len(df) else np.zeros((0, len(wl)))
-            y = df["_y"].to_numpy(dtype=np.float64)
-            r = X @ wl + bl - y
-            gw = 2.0 * (X.T @ r)
-            gb = 2.0 * float(r.sum())
-            sse = float((r * r).sum())
-            return pd.DataFrame({"gw": [gw], "gb": [gb], "sse": [sse], "n": [len(y)]})
-
-        parts = shards.map_batches(partial, batch_format="pandas").to_pandas()
+        nested = ray.get([a.linear_grads.remote(w, b) for a in actors])
         gw = np.zeros_like(w); gb = 0.0; sse = 0.0
-        for _, row in parts.iterrows():
-            gw += np.asarray(row["gw"], dtype=np.float64)
-            gb += float(row["gb"])
-            sse += float(row["sse"])
+        for group in nested:
+            for gwp, gbp, ssep, _n in group:
+                gw += np.asarray(gwp, dtype=np.float64)
+                gb += float(gbp)
+                sse += float(ssep)
         gw = gw / n_total + 2.0 * penalty * w
         gb = gb / n_total
         loss = sse / n_total + penalty * float((w * w).sum())
