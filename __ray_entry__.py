@@ -4456,6 +4456,18 @@ def _pca_oracle_sql() -> str:
     )
 
 
+def _q_four_cliques(sf_dir: str) -> pd.DataFrame:
+    """Exact per-node 4-clique (K4) membership counts — two chained
+    wedge-closing passes on the degree-ordered edge set."""
+    from graph_data_science_ray.functions.triangles import four_clique_count
+
+    b = _bundle(sf_dir)
+    k4, _total = four_clique_count(b["sym"], idmap=b["idmap"])
+    return pd.DataFrame(
+        {"node": _strip(k4["node"]), "k4": k4["k4"].to_numpy(dtype=np.int64)}
+    ).sort_values("node").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: events → edge table → weighted
     PageRank; returns (node, score) rows."""
@@ -4664,6 +4676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": _q_pmi_bigrams,
         "readability": _q_readability,
         "pca_power": _q_pca_power,
+        "four_cliques": _q_four_cliques,
     }
 
 
@@ -8745,5 +8758,32 @@ FROM documents ORDER BY doc_id
 """
 
     sqls["pca_power"] = _pca_oracle_sql()
+
+    sqls["four_cliques"] = f"""
+WITH {_GRAPH_CTE},
+u AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+tri AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, ac.dst AS c
+  FROM u ab
+  JOIN u ac ON ac.src = ab.src AND ac.dst > ab.dst
+  JOIN u bc ON bc.src = ab.dst AND bc.dst = ac.dst
+  WHERE ab.src < ab.dst
+),
+q AS MATERIALIZED (
+  SELECT t.a, t.b, t.c, cd.dst AS d
+  FROM tri t
+  JOIN u cd ON cd.src = t.c AND cd.dst > t.c
+  JOIN u ad ON ad.src = t.a AND ad.dst = cd.dst
+  JOIN u bd ON bd.src = t.b AND bd.dst = cd.dst
+),
+m AS (
+  SELECT node, count(*) AS k4 FROM (
+    SELECT a AS node FROM q UNION ALL SELECT b FROM q
+    UNION ALL SELECT c FROM q UNION ALL SELECT d FROM q
+  ) GROUP BY node
+)
+SELECT n.node, CAST(coalesce(m.k4, 0) AS BIGINT) AS k4
+FROM nodes n LEFT JOIN m USING (node) ORDER BY n.node
+"""
 
     return sqls

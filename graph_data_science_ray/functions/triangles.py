@@ -312,3 +312,173 @@ def local_clustering_coefficient(
     lcc = np.where(denom > 0, 2.0 * t / np.where(denom > 0, denom, 1.0), 0.0)
     node = idmap.keys if idmap is not None else np.arange(node_count, dtype=np.int64)
     return pd.DataFrame({"node": node, "lcc": lcc})
+
+
+def _emit_triangles(
+    g: pd.DataFrame, V: int, deg_ref, ekeys_ref
+) -> pd.DataFrame:
+    """Oriented triangle rows (a, b, c) for one hash partition — the
+    ``_count_in_part`` wedge-closing pass, emitting each closed triangle
+    once (degree order a < b < c) instead of corner tallies."""
+    empty = pd.DataFrame(
+        {"a": np.zeros(0, dtype=np.int64),
+         "b": np.zeros(0, dtype=np.int64),
+         "c": np.zeros(0, dtype=np.int64)}
+    )
+    if len(g) == 0:
+        return empty
+    corner, blo, bhi = _wedge_arrays(g, deg_ref)
+    if len(corner) == 0:
+        return empty
+    ek = ray.get(ekeys_ref)
+    parts = []
+    for s in range(0, len(corner), _CHUNK_PAIRS):
+        c = corner[s : s + _CHUNK_PAIRS]
+        lo = blo[s : s + _CHUNK_PAIRS]
+        hi = bhi[s : s + _CHUNK_PAIRS]
+        key = lo * V + hi
+        pos = np.searchsorted(ek, key)
+        pos = np.minimum(pos, len(ek) - 1)
+        match = ek[pos] == key if len(ek) else np.zeros(len(key), dtype=bool)
+        if match.any():
+            parts.append(
+                pd.DataFrame({"a": c[match], "b": lo[match], "c": hi[match]})
+            )
+    return pd.concat(parts, ignore_index=True) if parts else empty
+
+
+def four_clique_count(
+    sym_edges: rd.Dataset,
+    idmap=None,
+    node_count: int | None = None,
+    num_partitions: int = 64,
+):
+    """Exact per-node + global 4-clique (K4) counts.
+
+    Two chained wedge-closing passes over the degree-order-oriented
+    edge set: pass one emits each triangle ``a < b < c`` once (the
+    triangle machinery's orientation); pass two extends every triangle
+    by the forward neighbors ``d`` of its highest corner ``c`` and
+    keeps ``d`` iff edges ``(a,d)`` and ``(b,d)`` are in the broadcast
+    forward-key set — so each K4 is found exactly once at its
+    degree-ordered orientation.  Work is Σ_triangles deg⁺(c), bounded
+    by the same O(m^1.5)-style degree-order argument as the triangle
+    pass.  Partitioning: triangles co-locate with the adjacency of
+    their ``c`` corner by one hash exchange; the forward-key set is the
+    triangle pass's broadcast (sorted int64 array built off-driver).
+
+    Returns ``(DataFrame(node, k4), global_count)``.
+    """
+    if node_count is None:
+        if idmap is None:
+            raise ValueError("need idmap or node_count")
+        node_count = len(idmap)
+    V = int(node_count)
+    P = max(4, int(num_partitions))
+
+    from graph_data_science_ray.functions.degree import degree_centrality
+
+    deg_arr = degree_centrality(sym_edges, node_count=V, weighted=False)[
+        "degree"
+    ].to_numpy(dtype=np.int64)
+    deg_ref = ray.put(deg_arr)
+    fwd = forward_edges(sym_edges, deg_ref=deg_ref).materialize()
+
+    def edge_keys(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"key": pa.array(s * V + d)})
+
+    refs = fwd.map_batches(edge_keys, batch_format="pyarrow").to_numpy_refs(
+        column="key"
+    )
+    ekeys_ref = _sorted_key_array.remote(*refs)
+
+    def tag_src(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (splitmix64(s) % np.uint64(P)).astype(np.int64)
+        return pa.table({"src": t["src"], "dst": t["dst"], "part": pa.array(part)})
+
+    tris = (
+        fwd.map_batches(tag_src, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            functools.partial(_emit_triangles, V=V, deg_ref=deg_ref,
+                              ekeys_ref=ekeys_ref),
+            batch_format="pandas",
+        )
+    )
+
+    # co-locate each triangle with the forward adjacency of its c corner
+    # (arrow batches so the union's block types match edge_rows')
+    def tag_tri(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (splitmix64(c) % np.uint64(P)).astype(np.int64)
+        return pa.table(
+            {"a": t["a"], "b": t["b"], "c": t["c"], "part": pa.array(part)}
+        )
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (splitmix64(s.astype(np.uint64)) % np.uint64(P)).astype(np.int64)
+        return pa.table(
+            {"a": pa.array(s), "b": pa.array(d),
+             "c": pa.array(np.full(len(s), -1, dtype=np.int64)),
+             "part": pa.array(part)}
+        )
+
+    both = tris.map_batches(tag_tri, batch_format="pyarrow").union(
+        fwd.map_batches(edge_rows, batch_format="pyarrow")
+    )
+
+    def close_k4(g: pd.DataFrame, *, V=V, ekeys_ref=ekeys_ref) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"node": np.zeros(0, dtype=np.int64),
+             "cnt": np.zeros(0, dtype=np.int64)}
+        )
+        cc = g["c"].to_numpy(dtype=np.int64)
+        is_edge = cc < 0
+        if is_edge.all() or (~is_edge).sum() == 0:
+            return empty
+        esrc = g["a"].to_numpy(dtype=np.int64)[is_edge]
+        edst = g["b"].to_numpy(dtype=np.int64)[is_edge]
+        order = np.argsort(esrc, kind="mergesort")
+        esrc, edst = esrc[order], edst[order]
+        ta = g["a"].to_numpy(dtype=np.int64)[~is_edge]
+        tb = g["b"].to_numpy(dtype=np.int64)[~is_edge]
+        tc = cc[~is_edge]
+        start = np.searchsorted(esrc, tc, side="left")
+        end = np.searchsorted(esrc, tc, side="right")
+        reps = end - start
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        ek = ray.get(ekeys_ref)
+        tri_idx = np.repeat(np.arange(len(ta), dtype=np.int64), reps)
+        cum = np.repeat(np.cumsum(reps) - reps, reps)
+        off = np.arange(total, dtype=np.int64) - cum
+        dd = edst[start[tri_idx] + off]
+        aa, bb = ta[tri_idx], tb[tri_idx]
+        ka = aa * V + dd
+        kb = bb * V + dd
+        pos = np.minimum(np.searchsorted(ek, ka), len(ek) - 1)
+        m = ek[pos] == ka
+        pos = np.minimum(np.searchsorted(ek, kb), len(ek) - 1)
+        m &= ek[pos] == kb
+        if not m.any():
+            return empty
+        nodes = np.concatenate([aa[m], bb[m], tc[tri_idx][m], dd[m]])
+        u, cnt = np.unique(nodes, return_counts=True)
+        return pd.DataFrame({"node": u, "cnt": cnt.astype(np.int64)})
+
+    partials = both.groupby("part").map_groups(close_k4, batch_format="pandas")
+    agg = hash_aggregate(partials, ["node"], "cnt", op="sum").to_pandas()
+    counts = np.zeros(V, dtype=np.int64)
+    if len(agg):
+        counts[agg["node"].to_numpy(dtype=np.int64)] = agg["cnt"].to_numpy(
+            dtype=np.int64
+        )
+    total = int(counts.sum()) // 4
+    node = idmap.keys if idmap is not None else np.arange(V, dtype=np.int64)
+    return pd.DataFrame({"node": node, "k4": counts}), total

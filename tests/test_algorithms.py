@@ -249,3 +249,35 @@ def test_eigenvector_modes_agree_on_direction(graph_from_edges):
     assert nr > 0
     # same direction after scaling (power iteration from the same start)
     assert np.allclose(raw / nr, norm, atol=1e-9)
+
+
+@pytest.mark.parametrize(
+    "edges,global_exp,local_exp",
+    [
+        ([(0, 1), (1, 2), (2, 0)], 0, {0: 0, 1: 0, 2: 0}),  # triangle only
+        (
+            list(itertools.combinations(range(4), 2)),
+            1,
+            {n: 1 for n in range(4)},
+        ),  # K4
+        (
+            list(itertools.combinations(range(5), 2)),
+            5,
+            {n: 4 for n in range(5)},
+        ),  # K5: C(5,4)=5 cliques, each node in C(4,3)=4
+        (
+            list(itertools.combinations(range(4), 2))
+            + [(3, 4), (4, 5)],
+            1,
+            {0: 1, 1: 1, 2: 1, 3: 1, 4: 0, 5: 0},
+        ),  # K4 with a tail
+    ],
+)
+def test_four_clique_fixtures(graph_from_edges, edges, global_exp, local_exp):
+    from graph_data_science_ray.functions.triangles import four_clique_count
+
+    _, _, idmap, _, sym = graph_from_edges(edges, undirected_only=True)
+    k4, total = four_clique_count(sym, idmap=idmap, num_partitions=2)
+    assert total == global_exp
+    got = dict(zip(keys_to_ids(k4["node"]), k4["k4"]))
+    assert got == local_exp

@@ -150,6 +150,7 @@ _ORACLE_CHECKED = [
     "pmi_bigrams",
     "readability",
     "pca_power",
+    "four_cliques",
 ]
 
 
