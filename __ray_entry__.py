@@ -4468,6 +4468,23 @@ def _q_four_cliques(sf_dir: str) -> pd.DataFrame:
     ).sort_values("node").reset_index(drop=True)
 
 
+def _q_zipf_fit(sf_dir: str) -> pd.DataFrame:
+    """Zipf slope over the top-64 term frequencies as an exact rational
+    (integer-ppm ln discipline)."""
+    from graph_data_science_ray.stages.ir import zipf_fit
+
+    return zipf_fit(_docs(sf_dir), k=64)
+
+
+def _q_degree_gini(sf_dir: str) -> pd.DataFrame:
+    """Gini coefficient of the out-degree distribution as an exact
+    rational — hub-concentration inequality."""
+    from graph_data_science_ray.functions.graph_stats import degree_gini
+
+    b = _bundle(sf_dir)
+    return degree_gini(b["enc"], node_count=len(b["idmap"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: events → edge table → weighted
     PageRank; returns (node, score) rows."""
@@ -4677,6 +4694,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability": _q_readability,
         "pca_power": _q_pca_power,
         "four_cliques": _q_four_cliques,
+        "zipf_fit": _q_zipf_fit,
+        "degree_gini": _q_degree_gini,
     }
 
 
@@ -8784,6 +8803,52 @@ m AS (
 )
 SELECT n.node, CAST(coalesce(m.k4, 0) AS BIGINT) AS k4
 FROM nodes n LEFT JOIN m USING (node) ORDER BY n.node
+"""
+
+    sqls["zipf_fit"] = r"""
+WITH toks AS (
+  SELECT lower(t) AS term
+  FROM (SELECT unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS t
+        FROM documents)
+),
+tc AS (SELECT term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY term),
+top AS (
+  SELECT tf, row_number() OVER (ORDER BY tf DESC, term ASC) AS r
+  FROM tc QUALIFY r <= 64
+),
+v AS (
+  SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000e0) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(tf AS DOUBLE)) * 1000000e0) AS BIGINT) AS y
+  FROM top
+),
+s AS (SELECT count(*) AS kk, sum(x) AS sx, sum(y) AS sy,
+             sum(x*y) AS sxy, sum(x*x) AS sxx FROM v)
+SELECT CAST(kk AS BIGINT) AS k,
+       CAST(kk*sxy - sx*sy AS BIGINT) AS slope_num,
+       CAST(kk*sxx - sx*sx AS BIGINT) AS slope_den FROM s
+"""
+
+    sqls["degree_gini"] = f"""
+WITH {_GRAPH_CTE},
+deg AS (
+  SELECT n.node, CAST(coalesce(c.c, 0) AS BIGINT) AS dv
+  FROM nodes n
+  LEFT JOIN (SELECT src, count(*) AS c FROM edges GROUP BY src) c
+    ON c.src = n.node
+),
+h AS (SELECT dv, CAST(count(*) AS BIGINT) AS c FROM deg GROUP BY dv),
+w AS (
+  SELECT dv, c,
+         CAST(coalesce(sum(c) OVER (ORDER BY dv
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS sp
+  FROM h
+),
+s AS (SELECT sum(c) AS n, sum(dv*c) AS tot,
+             sum(dv*(sp*c + c*(c+1)//2)) AS sr FROM w)
+SELECT CAST(n AS BIGINT) AS n_nodes,
+       CAST(2*sr - (n+1)*tot AS BIGINT) AS gini_num,
+       CAST(n*tot AS BIGINT) AS gini_den FROM s
 """
 
     return sqls

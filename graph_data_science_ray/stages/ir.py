@@ -1049,3 +1049,43 @@ def pmi_bigrams(
         )
 
     return j2.map_batches(score, batch_format="pandas")
+
+
+def zipf_fit(docs: rd.Dataset, k: int = 64, num_parts: int = 64) -> pd.DataFrame:
+    """Zipf's-law slope over the corpus top-``k`` term frequencies as an
+    exact RATIONAL: the least-squares slope of ``ln(count)`` against
+    ``ln(rank)`` with both logs floored to integer ppm first (the
+    engine's exact-float discipline), so
+
+        slope = slope_num / slope_den,
+        slope_num = k·Σxy − Σx·Σy,  slope_den = k·Σx² − (Σx)²
+
+    is pure integer arithmetic over the answer-sized top-k table (a
+    well-fit natural corpus gives slope ≈ −1).  Rides
+    :func:`term_counts_topk` (exact hash-partitioned top-k); the driver
+    folds k rows.  Returns one row ``(k, slope_num, slope_den)``.
+    """
+    top = term_counts_topk(docs, k=k, num_parts=num_parts)
+    kk = len(top)
+    if kk < 2:
+        return pd.DataFrame(
+            {"k": np.array([kk], dtype=np.int64),
+             "slope_num": np.array([0], dtype=np.int64),
+             "slope_den": np.array([1], dtype=np.int64)}
+        )
+    r = np.arange(1, kk + 1, dtype=np.float64)
+    x = np.floor(np.log(r) * 1e6).astype(np.int64)
+    y = np.floor(
+        np.log(top["tf"].to_numpy(dtype=np.float64)) * 1e6
+    ).astype(np.int64)
+    # Python ints: the cross sums exceed int64 comfort at large k
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy = int((x.astype(object) * y.astype(object)).sum())
+    sxx = int((x.astype(object) * x.astype(object)).sum())
+    return pd.DataFrame(
+        {
+            "k": np.array([kk], dtype=np.int64),
+            "slope_num": np.array([kk * sxy - sx * sy], dtype=np.int64),
+            "slope_den": np.array([kk * sxx - sx * sx], dtype=np.int64),
+        }
+    )

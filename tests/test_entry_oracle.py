@@ -151,6 +151,8 @@ _ORACLE_CHECKED = [
     "readability",
     "pca_power",
     "four_cliques",
+    "zipf_fit",
+    "degree_gini",
 ]
 
 

@@ -104,3 +104,38 @@ def test_readability_counts():
     assert out["n_sentences"].tolist() == [2, 0, 1]
     # the(1) cat(1) sat(1) the(1) dog(1) ran(1) = 6; rhythm: y group = 1
     assert out["n_syllables"].tolist() == [6, 0, 1]
+
+
+def test_degree_gini_extremes():
+    from graph_data_science_ray.functions.graph_stats import degree_gini
+
+    # equal degrees -> Gini 0
+    eq = rd.from_arrow(pa.table({
+        "src": pa.array([0, 1, 2], pa.int64()),
+        "dst": pa.array([1, 2, 0], pa.int64()),
+    }))
+    out = degree_gini(eq, node_count=3)
+    assert int(out["gini_num"].iloc[0]) == 0
+    # one hub holds all edges among n nodes -> G = (n-1)/n
+    hub = rd.from_arrow(pa.table({
+        "src": pa.array([0, 0, 0], pa.int64()),
+        "dst": pa.array([1, 2, 3], pa.int64()),
+    }))
+    out = degree_gini(hub, node_count=4)
+    num, den = int(out["gini_num"].iloc[0]), int(out["gini_den"].iloc[0])
+    assert num * 4 == den * 3  # 3/4
+
+
+def test_zipf_fit_exact_slope():
+    from graph_data_science_ray.stages.ir import zipf_fit
+
+    # counts 4,2,1 at ranks 1,2,3: y = ln c, x = ln r
+    docs = _docs(["a a a a b b c"])
+    out = zipf_fit(docs, k=3)
+    x = np.floor(np.log(np.arange(1, 4, dtype=np.float64)) * 1e6).astype(int)
+    y = np.floor(np.log(np.array([4.0, 2.0, 1.0])) * 1e6).astype(int)
+    num = 3 * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+    den = 3 * int((x * x).sum()) - int(x.sum()) ** 2
+    assert int(out["slope_num"].iloc[0]) == num
+    assert int(out["slope_den"].iloc[0]) == den
+    assert num / den < -0.5  # decreasing, roughly zipfian
