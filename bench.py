@@ -174,6 +174,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "vocab_topk", "hyperanf_registers", "k_truss", "knn_pq",
         "hashed_features", "latency_moments", "knn_ivfpq", "media_ahash",
         "doc_length_quantiles", "corpus_profile", "image_near_dup", "audio_fingerprint", "graph_profile",
+        # round-4 (session 8): product analytics, collocations, PCA, K4
+        "funnel", "retention_cohorts", "actor_trigrams", "pmi_bigrams",
+        "readability", "pca_power", "four_cliques", "zipf_fit",
+        "degree_gini",
     ):
         timed(name, lambda n=name: q[n](sf_dir))
 
