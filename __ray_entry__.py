@@ -4485,6 +4485,52 @@ def _q_degree_gini(sf_dir: str) -> pd.DataFrame:
     return degree_gini(b["enc"], node_count=len(b["idmap"]))
 
 
+_KATZ_ROUNDS = 4
+_KATZ_BETA = 1024
+
+
+def _q_katz(sf_dir: str) -> pd.DataFrame:
+    """Integer fixed-round truncated Katz centrality over the directed
+    graph: x0 = beta*1; x_{t+1} = beta + floor(A^T x_t / 2) — every
+    value an exact integer, SQL-mirrored round by round."""
+    from graph_data_science_ray.functions.pagerank import katz
+
+    b = _bundle(sf_dir)
+    res = katz(b["gd"], rounds=_KATZ_ROUNDS, beta_scale=_KATZ_BETA)
+    return pd.DataFrame(
+        {
+            "node": _strip(res["node"]),
+            "score": res["score"].to_numpy().astype(np.int64),
+        }
+    ).sort_values("node").reset_index(drop=True)
+
+
+def _katz_oracle_sql() -> str:
+    parts = [
+        "uedges AS (SELECT DISTINCT src, dst FROM edges)",
+        f"x0 AS (SELECT node, CAST({_KATZ_BETA} AS BIGINT) AS v FROM nodes)",
+    ]
+    for r in range(1, _KATZ_ROUNDS + 1):
+        p_ = r - 1
+        parts.append(
+            f"""m{r} AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(sum(x{p_}.v) // 2 AS BIGINT) AS mv
+  FROM uedges e JOIN x{p_} ON x{p_}.node = e.src GROUP BY 1
+)"""
+        )
+        parts.append(
+            f"""x{r} AS MATERIALIZED (
+  SELECT n.node, CAST({_KATZ_BETA} + coalesce(m{r}.mv, 0) AS BIGINT) AS v
+  FROM nodes n LEFT JOIN m{r} USING (node)
+)"""
+        )
+    return (
+        f"WITH {_GRAPH_CTE},\n"
+        + ",\n".join(parts)
+        + f"\nSELECT node, v AS score FROM x{_KATZ_ROUNDS} ORDER BY node"
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: events → edge table → weighted
     PageRank; returns (node, score) rows."""
@@ -4696,6 +4742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "four_cliques": _q_four_cliques,
         "zipf_fit": _q_zipf_fit,
         "degree_gini": _q_degree_gini,
+        "katz": _q_katz,
     }
 
 
@@ -8850,5 +8897,7 @@ SELECT CAST(n AS BIGINT) AS n_nodes,
        CAST(2*sr - (n+1)*tot AS BIGINT) AS gini_num,
        CAST(n*tot AS BIGINT) AS gini_den FROM s
 """
+
+    sqls["katz"] = _katz_oracle_sql()
 
     return sqls

@@ -219,3 +219,49 @@ def eigenvector(
     node = (graph.idmap.keys if graph.idmap is not None
             else np.arange(graph.node_count, dtype=np.int64))
     return pd.DataFrame({"node": node, "score": prev})
+
+
+def katz(
+    graph,
+    rounds: int = 4,
+    beta_scale: int = 1024,
+) -> pd.DataFrame:
+    """Truncated Katz centrality with the integer fixed-round contract.
+
+    ``x_0 = β·1;  x_{t+1} = β + floor(Aᵀ x_t / 2)`` — attenuation
+    α = 1/2 applied as exact integer floor-halving after each push-sum,
+    with β = ``beta_scale`` (an integer so every value stays an exact
+    integer float64 < 2^53: order-independent sums, bit-exact at any
+    parallelism, and reproducible verbatim by a per-round SQL mirror —
+    the ``eigenvector(normalize="none")`` contract extended with the
+    per-round affine step Katz adds over plain power iteration).
+    Truncation at ``rounds`` is the standard finite Katz sum
+    ``Σ_{k≤R} α^k (Aᵀ)^k β·1`` up to the floor quantization.  Keep
+    ``beta_scale · (max_in_degree/2)^rounds`` under 2^53.
+    """
+    import ray  # noqa: F401
+
+    from graph_data_science_ray.functions.hits import _PushSum, _scale
+    from graph_data_science_ray.state.pregel import Pregel as _P
+
+    engine = _P(graph, _PushSum("hub", "hub"))
+    states = engine.init_states()
+    states = _scale(states, "hub", float(beta_scale))
+
+    import ray as _ray
+
+    @_ray.remote
+    def half_plus_beta(state, key, beta):
+        state = {k: v.copy() for k, v in state.items()}
+        state[key] = np.floor(state[key] / 2.0) + beta
+        return state
+
+    for _ in range(int(rounds)):
+        states, _stats = engine.step(states)
+        states = [
+            half_plus_beta.remote(s, "hub", float(beta_scale)) for s in states
+        ]
+    vals = engine.gather(states, "hub")
+    node = (graph.idmap.keys if graph.idmap is not None
+            else np.arange(graph.node_count, dtype=np.int64))
+    return pd.DataFrame({"node": node, "score": vals})

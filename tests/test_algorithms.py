@@ -281,3 +281,15 @@ def test_four_clique_fixtures(graph_from_edges, edges, global_exp, local_exp):
     assert total == global_exp
     got = dict(zip(keys_to_ids(k4["node"]), k4["k4"]))
     assert got == local_exp
+
+
+def test_katz_integer_fixed_round(graph_from_edges):
+    from graph_data_science_ray.functions.pagerank import katz
+
+    # path 0 -> 1 -> 2, beta=4, 2 rounds:
+    # x0 = [4,4,4]; x1 = [4, 4+floor(4/2), 4+floor(4/2)] = [4,6,6]
+    # x2 = [4, 4+floor(4/2), 4+floor(6/2)] = [4,6,7]
+    gd, _, idmap, _, _ = graph_from_edges([(0, 1), (1, 2)])
+    res = katz(gd, rounds=2, beta_scale=4)
+    got = dict(zip(keys_to_ids(res["node"]), res["score"].astype(int)))
+    assert got == {0: 4, 1: 6, 2: 7}

@@ -153,6 +153,7 @@ _ORACLE_CHECKED = [
     "four_cliques",
     "zipf_fit",
     "degree_gini",
+    "katz",
 ]
 
 
