@@ -4531,6 +4531,31 @@ def _katz_oracle_sql() -> str:
     )
 
 
+def _q_props_field_stats(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured payload aggregation: integer field k extracted
+    from the props JSON column, per-type n/sum/min/max."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.sessions import props_field_stats
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "props"])
+    out = props_field_stats(ev, field="k").to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def _q_value_stats(sf_dir: str) -> pd.DataFrame:
+    """Exact integer-cents revenue stats per event type."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.sessions import value_stats_cents
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+    out = value_stats_cents(ev).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: events → edge table → weighted
     PageRank; returns (node, score) rows."""
@@ -4743,6 +4768,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_fit": _q_zipf_fit,
         "degree_gini": _q_degree_gini,
         "katz": _q_katz,
+        "props_field_stats": _q_props_field_stats,
+        "value_stats": _q_value_stats,
     }
 
 
@@ -8899,5 +8926,30 @@ SELECT CAST(n AS BIGINT) AS n_nodes,
 """
 
     sqls["katz"] = _katz_oracle_sql()
+
+    sqls["props_field_stats"] = r"""
+WITH x AS (
+  SELECT event_type,
+         regexp_extract(coalesce(props, ''), '"k"\s*:\s*(-?\d+)', 1) AS s
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(s AS BIGINT)) AS BIGINT) AS sum_v,
+       CAST(min(CAST(s AS BIGINT)) AS BIGINT) AS min_v,
+       CAST(max(CAST(s AS BIGINT)) AS BIGINT) AS max_v
+FROM x WHERE s <> '' GROUP BY 1 ORDER BY 1
+"""
+
+    sqls["value_stats"] = """
+WITH x AS (
+  SELECT event_type, CAST(floor(value * 100e0 + 0.5e0) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(c) AS BIGINT) AS sum_cents,
+       CAST(min(c) AS BIGINT) AS min_cents,
+       CAST(max(c) AS BIGINT) AS max_cents
+FROM x GROUP BY 1 ORDER BY 1
+"""
 
     return sqls

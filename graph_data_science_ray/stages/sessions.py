@@ -582,3 +582,117 @@ def retention_cohorts(
     return hash_aggregate(
         partials, ["cohort_day", "offset_days"], "users", op="sum", num_parts=8
     )
+
+
+def props_field_stats(
+    events: rd.Dataset,
+    field: str = "k",
+    type_col: str = "event_type",
+    props_col: str = "props",
+    num_parts: int = 16,
+) -> rd.Dataset:
+    """Semi-structured payload aggregation: extract integer field
+    ``field`` from the JSON ``props`` column and aggregate per event
+    type — ``(event_type, n, sum_v, min_v, max_v)``.  Extraction is one
+    compiled vectorized regex per batch (pandas ``str.extract``), the
+    LLM-metadata analogue of a JSON path probe; rows without the field
+    are excluded from all four aggregates.  Map-side partials per
+    (type), answer-sized output.
+    """
+    import re
+
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+
+    pat = re.compile(r'"' + re.escape(field) + r'"\s*:\s*(-?\d+)')
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[props_col].fillna("").astype(str).str.extract(pat, expand=False)
+        ok = v.notna()
+        sub = pd.DataFrame(
+            {
+                type_col: df.loc[ok, type_col].astype(str).to_numpy(),
+                "v": v[ok].astype(np.int64).to_numpy(),
+            }
+        )
+        g = sub.groupby(type_col, sort=False)["v"]
+        out = g.agg(n="size", sum_v="sum", min_v="min", max_v="max").reset_index()
+        for c in ("n", "sum_v", "min_v", "max_v"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    parts = events.map_batches(partial, batch_format="pandas")
+    a = hash_aggregate(parts, [type_col], "n", op="sum", num_parts=num_parts)
+    b = hash_aggregate(parts, [type_col], "sum_v", op="sum", num_parts=num_parts)
+    c = hash_aggregate(parts, [type_col], "min_v", op="min", num_parts=num_parts)
+    d = hash_aggregate(parts, [type_col], "max_v", op="max", num_parts=num_parts)
+    from graph_data_science_ray.pipelines.agg import hash_join
+    import pyarrow as pa
+
+    s1 = pa.schema([(type_col, pa.string()), ("n", pa.int64())])
+    s2 = pa.schema([(type_col, pa.string()), ("sum_v", pa.int64())])
+    j = hash_join(a, b, on=[type_col], left_schema=s1, right_schema=s2,
+                  num_parts=num_parts)
+    s3 = pa.schema([(type_col, pa.string()), ("n", pa.int64()),
+                    ("sum_v", pa.int64())])
+    s4 = pa.schema([(type_col, pa.string()), ("min_v", pa.int64())])
+    j = hash_join(j, c, on=[type_col], left_schema=s3, right_schema=s4,
+                  num_parts=num_parts)
+    s5 = pa.schema([(type_col, pa.string()), ("n", pa.int64()),
+                    ("sum_v", pa.int64()), ("min_v", pa.int64())])
+    s6 = pa.schema([(type_col, pa.string()), ("max_v", pa.int64())])
+    return hash_join(j, d, on=[type_col], left_schema=s5, right_schema=s6,
+                     num_parts=num_parts)
+
+
+def value_stats_cents(
+    events: rd.Dataset,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    num_parts: int = 16,
+) -> rd.Dataset:
+    """Exact integer-cents revenue stats per event type:
+    ``(event_type, n, sum_cents, min_cents, max_cents)`` with
+    ``cents = floor(value·100 + 0.5)`` — two-decimal payloads land
+    within float ulps of an integer, so the half-up floor is identical
+    on both engine and SQL sides and every aggregate is an exact
+    integer sum.  Null values are excluded."""
+    from graph_data_science_ray.pipelines.agg import hash_aggregate, hash_join
+    import pyarrow as pa
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].astype(np.float64)
+        ok = v.notna()
+        cents = np.floor(v[ok].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        sub = pd.DataFrame(
+            {type_col: df.loc[ok, type_col].astype(str).to_numpy(),
+             "c": cents}
+        )
+        g = sub.groupby(type_col, sort=False)["c"]
+        out = g.agg(n="size", sum_cents="sum", min_cents="min",
+                    max_cents="max").reset_index()
+        for c in ("n", "sum_cents", "min_cents", "max_cents"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    parts = events.map_batches(partial, batch_format="pandas")
+    a = hash_aggregate(parts, [type_col], "n", op="sum", num_parts=num_parts)
+    b = hash_aggregate(parts, [type_col], "sum_cents", op="sum",
+                       num_parts=num_parts)
+    c = hash_aggregate(parts, [type_col], "min_cents", op="min",
+                       num_parts=num_parts)
+    d = hash_aggregate(parts, [type_col], "max_cents", op="max",
+                       num_parts=num_parts)
+    s1 = pa.schema([(type_col, pa.string()), ("n", pa.int64())])
+    s2 = pa.schema([(type_col, pa.string()), ("sum_cents", pa.int64())])
+    j = hash_join(a, b, on=[type_col], left_schema=s1, right_schema=s2,
+                  num_parts=num_parts)
+    s3 = pa.schema([(type_col, pa.string()), ("n", pa.int64()),
+                    ("sum_cents", pa.int64())])
+    s4 = pa.schema([(type_col, pa.string()), ("min_cents", pa.int64())])
+    j = hash_join(j, c, on=[type_col], left_schema=s3, right_schema=s4,
+                  num_parts=num_parts)
+    s5 = pa.schema([(type_col, pa.string()), ("n", pa.int64()),
+                    ("sum_cents", pa.int64()), ("min_cents", pa.int64())])
+    s6 = pa.schema([(type_col, pa.string()), ("max_cents", pa.int64())])
+    return hash_join(j, d, on=[type_col], left_schema=s5, right_schema=s6,
+                     num_parts=num_parts)

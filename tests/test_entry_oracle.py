@@ -154,6 +154,8 @@ _ORACLE_CHECKED = [
     "zipf_fit",
     "degree_gini",
     "katz",
+    "props_field_stats",
+    "value_stats",
 ]
 
 
