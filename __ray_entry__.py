@@ -4556,6 +4556,20 @@ def _q_value_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def _q_funnel_latency(sf_dir: str) -> pd.DataFrame:
+    """Funnel with exact integer time-to-convert accounting: per stage,
+    users plus the sum and max of advancing users' reach-time gaps in
+    microseconds."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.sessions import funnel_transition_stats
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    return funnel_transition_stats(
+        ev, stages=("signup", "view", "click", "purchase")
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: events → edge table → weighted
     PageRank; returns (node, score) rows."""
@@ -4770,6 +4784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "katz": _q_katz,
         "props_field_stats": _q_props_field_stats,
         "value_stats": _q_value_stats,
+        "funnel_latency": _q_funnel_latency,
     }
 
 
@@ -8950,6 +8965,42 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        CAST(min(c) AS BIGINT) AS min_cents,
        CAST(max(c) AS BIGINT) AS max_cents
 FROM x GROUP BY 1 ORDER BY 1
+"""
+
+    sqls["funnel_latency"] = """
+WITH s0 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+s1 AS (
+  SELECT e.user_id, min(e.ts) AS t, any_value(s0.t) AS pt FROM events e
+  JOIN s0 ON s0.user_id = e.user_id AND e.ts > s0.t
+  WHERE e.event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t, any_value(s1.t) AS pt FROM events e
+  JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'click' GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t, any_value(s2.t) AS pt FROM events e
+  JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS stage_idx, 'signup' AS stage,
+         CAST((SELECT count(*) FROM s0) AS BIGINT) AS users,
+         CAST(0 AS BIGINT) AS sum_gap_us, CAST(0 AS BIGINT) AS max_gap_us
+  UNION ALL SELECT 1, 'view', (SELECT count(*) FROM s1),
+    CAST(coalesce((SELECT sum(epoch_us(t) - epoch_us(pt)) FROM s1), 0) AS BIGINT),
+    CAST(coalesce((SELECT max(epoch_us(t) - epoch_us(pt)) FROM s1), 0) AS BIGINT)
+  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2),
+    CAST(coalesce((SELECT sum(epoch_us(t) - epoch_us(pt)) FROM s2), 0) AS BIGINT),
+    CAST(coalesce((SELECT max(epoch_us(t) - epoch_us(pt)) FROM s2), 0) AS BIGINT)
+  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3),
+    CAST(coalesce((SELECT sum(epoch_us(t) - epoch_us(pt)) FROM s3), 0) AS BIGINT),
+    CAST(coalesce((SELECT max(epoch_us(t) - epoch_us(pt)) FROM s3), 0) AS BIGINT)
+) ORDER BY stage_idx
 """
 
     return sqls

@@ -156,6 +156,7 @@ _ORACLE_CHECKED = [
     "katz",
     "props_field_stats",
     "value_stats",
+    "funnel_latency",
 ]
 
 

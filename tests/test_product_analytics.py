@@ -139,3 +139,15 @@ def test_zipf_fit_exact_slope():
     assert int(out["slope_num"].iloc[0]) == num
     assert int(out["slope_den"].iloc[0]) == den
     assert num / den < -0.5  # decreasing, roughly zipfian
+
+
+def test_funnel_transition_gaps():
+    from graph_data_science_ray.stages.sessions import funnel_transition_stats
+
+    out = funnel_transition_stats(_events())
+    assert out["users"].tolist() == [3, 2, 2, 1]
+    h = 3_600_000_000  # one hour in microseconds
+    # view gaps: user1 1h, user2 1h; click gaps: user1 25h, user2 3h;
+    # purchase gaps: user1 25h
+    assert out["sum_gap_us"].tolist() == [0, 2 * h, 28 * h, 25 * h]
+    assert out["max_gap_us"].tolist() == [0, h, 25 * h, 25 * h]
