@@ -4570,6 +4570,42 @@ def _q_funnel_latency(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_product_report(sf_dir: str) -> pd.DataFrame:
+    """Composed product-analytics flagship over ONE pruned events read:
+    funnel reach counts, retention aggregates and session totals in a
+    single (metric, value) table — each constituent individually
+    oracled (funnel / retention_cohorts / sessionize), here the
+    COMPOSITION is checked end-to-end."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.sessions import (
+        funnel_counts,
+        retention_cohorts,
+        sessionize,
+    )
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "ts"],
+    ).materialize()  # shared by the three branches
+    fu = funnel_counts(
+        ev, stages=("signup", "view", "click", "purchase")
+    ).to_pandas().sort_values("stage_idx")
+    re_ = retention_cohorts(ev).to_pandas()
+    se = sessionize(ev, gap_seconds=1800.0).to_pandas()
+    rows = [("funnel_" + s, int(u)) for s, u in zip(fu["stage"], fu["users"])]
+    rows += [
+        ("cohorts", int(re_["cohort_day"].nunique())),
+        ("active_user_days", int(re_["users"].sum())),
+        ("max_offset_days", int(re_["offset_days"].max())),
+        ("sessions_total", int(se["n_sessions"].sum())),
+        ("sessionized_users", int(len(se))),
+    ]
+    out = pd.DataFrame(rows, columns=["metric", "value"])
+    out["value"] = out["value"].astype(np.int64)
+    return out.sort_values("metric").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: events → edge table → weighted
     PageRank; returns (node, score) rows."""
@@ -4785,6 +4821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_field_stats": _q_props_field_stats,
         "value_stats": _q_value_stats,
         "funnel_latency": _q_funnel_latency,
+        "product_report": _q_product_report,
     }
 
 
@@ -9001,6 +9038,61 @@ SELECT * FROM (
     CAST(coalesce((SELECT sum(epoch_us(t) - epoch_us(pt)) FROM s3), 0) AS BIGINT),
     CAST(coalesce((SELECT max(epoch_us(t) - epoch_us(pt)) FROM s3), 0) AS BIGINT)
 ) ORDER BY stage_idx
+"""
+
+    sqls["product_report"] = """
+WITH s0 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+s1 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s0 ON s0.user_id = e.user_id AND e.ts > s0.t
+  WHERE e.event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'click' GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t
+  WHERE e.event_type = 'purchase' GROUP BY 1
+),
+d AS (
+  SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events
+),
+c AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY 1),
+a AS (
+  SELECT DISTINCT d.user_id, c.cohort, d.day - c.cohort AS off
+  FROM d JOIN c ON c.user_id = d.user_id
+),
+o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events
+),
+sess AS (
+  SELECT user_id,
+         sum(CASE WHEN pts IS NULL
+                  OR epoch_us(ts) - epoch_us(pts) > 1800000000
+                  THEN 1 ELSE 0 END) AS ns
+  FROM o GROUP BY 1
+)
+SELECT * FROM (
+  SELECT 'funnel_signup' AS metric,
+         CAST((SELECT count(*) FROM s0) AS BIGINT) AS value
+  UNION ALL SELECT 'funnel_view', (SELECT count(*) FROM s1)
+  UNION ALL SELECT 'funnel_click', (SELECT count(*) FROM s2)
+  UNION ALL SELECT 'funnel_purchase', (SELECT count(*) FROM s3)
+  UNION ALL SELECT 'cohorts', (SELECT count(DISTINCT cohort) FROM a)
+  UNION ALL SELECT 'active_user_days', (SELECT count(*) FROM a)
+  UNION ALL SELECT 'max_offset_days', (SELECT max(off) FROM a)
+  UNION ALL SELECT 'sessions_total', (SELECT sum(ns) FROM sess)
+  UNION ALL SELECT 'sessionized_users', (SELECT count(*) FROM sess)
+) ORDER BY metric
 """
 
     return sqls

@@ -177,7 +177,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # round-4 (session 8): product analytics, collocations, PCA, K4
         "funnel", "retention_cohorts", "actor_trigrams", "pmi_bigrams",
         "readability", "pca_power", "four_cliques", "zipf_fit",
-        "degree_gini",
+        "degree_gini", "katz", "props_field_stats", "value_stats",
+        "funnel_latency", "product_report",
     ):
         timed(name, lambda n=name: q[n](sf_dir))
 

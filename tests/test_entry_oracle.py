@@ -157,6 +157,7 @@ _ORACLE_CHECKED = [
     "props_field_stats",
     "value_stats",
     "funnel_latency",
+    "product_report",
 ]
 
 
