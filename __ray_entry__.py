@@ -4606,6 +4606,15 @@ def _q_product_report(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("metric").reset_index(drop=True)
 
 
+def _q_ams_registers(sf_dir: str) -> pd.DataFrame:
+    """AMS/Tug-of-War F2 sketch registers: 16 signed token-count sums
+    under md5-parity sign hashes (exact integer oracle surface)."""
+    from graph_data_science_ray.stages.sketch import ams_registers
+
+    out = ams_registers(_docs(sf_dir), "text").to_pandas()
+    return out.sort_values("srow").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: events → edge table → weighted
     PageRank; returns (node, score) rows."""
@@ -4822,6 +4831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_stats": _q_value_stats,
         "funnel_latency": _q_funnel_latency,
         "product_report": _q_product_report,
+        "ams_registers": _q_ams_registers,
     }
 
 
@@ -9093,6 +9103,27 @@ SELECT * FROM (
   UNION ALL SELECT 'sessions_total', (SELECT sum(ns) FROM sess)
   UNION ALL SELECT 'sessionized_users', (SELECT count(*) FROM sess)
 ) ORDER BY metric
+"""
+
+    sqls["ams_registers"] = r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS t
+  FROM documents
+),
+tc AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY t),
+rows_ AS (SELECT unnest(generate_series(0, 15)) AS srow),
+signed AS (
+  SELECT r.srow,
+         CASE WHEN CAST(('0x' || substr(md5(tc.t || ':ams' ||
+                CAST(r.srow AS VARCHAR)), 1, 8)) AS UBIGINT) % 2 = 0
+              THEN tc.c ELSE -tc.c END AS sv
+  FROM tc CROSS JOIN rows_ r
+)
+SELECT r.srow, CAST(coalesce(s.sv, 0) AS BIGINT) AS s
+FROM rows_ r LEFT JOIN (
+  SELECT srow, sum(sv) AS sv FROM signed GROUP BY srow
+) s USING (srow)
+ORDER BY r.srow
 """
 
     return sqls

@@ -452,3 +452,77 @@ def approx_distinct_by(ds: rd.Dataset, key_col: str, col: str) -> pd.DataFrame:
         )
         out.append((key, hll_estimate(dense)))
     return pd.DataFrame(out, columns=[key_col, "estimate"])
+
+
+_AMS_R = 16  # sign rows
+
+
+def _ams_partial(df: pd.DataFrame, col: str) -> pd.DataFrame:
+    """Per-batch partial AMS sign sums as (srow, s) rows; per-batch
+    value_counts collapses to the batch vocabulary before hashing."""
+    empty = pd.DataFrame(
+        {"srow": pd.Series([], dtype=np.int64),
+         "s": pd.Series([], dtype=np.int64)}
+    )
+    if not len(df):
+        return empty
+    counts = (
+        df[col].fillna("").astype(str).str.split().explode().dropna()
+        .value_counts()
+    )
+    if counts.empty:
+        return empty
+    toks = counts.index.to_numpy(dtype=object)
+    cnts = counts.to_numpy(dtype=np.int64)
+    rows = []
+    for i in range(_AMS_R):
+        par = np.fromiter(
+            (
+                int(hashlib.md5(f"{t}:ams{i}".encode("utf-8")).hexdigest()[:8], 16)
+                & 1
+                for t in toks
+            ),
+            dtype=np.int64,
+            count=len(toks),
+        )
+        sign = 1 - 2 * par  # parity 0 -> +1, parity 1 -> -1
+        rows.append((i, int((cnts * sign).sum())))
+    return pd.DataFrame(
+        {"srow": np.array([r[0] for r in rows], dtype=np.int64),
+         "s": np.array([r[1] for r in rows], dtype=np.int64)}
+    )
+
+
+def ams_registers(ds: rd.Dataset, col: str) -> rd.Dataset:
+    """AMS/Tug-of-War F2 sketch (Alon, Matias & Szegedy 1996): 16 signed
+    token-count sums under md5-parity sign hashes.  Mergeable by plain
+    addition, so the shuffle is 16 integer rows per partial; the second
+    frequency moment estimate is ``mean(s²)`` (:func:`ams_f2_estimate`).
+    Register table zero-filled to all 16 rows — the integer oracle
+    surface, reproducible verbatim in SQL."""
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+
+    parts = ds.map_batches(
+        lambda df: _ams_partial(df, col), batch_format="pandas"
+    )
+    agg = hash_aggregate(parts, ["srow"], "s", op="sum", num_parts=4)
+
+    def zero_fill(df: pd.DataFrame) -> pd.DataFrame:
+        base = pd.DataFrame(
+            {"srow": np.arange(_AMS_R, dtype=np.int64),
+             "s": np.zeros(_AMS_R, dtype=np.int64)}
+        )
+        if len(df):
+            base = base.set_index("srow")
+            got = df.set_index("srow")["s"]
+            base.loc[got.index, "s"] = got.astype(np.int64)
+            base = base.reset_index()
+        return base
+
+    return rd.from_pandas(zero_fill(agg.to_pandas()))
+
+
+def ams_f2_estimate(registers: pd.DataFrame) -> float:
+    """F2 (second frequency moment) estimate: mean of squared sign sums."""
+    s = registers["s"].to_numpy(dtype=np.float64)
+    return float((s * s).mean()) if len(s) else 0.0

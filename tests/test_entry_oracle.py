@@ -158,6 +158,7 @@ _ORACLE_CHECKED = [
     "value_stats",
     "funnel_latency",
     "product_report",
+    "ams_registers",
 ]
 
 

@@ -151,3 +151,23 @@ def test_funnel_transition_gaps():
     # purchase gaps: user1 25h
     assert out["sum_gap_us"].tolist() == [0, 2 * h, 28 * h, 25 * h]
     assert out["max_gap_us"].tolist() == [0, h, 25 * h, 25 * h]
+
+
+def test_ams_f2_merge_and_estimate():
+    from graph_data_science_ray.stages.sketch import (
+        ams_f2_estimate,
+        ams_registers,
+    )
+
+    a = _docs(["x x x y", "z z"])
+    b = _docs(["x y y w"])
+    both = _docs(["x x x y", "z z", "x y y w"])
+    ra = ams_registers(a, "text").to_pandas().sort_values("srow")
+    rb = ams_registers(b, "text").to_pandas().sort_values("srow")
+    rc = ams_registers(both, "text").to_pandas().sort_values("srow")
+    # mergeable by addition
+    assert (ra["s"].to_numpy() + rb["s"].to_numpy()
+            == rc["s"].to_numpy()).all()
+    # F2 = sum of squared counts: x:4, y:3, z:2, w:1 -> 16+9+4+1 = 30
+    est = ams_f2_estimate(rc)
+    assert 0 < est < 300  # unbiased estimator, wide tolerance at r=16
