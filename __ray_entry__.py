@@ -4615,6 +4615,46 @@ def _q_ams_registers(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("srow").reset_index(drop=True)
 
 
+def _q_conversation_dedup(sf_dir: str) -> pd.DataFrame:
+    """Exact whole-conversation duplicate flags (keeper = min conv id
+    per identical stable-order text concatenation)."""
+    import graph_data_science_ray as gdsr
+
+    from graph_data_science_ray.stages.trajectory import (
+        conversation_dedup_flags,
+    )
+
+    turns = gdsr.events_as_transcripts(sf_dir)
+    out = conversation_dedup_flags(turns).to_pandas()
+    return out.sort_values("conv").reset_index(drop=True)
+
+
+def _q_tool_latency(sf_dir: str) -> pd.DataFrame:
+    """Per-tool response latency over the tooled adapter: exact
+    integer-microsecond (n, sum, max) per tool actor."""
+    from graph_data_science_ray.sources.transcripts import (
+        events_as_transcripts_tools,
+    )
+
+    from graph_data_science_ray.stages.trajectory import tool_latency
+
+    turns = events_as_transcripts_tools(sf_dir)
+    out = tool_latency(turns).to_pandas()
+    return out.sort_values("tool").reset_index(drop=True)
+
+
+def _q_monologue_runs(sf_dir: str) -> pd.DataFrame:
+    """Per-conversation same-actor run-length profile (longest
+    monologue, multi-turn-run volume)."""
+    import graph_data_science_ray as gdsr
+
+    from graph_data_science_ray.stages.trajectory import monologue_runs
+
+    turns = gdsr.events_as_transcripts(sf_dir)
+    out = monologue_runs(turns).to_pandas()
+    return out.sort_values("conv").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: events → edge table → weighted
     PageRank; returns (node, score) rows."""
@@ -4832,6 +4872,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_latency": _q_funnel_latency,
         "product_report": _q_product_report,
         "ams_registers": _q_ams_registers,
+        "conversation_dedup": _q_conversation_dedup,
+        "tool_latency": _q_tool_latency,
+        "monologue_runs": _q_monologue_runs,
     }
 
 
@@ -9124,6 +9167,76 @@ FROM rows_ r LEFT JOIN (
   SELECT srow, sum(sv) AS sv FROM signed GROUP BY srow
 ) s USING (srow)
 ORDER BY r.srow
+"""
+
+    sqls["conversation_dedup"] = """
+WITH t AS (
+  SELECT event_type AS conv,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS idx,
+         props AS txt
+  FROM events
+),
+ct AS (SELECT conv, string_agg(txt, ' ' ORDER BY idx) AS text
+       FROM t GROUP BY conv),
+k AS (SELECT text, min(conv) AS keeper FROM ct GROUP BY text)
+SELECT ct.conv,
+       CAST(CASE WHEN ct.conv = k.keeper THEN 1 ELSE 0 END AS BIGINT)
+         AS keep
+FROM ct JOIN k ON k.text = ct.text ORDER BY ct.conv
+"""
+
+    sqls["tool_latency"] = """
+WITH t AS (
+  SELECT event_type AS conv,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS idx,
+         CASE WHEN event_id % 3 = 0
+              THEN 'tool:t' || CAST(user_id % 7 AS VARCHAR)
+              ELSE 'role:' || CAST(user_id AS VARCHAR) END AS actor,
+         ts
+  FROM events
+),
+l AS (
+  SELECT conv, actor, ts,
+         lag(ts) OVER (PARTITION BY conv ORDER BY idx) AS pts
+  FROM t
+)
+SELECT actor AS tool, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(epoch_us(ts) - epoch_us(pts)) AS BIGINT) AS sum_us,
+       CAST(max(epoch_us(ts) - epoch_us(pts)) AS BIGINT) AS max_us
+FROM l
+WHERE pts IS NOT NULL AND actor LIKE 'tool:%'
+GROUP BY 1 ORDER BY 1
+"""
+
+    sqls["monologue_runs"] = """
+WITH t AS (
+  SELECT event_type AS conv,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS idx,
+         CAST(user_id AS VARCHAR) AS actor
+  FROM events
+),
+ch AS (
+  SELECT conv, idx, actor,
+         CASE WHEN lag(actor) OVER (PARTITION BY conv ORDER BY idx)
+                   IS DISTINCT FROM actor THEN 1 ELSE 0 END AS chg
+  FROM t
+),
+runs AS (
+  SELECT conv, sum(chg) OVER (
+    PARTITION BY conv ORDER BY idx
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS run_id
+  FROM ch
+),
+rl AS (SELECT conv, run_id, count(*) AS len FROM runs GROUP BY 1, 2)
+SELECT conv, CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(max(len) AS BIGINT) AS max_run,
+       CAST(coalesce(sum(CASE WHEN len > 1 THEN len END), 0) AS BIGINT)
+         AS sum_run_gt1
+FROM rl GROUP BY conv ORDER BY conv
 """
 
     return sqls

@@ -788,3 +788,181 @@ def actor_ngrams(
         per_group, batch_format="pandas"
     )
     return hash_aggregate(partials, ["gram"], "cnt", op="sum", num_parts=num_parts)
+
+
+def conversation_dedup_flags(
+    turns: rd.Dataset,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """Exact whole-conversation duplicate flags: two conversations are
+    duplicates when their stable-order turn-text concatenations are
+    byte-identical; the keeper is the lexicographically smallest conv
+    id.  Returns ``(conv, keep)`` — the conversation-granularity
+    analogue of :func:`turn_dedup_flags` (a trajectory set routinely
+    contains re-ingested identical dialogues).
+
+    Scale shape: conversation concat (conv-hash groupby, bounded
+    groups) → text-hash-partitioned min-conv keeper → flag join, all
+    vectorized; nothing conversation-count-sized on the driver.
+    """
+    from graph_data_science_ray.pipelines.agg import hash_aggregate, hash_join
+    import pyarrow as pa
+
+    texts = conversation_texts(
+        turns, conv_col=conv_col, idx_col=idx_col, text_col=text_col
+    )
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"text": df["text"].astype(str).to_numpy(dtype=object),
+             "keeper": df["conv"].astype(str).to_numpy(dtype=object)}
+        )
+
+    keepers = hash_aggregate(
+        texts.map_batches(keyed, batch_format="pandas"),
+        ["text"], "keeper", op="min", num_parts=num_parts,
+    )
+    joined = hash_join(
+        texts, keepers, on=["text"],
+        left_schema=pa.schema([("conv", pa.string()), ("text", pa.string())]),
+        right_schema=pa.schema(
+            [("text", pa.string()), ("keeper", pa.string())]
+        ),
+        num_parts=num_parts,
+    )
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"conv": df["conv"].astype(str).to_numpy(dtype=object),
+             "keep": (df["conv"].astype(str) == df["keeper"].astype(str))
+             .astype(np.int64).to_numpy()}
+        )
+
+    return joined.map_batches(flag, batch_format="pandas")
+
+
+def tool_latency(
+    turns: rd.Dataset,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    actor_col: str = "role",
+    ts_col: str = "ts",
+    prefix: str = "tool:",
+    num_parts: int = 16,
+) -> rd.Dataset:
+    """Per-tool response-latency profile: for every turn whose actor is
+    a tool (``actor`` starts with ``prefix``), the exact integer-µs
+    delta to the previous turn, aggregated per tool as
+    ``(tool, n, sum_us, max_us)`` — the agent-observability cut of
+    :func:`turn_latency` (which tools stall the trajectory).  First
+    turns of a conversation are excluded (no predecessor).
+    """
+    from graph_data_science_ray.pipelines.agg import hash_aggregate, hash_join
+    import pyarrow as pa
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(idx_col, kind="mergesort")
+        t = g[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        if "tool" in g.columns:
+            # mirror pipelines.edges._actor_key: a non-empty tool value
+            # promotes the turn's actor to 'tool:<name>'
+            tool = g["tool"].fillna("").astype(str)
+            role = g[actor_col].astype(str)
+            a = np.where(
+                tool != "", "tool:" + tool, "role:" + role
+            ).astype(object)
+        else:
+            a = g[actor_col].astype(str).to_numpy(dtype=object)
+        if len(t) < 2:
+            return pd.DataFrame(
+                {"tool": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype=np.int64),
+                 "sum_us": pd.Series([], dtype=np.int64),
+                 "max_us": pd.Series([], dtype=np.int64)}
+            )
+        lat = t[1:] - t[:-1]
+        cur = a[1:]
+        is_tool = np.array([s.startswith(prefix) for s in cur], dtype=bool)
+        if not is_tool.any():
+            return pd.DataFrame(
+                {"tool": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype=np.int64),
+                 "sum_us": pd.Series([], dtype=np.int64),
+                 "max_us": pd.Series([], dtype=np.int64)}
+            )
+        sub = pd.DataFrame({"tool": cur[is_tool], "lat": lat[is_tool]})
+        g2 = sub.groupby("tool", sort=False)["lat"]
+        out = g2.agg(n="size", sum_us="sum", max_us="max").reset_index()
+        for c in ("n", "sum_us", "max_us"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    parts = turns.groupby(conv_col).map_groups(
+        per_group, batch_format="pandas"
+    )
+
+    # reassert columns: an all-empty group emits a schema-less block
+    # that would KeyError inside the downstream hash aggregates
+    def assert_cols(df: pd.DataFrame) -> pd.DataFrame:
+        if "tool" not in df.columns:
+            return pd.DataFrame(
+                {"tool": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype=np.int64),
+                 "sum_us": pd.Series([], dtype=np.int64),
+                 "max_us": pd.Series([], dtype=np.int64)}
+            )
+        return df
+
+    parts = parts.map_batches(assert_cols, batch_format="pandas")
+    a_ = hash_aggregate(parts, ["tool"], "n", op="sum", num_parts=num_parts)
+    b_ = hash_aggregate(parts, ["tool"], "sum_us", op="sum",
+                        num_parts=num_parts)
+    c_ = hash_aggregate(parts, ["tool"], "max_us", op="max",
+                        num_parts=num_parts)
+    s1 = pa.schema([("tool", pa.string()), ("n", pa.int64())])
+    s2 = pa.schema([("tool", pa.string()), ("sum_us", pa.int64())])
+    j = hash_join(a_, b_, on=["tool"], left_schema=s1, right_schema=s2,
+                  num_parts=num_parts)
+    s3 = pa.schema([("tool", pa.string()), ("n", pa.int64()),
+                    ("sum_us", pa.int64())])
+    s4 = pa.schema([("tool", pa.string()), ("max_us", pa.int64())])
+    return hash_join(j, c_, on=["tool"], left_schema=s3, right_schema=s4,
+                     num_parts=num_parts)
+
+
+def monologue_runs(
+    turns: rd.Dataset,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    actor_col: str = "role",
+) -> rd.Dataset:
+    """Per-conversation same-actor run-length profile:
+    ``(conv, n_runs, max_run, sum_run_gt1)`` where a run is a maximal
+    stretch of consecutive turns by one actor — ``max_run`` is the
+    longest monologue and ``sum_run_gt1`` the turns inside multi-turn
+    runs (the stuck-agent volume complementing
+    :func:`turn_loop_flags`' exact-repeat signal).  Vectorized
+    gaps-and-islands per conversation group; all integers.
+    """
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(idx_col, kind="mergesort")
+        a = g[actor_col].astype(str).to_numpy(dtype=object)
+        n = len(a)
+        starts = np.ones(n, dtype=bool)
+        starts[1:] = a[1:] != a[:-1]
+        run_id = np.cumsum(starts) - 1
+        lens = np.bincount(run_id)
+        return pd.DataFrame(
+            {"conv": [str(g[conv_col].iloc[0])],
+             "n_runs": np.array([len(lens)], dtype=np.int64),
+             "max_run": np.array([int(lens.max())], dtype=np.int64),
+             "sum_run_gt1": np.array(
+                 [int(lens[lens > 1].sum())], dtype=np.int64
+             )}
+        )
+
+    return turns.groupby(conv_col).map_groups(per_group, batch_format="pandas")

@@ -159,6 +159,9 @@ _ORACLE_CHECKED = [
     "funnel_latency",
     "product_report",
     "ams_registers",
+    "conversation_dedup",
+    "tool_latency",
+    "monologue_runs",
 ]
 
 

@@ -330,3 +330,62 @@ def test_actor_ngrams_pairs_match_transitions():
     tr = tr.sort_values("gram").reset_index(drop=True)
     assert bi["gram"].tolist() == tr["gram"].tolist()
     assert bi["cnt"].tolist() == tr["n"].tolist()
+
+
+def test_conversation_dedup_flags():
+    from graph_data_science_ray.stages.trajectory import (
+        conversation_dedup_flags,
+    )
+    import pyarrow as pa
+
+    rows = [
+        ("a", 0, "u1", "x"), ("a", 1, "u2", "y"),   # "x y"
+        ("c", 0, "u3", "x"), ("c", 1, "u4", "y"),   # dup of a
+        ("b", 0, "u5", "x y"),                       # "x y" too (same concat)
+        ("d", 0, "u6", "z"),                         # unique
+    ]
+    turns = rd.from_arrow(pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows], pa.string()),
+        "text": pa.array([r[3] for r in rows], pa.string()),
+    }))
+    out = (conversation_dedup_flags(turns).to_pandas()
+           .sort_values("conv").reset_index(drop=True))
+    got = dict(zip(out["conv"], out["keep"]))
+    # "x y" concat keeper is min conv id 'a'; b and c are dups
+    assert got == {"a": 1, "b": 0, "c": 0, "d": 1}
+
+
+def test_monologue_runs():
+    from graph_data_science_ray.stages.trajectory import monologue_runs
+
+    out = (monologue_runs(_turns()).to_pandas()
+           .sort_values("conv").reset_index(drop=True))
+    # conv a: u1,u2,u1 -> 3 runs, max 1, gt1 sum 0
+    # conv b: u3,u3 -> 1 run of 2; conv c: single turn
+    assert out["n_runs"].tolist() == [3, 1, 1]
+    assert out["max_run"].tolist() == [1, 2, 1]
+    assert out["sum_run_gt1"].tolist() == [0, 2, 0]
+
+
+def test_tool_latency_promotes_tool_actor():
+    from graph_data_science_ray.stages.trajectory import tool_latency
+    import pyarrow as pa
+
+    ts = [np.datetime64("2024-01-01 00:00:00", "us"),
+          np.datetime64("2024-01-01 00:00:05", "us"),
+          np.datetime64("2024-01-01 00:00:07", "us")]
+    turns = rd.from_arrow(pa.table({
+        "conv_id": pa.array(["a"] * 3, pa.string()),
+        "turn_idx": pa.array([0, 1, 2], pa.int32()),
+        "role": pa.array(["u1", "u2", "u1"], pa.string()),
+        "tool": pa.array([None, "grep", None], pa.string()),
+        "text": pa.array(["q", "r", "s"], pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    }))
+    out = tool_latency(turns).to_pandas()
+    assert out["tool"].tolist() == ["tool:grep"]
+    assert out["n"].tolist() == [1]
+    assert out["sum_us"].tolist() == [5_000_000]
+    assert out["max_us"].tolist() == [5_000_000]
