@@ -966,3 +966,119 @@ def monologue_runs(
         )
 
     return turns.groupby(conv_col).map_groups(per_group, batch_format="pandas")
+
+
+def turn_cooccurrence(
+    turns: rd.Dataset,
+    max_gap: int = 3,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    actor_col: str = "role",
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """Windowed sequential co-occurrence counts: ``(prev_role, role, gap, n)``.
+
+    For every conversation and every ordered turn pair at distance
+    ``gap`` (1 ≤ gap ≤ ``max_gap``) under stable turn ordering, counts
+    how often actor ``role`` follows actor ``prev_role`` exactly ``gap``
+    turns later — the gap-resolved generalization of
+    :func:`role_transitions` (gap=1 marginal equals it exactly) and the
+    standard sequential-pattern / skip-gram statistic over trajectories.
+
+    Scale shape: identical to ``role_transitions`` — per-conversation
+    groups emit distinct-pair PARTIAL counts (``max_gap`` shifted
+    overlays, all vectorized), then a hash-partitioned sum; the result
+    is at most ``|actors|² · max_gap`` rows.
+    """
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(idx_col, kind="mergesort")
+        a = g[actor_col].astype(str).to_numpy(dtype=object)
+        frames = []
+        for gap in range(1, int(max_gap) + 1):
+            if len(a) > gap:
+                frames.append(
+                    pd.DataFrame(
+                        {"prev_role": a[:-gap], "role": a[gap:],
+                         "gap": np.int64(gap)}
+                    )
+                )
+        if not frames:
+            return pd.DataFrame(
+                {"prev_role": pd.Series([], dtype=object),
+                 "role": pd.Series([], dtype=object),
+                 "gap": pd.Series([], dtype=np.int64),
+                 "n": pd.Series([], dtype=np.int64)}
+            )
+        pairs = pd.concat(frames, ignore_index=True)
+        cnt = (
+            pairs.groupby(["prev_role", "role", "gap"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        cnt["n"] = cnt["n"].astype(np.int64)
+        return cnt
+
+    partials = turns.groupby(conv_col).map_groups(
+        per_group, batch_format="pandas"
+    )
+    return hash_aggregate(
+        partials, ["prev_role", "role", "gap"], "n", op="sum",
+        num_parts=num_parts,
+    )
+
+
+def markov_stationary(
+    turns: rd.Dataset,
+    rounds: int = 6,
+    scale: int = 1_000_000,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    actor_col: str = "role",
+) -> pd.DataFrame:
+    """Bounded-round stationary mass of the actor-transition Markov chain.
+
+    The transition counts come from :func:`role_transitions` (fully
+    distributed; the matrix itself is the answer-sized aggregate —
+    ``|actors|²`` at most), then ``rounds`` exact INTEGER power-iteration
+    steps run on the driver:
+
+        ``x⁰_i = scale;  x^{t+1}_j = Σ_i floor(x^t_i · n_ij / out_i)``
+
+    with ``out_i = Σ_j n_ij``. Every term floors a nonnegative integer
+    quotient, so the whole trajectory is order-independent, bit-exact at
+    any parallelism, and replayable verbatim in SQL (DuckDB ``//``
+    truncates, which equals floor on nonnegatives). Dangling actors
+    (no outgoing transition) leak their mass, the standard truncated
+    treatment. The state space is the union of both transition margins.
+    Keep ``|actors| · scale · max(n_ij)`` under 2^63.
+
+    Returns ``(role, mass)`` after ``rounds`` steps — the unnormalized
+    stationary-distribution estimate (divide by its sum for
+    probabilities).
+    """
+    from graph_data_science_ray.stages.trajectory import role_transitions as _rt
+
+    counts = _rt(
+        turns, conv_col=conv_col, idx_col=idx_col, actor_col=actor_col
+    ).to_pandas()
+    if "prev_role" not in counts.columns or not len(counts):
+        return pd.DataFrame(
+            {"role": pd.Series([], dtype=object),
+             "mass": pd.Series([], dtype=np.int64)}
+        )
+    actors = sorted(set(counts["prev_role"]) | set(counts["role"]))
+    pos = {a: i for i, a in enumerate(actors)}
+    src = counts["prev_role"].map(pos).to_numpy(dtype=np.int64)
+    dst = counts["role"].map(pos).to_numpy(dtype=np.int64)
+    n = counts["n"].to_numpy(dtype=np.int64)
+    out = np.zeros(len(actors), dtype=np.int64)
+    np.add.at(out, src, n)
+    x = np.full(len(actors), int(scale), dtype=np.int64)
+    for _ in range(int(rounds)):
+        term = (x[src] * n) // out[src]
+        nxt = np.zeros(len(actors), dtype=np.int64)
+        np.add.at(nxt, dst, term)
+        x = nxt
+    return pd.DataFrame({"role": np.array(actors, dtype=object), "mass": x})

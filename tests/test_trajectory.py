@@ -389,3 +389,47 @@ def test_tool_latency_promotes_tool_actor():
     assert out["n"].tolist() == [1]
     assert out["sum_us"].tolist() == [5_000_000]
     assert out["max_us"].tolist() == [5_000_000]
+
+
+def test_turn_cooccurrence_matches_brute():
+    from graph_data_science_ray.stages.trajectory import turn_cooccurrence
+
+    out = (turn_cooccurrence(_turns(), max_gap=2).to_pandas()
+           .sort_values(["prev_role", "role", "gap"]).reset_index(drop=True))
+    # brute force over the fixture
+    convs = {"a": ["u1", "u2", "u1"], "b": ["u3", "u3"], "c": ["u4"]}
+    want = {}
+    for seq in convs.values():
+        for gap in (1, 2):
+            for i in range(len(seq) - gap):
+                k = (seq[i], seq[i + gap], gap)
+                want[k] = want.get(k, 0) + 1
+    got = {(r.prev_role, r.role, int(r.gap)): int(r.n) for r in out.itertuples()}
+    assert got == want
+    # gap=1 marginal equals role_transitions
+    from graph_data_science_ray.stages.trajectory import role_transitions
+
+    rt = role_transitions(_turns()).to_pandas()
+    rt_map = {(r.prev_role, r.role): int(r.n) for r in rt.itertuples()}
+    g1 = {(a, b): n for (a, b, g), n in got.items() if g == 1}
+    assert g1 == rt_map
+
+
+def test_markov_stationary_exact_and_parallelism_invariant():
+    from graph_data_science_ray.stages.trajectory import markov_stationary
+
+    out = markov_stationary(_turns(), rounds=3, scale=1000)
+    # transitions: u1->u2 (1), u2->u1 (1), u3->u3 (1); u4 dangling-only
+    # appears as no margin (single-turn conv) -> absent from state space
+    x = {"u1": 1000, "u2": 1000, "u3": 1000}
+    for _ in range(3):
+        nxt = {a: 0 for a in x}
+        nxt["u2"] += x["u1"] * 1 // 1
+        nxt["u1"] += x["u2"] * 1 // 1
+        nxt["u3"] += x["u3"] * 1 // 1
+        x = nxt
+    got = dict(zip(out["role"], out["mass"]))
+    assert got == x
+    # invariant under repartition
+    out2 = markov_stationary(_turns().repartition(4), rounds=3, scale=1000)
+    assert dict(zip(out2["role"], out2["mass"])) == x

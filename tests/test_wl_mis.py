@@ -1,0 +1,137 @@
+"""WL color refinement + Luby MIS vs brute-force references."""
+
+import hashlib
+
+import numpy as np
+
+from graph_data_science_ray.functions.mis import maximal_independent_set
+from graph_data_science_ray.functions.wl import wl_colors, wl_partition_sizes
+
+EDGES = [
+    (0, 1),
+    (1, 2),
+    (2, 0),
+    (2, 3),
+    (3, 4),
+    (4, 5),
+    (5, 3),
+    (6, 7),
+]
+
+
+def _adj(idmap, sym):
+    df = sym.to_pandas()
+    n = len(idmap.keys)
+    adj = [set() for _ in range(n)]
+    for s, d in zip(df["src"], df["dst"]):
+        adj[int(s)].add(int(d))
+    return adj
+
+
+def _u(prefix, v, hex_chars):
+    return int(hashlib.md5(f"{prefix}{v}".encode()).hexdigest()[:hex_chars], 16)
+
+
+def _wl_brute(adj, rounds):
+    n = len(adj)
+    c0 = _u("wl:", "init", 12)
+    color = [c0] * n
+    for _ in range(rounds):
+        h = [_u("wlh:", c, 9) for c in color]
+        color = [
+            _u("wlc:", f"{color[v]}:{sum(h[u] for u in adj[v])}", 12)
+            for v in range(n)
+        ]
+    return color
+
+
+def _mis_brute(adj, rounds):
+    n = len(adj)
+    pri = [_u("mis:", i, 12) for i in range(n)]
+    status = [0] * n
+    for _ in range(rounds):
+        sel = [
+            v
+            for v in range(n)
+            if status[v] == 0
+            and all(status[u] != 0 or pri[v] < pri[u] for u in adj[v])
+        ]
+        for v in sel:
+            status[v] = 1
+        for v in range(n):
+            if status[v] == 0 and any(status[u] == 1 for u in adj[v]):
+                status[v] = 2
+        if all(s != 0 for s in status):
+            break
+    return status
+
+
+def test_wl_matches_brute_force(graph_from_edges):
+    _, gu, idmap, _, sym = graph_from_edges(EDGES, isolated=[8])
+    got = wl_colors(gu, rounds=3).sort_values("node").reset_index(drop=True)
+    adj = _adj(idmap, sym)
+    want = _wl_brute(adj, 3)
+    # idmap.keys is sorted, so dense id order == sorted node order
+    assert list(got["color"]) == want
+
+
+def test_wl_distinguishes_structure(graph_from_edges):
+    # triangle nodes (n0,n1,n2 minus the bridge n2) vs path/pendant nodes
+    _, gu, idmap, _, sym = graph_from_edges(EDGES, isolated=[8])
+    got = wl_colors(gu, rounds=3)
+    by_key = dict(zip(got["node"], got["color"]))
+    # n6 and n7 are a symmetric pendant pair: identical WL colors forever
+    assert by_key["role:n0006"] == by_key["role:n0007"]
+    # the isolated node is in its own cell, distinct from the pendant pair
+    assert by_key["role:n0008"] != by_key["role:n0006"]
+    # refinement is consistent with the histogram readout
+    hist = wl_partition_sizes(gu, rounds=3)
+    assert int(hist["n"].sum()) == len(got)
+
+
+def test_wl_round_zero_is_init(graph_from_edges):
+    _, gu, idmap, _, _ = graph_from_edges(EDGES)
+    got = wl_colors(gu, rounds=0)
+    assert set(got["color"]) == {_u("wl:", "init", 12)}
+
+
+def test_mis_matches_brute_force(graph_from_edges):
+    _, gu, idmap, _, sym = graph_from_edges(EDGES, isolated=[8])
+    got = maximal_independent_set(gu, rounds=8).sort_values("node")
+    adj = _adj(idmap, sym)
+    want = _mis_brute(adj, 8)
+    assert list(got["status"]) == want
+
+
+def test_mis_is_maximal_and_independent(graph_from_edges):
+    _, gu, idmap, _, sym = graph_from_edges(EDGES, isolated=[8])
+    got = maximal_independent_set(gu, rounds=16).sort_values("node")
+    status = got["status"].to_numpy()
+    adj = _adj(idmap, sym)
+    assert set(status) <= {1, 2}  # converged: nothing undecided
+    in_set = {v for v, s in enumerate(status) if s == 1}
+    for v in in_set:  # independence
+        assert not (adj[v] & in_set)
+    for v, s in enumerate(status):  # maximality: every OUT node has a reason
+        if s == 2:
+            assert adj[v] & in_set
+    # isolated node is always selected
+    iso = list(idmap.keys).index("role:n0008")
+    assert status[iso] == 1
+
+
+def test_ldp_matches_brute_force(graph_from_edges):
+    from graph_data_science_ray.functions.degree import local_degree_profile
+
+    _, gu, idmap, _, sym = graph_from_edges(EDGES, isolated=[8])
+    got = local_degree_profile(sym, idmap=idmap)
+    adj = _adj(idmap, sym)
+    deg = [len(a) for a in adj]
+    for v in range(len(adj)):
+        row = got.iloc[v]
+        nd = sorted(deg[u] for u in adj[v])
+        assert row["degree"] == deg[v]
+        assert row["nbr_min"] == (nd[0] if nd else 0)
+        assert row["nbr_max"] == (nd[-1] if nd else 0)
+        assert row["nbr_sum"] == sum(nd)
+        assert row["nbr_sumsq"] == sum(d * d for d in nd)
