@@ -4655,6 +4655,83 @@ def _q_monologue_runs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("conv").reset_index(drop=True)
 
 
+_WL_ROUNDS = 2
+_MIS_ROUNDS = 4
+_MARKOV_ROUNDS = 4
+
+
+def _q_wl_colors(sf_dir: str) -> pd.DataFrame:
+    """1-WL color refinement (functions/wl.py) at pinned rounds — the
+    integer multiset-hash contract makes all V colors SQL-exact."""
+    from graph_data_science_ray.functions.wl import wl_colors
+
+    b = _bundle(sf_dir)
+    res = wl_colors(b["gu"], rounds=_WL_ROUNDS)
+    return (
+        pd.DataFrame(
+            {"node": _strip(res["node"]),
+             "color": res["color"].to_numpy().astype(np.int64)}
+        )
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+
+def _q_mis(sf_dir: str) -> pd.DataFrame:
+    """Luby maximal independent set (functions/mis.py) at pinned rounds:
+    md5 priorities make the whole selection trajectory deterministic, so
+    the per-round SQL mirror reproduces every status bit."""
+    from graph_data_science_ray.functions.mis import maximal_independent_set
+
+    b = _bundle(sf_dir)
+    res = maximal_independent_set(b["gu"], rounds=_MIS_ROUNDS)
+    return (
+        pd.DataFrame(
+            {"node": _strip(res["node"]),
+             "status": res["status"].to_numpy().astype(np.int64)}
+        )
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+
+def _q_ldp_features(sf_dir: str) -> pd.DataFrame:
+    """Local Degree Profile structural node features — all-integer
+    (degree, neighbor-degree min/max/sum/sumsq)."""
+    from graph_data_science_ray.functions.degree import local_degree_profile
+
+    b = _bundle(sf_dir)
+    res = local_degree_profile(b["sym"], idmap=b["idmap"]).copy()
+    res["node"] = _strip(res["node"])
+    return res.sort_values("node").reset_index(drop=True)
+
+
+def _q_turn_cooccurrence(sf_dir: str) -> pd.DataFrame:
+    """Gap-resolved sequential co-occurrence counts (skip-gram statistic
+    over trajectories); gap=1 marginal equals role_transitions."""
+    import graph_data_science_ray as gdsr
+
+    from graph_data_science_ray.stages.trajectory import turn_cooccurrence
+
+    ts = gdsr.events_as_transcripts(sf_dir)
+    out = turn_cooccurrence(ts, max_gap=3).to_pandas()
+    return (
+        out.sort_values(["prev_role", "role", "gap"]).reset_index(drop=True)
+    )
+
+
+def _q_markov_stationary(sf_dir: str) -> pd.DataFrame:
+    """Bounded-round integer stationary mass of the actor-transition
+    chain — distributed counts, answer-sized exact power iteration."""
+    import graph_data_science_ray as gdsr
+
+    from graph_data_science_ray.stages.trajectory import markov_stationary
+
+    ts = gdsr.events_as_transcripts(sf_dir)
+    out = markov_stationary(ts, rounds=_MARKOV_ROUNDS)
+    return out.sort_values("role").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: events → edge table → weighted
     PageRank; returns (node, score) rows."""
@@ -4875,6 +4952,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversation_dedup": _q_conversation_dedup,
         "tool_latency": _q_tool_latency,
         "monologue_runs": _q_monologue_runs,
+        "wl_colors": _q_wl_colors,
+        "mis": _q_mis,
+        "ldp_features": _q_ldp_features,
+        "turn_cooccurrence": _q_turn_cooccurrence,
+        "markov_stationary": _q_markov_stationary,
     }
 
 
@@ -4975,6 +5057,96 @@ scored AS (SELECT d.doc_id,
            FROM d, stats s, dfq q)
 SELECT doc_id, score_ppm FROM scored WHERE score_ppm > 0
 ORDER BY score_ppm DESC, doc_id LIMIT 20"""
+
+
+
+
+def _wl_oracle_sql() -> str:
+    """Per-round replay of functions/wl.py: uniform u48 init color, u36
+    per-element hashes summed over undirected neighbors, re-hash."""
+    u48 = ("CAST(CAST(('0x' || substr(md5({expr}), 1, 12)) AS UBIGINT)"
+           " AS BIGINT)")
+    u36 = ("CAST(CAST(('0x' || substr(md5({expr}), 1, 9)) AS UBIGINT)"
+           " AS BIGINT)")
+    parts = [
+        "c0 AS MATERIALIZED (SELECT node, "
+        + u48.format(expr="'wl:init'")
+        + " AS c FROM nodes)"
+    ]
+    for r in range(_WL_ROUNDS):
+        parts.append(
+            f"h{r} AS MATERIALIZED (SELECT node, "
+            + u36.format(expr=f"'wlh:' || CAST(c AS VARCHAR)")
+            + f" AS h FROM c{r})"
+        )
+        parts.append(
+            f"""m{r + 1} AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(sum(h.h) AS BIGINT) AS m
+  FROM undw e JOIN h{r} h ON h.node = e.src GROUP BY 1)"""
+        )
+        new_c = u48.format(
+            expr=(
+                "'wlc:' || CAST(c.c AS VARCHAR) || ':' || "
+                f"CAST(coalesce(m.m, 0) AS VARCHAR)"
+            )
+        )
+        parts.append(
+            f"""c{r + 1} AS MATERIALIZED (
+  SELECT c.node, {new_c} AS c
+  FROM c{r} c LEFT JOIN m{r + 1} m USING (node))"""
+        )
+    return (
+        f"WITH {_GRAPH_CTE}, {_UND_CTE},\n"
+        + ",\n".join(parts)
+        + f"\nSELECT node, c AS color FROM c{_WL_ROUNDS} ORDER BY node"
+    )
+
+
+def _mis_oracle_sql() -> str:
+    """Per-round replay of functions/mis.py: md5-u48 priorities on dense
+    ids, one select + one deactivate layer per round."""
+    parts = [
+        "ids AS (SELECT node, CAST(dense_rank() OVER (ORDER BY node) - 1"
+        " AS BIGINT) AS id FROM nodes)",
+        """st0 AS MATERIALIZED (
+  SELECT node,
+         CAST(CAST(('0x' || substr(md5('mis:' || CAST(id AS VARCHAR)), 1, 12))
+              AS UBIGINT) AS BIGINT) AS p,
+         0 AS st
+  FROM ids)""",
+    ]
+    for r in range(_MIS_ROUNDS):
+        parts.append(
+            f"""sel{r} AS MATERIALIZED (
+  SELECT s.node FROM st{r} s LEFT JOIN (
+      SELECT e.dst AS node, min(s2.p) AS mn
+      FROM undw e JOIN st{r} s2 ON s2.node = e.src AND s2.st = 0
+      GROUP BY 1) nb USING (node)
+  WHERE s.st = 0 AND (nb.mn IS NULL OR s.p < nb.mn))"""
+        )
+        parts.append(
+            f"""inn{r} AS MATERIALIZED (
+  SELECT node FROM st{r} WHERE st = 1 UNION SELECT node FROM sel{r})"""
+        )
+        parts.append(
+            f"""cov{r} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS node FROM undw e JOIN inn{r} i ON i.node = e.src)"""
+        )
+        parts.append(
+            f"""st{r + 1} AS MATERIALIZED (
+  SELECT s.node, s.p,
+         CASE WHEN s.st <> 0 THEN s.st
+              WHEN s.node IN (SELECT node FROM sel{r}) THEN 1
+              WHEN s.node IN (SELECT node FROM cov{r}) THEN 2
+              ELSE 0 END AS st
+  FROM st{r} s)"""
+        )
+    return (
+        f"WITH {_GRAPH_CTE}, {_UND_CTE},\n"
+        + ",\n".join(parts)
+        + f"\nSELECT node, CAST(st AS BIGINT) AS status FROM st{_MIS_ROUNDS}"
+        " ORDER BY node"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -9238,5 +9410,79 @@ SELECT conv, CAST(count(*) AS BIGINT) AS n_runs,
          AS sum_run_gt1
 FROM rl GROUP BY conv ORDER BY conv
 """
+
+    sqls["wl_colors"] = _wl_oracle_sql()
+
+    sqls["mis"] = _mis_oracle_sql()
+
+    sqls["ldp_features"] = f"""
+WITH {_GRAPH_CTE}, {_UND_CTE},
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM undw GROUP BY 1),
+nb AS (SELECT e.src AS node,
+              CAST(min(d.degree) AS BIGINT) AS nbr_min,
+              CAST(max(d.degree) AS BIGINT) AS nbr_max,
+              CAST(sum(d.degree) AS BIGINT) AS nbr_sum,
+              CAST(sum(d.degree * d.degree) AS BIGINT) AS nbr_sumsq
+       FROM undw e JOIN deg d ON d.node = e.dst GROUP BY 1)
+SELECT n.node,
+       CAST(coalesce(g.degree, 0) AS BIGINT) AS degree,
+       CAST(coalesce(nb.nbr_min, 0) AS BIGINT) AS nbr_min,
+       CAST(coalesce(nb.nbr_max, 0) AS BIGINT) AS nbr_max,
+       CAST(coalesce(nb.nbr_sum, 0) AS BIGINT) AS nbr_sum,
+       CAST(coalesce(nb.nbr_sumsq, 0) AS BIGINT) AS nbr_sumsq
+FROM nodes n LEFT JOIN deg g USING (node) LEFT JOIN nb USING (node)
+ORDER BY node
+"""
+
+    sqls["turn_cooccurrence"] = r"""
+WITH t AS (
+  SELECT event_type AS conv,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS idx,
+         CAST(user_id AS VARCHAR) AS actor
+  FROM events
+)
+SELECT a.actor AS prev_role, b.actor AS role,
+       CAST(b.idx - a.idx AS BIGINT) AS gap,
+       CAST(count(*) AS BIGINT) AS n
+FROM t a JOIN t b ON a.conv = b.conv AND b.idx - a.idx BETWEEN 1 AND 3
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+    _markov_rounds = []
+    for _r in range(_MARKOV_ROUNDS):
+        _markov_rounds.append(f"""x{_r + 1} AS MATERIALIZED (
+  SELECT a.actor, CAST(coalesce(s.m, 0) AS BIGINT) AS v
+  FROM actors a LEFT JOIN (
+      SELECT tr.actor, sum((x.v * tr.n) // od.o) AS m
+      FROM tr JOIN x{_r} x ON x.actor = tr.prev JOIN od ON od.prev = tr.prev
+      GROUP BY 1) s USING (actor))""")
+    sqls["markov_stationary"] = (
+        r"""
+WITH t AS (
+  SELECT event_type AS conv,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS idx,
+         CAST(user_id AS VARCHAR) AS actor
+  FROM events
+),
+l AS (
+  SELECT conv, actor,
+         lag(actor) OVER (PARTITION BY conv ORDER BY idx) AS prev
+  FROM t
+),
+tr AS MATERIALIZED (
+  SELECT prev, actor, CAST(count(*) AS BIGINT) AS n
+  FROM l WHERE prev IS NOT NULL GROUP BY 1, 2),
+od AS (SELECT prev, CAST(sum(n) AS BIGINT) AS o FROM tr GROUP BY 1),
+actors AS (SELECT DISTINCT actor FROM (
+  SELECT prev AS actor FROM tr UNION SELECT actor FROM tr)),
+x0 AS (SELECT actor, CAST(1000000 AS BIGINT) AS v FROM actors),
+"""
+        + ",\n".join(_markov_rounds)
+        + f"\nSELECT actor AS role, v AS mass FROM x{_MARKOV_ROUNDS}"
+        " ORDER BY role"
+    )
 
     return sqls
