@@ -4732,6 +4732,32 @@ def _q_markov_stationary(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("role").reset_index(drop=True)
 
 
+_TEMPORAL_ROUNDS = 6
+
+
+def _q_temporal_reachability(sf_dir: str) -> pd.DataFrame:
+    """Bounded-round earliest-arrival times over the transcript contact
+    stream (functions/temporal.py), from the lexicographically smallest
+    actor at t0=0 — exact int64 microsecond arrivals."""
+    import graph_data_science_ray as gdsr
+
+    from graph_data_science_ray.functions.temporal import (
+        derive_contacts,
+        temporal_reachability,
+    )
+
+    ts = gdsr.events_as_transcripts(sf_dir)
+    turns = gdsr.derive_turns(ts, keep_ts=True)
+    source = turns.select_columns(["actor"]).min("actor")
+    contacts = derive_contacts(turns)
+    out = temporal_reachability(
+        contacts, source=source, t0=0, rounds=_TEMPORAL_ROUNDS, num_parts=8
+    )
+    out = out.copy()
+    out["node"] = _strip(out["node"].to_numpy(dtype=object))
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: events → edge table → weighted
     PageRank; returns (node, score) rows."""
@@ -4957,6 +4983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ldp_features": _q_ldp_features,
         "turn_cooccurrence": _q_turn_cooccurrence,
         "markov_stationary": _q_markov_stationary,
+        "temporal_reachability": _q_temporal_reachability,
     }
 
 
@@ -9484,5 +9511,67 @@ x0 AS (SELECT actor, CAST(1000000 AS BIGINT) AS v FROM actors),
         + f"\nSELECT actor AS role, v AS mass FROM x{_MARKOV_ROUNDS}"
         " ORDER BY role"
     )
+
+    sqls["temporal_reachability"] = r"""
+WITH t AS (
+  SELECT event_type AS conv,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS idx,
+         CAST(user_id AS VARCHAR) AS actor,
+         ts
+  FROM events
+),
+c AS MATERIALIZED (
+  SELECT a.actor AS src, b.actor AS dst,
+         CAST(epoch_us(b.ts) AS BIGINT) AS t
+  FROM t a JOIN t b ON a.conv = b.conv AND b.idx = a.idx + 1
+  WHERE a.actor <> b.actor
+),
+a0 AS MATERIALIZED (
+  SELECT min(actor) AS node, CAST(0 AS BIGINT) AS at FROM t),
+a1 AS MATERIALIZED (
+  SELECT node, CAST(min(at) AS BIGINT) AS at FROM (
+    SELECT node, at FROM a0
+    UNION ALL
+    SELECT c.dst AS node, c.t AS at
+    FROM c JOIN a0 ar ON ar.node = c.src AND ar.at <= c.t
+  ) GROUP BY 1),
+a2 AS MATERIALIZED (
+  SELECT node, CAST(min(at) AS BIGINT) AS at FROM (
+    SELECT node, at FROM a1
+    UNION ALL
+    SELECT c.dst AS node, c.t AS at
+    FROM c JOIN a1 ar ON ar.node = c.src AND ar.at <= c.t
+  ) GROUP BY 1),
+a3 AS MATERIALIZED (
+  SELECT node, CAST(min(at) AS BIGINT) AS at FROM (
+    SELECT node, at FROM a2
+    UNION ALL
+    SELECT c.dst AS node, c.t AS at
+    FROM c JOIN a2 ar ON ar.node = c.src AND ar.at <= c.t
+  ) GROUP BY 1),
+a4 AS MATERIALIZED (
+  SELECT node, CAST(min(at) AS BIGINT) AS at FROM (
+    SELECT node, at FROM a3
+    UNION ALL
+    SELECT c.dst AS node, c.t AS at
+    FROM c JOIN a3 ar ON ar.node = c.src AND ar.at <= c.t
+  ) GROUP BY 1),
+a5 AS MATERIALIZED (
+  SELECT node, CAST(min(at) AS BIGINT) AS at FROM (
+    SELECT node, at FROM a4
+    UNION ALL
+    SELECT c.dst AS node, c.t AS at
+    FROM c JOIN a4 ar ON ar.node = c.src AND ar.at <= c.t
+  ) GROUP BY 1),
+a6 AS MATERIALIZED (
+  SELECT node, CAST(min(at) AS BIGINT) AS at FROM (
+    SELECT node, at FROM a5
+    UNION ALL
+    SELECT c.dst AS node, c.t AS at
+    FROM c JOIN a5 ar ON ar.node = c.src AND ar.at <= c.t
+  ) GROUP BY 1)
+SELECT node, at FROM a6 ORDER BY node
+"""
 
     return sqls

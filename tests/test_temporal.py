@@ -1,0 +1,70 @@
+"""Temporal reachability: contact stream + earliest-arrival vs brute force."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _turns_ts():
+    # conv x: a -> b at t=10, b -> c at t=20 (a reaches c via increasing times)
+    # conv y: c -> d at t=5  (BEFORE c is informed at 20: d must stay dark)
+    # conv z: b -> d at t=30 (d informed at 30 via b@10)
+    rows = [
+        ("x", 0, "a", 0), ("x", 1, "b", 10), ("x", 2, "c", 20),
+        ("y", 0, "c", 1), ("y", 1, "d", 5),
+        ("z", 0, "b", 25), ("z", 1, "d", 30),
+    ]
+    return rd.from_arrow(pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "actor": pa.array([r[2] for r in rows], pa.string()),
+        "ts": pa.array([np.datetime64(r[3], "us") for r in rows],
+                       pa.timestamp("us")),
+    }))
+
+
+def test_derive_contacts():
+    from graph_data_science_ray.functions.temporal import derive_contacts
+
+    c = derive_contacts(_turns_ts()).to_pandas().sort_values(
+        ["src", "dst", "t"]).reset_index(drop=True)
+    want = pd.DataFrame({
+        "src": ["a", "b", "b", "c"],
+        "dst": ["b", "c", "d", "d"],
+        "t": [10, 20, 30, 5],
+    })
+    assert c[["src", "dst", "t"]].astype(str).values.tolist() == \
+        want.astype(str).values.tolist()
+
+
+def test_temporal_reachability_respects_time():
+    from graph_data_science_ray.functions.temporal import (
+        derive_contacts, temporal_reachability)
+
+    contacts = derive_contacts(_turns_ts())
+    got = temporal_reachability(contacts, source="a", t0=0, rounds=4)
+    arr = dict(zip(got["node"], got["at"]))
+    # a@0 -> b@10 -> c@20; c->d contact at t=5 is too early; b->d@30 works
+    assert arr == {"a": 0, "b": 10, "c": 20, "d": 30}
+
+
+def test_temporal_reachability_source_c():
+    from graph_data_science_ray.functions.temporal import (
+        derive_contacts, temporal_reachability)
+
+    contacts = derive_contacts(_turns_ts())
+    got = temporal_reachability(contacts, source="c", t0=0, rounds=4)
+    arr = dict(zip(got["node"], got["at"]))
+    # c@0 -> d@5 (the early contact now transmits); nothing else reachable
+    assert arr == {"c": 0, "d": 5}
+
+
+def test_temporal_reachability_parallelism_invariant():
+    from graph_data_science_ray.functions.temporal import (
+        derive_contacts, temporal_reachability)
+
+    a = temporal_reachability(derive_contacts(_turns_ts()), "a", rounds=3)
+    b = temporal_reachability(
+        derive_contacts(_turns_ts().repartition(5)), "a", rounds=3)
+    assert a.values.tolist() == b.values.tolist()
