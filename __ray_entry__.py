@@ -4758,6 +4758,68 @@ def _q_temporal_reachability(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("node").reset_index(drop=True)
 
 
+_SALSA_ROUNDS = 3
+_SALSA_SCALE = 1 << 20
+
+
+def _q_salsa(sf_dir: str) -> pd.DataFrame:
+    """SALSA hubs & authorities (functions/hits.py::salsa) — exact
+    integer floor-division contract, SQL-mirrored round by round."""
+    from graph_data_science_ray.functions.hits import salsa
+
+    b = _bundle(sf_dir)
+    res = salsa(
+        b["gd"], b["grev"], iterations=_SALSA_ROUNDS, scale=_SALSA_SCALE
+    )
+    return (
+        pd.DataFrame(
+            {"node": _strip(res["node"]),
+             "hub": res["hub"].to_numpy().astype(np.int64),
+             "auth": res["auth"].to_numpy().astype(np.int64)}
+        )
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+
+def _salsa_oracle_sql() -> str:
+    parts = [
+        "uedges AS (SELECT DISTINCT src, dst FROM edges)",
+        "od AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d"
+        " FROM uedges GROUP BY 1)",
+        "idg AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS d"
+        " FROM uedges GROUP BY 1)",
+        f"h0 AS (SELECT node, CAST({_SALSA_SCALE} AS BIGINT) AS v FROM nodes)",
+    ]
+    for r in range(1, _SALSA_ROUNDS + 1):
+        parts.append(
+            f"""a{r} AS MATERIALIZED (
+  SELECT n.node, CAST(coalesce(s.m, 0) AS BIGINT) AS v
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(h.v // o.d) AS m
+    FROM uedges e JOIN h{r - 1} h ON h.node = e.src
+                  JOIN od o ON o.node = e.src
+    GROUP BY 1) s USING (node))"""
+        )
+        parts.append(
+            f"""h{r} AS MATERIALIZED (
+  SELECT n.node, CAST(coalesce(s.m, 0) AS BIGINT) AS v
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS node, sum(a.v // i.d) AS m
+    FROM uedges e JOIN a{r} a ON a.node = e.dst
+                  JOIN idg i ON i.node = e.dst
+    GROUP BY 1) s USING (node))"""
+    )
+    return (
+        f"WITH {_GRAPH_CTE},\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT h.node, h.v AS hub, a.v AS auth
+FROM h{_SALSA_ROUNDS} h JOIN a{_SALSA_ROUNDS} a USING (node)
+ORDER BY node"""
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: events → edge table → weighted
     PageRank; returns (node, score) rows."""
@@ -4984,6 +5046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_cooccurrence": _q_turn_cooccurrence,
         "markov_stationary": _q_markov_stationary,
         "temporal_reachability": _q_temporal_reachability,
+        "salsa": _q_salsa,
     }
 
 
@@ -9573,5 +9636,7 @@ a6 AS MATERIALIZED (
   ) GROUP BY 1)
 SELECT node, at FROM a6 ORDER BY node
 """
+
+    sqls["salsa"] = _salsa_oracle_sql()
 
     return sqls

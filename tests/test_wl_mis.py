@@ -135,3 +135,37 @@ def test_ldp_matches_brute_force(graph_from_edges):
         assert row["nbr_max"] == (nd[-1] if nd else 0)
         assert row["nbr_sum"] == sum(nd)
         assert row["nbr_sumsq"] == sum(d * d for d in nd)
+
+
+def test_salsa_matches_brute_force(graph_from_edges):
+    from graph_data_science_ray.functions.hits import salsa
+    from graph_data_science_ray.pipelines.transforms import reverse_edges
+    import graph_data_science_ray as gdsr
+
+    gd, gu, idmap, enc, sym = graph_from_edges(EDGES, isolated=[8])
+    grev = gdsr.GraphStore.project(
+        reverse_edges(enc), str(gd.path) + "_rev", idmap=idmap,
+        directed=True, boundaries=gd.boundaries,
+    )
+    got = salsa(gd, grev, iterations=3, scale=1 << 20).sort_values("node")
+    # brute force on the directed unique edge set
+    df = enc.to_pandas()
+    n = len(idmap.keys)
+    out_edges = [[] for _ in range(n)]
+    in_edges = [[] for _ in range(n)]
+    for s, d in zip(df["src"], df["dst"]):
+        out_edges[int(s)].append(int(d))
+        in_edges[int(d)].append(int(s))
+    hub = [1 << 20] * n
+    auth = [0] * n
+    for _ in range(3):
+        auth = [
+            sum(hub[u] // len(out_edges[u]) for u in in_edges[v])
+            for v in range(n)
+        ]
+        hub = [
+            sum(auth[v] // len(in_edges[v]) for v in out_edges[u])
+            for u in range(n)
+        ]
+    assert list(got["hub"]) == hub
+    assert list(got["auth"]) == auth
