@@ -4820,6 +4820,61 @@ ORDER BY node"""
     )
 
 
+_SPREAD_ROUNDS = 4
+_SPREAD_SCALE = 1 << 20
+_SPREAD_MOD = 17
+
+
+def _q_seeded_propagation(sf_dir: str) -> pd.DataFrame:
+    """Clamped seed-set spreading (functions/spread.py): seeds are dense
+    ids ≡ 0 mod 17; integer floor-quotient push, SQL-exact per round."""
+    from graph_data_science_ray.functions.spread import seeded_propagation
+
+    b = _bundle(sf_dir)
+    res = seeded_propagation(
+        b["gu"], rounds=_SPREAD_ROUNDS, scale=_SPREAD_SCALE,
+        seed_modulus=_SPREAD_MOD,
+    )
+    return (
+        pd.DataFrame(
+            {"node": _strip(res["node"]),
+             "score": res["score"].to_numpy().astype(np.int64)}
+        )
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+
+def _spread_oracle_sql() -> str:
+    parts = [
+        "ids AS (SELECT node, CAST(dense_rank() OVER (ORDER BY node) - 1"
+        " AS BIGINT) AS id FROM nodes)",
+        "deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d"
+        " FROM undw GROUP BY 1)",
+        f"""x0 AS MATERIALIZED (
+  SELECT node, CAST(CASE WHEN id % {_SPREAD_MOD} = 0
+                         THEN {_SPREAD_SCALE} ELSE 0 END AS BIGINT) AS v
+  FROM ids)""",
+    ]
+    for r in range(1, _SPREAD_ROUNDS + 1):
+        parts.append(
+            f"""x{r} AS MATERIALIZED (
+  SELECT i.node,
+         CAST(CASE WHEN i.id % {_SPREAD_MOD} = 0 THEN {_SPREAD_SCALE}
+                   ELSE coalesce(s.m, 0) END AS BIGINT) AS v
+  FROM ids i LEFT JOIN (
+    SELECT e.dst AS node, sum(x.v // d.d) AS m
+    FROM undw e JOIN x{r - 1} x ON x.node = e.src
+                JOIN deg d ON d.node = e.src
+    GROUP BY 1) s USING (node))"""
+        )
+    return (
+        f"WITH {_GRAPH_CTE}, {_UND_CTE},\n"
+        + ",\n".join(parts)
+        + f"\nSELECT node, v AS score FROM x{_SPREAD_ROUNDS} ORDER BY node"
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: events → edge table → weighted
     PageRank; returns (node, score) rows."""
@@ -5047,6 +5102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_stationary": _q_markov_stationary,
         "temporal_reachability": _q_temporal_reachability,
         "salsa": _q_salsa,
+        "seeded_propagation": _q_seeded_propagation,
     }
 
 
@@ -9638,5 +9694,7 @@ SELECT node, at FROM a6 ORDER BY node
 """
 
     sqls["salsa"] = _salsa_oracle_sql()
+
+    sqls["seeded_propagation"] = _spread_oracle_sql()
 
     return sqls

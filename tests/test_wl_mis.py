@@ -169,3 +169,24 @@ def test_salsa_matches_brute_force(graph_from_edges):
         ]
     assert list(got["hub"]) == hub
     assert list(got["auth"]) == auth
+
+
+def test_seeded_propagation_matches_brute_force(graph_from_edges):
+    from graph_data_science_ray.functions.spread import seeded_propagation
+
+    _, gu, idmap, _, sym = graph_from_edges(EDGES, isolated=[8])
+    S, MOD, R = 1 << 20, 3, 4
+    got = seeded_propagation(gu, rounds=R, scale=S, seed_modulus=MOD)
+    adj = _adj(idmap, sym)
+    n = len(adj)
+    x = [S if v % MOD == 0 else 0 for v in range(n)]
+    for _ in range(R):
+        nxt = [
+            S if v % MOD == 0
+            else sum(x[u] // len(adj[u]) for u in adj[v])
+            for v in range(n)
+        ]
+        x = nxt
+    assert list(got.sort_values("node")["score"]) == x
+    # seeds stay clamped; isolated non-seed stays dark
+    assert x[0] == S
