@@ -4875,6 +4875,91 @@ def _spread_oracle_sql() -> str:
     )
 
 
+def _q_user_paths(sf_dir: str) -> pd.DataFrame:
+    """Top-20 user journey paths (first 8 events per user, stable
+    order) — the product-analytics conversion-path readout."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.sessions import user_paths
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return user_paths(ev, max_steps=8, top_k=20)
+
+
+_MM_ROUNDS = 4
+
+
+def _q_maximal_matching(sf_dir: str) -> pd.DataFrame:
+    """Parallel greedy maximal matching (functions/matching.py) at
+    pinned rounds — every matched pair SQL-exact."""
+    from graph_data_science_ray.functions.matching import maximal_matching
+
+    b = _bundle(sf_dir)
+    out = maximal_matching(b["sym"], rounds=_MM_ROUNDS, num_parts=8, idmap=b["idmap"])
+    return (
+        pd.DataFrame(
+            {"src": _strip(out["src"].to_numpy(dtype=object)),
+             "dst": _strip(out["dst"].to_numpy(dtype=object))}
+        )
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+
+
+def _matching_oracle_sql() -> str:
+    u48 = ("CAST(CAST(('0x' || substr(md5('mm:' || CAST(src AS VARCHAR)"
+           " || ':' || CAST(dst AS VARCHAR)), 1, 12)) AS UBIGINT) AS BIGINT)")
+    parts = [
+        "ids AS (SELECT node, CAST(dense_rank() OVER (ORDER BY node) - 1"
+        " AS BIGINT) AS id FROM nodes)",
+        """ce AS MATERIALIZED (
+  SELECT a.id AS src, b.id AS dst
+  FROM (SELECT DISTINCT src, dst FROM undw) e
+  JOIN ids a ON a.node = e.src JOIN ids b ON b.node = e.dst
+  WHERE a.id < b.id)""",
+        f"e0 AS MATERIALIZED (SELECT src, dst, {u48} AS pri FROM ce)",
+    ]
+    for r in range(_MM_ROUNDS):
+        parts.append(
+            f"""mn{r} AS MATERIALIZED (
+  SELECT node, min(pri) AS m FROM (
+    SELECT src AS node, pri FROM e{r}
+    UNION ALL SELECT dst AS node, pri FROM e{r}
+  ) GROUP BY 1)"""
+        )
+        parts.append(
+            f"""mt{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{r} e
+  JOIN mn{r} a ON a.node = e.src JOIN mn{r} b ON b.node = e.dst
+  WHERE e.pri = a.m AND e.pri = b.m)"""
+        )
+        parts.append(
+            f"""dd{r} AS MATERIALIZED (
+  SELECT src AS node FROM mt{r} UNION SELECT dst AS node FROM mt{r})"""
+        )
+        parts.append(
+            f"""e{r + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst, e.pri FROM e{r} e
+  WHERE e.src NOT IN (SELECT node FROM dd{r})
+    AND e.dst NOT IN (SELECT node FROM dd{r}))"""
+        )
+    un = "\n    UNION ALL ".join(
+        f"SELECT src, dst FROM mt{r}" for r in range(_MM_ROUNDS)
+    )
+    return (
+        f"WITH {_GRAPH_CTE}, {_UND_CTE},\n"
+        + ",\n".join(parts)
+        + f""",
+allm AS ({un})
+SELECT a.node AS src, b.node AS dst
+FROM allm m JOIN ids a ON a.id = m.src JOIN ids b ON b.id = m.dst
+ORDER BY 1, 2"""
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: events → edge table → weighted
     PageRank; returns (node, score) rows."""
@@ -5103,6 +5188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temporal_reachability": _q_temporal_reachability,
         "salsa": _q_salsa,
         "seeded_propagation": _q_seeded_propagation,
+        "user_paths": _q_user_paths,
+        "maximal_matching": _q_maximal_matching,
     }
 
 
@@ -9696,5 +9783,22 @@ SELECT node, at FROM a6 ORDER BY node
     sqls["salsa"] = _salsa_oracle_sql()
 
     sqls["seeded_propagation"] = _spread_oracle_sql()
+
+    sqls["user_paths"] = r"""
+WITH o AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events
+),
+p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM o WHERE rn <= 8 GROUP BY user_id
+),
+c AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1)
+SELECT path, n FROM c ORDER BY n DESC, path LIMIT 20
+"""
+
+    sqls["maximal_matching"] = _matching_oracle_sql()
 
     return sqls

@@ -780,3 +780,57 @@ def funnel_transition_stats(
     for c in ("users", "sum_gap_us", "max_gap_us"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def user_paths(
+    events: rd.Dataset,
+    max_steps: int = 8,
+    top_k: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_parts: int = 32,
+) -> pd.DataFrame:
+    """Top-k user journey paths: ``(path, n)``.
+
+    Each user's first ``max_steps`` events (stable ``(ts, id)`` order)
+    join into a ``'a>b>c'`` path string; paths are counted across users
+    and the ``top_k`` most frequent returned (ties broken by path string
+    — fully deterministic). The product-analytics "top conversion
+    paths" readout.
+
+    Scale shape: per-user groups are a user-hash shuffle; the path table
+    is then a hash-partitioned count whose per-partition top-k is
+    globally sound AFTER full aggregation, so the driver merges only
+    ``num_parts · top_k`` candidate rows.
+    """
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col], kind="mergesort").head(int(max_steps))
+        return pd.DataFrame(
+            {"path": [">".join(g[type_col].astype(str))],
+             "n": np.array([1], dtype=np.int64)}
+        )
+
+    paths = events.groupby(user_col).map_groups(per_user, batch_format="pandas")
+    counts = hash_aggregate(paths, ["path"], "n", op="sum", num_parts=num_parts)
+
+    def topk_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["n", "path"], ascending=[False, True],
+                             kind="mergesort").head(int(top_k))
+
+    # per-partition candidate cut after the full count: sound because a
+    # global top-k row is top-k within its own hash partition
+    cand = counts.map_batches(topk_part, batch_format="pandas").to_pandas()
+    if "path" not in cand.columns:
+        return pd.DataFrame({"path": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype=np.int64)})
+    cand["n"] = cand["n"].astype(np.int64)
+    return (
+        cand.sort_values(["n", "path"], ascending=[False, True],
+                         kind="mergesort")
+        .head(int(top_k))
+        .reset_index(drop=True)
+    )

@@ -190,3 +190,48 @@ def test_seeded_propagation_matches_brute_force(graph_from_edges):
     assert list(got.sort_values("node")["score"]) == x
     # seeds stay clamped; isolated non-seed stays dark
     assert x[0] == S
+
+
+def _matching_brute(adj_pairs, rounds):
+    import hashlib as _h
+
+    def pri(i, j):
+        return int(_h.md5(f"mm:{i}:{j}".encode()).hexdigest()[:12], 16)
+
+    edges = {(i, j): pri(i, j) for (i, j) in adj_pairs}
+    matched = []
+    for _ in range(rounds):
+        if not edges:
+            break
+        mn = {}
+        for (i, j), p in edges.items():
+            mn[i] = min(mn.get(i, p), p)
+            mn[j] = min(mn.get(j, p), p)
+        sel = [(i, j) for (i, j), p in edges.items()
+               if p == mn[i] and p == mn[j]]
+        if not sel:
+            break
+        matched.extend(sel)
+        dead = {x for e in sel for x in e}
+        edges = {e: p for e, p in edges.items()
+                 if e[0] not in dead and e[1] not in dead}
+    return sorted(matched)
+
+
+def test_maximal_matching_matches_brute_force(graph_from_edges):
+    from graph_data_science_ray.functions.matching import maximal_matching
+
+    _, gu, idmap, _, sym = graph_from_edges(EDGES, isolated=[8])
+    got = maximal_matching(sym, rounds=4)
+    pairs = sorted(zip(got["src"].astype(int), got["dst"].astype(int)))
+    df = sym.to_pandas()
+    canon = sorted({(int(s), int(d)) for s, d in zip(df["src"], df["dst"])
+                    if int(s) < int(d)})
+    want = _matching_brute(canon, 4)
+    assert pairs == want
+    # result is a matching (no shared nodes) and maximal on the fixture
+    nodes = [x for e in pairs for x in e]
+    assert len(nodes) == len(set(nodes))
+    matched_set = set(nodes)
+    for (i, j) in canon:
+        assert i in matched_set or j in matched_set  # maximality
