@@ -4960,6 +4960,16 @@ ORDER BY 1, 2"""
     )
 
 
+def _q_triad_census(sf_dir: str) -> pd.DataFrame:
+    """Dyad + undirected triad census (functions/graph_stats.py) — all
+    eight counts exact integers from distributed degree moments, the
+    triangle count and reciprocity pair codes."""
+    from graph_data_science_ray.functions.graph_stats import triad_census
+
+    b = _bundle(sf_dir)
+    return triad_census(b["enc"], b["sym"], node_count=len(b["idmap"]))
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: events → edge table → weighted
     PageRank; returns (node, score) rows."""
@@ -5190,6 +5200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seeded_propagation": _q_seeded_propagation,
         "user_paths": _q_user_paths,
         "maximal_matching": _q_maximal_matching,
+        "triad_census": _q_triad_census,
     }
 
 
@@ -9800,5 +9811,39 @@ SELECT path, n FROM c ORDER BY n DESC, path LIMIT 20
 """
 
     sqls["maximal_matching"] = _matching_oracle_sql()
+
+    sqls["triad_census"] = f"""
+WITH {_GRAPH_CTE}, {_UND_CTE},
+vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM nodes),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+        FROM undw GROUP BY 1),
+mom AS (SELECT CAST(coalesce(sum(d), 0) AS BIGINT) AS sum_d,
+               CAST(coalesce(sum(d * d), 0) AS BIGINT) AS sum_d2,
+               CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT) AS p2
+        FROM deg),
+tri AS (SELECT CAST(count(*) // 6 AS BIGINT) AS t
+        FROM undw e1
+        JOIN undw e2 ON e2.src = e1.dst
+        JOIN undw e3 ON e3.src = e2.dst AND e3.dst = e1.src),
+dy AS (SELECT CAST(coalesce(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END), 0)
+                   AS BIGINT) AS mut,
+              CAST(count(*) AS BIGINT) AS linked
+       FROM (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                    count(*) AS cnt
+             FROM edges GROUP BY 1, 2))
+SELECT v.v AS v,
+       m.sum_d // 2 AS e,
+       dy.mut AS dyad_mut,
+       dy.linked - dy.mut AS dyad_asym,
+       v.v * (v.v - 1) // 2 - dy.linked AS dyad_null,
+       t.t AS tri_closed,
+       m.p2 - 3 * t.t AS tri_wedge,
+       (m.sum_d // 2) * (v.v - 2) - m.sum_d2 + 2 * (m.sum_d // 2)
+         + 3 * t.t AS tri_one_edge,
+       v.v * (v.v - 1) * (v.v - 2) // 6 - t.t - (m.p2 - 3 * t.t)
+         - ((m.sum_d // 2) * (v.v - 2) - m.sum_d2 + 2 * (m.sum_d // 2)
+            + 3 * t.t) AS tri_empty
+FROM vv v, mom m, tri t, dy
+"""
 
     return sqls

@@ -332,3 +332,115 @@ def degree_gini(
             "gini_den": np.array([den], dtype=np.int64),
         }
     )
+
+
+def triad_census(
+    enc: rd.Dataset,
+    sym: rd.Dataset,
+    node_count: int,
+    num_parts: int = 64,
+) -> pd.DataFrame:
+    """Dyad + undirected triad census in one answer-sized row.
+
+    The Holland & Leinhardt census ("A method for detecting structure
+    in sociometric data", AJS 1970) at the undirected triad level plus
+    the full directed dyad level:
+
+    * dyads: ``dyad_mut`` (both directions present), ``dyad_asym``
+      (exactly one), ``dyad_null`` (no edge) over all C(V,2) pairs;
+    * triads over all C(V,3) triples: ``tri_closed`` (triangle),
+      ``tri_wedge`` (open 2-path), ``tri_one_edge``, ``tri_empty``.
+
+    Everything derives from distributed integer aggregates — degree
+    moments (Σ C(deg,2), Σ deg²), the global triangle count (the
+    degree-ordered wedge-close machinery), and the reciprocity pair
+    codes — closed-form inclusion-exclusion does the rest on the
+    driver, so no O(V³) work anywhere:
+
+        wedge    = P2 − 3T
+        one_edge = E(V−2) − Σdeg² + 2E + 3T
+        empty    = C(V,3) − closed − wedge − one_edge
+    """
+    from graph_data_science_ray.functions.triangles import triangle_count
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+
+    V = int(node_count)
+
+    # degree moments over the symmetrized table (deg = rows per src)
+    def dcount(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                                 "c": pd.Series([], dtype=np.int64)})
+        g = df.groupby("src", sort=False).size().reset_index(name="c")
+        return g.rename(columns={"src": "node"})
+
+    deg = hash_aggregate(
+        sym.map_batches(dcount, batch_format="pandas"),
+        ["node"], "c", op="sum", num_parts=num_parts,
+    )
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["c"].to_numpy(dtype=np.int64) if len(df) else np.array([], np.int64)
+        return pd.DataFrame(
+            {"sum_d": np.array([int(d.sum())], dtype=np.int64),
+             "sum_d2": np.array([int((d * d).sum())], dtype=np.int64),
+             "sum_choose2": np.array([int((d * (d - 1) // 2).sum())],
+                                     dtype=np.int64)}
+        )
+
+    mom = (
+        deg.map_batches(moments, batch_format="pandas").to_pandas().sum()
+    )
+    E = int(mom["sum_d"]) // 2
+    sum_d2 = int(mom["sum_d2"])
+    P2 = int(mom["sum_choose2"])
+
+    _per_node, T = triangle_count(sym, idmap=None, node_count=V,
+                                  num_partitions=8)
+    T = int(T)
+
+    # directed dyad codes (reciprocity machinery)
+    def code(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "v": pd.Series([], dtype=np.int64)})
+        s = df["src"].to_numpy(dtype=np.int64)
+        d = df["dst"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"a": np.minimum(s, d), "b": np.maximum(s, d),
+             "v": np.where(s < d, 1, 2).astype(np.int64)}
+        )
+
+    pairs = hash_aggregate(
+        enc.map_batches(code, batch_format="pandas"),
+        ["a", "b"], "v", op="sum", num_parts=num_parts,
+    )
+
+    def pairstats(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["v"].to_numpy(dtype=np.int64) if len(df) else np.array([], np.int64)
+        return pd.DataFrame(
+            {"mut": np.array([int((v == 3).sum())], dtype=np.int64),
+             "tot": np.array([len(v)], dtype=np.int64)}
+        )
+
+    ps = pairs.map_batches(pairstats, batch_format="pandas").to_pandas().sum()
+    mut = int(ps["mut"])
+    linked = int(ps["tot"])
+    asym = linked - mut
+    null = V * (V - 1) // 2 - linked
+
+    wedge = P2 - 3 * T
+    one_edge = E * (V - 2) - sum_d2 + 2 * E + 3 * T
+    empty = V * (V - 1) * (V - 2) // 6 - T - wedge - one_edge
+    return pd.DataFrame(
+        {"v": np.array([V], dtype=np.int64),
+         "e": np.array([E], dtype=np.int64),
+         "dyad_mut": np.array([mut], dtype=np.int64),
+         "dyad_asym": np.array([asym], dtype=np.int64),
+         "dyad_null": np.array([null], dtype=np.int64),
+         "tri_closed": np.array([T], dtype=np.int64),
+         "tri_wedge": np.array([wedge], dtype=np.int64),
+         "tri_one_edge": np.array([one_edge], dtype=np.int64),
+         "tri_empty": np.array([empty], dtype=np.int64)}
+    )

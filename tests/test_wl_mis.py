@@ -235,3 +235,32 @@ def test_maximal_matching_matches_brute_force(graph_from_edges):
     matched_set = set(nodes)
     for (i, j) in canon:
         assert i in matched_set or j in matched_set  # maximality
+
+
+def test_triad_census_matches_brute_force(graph_from_edges):
+    from itertools import combinations
+
+    from graph_data_science_ray.functions.matching import maximal_matching  # noqa: F401
+    from graph_data_science_ray.functions.graph_stats import triad_census
+
+    gd, gu, idmap, enc, sym = graph_from_edges(EDGES, isolated=[8])
+    n = len(idmap.keys)
+    got = triad_census(enc, sym, node_count=n).iloc[0]
+    adj = _adj(idmap, sym)
+    # brute-force triad classes
+    cnt = {"closed": 0, "wedge": 0, "one": 0, "empty": 0}
+    for a, b, c in combinations(range(n), 3):
+        e = (b in adj[a]) + (c in adj[a]) + (c in adj[b])
+        cnt[["empty", "one", "wedge", "closed"][e]] += 1
+    assert got["tri_closed"] == cnt["closed"]
+    assert got["tri_wedge"] == cnt["wedge"]
+    assert got["tri_one_edge"] == cnt["one"]
+    assert got["tri_empty"] == cnt["empty"]
+    # dyads: directed edge list from enc
+    df = enc.to_pandas()
+    dirs = {(int(s), int(d)) for s, d in zip(df["src"], df["dst"])}
+    mut = sum(1 for (s, d) in dirs if s < d and (d, s) in dirs)
+    linked = len({(min(s, d), max(s, d)) for (s, d) in dirs})
+    assert got["dyad_mut"] == mut
+    assert got["dyad_asym"] == linked - mut
+    assert got["dyad_null"] == n * (n - 1) // 2 - linked
