@@ -4970,6 +4970,31 @@ def _q_triad_census(sf_dir: str) -> pd.DataFrame:
     return triad_census(b["enc"], b["sym"], node_count=len(b["idmap"]))
 
 
+def _q_dedup_cap(sf_dir: str) -> pd.DataFrame:
+    """Frequency-capped dedup flags (stages/dedup.py::dedup_cap_flags):
+    at most 2 keepers per identical text, md5-rank order."""
+    from graph_data_science_ray.stages.dedup import dedup_cap_flags
+
+    out = dedup_cap_flags(_docs(sf_dir), max_copies=2, salt="cap").to_pandas()
+    out = out.rename(columns={"rank": "copy_rank"})
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["copy_rank"] = out["copy_rank"].astype(np.int64)
+    out["keep"] = out["keep"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_tool_chains(sf_dir: str) -> pd.DataFrame:
+    """Top-20 tool invocation chains over the tooled transcript adapter
+    (stages/trajectory.py::tool_chains)."""
+    from graph_data_science_ray.sources.transcripts import (
+        events_as_transcripts_tools,
+    )
+    from graph_data_science_ray.stages.trajectory import tool_chains
+
+    turns = events_as_transcripts_tools(sf_dir)
+    return tool_chains(turns, top_k=20)
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: events → edge table → weighted
     PageRank; returns (node, score) rows."""
@@ -5201,6 +5226,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_paths": _q_user_paths,
         "maximal_matching": _q_maximal_matching,
         "triad_census": _q_triad_census,
+        "dedup_cap": _q_dedup_cap,
+        "tool_chains": _q_tool_chains,
     }
 
 
@@ -9844,6 +9871,39 @@ SELECT v.v AS v,
          - ((m.sum_d // 2) * (v.v - 2) - m.sum_d2 + 2 * (m.sum_d // 2)
             + 3 * t.t) AS tri_empty
 FROM vv v, mom m, tri t, dy
+"""
+
+    sqls["dedup_cap"] = r"""
+WITH r AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (
+             PARTITION BY md5(coalesce(text, ''))
+             ORDER BY md5(CAST(doc_id AS VARCHAR) || ':cap'), doc_id)
+           AS BIGINT) AS copy_rank
+  FROM documents
+)
+SELECT doc_id, copy_rank,
+       CAST(CASE WHEN copy_rank <= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM r ORDER BY doc_id
+"""
+
+    sqls["tool_chains"] = r"""
+WITH t AS (
+  SELECT event_type AS conv, event_id, user_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS idx
+  FROM events
+),
+tt AS (
+  SELECT conv, idx, 't' || CAST(user_id % 7 AS VARCHAR) AS tool
+  FROM t WHERE event_id % 3 = 0
+),
+ch AS (
+  SELECT conv, string_agg(tool, '>' ORDER BY idx) AS chain
+  FROM tt GROUP BY conv
+),
+c AS (SELECT chain, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY 1)
+SELECT chain, n FROM c ORDER BY n DESC, chain LIMIT 20
 """
 
     return sqls

@@ -18,6 +18,7 @@ distributed, no skew handling needed.
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 import numpy as np
@@ -956,3 +957,47 @@ def decontaminate(
         )
 
     return hits.map_batches(finish, batch_format="pandas")
+
+
+def dedup_cap_flags(
+    docs: rd.Dataset,
+    max_copies: int = 2,
+    salt: str = "cap",
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """Frequency-capped dedup: at most ``max_copies`` keepers per
+    identical text.  Returns ``(doc_id, rank, keep)``.
+
+    Hard dedup (keep-one) over-penalizes naturally repeated content —
+    boilerplate licenses, canonical snippets — whose *frequency* carries
+    signal; practical pipelines cap copies instead (the repetition-
+    tradeoff observation of Lee et al., "Deduplicating training data
+    makes language models better", ACL 2022).  Within each duplicate
+    cluster documents are ranked by ``md5(doc_id:salt)`` (deterministic,
+    engine-independent — the repo's sampling-order discipline) with
+    doc_id as the tiebreak, and ``keep = rank <= max_copies``.
+
+    Scale shape: one content-hash shuffle (``groupby(fp)``); clusters
+    rank locally inside their group; output is per-document flags that
+    hash-join back onto the table for the filtered view.
+    """
+    from graph_data_science_ray.stages.text import Fingerprint
+
+    fps = docs.map_batches(Fingerprint(), batch_format="pandas",
+                           batch_size=8192)
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        r = np.array(
+            [hashlib.md5(f"{i}:{salt}".encode()).hexdigest() for i in ids],
+            dtype=object,
+        )
+        order = np.lexsort((ids, r))
+        rank = np.empty(len(ids), dtype=np.int64)
+        rank[order] = np.arange(1, len(ids) + 1)
+        return pd.DataFrame(
+            {"doc_id": ids, "rank": rank,
+             "keep": (rank <= int(max_copies)).astype(np.int64)}
+        )
+
+    return fps.groupby("fp").map_groups(rank_group, batch_format="pandas")

@@ -1082,3 +1082,61 @@ def markov_stationary(
         np.add.at(nxt, dst, term)
         x = nxt
     return pd.DataFrame({"role": np.array(actors, dtype=object), "mass": x})
+
+
+def tool_chains(
+    turns: rd.Dataset,
+    top_k: int = 20,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    tool_col: str = "tool",
+    num_parts: int = 32,
+) -> pd.DataFrame:
+    """Top-k tool invocation chains: ``(chain, n)``.
+
+    Within each conversation the tool turns (non-null ``tool``), in
+    stable turn order, join into a ``'t1>t4>t1'`` chain string; chains
+    are counted across conversations and the ``top_k`` most frequent
+    returned (ties by chain string).  The agent-observability readout
+    for "what tool sequences do trajectories actually run" —
+    conversations with no tool turns are skipped.
+
+    Scale shape: conv-hash groups emit one chain row each; a
+    hash-partitioned count collapses them; per-block top-k candidates
+    after full aggregation bound the driver merge (the ``user_paths``
+    soundness argument).
+    """
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+
+    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(idx_col, kind="mergesort")
+        t = g[tool_col]
+        t = t[t.notna()].astype(str)
+        if not len(t):
+            return pd.DataFrame({"chain": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame(
+            {"chain": [">".join(t)], "n": np.array([1], dtype=np.int64)}
+        )
+
+    chains = turns.groupby(conv_col).map_groups(
+        per_conv, batch_format="pandas"
+    )
+    counts = hash_aggregate(chains, ["chain"], "n", op="sum",
+                            num_parts=num_parts)
+
+    def topk_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["n", "chain"], ascending=[False, True],
+                             kind="mergesort").head(int(top_k))
+
+    cand = counts.map_batches(topk_part, batch_format="pandas").to_pandas()
+    if "chain" not in cand.columns:
+        return pd.DataFrame({"chain": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype=np.int64)})
+    cand["n"] = cand["n"].astype(np.int64)
+    return (
+        cand.sort_values(["n", "chain"], ascending=[False, True],
+                         kind="mergesort")
+        .head(int(top_k))
+        .reset_index(drop=True)
+    )

@@ -433,3 +433,46 @@ def test_markov_stationary_exact_and_parallelism_invariant():
     # invariant under repartition
     out2 = markov_stationary(_turns().repartition(4), rounds=3, scale=1000)
     assert dict(zip(out2["role"], out2["mass"])) == x
+
+
+def test_tool_chains_counts_and_order():
+    from graph_data_science_ray.stages.trajectory import tool_chains
+
+    rows = [
+        ("a", 0, "t1"), ("a", 1, None), ("a", 2, "t2"),
+        ("b", 0, "t1"), ("b", 1, "t2"),
+        ("c", 0, None),          # no tools: skipped
+        ("d", 0, "t9"),
+    ]
+    turns = rd.from_arrow(pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "tool": pa.array([r[2] for r in rows], pa.string()),
+    }))
+    out = tool_chains(turns, top_k=10)
+    got = dict(zip(out["chain"], out["n"]))
+    assert got == {"t1>t2": 2, "t9": 1}
+    # deterministic ordering: count desc then chain asc
+    assert out["chain"].tolist() == ["t1>t2", "t9"]
+
+
+def test_dedup_cap_flags_brute():
+    import hashlib
+
+    from graph_data_science_ray.stages.dedup import dedup_cap_flags
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["a", "a", "a", "b", "b", "c"],
+    }))
+    out = (dedup_cap_flags(docs, max_copies=2).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    r = {i: hashlib.md5(f"{i}:cap".encode()).hexdigest() for i in range(6)}
+    for ids in ([0, 1, 2], [3, 4], [5]):
+        order = sorted(ids, key=lambda i: (r[i], i))
+        for rk, i in enumerate(order, 1):
+            row = out[out.doc_id == i].iloc[0]
+            assert row["rank"] == rk
+            assert row["keep"] == (1 if rk <= 2 else 0)
+    # every group keeps at most 2
+    assert int(out["keep"].sum()) == 2 + 2 + 1
