@@ -4995,6 +4995,19 @@ def _q_tool_chains(sf_dir: str) -> pd.DataFrame:
     return tool_chains(turns, top_k=20)
 
 
+def _q_transition_latency(sf_dir: str) -> pd.DataFrame:
+    """Per-transition response-latency quantiles (exact integer µs order
+    statistics at the shared quantile_disc rank contract)."""
+    import graph_data_science_ray as gdsr
+
+    from graph_data_science_ray.stages.trajectory import (
+        transition_latency_quantiles,
+    )
+
+    ts = gdsr.events_as_transcripts(sf_dir)
+    return transition_latency_quantiles(ts)
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: events → edge table → weighted
     PageRank; returns (node, score) rows."""
@@ -5228,6 +5241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triad_census": _q_triad_census,
         "dedup_cap": _q_dedup_cap,
         "tool_chains": _q_tool_chains,
+        "transition_latency": _q_transition_latency,
     }
 
 
@@ -9904,6 +9918,33 @@ ch AS (
 ),
 c AS (SELECT chain, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY 1)
 SELECT chain, n FROM c ORDER BY n DESC, chain LIMIT 20
+"""
+
+    sqls["transition_latency"] = r"""
+WITH t AS (
+  SELECT event_type AS conv,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS idx,
+         CAST(user_id AS VARCHAR) AS actor, ts
+  FROM events
+),
+l AS (
+  SELECT conv, actor,
+         lag(actor) OVER (PARTITION BY conv ORDER BY idx) AS prev,
+         CAST(epoch_us(ts) AS BIGINT)
+           - CAST(epoch_us(lag(ts) OVER (PARTITION BY conv ORDER BY idx))
+                  AS BIGINT) AS gap
+  FROM t
+)
+SELECT prev AS prev_role, actor AS role,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(gap) AS BIGINT) AS min_us,
+       CAST(max(gap) AS BIGINT) AS max_us,
+       CAST(quantile_disc(gap, 0.5) AS BIGINT) AS p5,
+       CAST(quantile_disc(gap, 0.9) AS BIGINT) AS p9,
+       CAST(quantile_disc(gap, 0.99) AS BIGINT) AS p99
+FROM l WHERE prev IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
 """
 
     return sqls

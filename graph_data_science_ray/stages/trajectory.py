@@ -1140,3 +1140,83 @@ def tool_chains(
         .head(int(top_k))
         .reset_index(drop=True)
     )
+
+
+def transition_latency_quantiles(
+    turns: rd.Dataset,
+    percentiles: tuple = (0.5, 0.9, 0.99),
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    actor_col: str = "role",
+    ts_col: str = "ts",
+    num_parts: int = 32,
+) -> pd.DataFrame:
+    """Per-transition response-latency quantiles: one row per ordered
+    actor pair ``(prev_role, role)`` with ``n``, ``min_us``, ``max_us``
+    and ``p50/p90/p99`` — exact int64 microsecond order statistics at
+    DuckDB ``quantile_disc`` rank semantics (``ceil(q·n) − 1``), the
+    repo's shared discrete-quantile contract.
+
+    Scale shape: conversations emit their adjacent-turn gap rows
+    map-side (conv-hash groups), then one (prev, role)-hash shuffle
+    sorts each transition's gaps locally; the output is
+    ``|actors|²``-bounded. A single transition's gap list must fit one
+    task — re-shard onto the ``distribution_summary`` rank-select path
+    for pathological hub pairs.
+    """
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(idx_col, kind="mergesort")
+        a = g[actor_col].astype(str).to_numpy(dtype=object)
+        t = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        if len(a) < 2:
+            return pd.DataFrame(
+                {"prev_role": pd.Series([], dtype=object),
+                 "role": pd.Series([], dtype=object),
+                 "gap": pd.Series([], dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {"prev_role": a[:-1], "role": a[1:],
+             "gap": (t[1:] - t[:-1]).astype(np.int64)}
+        )
+
+    def summarize(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "gap" not in g.columns:
+            cols = ["n", "min_us", "max_us"] + [
+                f"p{str(q)[2:]}" for q in percentiles
+            ]
+            return pd.DataFrame(
+                {"prev_role": pd.Series([], dtype=object),
+                 "role": pd.Series([], dtype=object),
+                 **{c: pd.Series([], dtype=np.int64) for c in cols}}
+            )
+        v = np.sort(g["gap"].to_numpy(dtype=np.int64), kind="mergesort")
+        n = len(v)
+        row = {
+            "prev_role": [g["prev_role"].iloc[0]],
+            "role": [g["role"].iloc[0]],
+            "n": np.array([n], dtype=np.int64),
+            "min_us": np.array([v[0]], dtype=np.int64),
+            "max_us": np.array([v[-1]], dtype=np.int64),
+        }
+        for q in percentiles:
+            r = min(max(int(np.ceil(q * n)) - 1, 0), n - 1)
+            row[f"p{str(q)[2:]}"] = np.array([v[r]], dtype=np.int64)
+        return pd.DataFrame(row)
+
+    rows = turns.groupby(conv_col).map_groups(gaps, batch_format="pandas")
+    out = (
+        rows.groupby(["prev_role", "role"])
+        .map_groups(summarize, batch_format="pandas")
+        .to_pandas()
+    )
+    if "prev_role" not in out.columns:
+        cols = ["n", "min_us", "max_us"] + [
+            f"p{str(q)[2:]}" for q in percentiles
+        ]
+        out = pd.DataFrame(
+            {"prev_role": pd.Series([], dtype=object),
+             "role": pd.Series([], dtype=object),
+             **{c: pd.Series([], dtype=np.int64) for c in cols}}
+        )
+    return out.sort_values(["prev_role", "role"]).reset_index(drop=True)
