@@ -5008,6 +5008,76 @@ def _q_transition_latency(sf_dir: str) -> pd.DataFrame:
     return transition_latency_quantiles(ts)
 
 
+_ROBUST_PPMS = (250_000, 500_000, 750_000)
+
+
+def _q_robustness_profile(sf_dir: str) -> pd.DataFrame:
+    """Bond-percolation robustness profile (functions/graph_stats.py):
+    giant-component size under deterministic md5 edge retention."""
+    from graph_data_science_ray.functions.graph_stats import (
+        robustness_profile,
+    )
+
+    b = _bundle(sf_dir)
+    return robustness_profile(b["sym"], p_ppms=_ROBUST_PPMS)
+
+
+def _robustness_oracle_sql() -> str:
+    parts = [
+        "ids AS (SELECT node, CAST(dense_rank() OVER (ORDER BY node) - 1"
+        " AS BIGINT) AS id FROM nodes)",
+        """ce AS MATERIALIZED (
+  SELECT a.id AS i, b.id AS j
+  FROM (SELECT DISTINCT src, dst FROM undw) e
+  JOIN ids a ON a.node = e.src JOIN ids b ON b.node = e.dst
+  WHERE a.id < b.id)""",
+    ]
+    selects = []
+    for k, p in enumerate(_ROBUST_PPMS):
+        parts.append(
+            f"""kept{k} AS MATERIALIZED (
+  SELECT i, j FROM ce
+  WHERE CAST(CAST(('0x' || substr(md5('rb:' || CAST(i AS VARCHAR) || ':'
+          || CAST(j AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+        * 1000000 < {int(p)} * 4294967296)"""
+        )
+        parts.append(
+            f"""und{k} AS (
+  SELECT i AS s, j AS d FROM kept{k}
+  UNION SELECT j AS s, i AS d FROM kept{k})"""
+        )
+        parts.append(
+            f"tn{k} AS (SELECT DISTINCT s AS node FROM und{k})"
+        )
+        parts.append(
+            f"""reach{k} AS (
+  SELECT node, node AS lab FROM tn{k}
+  UNION
+  SELECT u.d AS node, r.lab FROM reach{k} r JOIN und{k} u ON u.s = r.node)"""
+        )
+        parts.append(
+            f"""comp{k} AS (
+  SELECT node, min(lab) AS cl FROM reach{k} GROUP BY 1)"""
+        )
+        parts.append(
+            f"cs{k} AS (SELECT cl, count(*) AS c FROM comp{k} GROUP BY 1)"
+        )
+        selects.append(
+            f"""SELECT CAST({int(p)} AS BIGINT) AS p_ppm,
+       CAST((SELECT count(*) FROM kept{k}) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*) FROM tn{k}) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM cs{k}) AS BIGINT) AS n_components,
+       CAST((SELECT coalesce(max(c), 0) FROM cs{k}) AS BIGINT) AS giant"""
+        )
+    return (
+        f"WITH RECURSIVE {_GRAPH_CTE}, {_UND_CTE},\n"
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY p_ppm"
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: events → edge table → weighted
     PageRank; returns (node, score) rows."""
@@ -5242,6 +5312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_cap": _q_dedup_cap,
         "tool_chains": _q_tool_chains,
         "transition_latency": _q_transition_latency,
+        "robustness_profile": _q_robustness_profile,
     }
 
 
@@ -9946,5 +10017,7 @@ SELECT prev AS prev_role, actor AS role,
 FROM l WHERE prev IS NOT NULL
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+    sqls["robustness_profile"] = _robustness_oracle_sql()
 
     return sqls

@@ -444,3 +444,115 @@ def triad_census(
          "tri_one_edge": np.array([one_edge], dtype=np.int64),
          "tri_empty": np.array([empty], dtype=np.int64)}
     )
+
+
+def robustness_profile(
+    sym_edges: rd.Dataset,
+    p_ppms: tuple = (250_000, 500_000, 750_000),
+    salt: str = "rb",
+    num_parts: int = 32,
+) -> pd.DataFrame:
+    """Connectivity under random edge failure — the percolation profile.
+
+    For each retention probability ``p`` (ppm), keeps every undirected
+    edge whose canonical pair passes the all-integer md5 acceptance
+    ``u32 · 10⁶ < p · 2³²`` (deterministic, engine-independent — the
+    repo's sampling discipline), then measures the surviving subgraph:
+    ``(p_ppm, n_edges, n_nodes, n_components, giant)`` where components
+    are over TOUCHED nodes only and ``giant`` is the largest component
+    size — the standard bond-percolation robustness readout (Albert,
+    Jeong & Barabási, "Error and attack tolerance of complex networks",
+    Nature 2000).
+
+    Scale shape: each level reuses the distributed hash-min
+    connected-components fixpoint over the sampled pair Dataset
+    (``stages/dedup.dedup_clusters`` machinery — labels hash-join onto
+    pairs, min-aggregate, scalar-sum convergence); the profile itself is
+    answer-sized.
+    """
+    import hashlib
+
+    import pyarrow as pa
+
+    from graph_data_science_ray.pipelines.agg import (
+        hash_aggregate,
+        materialize_bounded,
+    )
+    from graph_data_science_ray.stages.dedup import dedup_clusters
+
+    rows = []
+    for p in p_ppms:
+        def accept(t: pa.Table, _p=int(p)) -> pa.Table:
+            s = np.asarray(t["src"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+            d = np.asarray(t["dst"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+            keep = s < d
+            s, d = s[keep], d[keep]
+            u32 = np.array(
+                [
+                    int(hashlib.md5(f"{salt}:{i}:{j}".encode())
+                        .hexdigest()[:8], 16)
+                    for i, j in zip(s, d)
+                ],
+                dtype=np.int64,
+            )
+            acc = u32 * 1_000_000 < _p * 4_294_967_296
+            return pa.table(
+                {"doc_a": s[acc], "doc_b": d[acc]},
+                schema=pa.schema([("doc_a", pa.int64()),
+                                  ("doc_b", pa.int64())]),
+            )
+
+        pairs = materialize_bounded(
+            sym_edges.map_batches(accept, batch_format="pyarrow"), num_parts
+        )
+        n_edges = int(pairs.count())
+        if n_edges == 0:
+            rows.append({"p_ppm": int(p), "n_edges": 0, "n_nodes": 0,
+                         "n_components": 0, "giant": 0})
+            continue
+
+        def explode(t: pa.Table) -> pa.Table:
+            ids = pa.concat_arrays(
+                [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()]
+            )
+            return pa.table(
+                {"doc_id": ids,
+                 "one": pa.array(np.ones(len(ids), dtype=np.int64))},
+                schema=pa.schema([("doc_id", pa.int64()),
+                                  ("one", pa.int64())]),
+            )
+
+        touched = materialize_bounded(
+            hash_aggregate(
+                pairs.map_batches(explode, batch_format="pyarrow"),
+                ["doc_id"], "one", op="min", num_parts=num_parts,
+            ).map_batches(lambda t: t.select(["doc_id"]),
+                          batch_format="pyarrow"),
+            num_parts,
+        )
+        labels = dedup_clusters(touched, pairs=pairs, num_parts=num_parts)
+
+        def csize(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({"cluster": pd.Series([], dtype=np.int64),
+                                     "c": pd.Series([], dtype=np.int64)})
+            g = df.groupby("cluster", sort=False).size().reset_index(name="c")
+            g["c"] = g["c"].astype(np.int64)
+            return g
+
+        sizes = hash_aggregate(
+            labels.map_batches(csize, batch_format="pandas"),
+            ["cluster"], "c", op="sum", num_parts=num_parts,
+        ).materialize()
+        rows.append(
+            {"p_ppm": int(p), "n_edges": n_edges,
+             "n_nodes": int(touched.count()),
+             "n_components": int(sizes.count()),
+             "giant": int(sizes.max("c"))}
+        )
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("p_ppm").reset_index(drop=True)

@@ -264,3 +264,47 @@ def test_triad_census_matches_brute_force(graph_from_edges):
     assert got["dyad_mut"] == mut
     assert got["dyad_asym"] == linked - mut
     assert got["dyad_null"] == n * (n - 1) // 2 - linked
+
+
+def test_robustness_profile_brute(graph_from_edges):
+    import hashlib as _h
+
+    from graph_data_science_ray.functions.graph_stats import robustness_profile
+
+    _, gu, idmap, enc, sym = graph_from_edges(EDGES, isolated=[8])
+    got = robustness_profile(sym, p_ppms=(300_000, 1_000_000))
+    df = sym.to_pandas()
+    canon = sorted({(int(s), int(d)) for s, d in zip(df["src"], df["dst"])
+                    if int(s) < int(d)})
+    for _, row in got.iterrows():
+        p = int(row["p_ppm"])
+        kept = []
+        for (i, j) in canon:
+            u32 = int(_h.md5(f"rb:{i}:{j}".encode()).hexdigest()[:8], 16)
+            if u32 * 1_000_000 < p * 4_294_967_296:
+                kept.append((i, j))
+        assert row["n_edges"] == len(kept)
+        # brute components over touched nodes
+        nodes = sorted({x for e in kept for x in e})
+        parent = {v: v for v in nodes}
+
+        def find(v):
+            while parent[v] != v:
+                parent[v] = parent[parent[v]]
+                v = parent[v]
+            return v
+
+        for (i, j) in kept:
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+        comps = {}
+        for v in nodes:
+            comps.setdefault(find(v), []).append(v)
+        assert row["n_nodes"] == len(nodes)
+        assert row["n_components"] == len(comps)
+        if comps:
+            assert row["giant"] == max(len(c) for c in comps.values())
+    # p = 1e6 keeps everything
+    full = got[got["p_ppm"] == 1_000_000].iloc[0]
+    assert full["n_edges"] == len(canon)
