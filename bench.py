@@ -179,6 +179,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "readability", "pca_power", "four_cliques", "zipf_fit",
         "degree_gini", "katz", "props_field_stats", "value_stats",
         "funnel_latency", "product_report",
+        # round-4 (session 9): WL colors, Luby MIS, LDP, SALSA, seeded
+        # spreading, matching, censuses, temporal + product analytics
+        "wl_colors", "mis", "ldp_features", "salsa", "seeded_propagation",
+        "maximal_matching", "triad_census", "turn_cooccurrence",
+        "markov_stationary", "temporal_reachability", "user_paths",
+        "dedup_cap", "tool_chains", "transition_latency",
+        "robustness_profile",
     ):
         timed(name, lambda n=name: q[n](sf_dir))
 
