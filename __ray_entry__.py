@@ -4909,7 +4909,7 @@ def _q_maximal_matching(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def _matching_oracle_sql() -> str:
+def _matching_cte_parts() -> list:
     u48 = ("CAST(CAST(('0x' || substr(md5('mm:' || CAST(src AS VARCHAR)"
            " || ':' || CAST(dst AS VARCHAR)), 1, 12)) AS UBIGINT) AS BIGINT)")
     parts = [
@@ -4949,14 +4949,71 @@ def _matching_oracle_sql() -> str:
     un = "\n    UNION ALL ".join(
         f"SELECT src, dst FROM mt{r}" for r in range(_MM_ROUNDS)
     )
+    parts.append(f"allm AS ({un})")
+    return parts
+
+
+def _matching_oracle_sql() -> str:
+    parts = _matching_cte_parts()
     return (
         f"WITH {_GRAPH_CTE}, {_UND_CTE},\n"
         + ",\n".join(parts)
-        + f""",
-allm AS ({un})
+        + """
 SELECT a.node AS src, b.node AS dst
 FROM allm m JOIN ids a ON a.id = m.src JOIN ids b ON b.id = m.dst
 ORDER BY 1, 2"""
+    )
+
+
+def _coarsen_oracle_sql() -> str:
+    parts = _matching_cte_parts()
+    parts.append(
+        """rep AS (
+  SELECT src AS node, src AS rep FROM allm
+  UNION ALL SELECT dst AS node, src AS rep FROM allm)"""
+    )
+    parts.append(
+        """nmap AS (
+  SELECT i.id AS node, coalesce(r.rep, i.id) AS rep
+  FROM ids i LEFT JOIN rep r ON r.node = i.id)"""
+    )
+    parts.append(
+        """coarse AS (
+  SELECT ms.rep AS rs, md.rep AS rd, sum(e.w) AS w
+  FROM undw e
+  JOIN ids a ON a.node = e.src JOIN ids b ON b.node = e.dst
+  JOIN nmap ms ON ms.node = a.id JOIN nmap md ON md.node = b.id
+  WHERE ms.rep <> md.rep
+  GROUP BY 1, 2)"""
+    )
+    return (
+        f"WITH {_GRAPH_CTE}, {_UND_CTE},\n"
+        + ",\n".join(parts)
+        + """
+SELECT x.node AS src, y.node AS dst, CAST(c.w AS DOUBLE) AS weight
+FROM coarse c JOIN ids x ON x.id = c.rs JOIN ids y ON y.id = c.rd
+ORDER BY 1, 2"""
+    )
+
+
+def _q_coarsen_graph(sf_dir: str) -> pd.DataFrame:
+    """Matching-based coarsening (functions/matching.py::coarsen_graph):
+    matched pairs contract to their smaller endpoint, parallel edges
+    sum — the multilevel-method primitive, exact end to end."""
+    from graph_data_science_ray.functions.matching import coarsen_graph
+
+    b = _bundle(sf_dir)
+    coarse, _m = coarsen_graph(b["sym"], rounds=_MM_ROUNDS, num_parts=8)
+    df = coarse.to_pandas()
+    keys = b["idmap"].keys
+    return (
+        pd.DataFrame(
+            {"src": _strip(keys[df["src"].to_numpy(dtype=np.int64)]),
+             "dst": _strip(keys[df["dst"].to_numpy(dtype=np.int64)]),
+             "weight": df["weight"].astype(np.float64)}
+        )
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
     )
 
 
@@ -5076,6 +5133,20 @@ def _robustness_oracle_sql() -> str:
         + "\nUNION ALL\n".join(selects)
         + "\nORDER BY p_ppm"
     )
+
+
+def _q_knn_hamming(sf_dir: str) -> pd.DataFrame:
+    """Binary-signature ANN: 64 sign bits in two u32 registers, exact
+    XOR-popcount Hamming top-10 per fixed query."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.similarity import knn_hamming
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    return knn_hamming(emb, query_ids=(1, 2, 3), k=10)
 
 
 def entry() -> Any:
@@ -5313,6 +5384,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_chains": _q_tool_chains,
         "transition_latency": _q_transition_latency,
         "robustness_profile": _q_robustness_profile,
+        "knn_hamming": _q_knn_hamming,
+        "coarsen_graph": _q_coarsen_graph,
     }
 
 
@@ -10019,5 +10092,36 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
     sqls["robustness_profile"] = _robustness_oracle_sql()
+
+    sqls["knn_hamming"] = r"""
+WITH p AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN embedding[i] >= 0
+                       THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)
+           AS BIGINT) AS lo,
+         CAST(sum(CASE WHEN embedding[i + 32] >= 0
+                       THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)
+           AS BIGINT) AS hi
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, 32)) AS i) g
+  GROUP BY vec_id
+),
+q AS (SELECT * FROM p WHERE vec_id IN (1, 2, 3)),
+d AS (
+  SELECT q.vec_id AS query_id, p.vec_id,
+         CAST(bit_count(xor(q.lo, p.lo)) + bit_count(xor(q.hi, p.hi))
+           AS BIGINT) AS hamming
+  FROM q JOIN p ON p.vec_id <> q.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY hamming, vec_id) AS rk
+  FROM d
+)
+SELECT query_id, vec_id, hamming FROM r WHERE rk <= 10
+ORDER BY query_id, hamming, vec_id
+"""
+
+    sqls["coarsen_graph"] = _coarsen_oracle_sql()
 
     return sqls

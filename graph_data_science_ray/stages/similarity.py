@@ -1115,3 +1115,96 @@ def knn_ivfpq(
         columns=["query_id", "neighbor_id", "rank", "dist"]
     )
     return res[["query_id", "neighbor_id", "rank", "dist"]]
+
+
+_POPCOUNT_LUT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                              axis=1).sum(axis=1).astype(np.int64)
+
+
+def _sign_pack(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Sign bits of a (n, 64) float matrix packed into two u32 registers
+    (lo = dims 0-31, hi = 32-63), returned as int64 — BIGINT-safe on
+    both sides of the oracle."""
+    bits = (mat >= 0.0)
+    w = (1 << np.arange(32, dtype=np.int64))
+    lo = (bits[:, :32] * w).sum(axis=1).astype(np.int64)
+    hi = (bits[:, 32:64] * w).sum(axis=1).astype(np.int64)
+    return lo, hi
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    return _POPCOUNT_LUT[
+        x.astype(np.uint64).view(np.uint8).reshape(len(x), 8)
+    ].sum(axis=1)
+
+
+def knn_hamming(
+    emb: rd.Dataset,
+    query_ids: tuple = (1, 2, 3),
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Binary-signature ANN: sign-bit packing + Hamming top-k.
+
+    The 1-bit quantization of the similarity stack (Charikar's
+    sign-random-projection LSH degenerate case where the projection is
+    the identity — "Similarity estimation techniques from rounding
+    algorithms", STOC 2002): each vector becomes its 64 sign bits in two
+    u32 registers, distance is XOR-popcount, 8 bytes per vector — the
+    memory floor for a first-pass rerank filter at corpus scale.
+
+    Fully deterministic and integer-exact: returns ``(query_id, vec_id,
+    hamming)`` of the top ``k`` per query by ``(hamming, vec_id)``
+    order, self excluded.  Per-batch partial top-k bounds the driver
+    merge at ``num_blocks · k`` rows; queries are answer-sized and ride
+    the broadcast closure.
+    """
+    qset = {int(i) for i in query_ids}
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df[id_col].astype(np.int64).isin(qset)]
+
+    qdf = emb.map_batches(pick, batch_format="pandas").to_pandas()
+    qdf = qdf.sort_values(id_col)  # answer-sized: |query_ids| rows
+    qmat = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in qdf[vec_col]]
+    )
+    qlo, qhi = _sign_pack(qmat)
+    qid = qdf[id_col].to_numpy(dtype=np.int64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype=np.int64),
+                 "vec_id": pd.Series([], dtype=np.int64),
+                 "hamming": pd.Series([], dtype=np.int64)}
+            )
+        ids = df[id_col].to_numpy(dtype=np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
+        lo, hi = _sign_pack(mat)
+        frames = []
+        for j in range(len(qid)):
+            ham = (
+                _popcount64(np.bitwise_xor(lo, qlo[j]))
+                + _popcount64(np.bitwise_xor(hi, qhi[j]))
+            ).astype(np.int64)
+            keep = ids != qid[j]
+            f = pd.DataFrame(
+                {"query_id": np.int64(qid[j]), "vec_id": ids[keep],
+                 "hamming": ham[keep]}
+            )
+            f = f.sort_values(["hamming", "vec_id"], kind="mergesort").head(k)
+            frames.append(f)
+        return pd.concat(frames, ignore_index=True)
+
+    cand = emb.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (
+        cand.sort_values(["query_id", "hamming", "vec_id"], kind="mergesort")
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -308,3 +308,33 @@ def test_robustness_profile_brute(graph_from_edges):
     # p = 1e6 keeps everything
     full = got[got["p_ppm"] == 1_000_000].iloc[0]
     assert full["n_edges"] == len(canon)
+
+
+def test_coarsen_graph_brute(graph_from_edges):
+    from graph_data_science_ray.functions.matching import (
+        coarsen_graph, maximal_matching)
+
+    _, gu, idmap, _, sym = graph_from_edges(EDGES, isolated=[8])
+    coarse, matched = coarsen_graph(sym, rounds=4)
+    cdf = (coarse.to_pandas().sort_values(["src", "dst"])
+           .reset_index(drop=True))
+    # brute: same mapping, same aggregation
+    m = maximal_matching(sym, rounds=4)
+    rep = dict(zip(m["dst"].astype(int), m["src"].astype(int)))
+    df = sym.to_pandas()
+    agg = {}
+    for s, d, w in zip(df["src"].astype(int), df["dst"].astype(int),
+                       df["weight"].astype(float)):
+        rs, rd_ = rep.get(s, s), rep.get(d, d)
+        if rs != rd_:
+            agg[(rs, rd_)] = agg.get((rs, rd_), 0.0) + w
+    want = sorted(agg.items())
+    got = list(zip(zip(cdf["src"].astype(int), cdf["dst"].astype(int)),
+                   cdf["weight"].astype(float)))
+    assert got == want
+    # coarse graph is still symmetric and strictly smaller
+    pairs = {(s, d) for (s, d), _ in want}
+    assert all((d, s) in pairs for (s, d) in pairs)
+    n_coarse = len({x for p in pairs for x in p})
+    n_orig = len({x for c in (df["src"], df["dst"]) for x in c.astype(int)})
+    assert n_coarse < n_orig
