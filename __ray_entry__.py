@@ -5149,6 +5149,34 @@ def _q_knn_hamming(sf_dir: str) -> pd.DataFrame:
     return knn_hamming(emb, query_ids=(1, 2, 3), k=10)
 
 
+_TOPIC_THR = 100_000
+
+
+def _q_topic_segments(sf_dir: str) -> pd.DataFrame:
+    """Lexical topic segmentation per conversation (integer-ppm
+    adjacent-turn Jaccard boundaries)."""
+    import graph_data_science_ray as gdsr
+
+    from graph_data_science_ray.stages.trajectory import topic_segments
+
+    ts = gdsr.events_as_transcripts(sf_dir)
+    out = topic_segments(ts, threshold_ppm=_TOPIC_THR).to_pandas()
+    return out.sort_values("conv").reset_index(drop=True)
+
+
+def _q_co_participation(sf_dir: str) -> pd.DataFrame:
+    """Actor co-participation pairs — the one-mode bipartite projection
+    of the actor×conversation incidence."""
+    import graph_data_science_ray as gdsr
+
+    from graph_data_science_ray.stages.trajectory import co_participation
+
+    ts = gdsr.events_as_transcripts(sf_dir)
+    out = co_participation(ts).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: events → edge table → weighted
     PageRank; returns (node, score) rows."""
@@ -5386,6 +5414,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robustness_profile": _q_robustness_profile,
         "knn_hamming": _q_knn_hamming,
         "coarsen_graph": _q_coarsen_graph,
+        "topic_segments": _q_topic_segments,
+        "co_participation": _q_co_participation,
     }
 
 
@@ -10123,5 +10153,62 @@ ORDER BY query_id, hamming, vec_id
 """
 
     sqls["coarsen_graph"] = _coarsen_oracle_sql()
+
+    sqls["topic_segments"] = rf"""
+WITH t AS (
+  SELECT event_type AS conv,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS idx,
+         props AS txt
+  FROM events
+),
+tk AS (
+  SELECT conv, idx,
+         list_distinct(list_filter(
+             string_split_regex(lower(coalesce(txt, '')), '\s+'),
+             x -> x <> '')) AS arr
+  FROM t
+),
+l AS (
+  SELECT conv, idx, arr,
+         lag(arr) OVER (PARTITION BY conv ORDER BY idx) AS prev
+  FROM tk
+),
+sim AS (
+  SELECT conv, idx,
+         CASE WHEN prev IS NULL THEN CAST(1 AS BIGINT)
+              WHEN len(list_distinct(list_concat(prev, arr))) = 0
+                THEN CAST(1 AS BIGINT)  -- empty-union pair: ppm 0 < thr
+              WHEN CAST(len(list_intersect(prev, arr)) AS BIGINT) * 1000000
+                   // len(list_distinct(list_concat(prev, arr)))
+                   < {_TOPIC_THR} THEN CAST(1 AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS bd
+  FROM l
+),
+seg AS (
+  SELECT conv, idx,
+         sum(bd) OVER (PARTITION BY conv ORDER BY idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS seg_id
+  FROM sim
+),
+sl AS (SELECT conv, seg_id, count(*) AS slen FROM seg GROUP BY 1, 2)
+SELECT conv,
+       CAST(sum(slen) AS BIGINT) AS n_turns,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(max(slen) AS BIGINT) AS max_segment
+FROM sl GROUP BY conv ORDER BY conv
+"""
+
+    sqls["co_participation"] = r"""
+WITH t AS (
+  SELECT event_type AS conv, CAST(user_id AS VARCHAR) AS actor
+  FROM events
+),
+d AS (SELECT DISTINCT conv, actor FROM t)
+SELECT a.actor AS a, b.actor AS b, CAST(count(*) AS BIGINT) AS n
+FROM d a JOIN d b ON a.conv = b.conv AND a.actor < b.actor
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
 
     return sqls

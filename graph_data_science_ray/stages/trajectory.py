@@ -1220,3 +1220,98 @@ def transition_latency_quantiles(
              **{c: pd.Series([], dtype=np.int64) for c in cols}}
         )
     return out.sort_values(["prev_role", "role"]).reset_index(drop=True)
+
+
+def topic_segments(
+    turns: rd.Dataset,
+    threshold_ppm: int = 100_000,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Lexical topic segmentation per conversation: ``(conv, n_turns,
+    n_segments, max_segment)``.
+
+    A segment boundary opens between adjacent turns whose DISTINCT-token
+    Jaccard similarity (exact integer ppm: ``|∩|·10⁶ // |∪|``) falls
+    below ``threshold_ppm`` — the TextTiling-style lexical-cohesion
+    break signal (Hearst, "TextTiling: segmenting text into multi-
+    paragraph subtopic passages", CL 1997) reduced to the repo's
+    integer discipline so every boundary decision is SQL-replayable.
+    Tokens are lowercased whitespace splits; an empty-∪ pair (two empty
+    turns) counts as similarity 0.
+
+    Scale shape: one conv-hash shuffle; everything else is group-local
+    string work; output is conversation-cardinality.
+    """
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(idx_col, kind="mergesort")
+        toks = [
+            set(str(t).lower().split()) if t is not None else set()
+            for t in g[text_col]
+        ]
+        n = len(toks)
+        bounds = 0
+        seg_len, max_seg = 1, 1
+        for i in range(1, n):
+            inter = len(toks[i - 1] & toks[i])
+            union = len(toks[i - 1] | toks[i])
+            ppm = (inter * 1_000_000) // union if union else 0
+            if ppm < threshold_ppm:
+                bounds += 1
+                seg_len = 1
+            else:
+                seg_len += 1
+            max_seg = max(max_seg, seg_len)
+        return pd.DataFrame(
+            {"conv": [str(g[conv_col].iloc[0])],
+             "n_turns": np.array([n], dtype=np.int64),
+             "n_segments": np.array([bounds + 1], dtype=np.int64),
+             "max_segment": np.array([max_seg], dtype=np.int64)}
+        )
+
+    return turns.groupby(conv_col).map_groups(per_group, batch_format="pandas")
+
+
+def co_participation(
+    turns: rd.Dataset,
+    conv_col: str = "conv_id",
+    actor_col: str = "role",
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """Actor co-participation counts — the bipartite projection graph.
+
+    One row per unordered actor pair ``(a, b, n)`` (a < b) counting the
+    conversations in which BOTH appear — the one-mode projection of the
+    actor×conversation bipartite graph, the standard alternative graph
+    construction to adjacency-derived interaction edges (co-occurrence
+    links actors who never speak consecutively).
+
+    Scale shape: per-conversation groups emit their distinct-actor pairs
+    (conversation casts are small — the per-conv actor set is bounded),
+    then a hash-partitioned sum; output ≤ |actors|².
+    """
+    from itertools import combinations
+
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        actors = sorted(set(g[actor_col].astype(str)))
+        pairs = list(combinations(actors, 2))
+        if not pairs:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=object),
+                 "b": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {"a": [p[0] for p in pairs], "b": [p[1] for p in pairs],
+             "n": np.ones(len(pairs), dtype=np.int64)}
+        )
+
+    partials = turns.groupby(conv_col).map_groups(
+        per_group, batch_format="pandas"
+    )
+    return hash_aggregate(partials, ["a", "b"], "n", op="sum",
+                          num_parts=num_parts)
