@@ -5177,6 +5177,20 @@ def _q_co_participation(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _q_knn_label_purity(sf_dir: str) -> pd.DataFrame:
+    """Hamming k-NN label purity — the intrinsic embedding-quality
+    metric, integer-exact end to end."""
+    import ray.data as rd
+
+    from graph_data_science_ray.stages.similarity import knn_label_purity
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+    )
+    return knn_label_purity(emb, k=10)
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: events → edge table → weighted
     PageRank; returns (node, score) rows."""
@@ -5416,6 +5430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coarsen_graph": _q_coarsen_graph,
         "topic_segments": _q_topic_segments,
         "co_participation": _q_co_participation,
+        "knn_label_purity": _q_knn_label_purity,
     }
 
 
@@ -10209,6 +10224,43 @@ d AS (SELECT DISTINCT conv, actor FROM t)
 SELECT a.actor AS a, b.actor AS b, CAST(count(*) AS BIGINT) AS n
 FROM d a JOIN d b ON a.conv = b.conv AND a.actor < b.actor
 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+    sqls["knn_label_purity"] = r"""
+WITH p AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(sum(CASE WHEN embedding[i] >= 0
+                       THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)
+           AS BIGINT) AS lo,
+         CAST(sum(CASE WHEN embedding[i + 32] >= 0
+                       THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)
+           AS BIGINT) AS hi
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, 32)) AS i) g
+  GROUP BY vec_id, label
+),
+d AS (
+  SELECT q.vec_id AS qid, q.label AS ql, c.vec_id AS nid, c.label AS nl,
+         CAST(bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi))
+           AS BIGINT) AS ham
+  FROM p q JOIN p c ON c.vec_id <> q.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY ham, nid) AS rk
+  FROM d
+),
+t AS (SELECT * FROM r WHERE rk <= 10),
+agg AS (
+  SELECT CAST(sum(CASE WHEN ql = nl THEN 1 ELSE 0 END) AS BIGINT) AS same,
+         CAST(count(*) AS BIGINT) AS pairs
+  FROM t
+)
+SELECT CAST((SELECT count(*) FROM p) AS BIGINT) AS n_vecs,
+       CAST(10 AS BIGINT) AS k,
+       a.same AS same_label,
+       a.pairs AS pairs,
+       CAST(a.same * 1000000 // a.pairs AS BIGINT) AS purity_ppm
+FROM agg a
 """
 
     return sqls

@@ -1208,3 +1208,74 @@ def knn_hamming(
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def knn_label_purity(
+    emb: rd.Dataset,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> pd.DataFrame:
+    """Embedding-quality eval: label agreement of Hamming k-NN.
+
+    The standard intrinsic embedding metric — how often a vector's
+    nearest neighbors share its class — computed over the sign-bit
+    Hamming space (deterministic, integer-exact; see
+    :func:`knn_hamming`).  Every vector is a query against the full
+    corpus: the packed registers + labels broadcast at 9 bytes/vector
+    (the binary-signature memory floor; at billion-vector scale swap the
+    all-pairs scan for the LSH-bucketed candidate path), distances and
+    ranks are exact, ties break by ``(hamming, vec_id)``.
+
+    Returns one row: ``(n_vecs, k, same_label, pairs, purity_ppm)``
+    with ``purity_ppm = same_label · 10⁶ // pairs``.
+    """
+    full = emb.to_pandas()  # packed registers + labels: the broadcast side
+    ids = full[id_col].to_numpy(dtype=np.int64)
+    order = np.argsort(ids, kind="mergesort")
+    ids = ids[order]
+    mat = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in full[vec_col].iloc[order]]
+    )
+    labels = full[label_col].to_numpy(dtype=np.int64)[order]
+    lo, hi = _sign_pack(mat)
+    import ray
+
+    packed_ref = ray.put((ids, lo, hi, labels))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        aids, alo, ahi, albl = ray.get(packed_ref)
+        qids = df[id_col].to_numpy(dtype=np.int64)
+        qmat = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
+        qlbl = df[label_col].to_numpy(dtype=np.int64)
+        qlo, qhi = _sign_pack(qmat)
+        same = 0
+        pairs = 0
+        for j in range(len(qids)):
+            ham = (
+                _popcount64(np.bitwise_xor(alo, qlo[j]))
+                + _popcount64(np.bitwise_xor(ahi, qhi[j]))
+            ).astype(np.int64)
+            mask = aids != qids[j]
+            h, i_, l_ = ham[mask], aids[mask], albl[mask]
+            sel = np.lexsort((i_, h))[:k]
+            same += int((l_[sel] == qlbl[j]).sum())
+            pairs += len(sel)
+        return pd.DataFrame(
+            {"same": np.array([same], dtype=np.int64),
+             "pairs": np.array([pairs], dtype=np.int64),
+             "n": np.array([len(qids)], dtype=np.int64)}
+        )
+
+    agg = emb.map_batches(partial, batch_format="pandas").to_pandas().sum()
+    same, pairs, n = int(agg["same"]), int(agg["pairs"]), int(agg["n"])
+    return pd.DataFrame(
+        {"n_vecs": np.array([n], dtype=np.int64),
+         "k": np.array([int(k)], dtype=np.int64),
+         "same_label": np.array([same], dtype=np.int64),
+         "pairs": np.array([pairs], dtype=np.int64),
+         "purity_ppm": np.array(
+             [same * 1_000_000 // pairs if pairs else 0], dtype=np.int64
+         )}
+    )
