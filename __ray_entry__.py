@@ -5191,6 +5191,68 @@ def _q_knn_label_purity(sf_dir: str) -> pd.DataFrame:
     return knn_label_purity(emb, k=10)
 
 
+_DSG_ROUNDS = 6
+
+
+def _q_densest_subgraph(sf_dir: str) -> pd.DataFrame:
+    """Charikar peeling profile (functions/graph_stats.py) — per-round
+    alive counts, threshold, exact integer density."""
+    from graph_data_science_ray.functions.graph_stats import (
+        densest_subgraph_profile,
+    )
+
+    b = _bundle(sf_dir)
+    return densest_subgraph_profile(b["sym"], rounds=_DSG_ROUNDS, num_parts=8)
+
+
+def _densest_oracle_sql() -> str:
+    parts = [
+        "ids AS (SELECT node, CAST(dense_rank() OVER (ORDER BY node) - 1"
+        " AS BIGINT) AS id FROM nodes)",
+        """pe0 AS MATERIALIZED (
+  SELECT a.id AS src, b.id AS dst
+  FROM (SELECT DISTINCT src, dst FROM undw) e
+  JOIN ids a ON a.node = e.src JOIN ids b ON b.node = e.dst
+  WHERE a.id < b.id)""",
+    ]
+    selects = []
+    for r in range(_DSG_ROUNDS):
+        parts.append(
+            f"""dg{r} AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT src AS node FROM pe{r} UNION ALL SELECT dst AS node FROM pe{r}
+  ) GROUP BY 1)"""
+        )
+        parts.append(
+            f"""st{r} AS MATERIALIZED (
+  SELECT CAST((SELECT count(*) FROM dg{r}) AS BIGINT) AS v,
+         CAST((SELECT count(*) FROM pe{r}) AS BIGINT) AS e)"""
+        )
+        parts.append(
+            f"""rm{r} AS MATERIALIZED (
+  SELECT g.node FROM dg{r} g, st{r} s WHERE g.d <= 2 * s.e // s.v)"""
+        )
+        parts.append(
+            f"""pe{r + 1} AS MATERIALIZED (
+  SELECT p.src, p.dst FROM pe{r} p
+  WHERE p.src NOT IN (SELECT node FROM rm{r})
+    AND p.dst NOT IN (SELECT node FROM rm{r}))"""
+        )
+        selects.append(
+            f"""SELECT CAST({r} AS BIGINT) AS round, s.v AS v_alive,
+       s.e AS e_alive, 2 * s.e // s.v AS thr,
+       s.e * 1000000 // s.v AS density_ppm
+FROM st{r} s WHERE s.v > 0"""
+        )
+    return (
+        f"WITH {_GRAPH_CTE}, {_UND_CTE},\n"
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY round"
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: events → edge table → weighted
     PageRank; returns (node, score) rows."""
@@ -5431,6 +5493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topic_segments": _q_topic_segments,
         "co_participation": _q_co_participation,
         "knn_label_purity": _q_knn_label_purity,
+        "densest_subgraph": _q_densest_subgraph,
     }
 
 
@@ -10262,5 +10325,7 @@ SELECT CAST((SELECT count(*) FROM p) AS BIGINT) AS n_vecs,
        CAST(a.same * 1000000 // a.pairs AS BIGINT) AS purity_ppm
 FROM agg a
 """
+
+    sqls["densest_subgraph"] = _densest_oracle_sql()
 
     return sqls

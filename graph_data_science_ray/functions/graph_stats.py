@@ -556,3 +556,124 @@ def robustness_profile(
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("p_ppm").reset_index(drop=True)
+
+
+def densest_subgraph_profile(
+    sym_edges: rd.Dataset,
+    rounds: int = 8,
+    num_parts: int = 32,
+) -> pd.DataFrame:
+    """Charikar greedy-peeling profile — densest-subgraph 2-approx.
+
+    Charikar's parallel peeling ("Greedy approximation algorithms for
+    finding dense components in a graph", APPROX 2000; the batched
+    variant of Bahmani, Kumar & Vassilvitskii, VLDB 2012): each round
+    removes EVERY node whose degree is ≤ the floor of the current
+    average degree (``2E // V`` — at least the minimum-degree node, so
+    progress is guaranteed and the surviving vertex sets halve
+    geometrically).  The best-density round over the peel is the
+    classic 2-approximation; emitting the whole profile gives the
+    density-vs-size curve (the k-core decomposition's dual view).
+
+    One row per executed round: ``(round, v_alive, e_alive, thr,
+    density_ppm)`` with ``density_ppm = E·10⁶ // V`` over the
+    round-START subgraph, all exact integers; alive = incident to a
+    surviving edge.
+
+    Scale shape: the edge set stays a hash-partitioned Dataset; each
+    round is one degree aggregate plus the two-sided status join of the
+    matching/peeling family, loop state bounded via
+    ``materialize_bounded``.
+    """
+    import pyarrow as pa
+
+    from graph_data_science_ray.pipelines.agg import (
+        hash_aggregate,
+        hash_join,
+        materialize_bounded,
+    )
+
+    pair_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        keep = s < d
+        return pa.table({"src": s[keep], "dst": d[keep]}, schema=pair_schema)
+
+    edges = materialize_bounded(
+        sym_edges.map_batches(canon, batch_format="pyarrow"), num_parts
+    )
+
+    def ends(t: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays(
+            [t["src"].combine_chunks(), t["dst"].combine_chunks()]
+        )
+        return pa.table(
+            {"node": ids, "d": pa.array(np.ones(len(ids), dtype=np.int64))},
+            schema=pa.schema([("node", pa.int64()), ("d", pa.int64())]),
+        )
+
+    rows = []
+    for r in range(int(rounds)):
+        E = int(edges.count())
+        if E == 0:
+            break
+        deg = materialize_bounded(
+            hash_aggregate(
+                edges.map_batches(ends, batch_format="pyarrow"),
+                ["node"], "d", op="sum", num_parts=num_parts,
+            ).map_batches(lambda t: t, batch_format="pyarrow"),
+            num_parts,
+        )
+        V = int(deg.count())
+        thr = (2 * E) // V
+        rows.append(
+            {"round": r, "v_alive": V, "e_alive": E, "thr": thr,
+             "density_ppm": E * 1_000_000 // V}
+        )
+
+        def status(t: pa.Table, _thr=thr) -> pa.Table:
+            d = np.asarray(t["d"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+            return pa.table(
+                {"node": t["node"],
+                 "f": (d <= _thr).astype(np.int64)},
+                schema=pa.schema([("node", pa.int64()), ("f", pa.int64())]),
+            )
+
+        st = deg.map_batches(status, batch_format="pyarrow")
+        e1 = hash_join(
+            edges, st.map_batches(
+                lambda t: t.rename_columns(["node", "fs"]),
+                batch_format="pyarrow",
+            ),
+            on=["src"], right_on=["node"], num_parts=num_parts,
+            left_schema=pair_schema,
+            right_schema=pa.schema([("node", pa.int64()), ("fs", pa.int64())]),
+        )
+        e2 = hash_join(
+            e1, st.map_batches(
+                lambda t: t.rename_columns(["node", "fd"]),
+                batch_format="pyarrow",
+            ),
+            on=["dst"], right_on=["node"], num_parts=num_parts,
+            left_schema=pa.schema(
+                [("src", pa.int64()), ("dst", pa.int64()), ("fs", pa.int64())]
+            ),
+            right_schema=pa.schema([("node", pa.int64()), ("fd", pa.int64())]),
+        )
+        edges = materialize_bounded(
+            e2.filter(expr="fs == 0 and fd == 0").map_batches(
+                lambda t: t.select(["src", "dst"]), batch_format="pyarrow"
+            ),
+            num_parts,
+        )
+    out = pd.DataFrame(rows)
+    if not len(out):
+        out = pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in
+                            ["round", "v_alive", "e_alive", "thr",
+                             "density_ppm"]})
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -338,3 +338,34 @@ def test_coarsen_graph_brute(graph_from_edges):
     n_coarse = len({x for p in pairs for x in p})
     n_orig = len({x for c in (df["src"], df["dst"]) for x in c.astype(int)})
     assert n_coarse < n_orig
+
+
+def test_densest_subgraph_profile_brute(graph_from_edges):
+    from graph_data_science_ray.functions.graph_stats import (
+        densest_subgraph_profile)
+
+    _, gu, idmap, _, sym = graph_from_edges(EDGES, isolated=[8])
+    got = densest_subgraph_profile(sym, rounds=6)
+    df = sym.to_pandas()
+    pairs = {(int(s), int(d)) for s, d in zip(df["src"], df["dst"])
+             if int(s) < int(d)}
+    want = []
+    r = 0
+    while pairs and r < 6:
+        deg = {}
+        for (i, j) in pairs:
+            deg[i] = deg.get(i, 0) + 1
+            deg[j] = deg.get(j, 0) + 1
+        V, E = len(deg), len(pairs)
+        thr = (2 * E) // V
+        want.append((r, V, E, thr, E * 1_000_000 // V))
+        dead = {v for v, d in deg.items() if d <= thr}
+        pairs = {(i, j) for (i, j) in pairs
+                 if i not in dead and j not in dead}
+        r += 1
+    got_rows = [tuple(int(x) for x in row)
+                for row in got.itertuples(index=False)]
+    assert got_rows == want
+    # density never decreases until the peel empties (on this fixture the
+    # triangle survives round 0)
+    assert want[0][1] > want[-1][1] or len(want) == 1
