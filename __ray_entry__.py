@@ -4909,47 +4909,57 @@ def _q_maximal_matching(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def _matching_cte_parts() -> list:
+def _matching_cte_parts(prefix: str = "", source: str | None = None) -> list:
+    """Matching-round CTE chain, name-prefixed so a second level can run
+    inside the same WITH (the multilevel coarsening oracle). ``source``
+    overrides the canonical integer pair set; the default derives it
+    from ``undw`` + dense ids."""
+    P = prefix
     u48 = ("CAST(CAST(('0x' || substr(md5('mm:' || CAST(src AS VARCHAR)"
            " || ':' || CAST(dst AS VARCHAR)), 1, 12)) AS UBIGINT) AS BIGINT)")
-    parts = [
-        "ids AS (SELECT node, CAST(dense_rank() OVER (ORDER BY node) - 1"
-        " AS BIGINT) AS id FROM nodes)",
-        """ce AS MATERIALIZED (
+    parts = []
+    if source is None:
+        parts.append(
+            "ids AS (SELECT node, CAST(dense_rank() OVER (ORDER BY node) - 1"
+            " AS BIGINT) AS id FROM nodes)"
+        )
+        source = """
   SELECT a.id AS src, b.id AS dst
   FROM (SELECT DISTINCT src, dst FROM undw) e
   JOIN ids a ON a.node = e.src JOIN ids b ON b.node = e.dst
-  WHERE a.id < b.id)""",
-        f"e0 AS MATERIALIZED (SELECT src, dst, {u48} AS pri FROM ce)",
-    ]
+  WHERE a.id < b.id"""
+    parts.append(f"ce{P} AS MATERIALIZED ({source})")
+    parts.append(
+        f"e{P}_0 AS MATERIALIZED (SELECT src, dst, {u48} AS pri FROM ce{P})"
+    )
     for r in range(_MM_ROUNDS):
         parts.append(
-            f"""mn{r} AS MATERIALIZED (
+            f"""mn{P}_{r} AS MATERIALIZED (
   SELECT node, min(pri) AS m FROM (
-    SELECT src AS node, pri FROM e{r}
-    UNION ALL SELECT dst AS node, pri FROM e{r}
+    SELECT src AS node, pri FROM e{P}_{r}
+    UNION ALL SELECT dst AS node, pri FROM e{P}_{r}
   ) GROUP BY 1)"""
         )
         parts.append(
-            f"""mt{r} AS MATERIALIZED (
-  SELECT e.src, e.dst FROM e{r} e
-  JOIN mn{r} a ON a.node = e.src JOIN mn{r} b ON b.node = e.dst
+            f"""mt{P}_{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{P}_{r} e
+  JOIN mn{P}_{r} a ON a.node = e.src JOIN mn{P}_{r} b ON b.node = e.dst
   WHERE e.pri = a.m AND e.pri = b.m)"""
         )
         parts.append(
-            f"""dd{r} AS MATERIALIZED (
-  SELECT src AS node FROM mt{r} UNION SELECT dst AS node FROM mt{r})"""
+            f"""dd{P}_{r} AS MATERIALIZED (
+  SELECT src AS node FROM mt{P}_{r} UNION SELECT dst AS node FROM mt{P}_{r})"""
         )
         parts.append(
-            f"""e{r + 1} AS MATERIALIZED (
-  SELECT e.src, e.dst, e.pri FROM e{r} e
-  WHERE e.src NOT IN (SELECT node FROM dd{r})
-    AND e.dst NOT IN (SELECT node FROM dd{r}))"""
+            f"""e{P}_{r + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst, e.pri FROM e{P}_{r} e
+  WHERE e.src NOT IN (SELECT node FROM dd{P}_{r})
+    AND e.dst NOT IN (SELECT node FROM dd{P}_{r}))"""
         )
     un = "\n    UNION ALL ".join(
-        f"SELECT src, dst FROM mt{r}" for r in range(_MM_ROUNDS)
+        f"SELECT src, dst FROM mt{P}_{r}" for r in range(_MM_ROUNDS)
     )
-    parts.append(f"allm AS ({un})")
+    parts.append(f"allm{P} AS ({un})")
     return parts
 
 
@@ -5253,6 +5263,84 @@ FROM st{r} s WHERE s.v > 0"""
     )
 
 
+def _q_coarsen_graph2(sf_dir: str) -> pd.DataFrame:
+    """Two-level multilevel coarsening: coarsen ∘ coarsen, the METIS
+    V-cycle contraction chain, oracled end to end."""
+    from graph_data_science_ray.functions.matching import coarsen_graph
+
+    b = _bundle(sf_dir)
+    c1, _m1 = coarsen_graph(b["sym"], rounds=_MM_ROUNDS, num_parts=8)
+    c2, _m2 = coarsen_graph(c1.materialize(), rounds=_MM_ROUNDS, num_parts=8)
+    df = c2.to_pandas()
+    keys = b["idmap"].keys
+    return (
+        pd.DataFrame(
+            {"src": _strip(keys[df["src"].to_numpy(dtype=np.int64)]),
+             "dst": _strip(keys[df["dst"].to_numpy(dtype=np.int64)]),
+             "weight": df["weight"].astype(np.float64)}
+        )
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+
+
+def _coarsen2_oracle_sql() -> str:
+    parts = _matching_cte_parts()
+    parts.append(
+        """rep AS (
+  SELECT src AS node, src AS rep FROM allm
+  UNION ALL SELECT dst AS node, src AS rep FROM allm)"""
+    )
+    parts.append(
+        """nmap AS (
+  SELECT i.id AS node, coalesce(r.rep, i.id) AS rep
+  FROM ids i LEFT JOIN rep r ON r.node = i.id)"""
+    )
+    parts.append(
+        """coarse AS MATERIALIZED (
+  SELECT ms.rep AS rs, md.rep AS rd, sum(e.w) AS w
+  FROM undw e
+  JOIN ids a ON a.node = e.src JOIN ids b ON b.node = e.dst
+  JOIN nmap ms ON ms.node = a.id JOIN nmap md ON md.node = b.id
+  WHERE ms.rep <> md.rep
+  GROUP BY 1, 2)"""
+    )
+    parts.extend(
+        _matching_cte_parts(
+            prefix="2",
+            source="SELECT DISTINCT rs AS src, rd AS dst FROM coarse"
+                   " WHERE rs < rd",
+        )
+    )
+    parts.append(
+        """rep2 AS (
+  SELECT src AS node, src AS rep FROM allm2
+  UNION ALL SELECT dst AS node, src AS rep FROM allm2)"""
+    )
+    parts.append(
+        """nmap2 AS (
+  SELECT n.node, coalesce(r.rep, n.node) AS rep
+  FROM (SELECT DISTINCT rs AS node FROM coarse) n
+  LEFT JOIN rep2 r ON r.node = n.node)"""
+    )
+    parts.append(
+        """coarse2 AS MATERIALIZED (
+  SELECT ms.rep AS rs, md.rep AS rd, sum(c.w) AS w
+  FROM coarse c
+  JOIN nmap2 ms ON ms.node = c.rs JOIN nmap2 md ON md.node = c.rd
+  WHERE ms.rep <> md.rep
+  GROUP BY 1, 2)"""
+    )
+    return (
+        f"WITH {_GRAPH_CTE}, {_UND_CTE},\n"
+        + ",\n".join(parts)
+        + """
+SELECT x.node AS src, y.node AS dst, CAST(c.w AS DOUBLE) AS weight
+FROM coarse2 c JOIN ids x ON x.id = c.rs JOIN ids y ON y.id = c.rd
+ORDER BY 1, 2"""
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: events → edge table → weighted
     PageRank; returns (node, score) rows."""
@@ -5494,6 +5582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "co_participation": _q_co_participation,
         "knn_label_purity": _q_knn_label_purity,
         "densest_subgraph": _q_densest_subgraph,
+        "coarsen_graph2": _q_coarsen_graph2,
     }
 
 
@@ -10327,5 +10416,7 @@ FROM agg a
 """
 
     sqls["densest_subgraph"] = _densest_oracle_sql()
+
+    sqls["coarsen_graph2"] = _coarsen2_oracle_sql()
 
     return sqls
