@@ -5341,6 +5341,24 @@ ORDER BY 1, 2"""
     )
 
 
+def _q_kmv_registers(sf_dir: str) -> pd.DataFrame:
+    """KMV bottom-k distinct sketch — 64 verbatim integer registers."""
+    from graph_data_science_ray.stages.sketch import kmv_registers
+
+    return kmv_registers(_docs(sf_dir), k=64)
+
+
+def _q_wl_cells(sf_dir: str) -> pd.DataFrame:
+    """WL color-class histogram — refinement cell sizes."""
+    from graph_data_science_ray.functions.wl import wl_partition_sizes
+
+    b = _bundle(sf_dir)
+    out = wl_partition_sizes(b["gu"], rounds=_WL_ROUNDS)
+    out["color"] = out["color"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: events → edge table → weighted
     PageRank; returns (node, score) rows."""
@@ -5583,6 +5601,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_purity": _q_knn_label_purity,
         "densest_subgraph": _q_densest_subgraph,
         "coarsen_graph2": _q_coarsen_graph2,
+        "kmv_registers": _q_kmv_registers,
+        "wl_cells": _q_wl_cells,
     }
 
 
@@ -10418,5 +10438,30 @@ FROM agg a
     sqls["densest_subgraph"] = _densest_oracle_sql()
 
     sqls["coarsen_graph2"] = _coarsen2_oracle_sql()
+
+    sqls["kmv_registers"] = r"""
+WITH toks AS (
+  SELECT DISTINCT lower(t) AS term
+  FROM (SELECT unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS t
+        FROM documents)
+),
+h AS (
+  SELECT DISTINCT
+         CAST(CAST(('0x' || substr(md5('kmv:' || term), 1, 8)) AS UBIGINT)
+           AS BIGINT) AS register
+  FROM toks
+),
+r AS (SELECT register, row_number() OVER (ORDER BY register) AS rank FROM h)
+SELECT CAST(rank AS BIGINT) AS rank, register FROM r
+WHERE rank <= 64 ORDER BY rank
+"""
+
+    sqls["wl_cells"] = (
+        _wl_oracle_sql().replace(
+            f"SELECT node, c AS color FROM c{_WL_ROUNDS} ORDER BY node",
+            f"SELECT c AS color, CAST(count(*) AS BIGINT) AS n"
+            f" FROM c{_WL_ROUNDS} GROUP BY 1 ORDER BY 1",
+        )
+    )
 
     return sqls

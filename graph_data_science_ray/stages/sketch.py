@@ -526,3 +526,62 @@ def ams_f2_estimate(registers: pd.DataFrame) -> float:
     """F2 (second frequency moment) estimate: mean of squared sign sums."""
     s = registers["s"].to_numpy(dtype=np.float64)
     return float((s * s).mean()) if len(s) else 0.0
+
+
+def kmv_registers(
+    docs: rd.Dataset,
+    k: int = 64,
+    salt: str = "kmv",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """K-minimum-values distinct-count sketch — verbatim registers.
+
+    The KMV/bottom-k estimator (Bar-Yossef et al., "Counting distinct
+    elements in a data stream", RANDOM 2002; Beyer et al., SIGMOD 2007):
+    keep the ``k`` smallest distinct hash values of the token stream;
+    the k-th smallest value h estimates the vocabulary as
+    ``(k-1) · 2³² / h``.  Registers merge by union+cut, so per-batch
+    partial bottom-k lists combine associatively — the mergeable-sketch
+    family alongside the repo's HLL/CMS/AMS.
+
+    Tokens are the repo-wide lowercased ``\\S+`` tokenizer; hashes are
+    ``u32(md5("kmv:<token>"))`` — deterministic and SQL-verbatim.
+    Returns ``(rank, register)`` — the k smallest DISTINCT hash values
+    in order, every row an exact integer — plus the estimate row is the
+    consumer's division (kept out of the table so the whole output
+    hash-compares).
+
+    Scale shape: per-batch local-distinct bottom-k (numpy unique +
+    partition) → driver merge of ``blocks · k`` ints.
+    """
+    import hashlib
+    import re
+
+    word = re.compile(r"\S+")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = set()
+        for t in df[text_col].fillna(""):
+            toks.update(w.lower() for w in word.findall(t))
+        if not toks:
+            return pd.DataFrame({"h": pd.Series([], dtype=np.int64)})
+        hs = np.unique(
+            np.array(
+                [
+                    int(hashlib.md5(f"{salt}:{w}".encode())
+                        .hexdigest()[:8], 16)
+                    for w in toks
+                ],
+                dtype=np.int64,
+            )
+        )
+        return pd.DataFrame({"h": hs[: int(k)]})
+
+    part = docs.map_batches(partial, batch_format="pandas",
+                            batch_size=4096).to_pandas()
+    hs = np.unique(part["h"].to_numpy(dtype=np.int64))[: int(k)] if len(part) \
+        else np.array([], dtype=np.int64)
+    return pd.DataFrame(
+        {"rank": np.arange(1, len(hs) + 1, dtype=np.int64),
+         "register": hs}
+    )
