@@ -5359,6 +5359,61 @@ def _q_wl_cells(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _q_lang_report(sf_dir: str) -> pd.DataFrame:
+    """Composed curation readout: per detected language, document and
+    token totals — lang_id ∘ token_count ∘ hash-join ∘ group, all
+    streaming (the per-doc tables never leave the cluster)."""
+    import pyarrow as pa
+
+    from graph_data_science_ray.pipelines.agg import hash_aggregate, hash_join
+    from graph_data_science_ray.stages.text import lang_id, token_count
+
+    docs = _docs(sf_dir)
+    langs = lang_id(docs).map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df["doc_id"].astype(np.int64),
+             "lang_pred": df["lang_pred"].astype(str)}
+        ),
+        batch_format="pandas",
+    )
+    toks = token_count(docs).map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df["doc_id"].astype(np.int64),
+             "n_tokens": df["n_tokens"].astype(np.int64)}
+        ),
+        batch_format="pandas",
+    )
+    j = hash_join(
+        langs, toks, on=["doc_id"],
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("lang_pred", pa.string())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("n_tokens", pa.int64())]),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang_pred", sort=False).agg(
+            n_docs=("doc_id", "size"), total_tokens=("n_tokens", "sum")
+        ).reset_index().rename(columns={"lang_pred": "lang"})
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("lang", sort=False).agg(
+            n_docs=("n_docs", "sum"), total_tokens=("total_tokens", "sum")
+        ).reset_index()
+        return out
+
+    agg = (
+        j.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("n_docs", "total_tokens"):
+        agg[c] = agg[c].astype(np.int64)
+    return agg.sort_values("lang").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: events → edge table → weighted
     PageRank; returns (node, score) rows."""
@@ -5603,6 +5658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coarsen_graph2": _q_coarsen_graph2,
         "kmv_registers": _q_kmv_registers,
         "wl_cells": _q_wl_cells,
+        "lang_report": _q_lang_report,
     }
 
 
@@ -10463,5 +10519,23 @@ WHERE rank <= 64 ORDER BY rank
             f" FROM c{_WL_ROUNDS} GROUP BY 1 ORDER BY 1",
         )
     )
+
+    _lang_base = sqls["lang_id"].strip()
+    if _lang_base.endswith("ORDER BY doc_id"):
+        _lang_base = _lang_base[: -len("ORDER BY doc_id")]
+    sqls["lang_report"] = rf"""
+WITH lp AS ({_lang_base}),
+tc AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '\S+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+)
+SELECT lp.lang_pred AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tc.n_tokens) AS BIGINT) AS total_tokens
+FROM lp JOIN tc USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""
 
     return sqls
