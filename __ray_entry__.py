@@ -5414,6 +5414,32 @@ def _q_lang_report(sf_dir: str) -> pd.DataFrame:
     return agg.sort_values("lang").reset_index(drop=True)
 
 
+_TEMPORAL_HORIZON = 4_102_444_800_000_000  # 2100-01-01 in µs
+
+
+def _q_temporal_departure(sf_dir: str) -> pd.DataFrame:
+    """Latest-departure dual of temporal_reachability: to the
+    lexicographically largest actor by a fixed horizon."""
+    import graph_data_science_ray as gdsr
+
+    from graph_data_science_ray.functions.temporal import (
+        derive_contacts,
+        temporal_departure,
+    )
+
+    ts = gdsr.events_as_transcripts(sf_dir)
+    turns = gdsr.derive_turns(ts, keep_ts=True)
+    target = turns.select_columns(["actor"]).max("actor")
+    contacts = derive_contacts(turns)
+    out = temporal_departure(
+        contacts, target=target, horizon=_TEMPORAL_HORIZON,
+        rounds=_TEMPORAL_ROUNDS, num_parts=8,
+    )
+    out = out.copy()
+    out["node"] = _strip(out["node"].to_numpy(dtype=object))
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: events → edge table → weighted
     PageRank; returns (node, score) rows."""
@@ -5659,6 +5685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_registers": _q_kmv_registers,
         "wl_cells": _q_wl_cells,
         "lang_report": _q_lang_report,
+        "temporal_departure": _q_temporal_departure,
     }
 
 
@@ -10536,6 +10563,68 @@ SELECT lp.lang_pred AS lang,
        CAST(sum(tc.n_tokens) AS BIGINT) AS total_tokens
 FROM lp JOIN tc USING (doc_id)
 GROUP BY 1 ORDER BY 1
+"""
+
+    sqls["temporal_departure"] = r"""
+WITH t AS (
+  SELECT event_type AS conv,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS idx,
+         CAST(user_id AS VARCHAR) AS actor,
+         ts
+  FROM events
+),
+c AS MATERIALIZED (
+  SELECT a.actor AS src, b.actor AS dst,
+         CAST(epoch_us(b.ts) AS BIGINT) AS t
+  FROM t a JOIN t b ON a.conv = b.conv AND b.idx = a.idx + 1
+  WHERE a.actor <> b.actor
+),
+b0 AS MATERIALIZED (
+  SELECT max(actor) AS node, CAST(4102444800000000 AS BIGINT) AS at FROM t),
+b1 AS MATERIALIZED (
+  SELECT node, CAST(max(at) AS BIGINT) AS at FROM (
+    SELECT node, at FROM b0
+    UNION ALL
+    SELECT c.src AS node, c.t AS at
+    FROM c JOIN b0 bb ON bb.node = c.dst AND c.t <= bb.at
+  ) GROUP BY 1),
+b2 AS MATERIALIZED (
+  SELECT node, CAST(max(at) AS BIGINT) AS at FROM (
+    SELECT node, at FROM b1
+    UNION ALL
+    SELECT c.src AS node, c.t AS at
+    FROM c JOIN b1 bb ON bb.node = c.dst AND c.t <= bb.at
+  ) GROUP BY 1),
+b3 AS MATERIALIZED (
+  SELECT node, CAST(max(at) AS BIGINT) AS at FROM (
+    SELECT node, at FROM b2
+    UNION ALL
+    SELECT c.src AS node, c.t AS at
+    FROM c JOIN b2 bb ON bb.node = c.dst AND c.t <= bb.at
+  ) GROUP BY 1),
+b4 AS MATERIALIZED (
+  SELECT node, CAST(max(at) AS BIGINT) AS at FROM (
+    SELECT node, at FROM b3
+    UNION ALL
+    SELECT c.src AS node, c.t AS at
+    FROM c JOIN b3 bb ON bb.node = c.dst AND c.t <= bb.at
+  ) GROUP BY 1),
+b5 AS MATERIALIZED (
+  SELECT node, CAST(max(at) AS BIGINT) AS at FROM (
+    SELECT node, at FROM b4
+    UNION ALL
+    SELECT c.src AS node, c.t AS at
+    FROM c JOIN b4 bb ON bb.node = c.dst AND c.t <= bb.at
+  ) GROUP BY 1),
+b6 AS MATERIALIZED (
+  SELECT node, CAST(max(at) AS BIGINT) AS at FROM (
+    SELECT node, at FROM b5
+    UNION ALL
+    SELECT c.src AS node, c.t AS at
+    FROM c JOIN b5 bb ON bb.node = c.dst AND c.t <= bb.at
+  ) GROUP BY 1)
+SELECT node, at FROM b6 ORDER BY node
 """
 
     return sqls

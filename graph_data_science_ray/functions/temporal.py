@@ -131,3 +131,61 @@ def temporal_reachability(
                            "at": pd.Series([], dtype=np.int64)})
     df["at"] = df["at"].astype(np.int64)
     return df.sort_values("node").reset_index(drop=True)
+
+
+def temporal_departure(
+    contacts: rd.Dataset,
+    target: str,
+    horizon: int,
+    rounds: int = 6,
+    num_parts: int = 32,
+) -> pd.DataFrame:
+    """Latest-departure times to ``target`` — the dual of earliest arrival.
+
+    ``ld(target) = horizon``; ``ld(u) = max{ t : (u,v,t), t ≤ ld(v) }``
+    — the latest moment u can still start a time-respecting path that
+    reaches the target by ``horizon`` (the scheduling dual; same
+    bounded-round max-fold contract, int64 µs, hash-partitioned state,
+    SQL-replayable round by round).  Unreachable nodes are omitted.
+    """
+    from graph_data_science_ray.pipelines.agg import (
+        hash_aggregate,
+        hash_join,
+        materialize_bounded,
+    )
+
+    ld = rd.from_arrow(
+        pa.table({"node": [target], "at": [int(horizon)]}, schema=_ARR_SCHEMA)
+    )
+    contacts = contacts.map_batches(
+        lambda tb: tb.select(["src", "dst", "t"]), batch_format="pyarrow"
+    ).materialize()
+
+    def partial_max(df: pd.DataFrame) -> pa.Table:
+        # joined on dst: rows carry (src, dst, t, at=ld(dst))
+        ok = df[df["t"].to_numpy() <= df["at"].to_numpy()]
+        if not len(ok):
+            return _ARR_SCHEMA.empty_table()
+        g = ok.groupby("src", sort=False)["t"].max().reset_index()
+        return pa.table(
+            {"node": g["src"].astype(str), "at": g["t"].astype(np.int64)},
+            schema=_ARR_SCHEMA,
+        )
+
+    for _ in range(int(rounds)):
+        j = hash_join(
+            contacts, ld, on=["dst"], right_on=["node"],
+            num_parts=num_parts,
+            left_schema=_CONTACT_SCHEMA, right_schema=_ARR_SCHEMA,
+        )
+        trans = j.map_batches(partial_max, batch_format="pandas")
+        ld = hash_aggregate(
+            ld.union(trans), ["node"], "at", op="max", num_parts=num_parts
+        ).map_batches(lambda tb: tb, batch_format="pyarrow")
+        ld = materialize_bounded(ld, num_parts=num_parts)
+    df = ld.to_pandas()
+    if "node" not in df.columns:
+        df = pd.DataFrame({"node": pd.Series([], dtype=object),
+                           "at": pd.Series([], dtype=np.int64)})
+    df["at"] = df["at"].astype(np.int64)
+    return df.sort_values("node").reset_index(drop=True)

@@ -68,3 +68,22 @@ def test_temporal_reachability_parallelism_invariant():
     b = temporal_reachability(
         derive_contacts(_turns_ts().repartition(5)), "a", rounds=3)
     assert a.values.tolist() == b.values.tolist()
+
+
+def test_temporal_departure_dual():
+    from graph_data_science_ray.functions.temporal import (
+        derive_contacts, temporal_departure)
+
+    contacts = derive_contacts(_turns_ts())
+    # contacts: a->b@10, b->c@20, c->d@5, b->d@30
+    got = temporal_departure(contacts, target="d", horizon=100, rounds=4)
+    ld = dict(zip(got["node"], got["at"]))
+    # d itself: 100; b can leave at 30 (b->d@30); c at 5 (c->d@5);
+    # a at 10 (a->b@10 <= ld(b)=30)
+    assert ld == {"d": 100, "b": 30, "c": 5, "a": 10}
+    # tight horizon kills the late contact: horizon 20 -> b->d@30 invalid,
+    # d reachable only via c->d@5; b,a cannot reach c before... b->c@20<=?
+    got2 = temporal_departure(contacts, target="d", horizon=20, rounds=4)
+    ld2 = dict(zip(got2["node"], got2["at"]))
+    # ld(d)=20; c->d@5 ok -> ld(c)=5; b->c@20 > ld(c)=5 invalid; b,a dark
+    assert ld2 == {"d": 20, "c": 5}
