@@ -5440,6 +5440,42 @@ def _q_temporal_departure(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("node").reset_index(drop=True)
 
 
+def _q_actor_activity(sf_dir: str) -> pd.DataFrame:
+    """Per-actor activity profile: turns, distinct conversations, exact
+    µs first/last activity."""
+    import graph_data_science_ray as gdsr
+
+    from graph_data_science_ray.stages.trajectory import actor_activity
+
+    ts = gdsr.events_as_transcripts(sf_dir)
+    out = actor_activity(ts, ts_col="ts").to_pandas()
+    for c in ("n_turns", "n_convs", "first_us", "last_us"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("role").reset_index(drop=True)
+
+
+def _q_graph_snapshots(sf_dir: str) -> pd.DataFrame:
+    """Tumbling-day temporal-graph snapshots over the contact stream."""
+    import graph_data_science_ray as gdsr
+
+    from graph_data_science_ray.functions.temporal import derive_contacts
+    from graph_data_science_ray.stages.trajectory import graph_snapshots
+
+    ts = gdsr.events_as_transcripts(sf_dir)
+    turns = gdsr.derive_turns(ts, keep_ts=True)
+    return graph_snapshots(derive_contacts(turns))
+
+
+def _q_actor_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Conversation-set Jaccard between co-participating actors."""
+    import graph_data_science_ray as gdsr
+
+    from graph_data_science_ray.stages.trajectory import actor_jaccard
+
+    ts = gdsr.events_as_transcripts(sf_dir)
+    return actor_jaccard(ts)
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: events → edge table → weighted
     PageRank; returns (node, score) rows."""
@@ -5686,6 +5722,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wl_cells": _q_wl_cells,
         "lang_report": _q_lang_report,
         "temporal_departure": _q_temporal_departure,
+        "actor_activity": _q_actor_activity,
+        "graph_snapshots": _q_graph_snapshots,
+        "actor_jaccard": _q_actor_jaccard,
     }
 
 
@@ -10625,6 +10664,65 @@ b6 AS MATERIALIZED (
     FROM c JOIN b5 bb ON bb.node = c.dst AND c.t <= bb.at
   ) GROUP BY 1)
 SELECT node, at FROM b6 ORDER BY node
+"""
+
+    sqls["actor_activity"] = r"""
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS role, event_type AS conv,
+         CAST(epoch_us(ts) AS BIGINT) AS t
+  FROM events
+)
+SELECT role,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT conv) AS BIGINT) AS n_convs,
+       CAST(min(t) AS BIGINT) AS first_us,
+       CAST(max(t) AS BIGINT) AS last_us
+FROM t GROUP BY role ORDER BY role
+"""
+
+    sqls["graph_snapshots"] = r"""
+WITH t AS (
+  SELECT event_type AS conv,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS idx,
+         CAST(user_id AS VARCHAR) AS actor, ts
+  FROM events
+),
+c AS (
+  SELECT a.actor AS src, b.actor AS dst,
+         CAST(epoch_us(b.ts) AS BIGINT) AS t
+  FROM t a JOIN t b ON a.conv = b.conv AND b.idx = a.idx + 1
+  WHERE a.actor <> b.actor
+),
+w AS (SELECT t // 86400000000 AS win, src, dst FROM c),
+actors AS (
+  SELECT win, src AS actor FROM w UNION SELECT win, dst AS actor FROM w
+),
+na AS (SELECT win, CAST(count(*) AS BIGINT) AS n_actors
+       FROM actors GROUP BY win),
+ne AS (SELECT win, CAST(count(*) AS BIGINT) AS n_contacts
+       FROM w GROUP BY win)
+SELECT CAST(ne.win AS BIGINT) AS win, ne.n_contacts, na.n_actors
+FROM ne JOIN na USING (win) ORDER BY win
+"""
+
+    sqls["actor_jaccard"] = r"""
+WITH t AS (
+  SELECT event_type AS conv, CAST(user_id AS VARCHAR) AS actor
+  FROM events
+),
+d AS (SELECT DISTINCT conv, actor FROM t),
+sz AS (SELECT actor, CAST(count(*) AS BIGINT) AS nc FROM d GROUP BY 1),
+sh AS (
+  SELECT a.actor AS a, b.actor AS b, CAST(count(*) AS BIGINT) AS shared
+  FROM d a JOIN d b ON a.conv = b.conv AND a.actor < b.actor
+  GROUP BY 1, 2
+)
+SELECT sh.a, sh.b, sh.shared,
+       CAST(sh.shared * 1000000 // (x.nc + y.nc - sh.shared) AS BIGINT)
+         AS jaccard_ppm
+FROM sh JOIN sz x ON x.actor = sh.a JOIN sz y ON y.actor = sh.b
+ORDER BY 1, 2
 """
 
     return sqls

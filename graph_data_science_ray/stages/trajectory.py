@@ -1315,3 +1315,187 @@ def co_participation(
     )
     return hash_aggregate(partials, ["a", "b"], "n", op="sum",
                           num_parts=num_parts)
+
+
+def actor_activity(
+    turns: rd.Dataset,
+    conv_col: str = "conv_id",
+    actor_col: str = "role",
+    ts_col: str = "ts",
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """Per-actor activity profile: ``(role, n_turns, n_convs, first_us,
+    last_us)`` — exact integers (µs timestamps, distinct-conversation
+    counts), the actor-level health/engagement readout.
+
+    Map-side partials per batch (count / distinct-conv set via a
+    two-stage aggregate: per (actor, conv) first, then per actor), one
+    actor-hash shuffle; output is actor-cardinality.
+    """
+    from graph_data_science_ray.pipelines.agg import _stable_row_hash
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = pd.DataFrame(
+            {"role": df[actor_col].astype(str),
+             "conv": df[conv_col].astype(str), "t": t}
+        ).groupby(["role", "conv"], sort=False).agg(
+            n=("t", "size"), mn=("t", "min"), mx=("t", "max")
+        )
+        return g.reset_index()
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        # deterministic (process-independent) partitioner — Python hash()
+        # is salted per process and would split a role across groups
+        df["__part"] = (_stable_row_hash(df, ["role"]) % num_parts).astype(
+            np.int64
+        )
+        return df
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("role", sort=False).agg(
+            n_turns=("n", "sum"), n_convs=("conv", "nunique"),
+            first_us=("mn", "min"), last_us=("mx", "max"),
+        )
+        return out.reset_index()
+
+    rows = turns.map_batches(pairs, batch_format="pandas")
+    out = (
+        rows.map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(combine, batch_format="pandas")
+    )
+    return out
+
+
+def graph_snapshots(
+    contacts: rd.Dataset,
+    window_us: int = 86_400_000_000,
+    num_parts: int = 32,
+) -> pd.DataFrame:
+    """Tumbling-window graph snapshots over the contact stream.
+
+    One row per window: ``(win, n_contacts, n_actors)`` with
+    ``win = t // window_us`` (epoch-day buckets at the default) —
+    the temporal-graph evolution readout (how edge volume and the
+    active node set move through time).  Counts are exact: contacts
+    per window sum map-side; actors per window go through a
+    (win, actor)-distinct pre-aggregate so the final nunique is over
+    deduplicated rows.
+    """
+    from graph_data_science_ray.pipelines.agg import (
+        _stable_row_hash,
+        hash_aggregate,
+    )
+
+    def base(df: pd.DataFrame) -> pd.DataFrame:
+        w = (df["t"].to_numpy(dtype=np.int64) // int(window_us))
+        a = pd.DataFrame(
+            {"win": np.concatenate([w, w]),
+             "actor": np.concatenate(
+                 [df["src"].astype(str).to_numpy(dtype=object),
+                  df["dst"].astype(str).to_numpy(dtype=object)]
+             ),
+             "c": np.concatenate(
+                 [np.ones(len(w), dtype=np.int64),
+                  np.zeros(len(w), dtype=np.int64)]
+             )}
+        )
+        # c sums to the contact count (each contact counted once, on the
+        # src row); actor rows carry the window membership for nunique
+        g = a.groupby(["win", "actor"], sort=False).agg(c=("c", "sum"))
+        return g.reset_index()
+
+    rows = hash_aggregate(
+        contacts.map_batches(base, batch_format="pandas"),
+        ["win", "actor"], "c", op="sum", num_parts=num_parts,
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("win", sort=False).agg(
+            n_contacts=("c", "sum"), n_actors=("actor", "size")
+        )
+        return out.reset_index()
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__part"] = (_stable_row_hash(df, ["win"]) % num_parts).astype(
+            np.int64
+        )
+        return df
+
+    out = (
+        rows.map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(finish, batch_format="pandas")
+        .to_pandas()
+    )
+    if "win" not in out.columns:
+        out = pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                            for c in ["win", "n_contacts", "n_actors"]})
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("win").reset_index(drop=True)
+
+
+def actor_jaccard(
+    turns: rd.Dataset,
+    conv_col: str = "conv_id",
+    actor_col: str = "role",
+    num_parts: int = 64,
+) -> pd.DataFrame:
+    """Actor similarity by conversation-set overlap: ``(a, b, shared,
+    jaccard_ppm)`` for every co-participating pair.
+
+    Node similarity on the actor×conversation bipartite incidence
+    (exact set Jaccard in integer ppm) — the reference NodeSimilarity
+    contract re-expressed over conversation membership instead of the
+    derived edge neighborhoods.  Composes :func:`co_participation`
+    (shared-conversation counts) with per-actor distinct-conversation
+    sizes; ``jaccard_ppm = shared·10⁶ // (|A| + |B| − shared)``.
+    """
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+
+    shared = co_participation(
+        turns, conv_col=conv_col, actor_col=actor_col, num_parts=num_parts
+    ).to_pandas()  # ≤ |actors|² — answer-sized
+
+    def sizes(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {"role": df[actor_col].astype(str),
+             "conv": df[conv_col].astype(str)}
+        ).drop_duplicates()
+        g["one"] = np.int64(1)
+        return g
+
+    per = hash_aggregate(
+        turns.map_batches(sizes, batch_format="pandas"),
+        ["role", "conv"], "one", op="min", num_parts=num_parts,
+    )
+
+    def count_convs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("role", sort=False).size().reset_index(name="nc")
+        g["nc"] = g["nc"].astype(np.int64)
+        return g
+
+    sz = hash_aggregate(
+        per.map_batches(count_convs, batch_format="pandas"),
+        ["role"], "nc", op="sum", num_parts=num_parts,
+    ).to_pandas()  # actor-cardinality
+    nc = dict(zip(sz["role"], sz["nc"].astype(np.int64)))
+    if "a" not in shared.columns or not len(shared):
+        return pd.DataFrame(
+            {"a": pd.Series([], dtype=object),
+             "b": pd.Series([], dtype=object),
+             "shared": pd.Series([], dtype=np.int64),
+             "jaccard_ppm": pd.Series([], dtype=np.int64)}
+        )
+    n = shared["n"].to_numpy(dtype=np.int64)
+    sa = shared["a"].map(nc).to_numpy(dtype=np.int64)
+    sb = shared["b"].map(nc).to_numpy(dtype=np.int64)
+    out = pd.DataFrame(
+        {"a": shared["a"], "b": shared["b"], "shared": n,
+         "jaccard_ppm": (n * 1_000_000) // (sa + sb - n)}
+    )
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
