@@ -1165,51 +1165,106 @@ def transition_latency_quantiles(
     for pathological hub pairs.
     """
 
-    def gaps(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(idx_col, kind="mergesort")
-        a = g[actor_col].astype(str).to_numpy(dtype=object)
-        t = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
-        if len(a) < 2:
+    def gaps_block(g: pd.DataFrame) -> pd.DataFrame:
+        """Adjacent-turn gaps for EVERY conversation of a hash
+        partition at once (per-conv callables cost ~1 pandas frame per
+        conversation; one lexsort + boundary mask replaces them)."""
+        if not len(g) or ts_col not in g.columns:
             return pd.DataFrame(
                 {"prev_role": pd.Series([], dtype=object),
                  "role": pd.Series([], dtype=object),
                  "gap": pd.Series([], dtype=np.int64)}
             )
+        cvc, _cv_u = pd.factorize(
+            g[conv_col].astype(str).to_numpy(dtype=object), sort=False
+        )
+        idx = g[idx_col].to_numpy(dtype=np.int64)
+        order = np.lexsort((idx, cvc))
+        a = g[actor_col].astype(str).to_numpy(dtype=object)[order]
+        t = (
+            g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        )[order]
+        same = cvc[order][1:] == cvc[order][:-1]
         return pd.DataFrame(
-            {"prev_role": a[:-1], "role": a[1:],
-             "gap": (t[1:] - t[:-1]).astype(np.int64)}
+            {"prev_role": a[:-1][same], "role": a[1:][same],
+             "gap": (t[1:] - t[:-1])[same].astype(np.int64)}
         )
 
-    def summarize(g: pd.DataFrame) -> pd.DataFrame:
+    def summarize_block(g: pd.DataFrame) -> pd.DataFrame:
+        """All groups of one hash partition, vectorized at once — at
+        |actors|² output pairs a per-group pandas callable dominates
+        wall time (measured 25 s → ~3 s at sf0.1)."""
+        cols = ["n", "min_us", "max_us"] + [
+            f"p{str(q)[2:]}" for q in percentiles
+        ]
         if not len(g) or "gap" not in g.columns:
-            cols = ["n", "min_us", "max_us"] + [
-                f"p{str(q)[2:]}" for q in percentiles
-            ]
             return pd.DataFrame(
                 {"prev_role": pd.Series([], dtype=object),
                  "role": pd.Series([], dtype=object),
                  **{c: pd.Series([], dtype=np.int64) for c in cols}}
             )
-        v = np.sort(g["gap"].to_numpy(dtype=np.int64), kind="mergesort")
-        n = len(v)
+        # positional factorize per column (Series + Series would align
+        # on the block's duplicated indexes and corrupt the pair keys)
+        pvc, pv_u = pd.factorize(
+            g["prev_role"].astype(str).to_numpy(dtype=object), sort=True
+        )
+        rlc, rl_u = pd.factorize(
+            g["role"].astype(str).to_numpy(dtype=object), sort=True
+        )
+        gap = g["gap"].to_numpy(dtype=np.int64)
+        order = np.lexsort((gap, rlc, pvc))
+        key_s = pvc[order] * np.int64(len(rl_u)) + rlc[order]
+        gap_s = gap[order]
+        starts = np.flatnonzero(np.r_[True, key_s[1:] != key_s[:-1]])
+        counts = np.diff(np.r_[starts, len(key_s)])
+        pv_u = np.asarray(pv_u, dtype=object)
+        rl_u = np.asarray(rl_u, dtype=object)
         row = {
-            "prev_role": [g["prev_role"].iloc[0]],
-            "role": [g["role"].iloc[0]],
-            "n": np.array([n], dtype=np.int64),
-            "min_us": np.array([v[0]], dtype=np.int64),
-            "max_us": np.array([v[-1]], dtype=np.int64),
+            "prev_role": pv_u[key_s[starts] // len(rl_u)],
+            "role": rl_u[key_s[starts] % len(rl_u)],
+            "n": counts.astype(np.int64),
+            "min_us": gap_s[starts],
+            "max_us": gap_s[starts + counts - 1],
         }
         for q in percentiles:
-            r = min(max(int(np.ceil(q * n)) - 1, 0), n - 1)
-            row[f"p{str(q)[2:]}"] = np.array([v[r]], dtype=np.int64)
+            r = np.minimum(
+                np.maximum(np.ceil(q * counts).astype(np.int64) - 1, 0),
+                counts - 1,
+            )
+            row[f"p{str(q)[2:]}"] = gap_s[starts + r]
         return pd.DataFrame(row)
 
-    rows = turns.groupby(conv_col).map_groups(gaps, batch_format="pandas")
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        from graph_data_science_ray.pipelines.agg import _stable_row_hash
+
+        df = df.copy()
+        df["__part"] = (
+            _stable_row_hash(df, ["prev_role", "role"]) % num_parts
+        ).astype(np.int64)
+        return df
+
+    def conv_tag(df: pd.DataFrame) -> pd.DataFrame:
+        from graph_data_science_ray.pipelines.agg import _stable_row_hash
+
+        df = df.copy()
+        df["__cpart"] = (
+            _stable_row_hash(df, [conv_col]) % num_parts
+        ).astype(np.int64)
+        return df
+
+    rows = (
+        turns.map_batches(conv_tag, batch_format="pandas")
+        .groupby("__cpart")
+        .map_groups(gaps_block, batch_format="pandas")
+    )
     out = (
-        rows.groupby(["prev_role", "role"])
-        .map_groups(summarize, batch_format="pandas")
+        rows.map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(summarize_block, batch_format="pandas")
         .to_pandas()
     )
+    if "__part" in out.columns:
+        out = out.drop(columns=["__part"])
     if "prev_role" not in out.columns:
         cols = ["n", "min_us", "max_us"] + [
             f"p{str(q)[2:]}" for q in percentiles
