@@ -5476,6 +5476,54 @@ def _q_actor_jaccard(sf_dir: str) -> pd.DataFrame:
     return actor_jaccard(ts)
 
 
+def _q_condensation(sf_dir: str) -> pd.DataFrame:
+    """SCC condensation DAG: distinct component-to-component edges after
+    contracting strongly connected components — the standard SCC
+    follow-up (the quotient is acyclic). Labels from the exact min-id
+    SCC; the label map broadcasts (actor-vocabulary-bounded) and edges
+    rekey + dedup distributedly."""
+    import pyarrow as pa
+
+    from graph_data_science_ray.functions.scc import scc
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+
+    b = _bundle(sf_dir)
+    lab = scc(b["enc"], node_count=len(b["idmap"]), idmap=None)
+    comp = lab["component"].to_numpy(dtype=np.int64)
+
+    def rekey(t: pa.Table) -> pa.Table:
+        src = np.asarray(t["src"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        dst = np.asarray(t["dst"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        cs, cd = comp[src], comp[dst]
+        keep = cs != cd
+        return pa.table(
+            {"src_comp": cs[keep], "dst_comp": cd[keep],
+             "one": np.ones(int(keep.sum()), dtype=np.int64)},
+            schema=pa.schema([("src_comp", pa.int64()),
+                              ("dst_comp", pa.int64()),
+                              ("one", pa.int64())]),
+        )
+
+    dag = hash_aggregate(
+        b["enc"].map_batches(rekey, batch_format="pyarrow"),
+        ["src_comp", "dst_comp"], "one", op="min", num_parts=8,
+    ).to_pandas()
+    keys = b["idmap"].keys
+    if "src_comp" not in dag.columns or not len(dag):
+        return pd.DataFrame({"src_comp": pd.Series([], dtype=object),
+                             "dst_comp": pd.Series([], dtype=object)})
+    return (
+        pd.DataFrame(
+            {"src_comp": _strip(keys[dag["src_comp"].to_numpy(np.int64)]),
+             "dst_comp": _strip(keys[dag["dst_comp"].to_numpy(np.int64)])}
+        )
+        .sort_values(["src_comp", "dst_comp"])
+        .reset_index(drop=True)
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: events → edge table → weighted
     PageRank; returns (node, score) rows."""
@@ -5725,6 +5773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "actor_activity": _q_actor_activity,
         "graph_snapshots": _q_graph_snapshots,
         "actor_jaccard": _q_actor_jaccard,
+        "condensation": _q_condensation,
     }
 
 
@@ -10722,6 +10771,26 @@ SELECT sh.a, sh.b, sh.shared,
        CAST(sh.shared * 1000000 // (x.nc + y.nc - sh.shared) AS BIGINT)
          AS jaccard_ppm
 FROM sh JOIN sz x ON x.actor = sh.a JOIN sz y ON y.actor = sh.b
+ORDER BY 1, 2
+"""
+
+    sqls["condensation"] = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+adj AS (SELECT DISTINCT src, dst FROM edges),
+fwd AS (
+    SELECT node AS s, node AS v FROM nodes
+    UNION
+    SELECT f.s, a.dst AS v FROM fwd f JOIN adj a ON a.src = f.v
+),
+comp AS (
+    SELECT v1.s AS node, min(v1.v) AS component
+    FROM fwd v1 JOIN fwd v2 ON v2.s = v1.v AND v2.v = v1.s
+    GROUP BY v1.s
+)
+SELECT DISTINCT ca.component AS src_comp, cb.component AS dst_comp
+FROM adj e
+JOIN comp ca ON ca.node = e.src JOIN comp cb ON cb.node = e.dst
+WHERE ca.component <> cb.component
 ORDER BY 1, 2
 """
 
