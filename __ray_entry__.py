@@ -4909,7 +4909,8 @@ def _q_maximal_matching(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def _matching_cte_parts(prefix: str = "", source: str | None = None) -> list:
+def _matching_cte_parts(prefix: str = "", source: str | None = None,
+                        weighted: bool = False) -> list:
     """Matching-round CTE chain, name-prefixed so a second level can run
     inside the same WITH (the multilevel coarsening oracle). ``source``
     overrides the canonical integer pair set; the default derives it
@@ -4929,8 +4930,16 @@ def _matching_cte_parts(prefix: str = "", source: str | None = None) -> list:
   JOIN ids a ON a.node = e.src JOIN ids b ON b.node = e.dst
   WHERE a.id < b.id"""
     parts.append(f"ce{P} AS MATERIALIZED ({source})")
+    if weighted:
+        u40 = ("CAST(CAST(('0x' || substr(md5('mm:' || CAST(src AS VARCHAR)"
+               " || ':' || CAST(dst AS VARCHAR)), 1, 10)) AS UBIGINT)"
+               " AS BIGINT)")
+        pri = (f"(1048576 - least(CAST(w AS BIGINT), 1048575))"
+               f" * 1099511627776 + {u40}")
+    else:
+        pri = u48
     parts.append(
-        f"e{P}_0 AS MATERIALIZED (SELECT src, dst, {u48} AS pri FROM ce{P})"
+        f"e{P}_0 AS MATERIALIZED (SELECT src, dst, {pri} AS pri FROM ce{P})"
     )
     for r in range(_MM_ROUNDS):
         parts.append(
@@ -5524,6 +5533,45 @@ def _q_condensation(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_hem_matching(sf_dir: str) -> pd.DataFrame:
+    """Heavy-edge matching (METIS HEM visit rule made deterministic):
+    priorities order by weight desc then md5 — heaviest edges matched
+    first."""
+    from graph_data_science_ray.functions.matching import maximal_matching
+
+    b = _bundle(sf_dir)
+    out = maximal_matching(b["sym"], rounds=_MM_ROUNDS, num_parts=8,
+                           idmap=b["idmap"], weighted=True)
+    return (
+        pd.DataFrame(
+            {"src": _strip(out["src"].to_numpy(dtype=object)),
+             "dst": _strip(out["dst"].to_numpy(dtype=object))}
+        )
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+
+
+def _hem_oracle_sql() -> str:
+    src = """
+  SELECT a.id AS src, b.id AS dst, CAST(e.w AS BIGINT) AS w
+  FROM undw e
+  JOIN ids a ON a.node = e.src JOIN ids b ON b.node = e.dst
+  WHERE a.id < b.id"""
+    parts = [
+        "ids AS (SELECT node, CAST(dense_rank() OVER (ORDER BY node) - 1"
+        " AS BIGINT) AS id FROM nodes)",
+    ] + _matching_cte_parts(prefix="w", source=src, weighted=True)
+    return (
+        f"WITH {_GRAPH_CTE}, {_UND_CTE},\n"
+        + ",\n".join(parts)
+        + """
+SELECT a.node AS src, b.node AS dst
+FROM allmw m JOIN ids a ON a.id = m.src JOIN ids b ON b.id = m.dst
+ORDER BY 1, 2"""
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: events → edge table → weighted
     PageRank; returns (node, score) rows."""
@@ -5774,6 +5822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_snapshots": _q_graph_snapshots,
         "actor_jaccard": _q_actor_jaccard,
         "condensation": _q_condensation,
+        "hem_matching": _q_hem_matching,
     }
 
 
@@ -10793,5 +10842,7 @@ JOIN comp ca ON ca.node = e.src JOIN comp cb ON cb.node = e.dst
 WHERE ca.component <> cb.component
 ORDER BY 1, 2
 """
+
+    sqls["hem_matching"] = _hem_oracle_sql()
 
     return sqls

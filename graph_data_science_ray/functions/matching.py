@@ -48,11 +48,36 @@ def _priority(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
     )
 
 
+_W_CAP = (1 << 20) - 1
+
+
+def _priority_weighted(
+    src: np.ndarray, dst: np.ndarray, w: np.ndarray
+) -> np.ndarray:
+    """Heavy-edge priorities: smaller = heavier, md5 tiebreak.
+
+    ``pri = (2^20 − min(w, 2^20−1)) · 2^40 + u40(md5("mm:<i>:<j>"))`` —
+    a single int64 total order in which the heaviest edge always wins
+    (the METIS heavy-edge-matching visit rule made deterministic);
+    weights above the 2^20−1 cap tie at the top band and fall back to
+    the hash order."""
+    wi = np.minimum(w.astype(np.int64), _W_CAP)
+    h = np.array(
+        [
+            int(hashlib.md5(f"mm:{i}:{j}".encode()).hexdigest()[:10], 16)
+            for i, j in zip(src, dst)
+        ],
+        dtype=np.int64,
+    )
+    return ((1 << 20) - wi) * (1 << 40) + h
+
+
 def maximal_matching(
     sym_edges: rd.Dataset,
     rounds: int = 4,
     num_parts: int = 32,
     idmap=None,
+    weighted: bool = False,
 ) -> pd.DataFrame:
     """Greedy maximal matching over the symmetrized encoded edge table.
 
@@ -71,9 +96,17 @@ def maximal_matching(
         s = np.asarray(t["src"].to_numpy(zero_copy_only=False), dtype=np.int64)
         d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), dtype=np.int64)
         keep = s < d
-        s, d = s[keep], d[keep]
+        if weighted:
+            w = np.asarray(
+                t["weight"].to_numpy(zero_copy_only=False), dtype=np.float64
+            )[keep]
+            s, d = s[keep], d[keep]
+            pri = _priority_weighted(s, d, w)
+        else:
+            s, d = s[keep], d[keep]
+            pri = _priority(s, d)
         return pa.table(
-            {"src": s, "dst": d, "pri": _priority(s, d)}, schema=_EDGE_SCHEMA
+            {"src": s, "dst": d, "pri": pri}, schema=_EDGE_SCHEMA
         )
 
     edges = materialize_bounded(
@@ -200,6 +233,7 @@ def coarsen_graph(
     sym_edges: rd.Dataset,
     rounds: int = 4,
     num_parts: int = 32,
+    weighted: bool = False,
 ) -> tuple[rd.Dataset, pd.DataFrame]:
     """Matching-based graph coarsening — the multilevel-method primitive.
 
@@ -225,7 +259,8 @@ def coarsen_graph(
 
     from graph_data_science_ray.pipelines.agg import hash_aggregate
 
-    matched = maximal_matching(sym_edges, rounds=rounds, num_parts=num_parts)
+    matched = maximal_matching(sym_edges, rounds=rounds,
+                               num_parts=num_parts, weighted=weighted)
     rep = dict(zip(matched["dst"].astype(np.int64),
                    matched["src"].astype(np.int64)))
 

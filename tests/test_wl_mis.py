@@ -369,3 +369,49 @@ def test_densest_subgraph_profile_brute(graph_from_edges):
     # density never decreases until the peel empties (on this fixture the
     # triangle survives round 0)
     assert want[0][1] > want[-1][1] or len(want) == 1
+
+
+def test_hem_matching_prefers_heavy_edges(graph_from_edges):
+    import hashlib as _h
+
+    from graph_data_science_ray.functions.matching import (
+        _W_CAP, maximal_matching)
+
+    # duplicate edges raise derived weights: (0,1) appears 3x -> weight 6
+    # after symmetrize (3 forward + 3 reverse summed)
+    edges = [(0, 1), (0, 1), (0, 1), (1, 2), (2, 0), (3, 4)]
+    _, gu, idmap, enc, sym = graph_from_edges(edges)
+    got = maximal_matching(sym, rounds=4, weighted=True)
+    pairs = sorted(zip(got["src"].astype(int), got["dst"].astype(int)))
+    # brute force with the same priority formula
+    df = sym.to_pandas()
+    agg = {}
+    for st, dt, w in zip(df["src"].astype(int), df["dst"].astype(int),
+                         df["weight"].astype(float)):
+        if st < dt:
+            agg[(st, dt)] = w
+
+    def pri(i, j, w):
+        h = int(_h.md5(f"mm:{i}:{j}".encode()).hexdigest()[:10], 16)
+        return ((1 << 20) - min(int(w), _W_CAP)) * (1 << 40) + h
+
+    edges_p = {e: pri(*e, w) for e, w in agg.items()}
+    matched = []
+    for _ in range(4):
+        if not edges_p:
+            break
+        mn = {}
+        for (i, j), p in edges_p.items():
+            mn[i] = min(mn.get(i, p), p)
+            mn[j] = min(mn.get(j, p), p)
+        sel = [(i, j) for (i, j), p in edges_p.items()
+               if p == mn[i] and p == mn[j]]
+        if not sel:
+            break
+        matched.extend(sel)
+        dead = {x for e in sel for x in e}
+        edges_p = {e: p for e, p in edges_p.items()
+                   if e[0] not in dead and e[1] not in dead}
+    assert pairs == sorted(matched)
+    # the heavy (0,1) edge must be in the matching (beats its neighbors)
+    assert (0, 1) in pairs
