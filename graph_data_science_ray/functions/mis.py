@@ -126,3 +126,19 @@ def maximal_independent_set(graph, rounds: int = 8) -> pd.DataFrame:
         else np.arange(graph.node_count, dtype=np.int64)
     )
     return pd.DataFrame({"node": node, "status": status})
+
+
+def maximal_independent_set_ds(graph, rounds: int = 8):
+    """Dataset-returning variant of :func:`maximal_independent_set` —
+    per-partition ``(node, status)`` blocks, no driver gather."""
+    if graph.directed:
+        raise ValueError("maximal_independent_set requires an undirected projection")
+    sel_engine = Pregel(graph, _SelectStep())
+    deact_engine = Pregel(graph, _DeactivateStep())
+    states = sel_engine.init_states()
+    for _ in range(int(rounds)):
+        states, _s = sel_engine.step(states)
+        states, d = deact_engine.step(states)
+        if d.get("undecided", 1) == 0:
+            break
+    return sel_engine.gather_ds(states, "status")

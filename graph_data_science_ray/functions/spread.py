@@ -90,3 +90,20 @@ def seeded_propagation(
         else np.arange(graph.node_count, dtype=np.int64)
     )
     return pd.DataFrame({"node": node, "score": x})
+
+
+def seeded_propagation_ds(
+    graph,
+    rounds: int = 4,
+    scale: int = 1 << 20,
+    seed_modulus: int = 17,
+):
+    """Dataset-returning variant of :func:`seeded_propagation` —
+    per-partition ``(node, score)`` blocks, no driver gather."""
+    if graph.directed:
+        raise ValueError("seeded_propagation requires an undirected projection")
+    engine = Pregel(graph, _SeededSpread(scale, seed_modulus))
+    states = engine.init_states()
+    for _ in range(int(rounds)):
+        states, _s = engine.step(states)
+    return engine.gather_ds(states, "x", out_col="score")

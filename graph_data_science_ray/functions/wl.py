@@ -132,3 +132,18 @@ def wl_partition_sizes(graph, rounds: int = 3) -> pd.DataFrame:
     df = wl_colors(graph, rounds=rounds)
     out = df.groupby("color", as_index=False).agg(n=("node", "size"))
     return out.sort_values("color").reset_index(drop=True)
+
+
+def wl_colors_ds(graph, rounds: int = 3):
+    """Dataset-returning variant of :func:`wl_colors` — per-partition
+    ``(node, color)`` Arrow blocks built in the object store (dense ids;
+    the 10^10-node result contract, ``Pregel.gather_ds``)."""
+    if graph.directed:
+        raise ValueError("wl_colors requires an undirected projection")
+    from graph_data_science_ray.state.pregel import Pregel as _P
+
+    engine = _P(graph, _WLComputation())
+    states = engine.init_states()
+    for _ in range(int(rounds)):
+        states, _stats = engine.step(states)
+    return engine.gather_ds(states, "color")

@@ -415,3 +415,24 @@ def test_hem_matching_prefers_heavy_edges(graph_from_edges):
     assert pairs == sorted(matched)
     # the heavy (0,1) edge must be in the matching (beats its neighbors)
     assert (0, 1) in pairs
+
+
+def test_ds_variants_match_wrappers(graph_from_edges):
+    from graph_data_science_ray.functions.mis import (
+        maximal_independent_set, maximal_independent_set_ds)
+    from graph_data_science_ray.functions.spread import (
+        seeded_propagation, seeded_propagation_ds)
+    from graph_data_science_ray.functions.wl import wl_colors, wl_colors_ds
+
+    _, gu, idmap, _, _ = graph_from_edges(EDGES, isolated=[8])
+    wl = wl_colors(gu, rounds=2)
+    wl_d = wl_colors_ds(gu, rounds=2).to_pandas().sort_values("node")
+    assert list(wl_d["color"].astype(int)) == list(wl["color"].astype(int))
+    mis = maximal_independent_set(gu, rounds=6)
+    mis_d = (maximal_independent_set_ds(gu, rounds=6)
+             .to_pandas().sort_values("node"))
+    assert list(mis_d["status"].astype(int)) == list(mis["status"].astype(int))
+    sp = seeded_propagation(gu, rounds=3)
+    sp_d = (seeded_propagation_ds(gu, rounds=3)
+            .to_pandas().sort_values("node"))
+    assert list(sp_d["score"].astype(int)) == list(sp["score"].astype(int))
