@@ -5572,6 +5572,76 @@ ORDER BY 1, 2"""
     )
 
 
+def _q_blocklist(sf_dir: str) -> pd.DataFrame:
+    """C4-style token-blocklist flags over the document corpus."""
+    from graph_data_science_ray.stages.quality import blocklist_flags
+
+    out = blocklist_flags(_docs(sf_dir)).to_pandas()
+    for c in ("doc_id", "hits", "blocked"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_coarsen_hem(sf_dir: str) -> pd.DataFrame:
+    """Heavy-edge-contraction coarsening (weighted matching mode) —
+    the true METIS HEM coarsen level, oracled end to end."""
+    from graph_data_science_ray.functions.matching import coarsen_graph
+
+    b = _bundle(sf_dir)
+    coarse, _m = coarsen_graph(b["sym"], rounds=_MM_ROUNDS, num_parts=8,
+                               weighted=True)
+    df = coarse.to_pandas()
+    keys = b["idmap"].keys
+    return (
+        pd.DataFrame(
+            {"src": _strip(keys[df["src"].to_numpy(dtype=np.int64)]),
+             "dst": _strip(keys[df["dst"].to_numpy(dtype=np.int64)]),
+             "weight": df["weight"].astype(np.float64)}
+        )
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+
+
+def _coarsen_hem_oracle_sql() -> str:
+    src = """
+  SELECT a.id AS src, b.id AS dst, CAST(e.w AS BIGINT) AS w
+  FROM undw e
+  JOIN ids a ON a.node = e.src JOIN ids b ON b.node = e.dst
+  WHERE a.id < b.id"""
+    parts = [
+        "ids AS (SELECT node, CAST(dense_rank() OVER (ORDER BY node) - 1"
+        " AS BIGINT) AS id FROM nodes)",
+    ] + _matching_cte_parts(prefix="w", source=src, weighted=True)
+    parts.append(
+        """repw AS (
+  SELECT src AS node, src AS rep FROM allmw
+  UNION ALL SELECT dst AS node, src AS rep FROM allmw)"""
+    )
+    parts.append(
+        """nmapw AS (
+  SELECT i.id AS node, coalesce(r.rep, i.id) AS rep
+  FROM ids i LEFT JOIN repw r ON r.node = i.id)"""
+    )
+    parts.append(
+        """coarsew AS (
+  SELECT ms.rep AS rs, md.rep AS rd, sum(e.w) AS w
+  FROM undw e
+  JOIN ids a ON a.node = e.src JOIN ids b ON b.node = e.dst
+  JOIN nmapw ms ON ms.node = a.id JOIN nmapw md ON md.node = b.id
+  WHERE ms.rep <> md.rep
+  GROUP BY 1, 2)"""
+    )
+    return (
+        f"WITH {_GRAPH_CTE}, {_UND_CTE},\n"
+        + ",\n".join(parts)
+        + """
+SELECT x.node AS src, y.node AS dst, CAST(c.w AS DOUBLE) AS weight
+FROM coarsew c JOIN ids x ON x.id = c.rs JOIN ids y ON y.id = c.rd
+ORDER BY 1, 2"""
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: events → edge table → weighted
     PageRank; returns (node, score) rows."""
@@ -5823,6 +5893,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "actor_jaccard": _q_actor_jaccard,
         "condensation": _q_condensation,
         "hem_matching": _q_hem_matching,
+        "coarsen_hem": _q_coarsen_hem,
+        "blocklist": _q_blocklist,
     }
 
 
@@ -10844,5 +10916,24 @@ ORDER BY 1, 2
 """
 
     sqls["hem_matching"] = _hem_oracle_sql()
+
+    sqls["blocklist"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(
+             list_transform(
+                 regexp_extract_all(coalesce(text, ''), '\S+'),
+                 x -> lower(x)),
+             x -> x IN ('slow', 'dup', 'stale')) AS hits_l
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(hits_l) AS BIGINT) AS hits,
+       CAST(CASE WHEN len(hits_l) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS blocked
+FROM t ORDER BY doc_id
+"""
+
+    sqls["coarsen_hem"] = _coarsen_hem_oracle_sql()
 
     return sqls

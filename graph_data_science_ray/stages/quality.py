@@ -256,3 +256,38 @@ def readability(docs: rd.Dataset, batch_size: int = 4096) -> rd.Dataset:
     return docs.map_batches(
         per_batch, batch_format="pandas", batch_size=batch_size
     )
+
+
+def blocklist_flags(
+    docs: rd.Dataset,
+    blocklist: tuple = ("slow", "dup", "stale"),
+    text_col: str = "text",
+    batch_size: int = 4096,
+) -> rd.Dataset:
+    """Token-blocklist filter: ``(doc_id, hits, blocked)``.
+
+    The C4 "bad words" rule shape (Raffel et al. 2020 drop any page
+    containing a blocklisted word): ``hits`` counts blocklisted tokens
+    over the repo-wide lowercased ``\\S+`` token stream (whole-token
+    match, not substring), ``blocked = hits > 0``.  Row-local and
+    vectorized; the list is a task-captured constant (broadcast once)."""
+    import re
+
+    word = re.compile(r"\S+")
+    bset = {b.lower() for b in blocklist}
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        hits = np.array(
+            [
+                sum(1 for w in word.findall(t) if w.lower() in bset)
+                for t in df[text_col].fillna("")
+            ],
+            dtype=np.int64,
+        )
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype(np.int64), "hits": hits,
+             "blocked": (hits > 0).astype(np.int64)}
+        )
+
+    return docs.map_batches(per_batch, batch_format="pandas",
+                            batch_size=batch_size)
