@@ -5642,6 +5642,26 @@ ORDER BY 1, 2"""
     )
 
 
+def _q_activity_decay(sf_dir: str) -> pd.DataFrame:
+    """Exact integer recency-decay engagement score per actor."""
+    import graph_data_science_ray as gdsr
+
+    from graph_data_science_ray.stages.trajectory import activity_decay
+
+    ts = gdsr.events_as_transcripts(sf_dir)
+    return activity_decay(ts)
+
+
+def _q_actor_lift(sf_dir: str) -> pd.DataFrame:
+    """Association-rule lift over conversation casts (integer ppm)."""
+    import graph_data_science_ray as gdsr
+
+    from graph_data_science_ray.stages.trajectory import actor_lift
+
+    ts = gdsr.events_as_transcripts(sf_dir)
+    return actor_lift(ts)
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: events → edge table → weighted
     PageRank; returns (node, score) rows."""
@@ -5895,6 +5915,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hem_matching": _q_hem_matching,
         "coarsen_hem": _q_coarsen_hem,
         "blocklist": _q_blocklist,
+        "activity_decay": _q_activity_decay,
+        "actor_lift": _q_actor_lift,
     }
 
 
@@ -10935,5 +10957,42 @@ FROM t ORDER BY doc_id
 """
 
     sqls["coarsen_hem"] = _coarsen_hem_oracle_sql()
+
+    sqls["activity_decay"] = r"""
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS role,
+         CAST(epoch_us(ts) AS BIGINT) AS t
+  FROM events
+),
+mx AS (SELECT max(t) AS tmax FROM t),
+c AS (
+  SELECT role,
+         1048576 >> CAST(least((m.tmax - t.t) // 86400000000, 63)
+                         AS BIGINT) AS contrib
+  FROM t, mx m
+)
+SELECT role, CAST(sum(contrib) AS BIGINT) AS score
+FROM c GROUP BY role ORDER BY role
+"""
+
+    sqls["actor_lift"] = r"""
+WITH t AS (
+  SELECT event_type AS conv, CAST(user_id AS VARCHAR) AS actor
+  FROM events
+),
+d AS (SELECT DISTINCT conv, actor FROM t),
+tot AS (SELECT CAST(count(DISTINCT conv) AS BIGINT) AS n FROM t),
+sz AS (SELECT actor, CAST(count(*) AS BIGINT) AS nc FROM d GROUP BY 1),
+sh AS (
+  SELECT a.actor AS a, b.actor AS b, CAST(count(*) AS BIGINT) AS shared
+  FROM d a JOIN d b ON a.conv = b.conv AND a.actor < b.actor
+  GROUP BY 1, 2
+)
+SELECT sh.a, sh.b, sh.shared,
+       CAST(sh.shared * tot.n * 1000000 // (x.nc * y.nc) AS BIGINT)
+         AS lift_ppm
+FROM sh JOIN sz x ON x.actor = sh.a JOIN sz y ON y.actor = sh.b, tot
+ORDER BY 1, 2
+"""
 
     return sqls

@@ -1554,3 +1554,119 @@ def actor_jaccard(
          "jaccard_ppm": (n * 1_000_000) // (sa + sb - n)}
     )
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def activity_decay(
+    turns: rd.Dataset,
+    half_life_days: int = 1,
+    scale: int = 1 << 20,
+    actor_col: str = "role",
+    ts_col: str = "ts",
+    num_parts: int = 64,
+) -> pd.DataFrame:
+    """Recency-weighted activity score with EXACT integer decay.
+
+    Each turn contributes ``scale >> (age_days // half_life_days)``
+    (capped at 63 shifts) where age is measured from the corpus-max
+    timestamp in whole days — the exponential-decay engagement score
+    with the float ``2^(-age/h)`` replaced by a bit shift so every
+    contribution and sum is an exact int64 (order-independent,
+    SQL-verbatim).  Returns ``(role, score)``.
+
+    Two passes: a scalar distributed max(ts), then one actor-hash
+    aggregate of map-side partial sums.
+    """
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+
+    mx = turns.select_columns([ts_col]).max(ts_col)
+    # Dataset.max returns a pandas Timestamp for timestamp columns
+    tmax = int(pd.Timestamp(mx).value // 1000)  # ns -> µs
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        age = (tmax - t) // 86_400_000_000 // int(half_life_days)
+        contrib = int(scale) >> np.minimum(age, 63).astype(np.int64)
+        g = pd.DataFrame(
+            {"role": df[actor_col].astype(str), "score": contrib}
+        ).groupby("role", sort=False).agg(score=("score", "sum"))
+        return g.reset_index()
+
+    out = hash_aggregate(
+        turns.map_batches(partial, batch_format="pandas"),
+        ["role"], "score", op="sum", num_parts=num_parts,
+    ).to_pandas()
+    out["score"] = out["score"].astype(np.int64)
+    return out.sort_values("role").reset_index(drop=True)
+
+
+def actor_lift(
+    turns: rd.Dataset,
+    conv_col: str = "conv_id",
+    actor_col: str = "role",
+    num_parts: int = 64,
+) -> pd.DataFrame:
+    """Co-participation affinity lift: ``(a, b, shared, lift_ppm)``.
+
+    ``lift = P(A∩B) / (P(A)·P(B))`` over conversations, in exact
+    integer ppm: ``lift_ppm = shared · N · 10⁶ // (n_A · n_B)`` with N
+    the total conversation count — the association-rule lift of the
+    market-basket literature applied to conversation casts (> 10⁶ means
+    the pair co-occurs more than independence predicts).  Composes
+    :func:`co_participation` with per-actor distinct sizes.
+    """
+    from graph_data_science_ray.pipelines.agg import hash_aggregate
+
+    shared = co_participation(
+        turns, conv_col=conv_col, actor_col=actor_col, num_parts=num_parts
+    ).to_pandas()
+
+    def dconv(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"conv": df[conv_col].astype(str)}).drop_duplicates()
+        g["one"] = np.int64(1)
+        return g
+
+    total = int(
+        hash_aggregate(
+            turns.map_batches(dconv, batch_format="pandas"),
+            ["conv"], "one", op="min", num_parts=num_parts,
+        ).count()
+    )
+
+    def sizes(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {"role": df[actor_col].astype(str),
+             "conv": df[conv_col].astype(str)}
+        ).drop_duplicates()
+        g["one"] = np.int64(1)
+        return g
+
+    per = hash_aggregate(
+        turns.map_batches(sizes, batch_format="pandas"),
+        ["role", "conv"], "one", op="min", num_parts=num_parts,
+    )
+
+    def count_convs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("role", sort=False).size().reset_index(name="nc")
+        g["nc"] = g["nc"].astype(np.int64)
+        return g
+
+    sz = hash_aggregate(
+        per.map_batches(count_convs, batch_format="pandas"),
+        ["role"], "nc", op="sum", num_parts=num_parts,
+    ).to_pandas()
+    nc = dict(zip(sz["role"], sz["nc"].astype(np.int64)))
+    if "a" not in shared.columns or not len(shared):
+        return pd.DataFrame(
+            {"a": pd.Series([], dtype=object),
+             "b": pd.Series([], dtype=object),
+             "shared": pd.Series([], dtype=np.int64),
+             "lift_ppm": pd.Series([], dtype=np.int64)}
+        )
+    n = shared["n"].to_numpy(dtype=np.int64)
+    sa = shared["a"].map(nc).to_numpy(dtype=np.int64)
+    sb = shared["b"].map(nc).to_numpy(dtype=np.int64)
+    out = pd.DataFrame(
+        {"a": shared["a"], "b": shared["b"], "shared": n,
+         "lift_ppm": (n * np.int64(total) * 1_000_000) // (sa * sb)}
+    )
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
