@@ -186,6 +186,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "markov_stationary", "temporal_reachability", "user_paths",
         "dedup_cap", "tool_chains", "transition_latency",
         "robustness_profile",
+        # round-4 (session 9, late): condensation, HEM, censuses,
+        # decay/lift analytics, sketches, language report
+        "knn_hamming", "coarsen_graph", "densest_subgraph",
+        "knn_label_purity", "kmv_registers", "lang_report",
+        "temporal_departure", "actor_activity", "graph_snapshots",
+        "actor_jaccard", "condensation", "hem_matching",
+        "activity_decay", "actor_lift", "blocklist", "topic_segments",
+        "co_participation",
     ):
         timed(name, lambda n=name: q[n](sf_dir))
 
