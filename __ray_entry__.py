@@ -5662,6 +5662,23 @@ def _q_actor_lift(sf_dir: str) -> pd.DataFrame:
     return actor_lift(ts)
 
 
+def _q_graph_fingerprint(sf_dir: str) -> pd.DataFrame:
+    """Isomorphism-invariant graph fingerprint: md5 over the sorted WL
+    color histogram — equal across node relabelings, the standard WL
+    graph-hash readout (one row)."""
+    import hashlib
+
+    from graph_data_science_ray.functions.wl import wl_partition_sizes
+
+    b = _bundle(sf_dir)
+    hist = wl_partition_sizes(b["gu"], rounds=_WL_ROUNDS)
+    blob = ",".join(
+        f"{int(c)}:{int(n)}"
+        for c, n in zip(hist["color"], hist["n"])
+    )
+    return pd.DataFrame({"fingerprint": [hashlib.md5(blob.encode()).hexdigest()]})
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: events → edge table → weighted
     PageRank; returns (node, score) rows."""
@@ -5917,6 +5934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist": _q_blocklist,
         "activity_decay": _q_activity_decay,
         "actor_lift": _q_actor_lift,
+        "graph_fingerprint": _q_graph_fingerprint,
     }
 
 
@@ -10994,5 +11012,14 @@ SELECT sh.a, sh.b, sh.shared,
 FROM sh JOIN sz x ON x.actor = sh.a JOIN sz y ON y.actor = sh.b, tot
 ORDER BY 1, 2
 """
+
+    sqls["graph_fingerprint"] = (
+        "WITH hist AS ("
+        + sqls["wl_cells"].strip().rstrip()
+        + """)
+SELECT md5(string_agg(CAST(color AS VARCHAR) || ':' || CAST(n AS VARCHAR),
+                      ',' ORDER BY color)) AS fingerprint
+FROM hist"""
+    )
 
     return sqls
