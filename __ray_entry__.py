@@ -5679,6 +5679,24 @@ def _q_graph_fingerprint(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"fingerprint": [hashlib.md5(blob.encode()).hexdigest()]})
 
 
+def _q_transitivity(sf_dir: str) -> pd.DataFrame:
+    """Global clustering coefficient (transitivity): 3·triangles·10⁶ //
+    open+closed wedges — the one-row ratio readout of the triad census."""
+    from graph_data_science_ray.functions.graph_stats import triad_census
+
+    b = _bundle(sf_dir)
+    c = triad_census(b["enc"], b["sym"], node_count=len(b["idmap"])).iloc[0]
+    t = int(c["tri_closed"])
+    p2 = 3 * t + int(c["tri_wedge"])
+    return pd.DataFrame(
+        {"triangles": np.array([t], dtype=np.int64),
+         "wedges": np.array([p2], dtype=np.int64),
+         "transitivity_ppm": np.array(
+             [3 * t * 1_000_000 // p2 if p2 else 0], dtype=np.int64
+         )}
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: events → edge table → weighted
     PageRank; returns (node, score) rows."""
@@ -5935,6 +5953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "activity_decay": _q_activity_decay,
         "actor_lift": _q_actor_lift,
         "graph_fingerprint": _q_graph_fingerprint,
+        "transitivity": _q_transitivity,
     }
 
 
@@ -11021,5 +11040,21 @@ SELECT md5(string_agg(CAST(color AS VARCHAR) || ':' || CAST(n AS VARCHAR),
                       ',' ORDER BY color)) AS fingerprint
 FROM hist"""
     )
+
+    sqls["transitivity"] = f"""
+WITH {_GRAPH_CTE}, {_UND_CTE},
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+        FROM undw GROUP BY 1),
+p2 AS (SELECT CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT) AS w
+       FROM deg),
+tri AS (SELECT CAST(count(*) // 6 AS BIGINT) AS t
+        FROM undw e1
+        JOIN undw e2 ON e2.src = e1.dst
+        JOIN undw e3 ON e3.src = e2.dst AND e3.dst = e1.src)
+SELECT t.t AS triangles, p.w AS wedges,
+       CAST(CASE WHEN p.w > 0 THEN 3 * t.t * 1000000 // p.w
+                 ELSE 0 END AS BIGINT) AS transitivity_ppm
+FROM tri t, p2 p
+"""
 
     return sqls
