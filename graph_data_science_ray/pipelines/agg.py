@@ -60,6 +60,41 @@ def hash_aggregate(
     )
 
 
+def hash_aggregate_multi(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    specs: dict[str, tuple[str, str]],
+    num_parts: int = 64,
+) -> rd.Dataset:
+    """Multiple aggregates over the same keys in ONE pass.
+
+    ``specs`` maps ``out_col -> (value_col, op)`` with ``op`` one of the
+    pandas groupby reductions (``sum``/``min``/``max``/``size``/...).
+    Equivalent to N ``hash_aggregate`` calls stitched with N-1 joins,
+    but runs the upstream lineage once and shuffles once — the
+    single-pass combine the n/sum/min/max stat queries need (each extra
+    ``hash_aggregate`` call re-executes the whole un-materialized input
+    lineage).  ``size`` ignores its value column (pass any key col).
+    """
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__part"] = (_stable_row_hash(df, key_cols) % num_parts).astype(np.int64)
+        return df
+
+    named = {out: pd.NamedAgg(column=vc, aggfunc=op) for out, (vc, op) in specs.items()}
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(key_cols, sort=False).agg(**named).reset_index()
+        return out
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
 def hash_join(
     left: rd.Dataset,
     right: rd.Dataset,

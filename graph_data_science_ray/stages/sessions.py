@@ -601,7 +601,7 @@ def props_field_stats(
     """
     import re
 
-    from graph_data_science_ray.pipelines.agg import hash_aggregate
+    from graph_data_science_ray.pipelines.agg import hash_aggregate_multi
 
     pat = re.compile(r'"' + re.escape(field) + r'"\s*:\s*(-?\d+)')
 
@@ -621,27 +621,17 @@ def props_field_stats(
         return out
 
     parts = events.map_batches(partial, batch_format="pandas")
-    a = hash_aggregate(parts, [type_col], "n", op="sum", num_parts=num_parts)
-    b = hash_aggregate(parts, [type_col], "sum_v", op="sum", num_parts=num_parts)
-    c = hash_aggregate(parts, [type_col], "min_v", op="min", num_parts=num_parts)
-    d = hash_aggregate(parts, [type_col], "max_v", op="max", num_parts=num_parts)
-    from graph_data_science_ray.pipelines.agg import hash_join
-    import pyarrow as pa
-
-    s1 = pa.schema([(type_col, pa.string()), ("n", pa.int64())])
-    s2 = pa.schema([(type_col, pa.string()), ("sum_v", pa.int64())])
-    j = hash_join(a, b, on=[type_col], left_schema=s1, right_schema=s2,
-                  num_parts=num_parts)
-    s3 = pa.schema([(type_col, pa.string()), ("n", pa.int64()),
-                    ("sum_v", pa.int64())])
-    s4 = pa.schema([(type_col, pa.string()), ("min_v", pa.int64())])
-    j = hash_join(j, c, on=[type_col], left_schema=s3, right_schema=s4,
-                  num_parts=num_parts)
-    s5 = pa.schema([(type_col, pa.string()), ("n", pa.int64()),
-                    ("sum_v", pa.int64()), ("min_v", pa.int64())])
-    s6 = pa.schema([(type_col, pa.string()), ("max_v", pa.int64())])
-    return hash_join(j, d, on=[type_col], left_schema=s5, right_schema=s6,
-                     num_parts=num_parts)
+    return hash_aggregate_multi(
+        parts,
+        [type_col],
+        {
+            "n": ("n", "sum"),
+            "sum_v": ("sum_v", "sum"),
+            "min_v": ("min_v", "min"),
+            "max_v": ("max_v", "max"),
+        },
+        num_parts=num_parts,
+    )
 
 
 def value_stats_cents(
@@ -656,8 +646,7 @@ def value_stats_cents(
     within float ulps of an integer, so the half-up floor is identical
     on both engine and SQL sides and every aggregate is an exact
     integer sum.  Null values are excluded."""
-    from graph_data_science_ray.pipelines.agg import hash_aggregate, hash_join
-    import pyarrow as pa
+    from graph_data_science_ray.pipelines.agg import hash_aggregate_multi
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         v = df[value_col].astype(np.float64)
@@ -675,27 +664,17 @@ def value_stats_cents(
         return out
 
     parts = events.map_batches(partial, batch_format="pandas")
-    a = hash_aggregate(parts, [type_col], "n", op="sum", num_parts=num_parts)
-    b = hash_aggregate(parts, [type_col], "sum_cents", op="sum",
-                       num_parts=num_parts)
-    c = hash_aggregate(parts, [type_col], "min_cents", op="min",
-                       num_parts=num_parts)
-    d = hash_aggregate(parts, [type_col], "max_cents", op="max",
-                       num_parts=num_parts)
-    s1 = pa.schema([(type_col, pa.string()), ("n", pa.int64())])
-    s2 = pa.schema([(type_col, pa.string()), ("sum_cents", pa.int64())])
-    j = hash_join(a, b, on=[type_col], left_schema=s1, right_schema=s2,
-                  num_parts=num_parts)
-    s3 = pa.schema([(type_col, pa.string()), ("n", pa.int64()),
-                    ("sum_cents", pa.int64())])
-    s4 = pa.schema([(type_col, pa.string()), ("min_cents", pa.int64())])
-    j = hash_join(j, c, on=[type_col], left_schema=s3, right_schema=s4,
-                  num_parts=num_parts)
-    s5 = pa.schema([(type_col, pa.string()), ("n", pa.int64()),
-                    ("sum_cents", pa.int64()), ("min_cents", pa.int64())])
-    s6 = pa.schema([(type_col, pa.string()), ("max_cents", pa.int64())])
-    return hash_join(j, d, on=[type_col], left_schema=s5, right_schema=s6,
-                     num_parts=num_parts)
+    return hash_aggregate_multi(
+        parts,
+        [type_col],
+        {
+            "n": ("n", "sum"),
+            "sum_cents": ("sum_cents", "sum"),
+            "min_cents": ("min_cents", "min"),
+            "max_cents": ("max_cents", "max"),
+        },
+        num_parts=num_parts,
+    )
 
 
 def funnel_transition_stats(
