@@ -15,12 +15,17 @@ canonical dense-id pair (i < j) — fixed, distinct w.h.p. — and the whole
 round trajectory is a pure function of the edge set, replayable verbatim
 by a per-round SQL mirror (the driver oracle checks every matched pair).
 
-Scale shape: edges live in a hash-partitioned Dataset throughout; each
-round is endpoint-explode → per-node min (map-side partials) → two hash
-joins back → filter, and the deactivation is another status join — no
-driver materialization inside the loop, loop-carried state bounded via
-``materialize_bounded``.  Matched pairs (≤ V/2 rows total) are the
-answer-sized output.
+Scale shape (two exchanges per round, no generic joins): the canonical
+edge table is materialized ONCE and never rewritten; each round
+(1) explodes edges to endpoint rows, filtering against the broadcast
+cumulative dead-node set, and hash-partitions by node so each partition
+flags its locally-minimal endpoint rows (one shuffle), then (2) regroups
+the flagged candidates by edge key and keeps edges flagged at BOTH
+endpoints (one aggregate over ≤2·V candidate rows, not 2·E).  Matched
+pairs (≤ V/2 rows total) land on the driver — answer-sized — and their
+endpoints extend the dead set for the next round's explode filter.
+Loop-carried distributed state is zero; the round constant is two
+exchanges instead of the previous two aggregates + four hash joins.
 """
 
 from __future__ import annotations
@@ -61,7 +66,10 @@ def _priority_weighted(
     (the METIS heavy-edge-matching visit rule made deterministic);
     weights above the 2^20−1 cap tie at the top band and fall back to
     the hash order."""
-    wi = np.minimum(w.astype(np.int64), _W_CAP)
+    # np.rint (not astype truncation) so the engine and the oracle's
+    # CAST(w AS BIGINT) share one rounding rule; weights here are
+    # integral counts carried in float64, where both agree exactly.
+    wi = np.minimum(np.rint(w).astype(np.int64), _W_CAP)
     h = np.array(
         [
             int(hashlib.md5(f"mm:{i}:{j}".encode()).hexdigest()[:10], 16)
@@ -86,9 +94,10 @@ def maximal_matching(
     the parallel rounds (post-fixpoint rounds are no-ops; the fixpoint
     is maximal — asserted by ``tests/test_wl_mis.py``).
     """
+    import ray
+
     from graph_data_science_ray.pipelines.agg import (
         hash_aggregate,
-        hash_join,
         materialize_bounded,
     )
 
@@ -113,107 +122,77 @@ def maximal_matching(
         sym_edges.map_batches(canon, batch_format="pyarrow"), num_parts
     )
     matched_parts: list[pd.DataFrame] = []
+    dead = np.array([], dtype=np.int64)  # cumulative matched endpoints
 
-    def ends(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "node": pa.concat_arrays(
-                    [t["src"].combine_chunks(), t["dst"].combine_chunks()]
-                ),
-                "m": pa.concat_arrays(
-                    [t["pri"].combine_chunks(), t["pri"].combine_chunks()]
-                ),
-            },
-            schema=_MIN_SCHEMA,
-        )
+    _END_SCHEMA = pa.schema(
+        [("node", pa.int64()), ("peer", pa.int64()),
+         ("pri", pa.int64()), ("__part", pa.int64())]
+    )
+    _CAND_SCHEMA = pa.schema(
+        [("src", pa.int64()), ("dst", pa.int64()), ("one", pa.int64())]
+    )
 
     for _ in range(int(rounds)):
-        if edges.count() == 0:
-            break
-        mins = hash_aggregate(
-            edges.map_batches(ends, batch_format="pyarrow"),
-            ["node"], "m", op="min", num_parts=num_parts,
-        ).map_batches(lambda t: t, batch_format="pyarrow")
-        mins = materialize_bounded(mins, num_parts)
-        j = hash_join(
-            edges, mins.map_batches(
-                lambda t: t.rename_columns(["node", "msrc"]),
-                batch_format="pyarrow",
-            ),
-            on=["src"], right_on=["node"], num_parts=num_parts,
-            left_schema=_EDGE_SCHEMA,
-            right_schema=pa.schema([("node", pa.int64()), ("msrc", pa.int64())]),
+        dead_ref = ray.put(np.sort(dead))
+
+        def explode(t: pa.Table, _ref=dead_ref) -> pa.Table:
+            # endpoint rows for ACTIVE edges only — the cumulative
+            # dead-node set rides the object store once (broadcast),
+            # not a per-round status join
+            s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.int64)
+            d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.int64)
+            p = np.asarray(t["pri"].to_numpy(zero_copy_only=False), np.int64)
+            dd = ray.get(_ref)
+            if len(dd):
+                alive = ~np.isin(s, dd) & ~np.isin(d, dd)
+                s, d, p = s[alive], d[alive], p[alive]
+            node = np.concatenate([s, d])
+            peer = np.concatenate([d, s])
+            pri = np.concatenate([p, p])
+            return pa.table(
+                {"node": node, "peer": peer, "pri": pri,
+                 "__part": node % np.int64(num_parts)},
+                schema=_END_SCHEMA,
+            )
+
+        def flag(g: pd.DataFrame) -> pd.DataFrame:
+            # per-node min within the node-hash partition; emit only the
+            # locally-minimal candidates (≤ 2 per node), canonicalized to
+            # the edge key — exchange-2 volume is O(V), not O(E)
+            m = g.groupby("node", sort=False)["pri"].transform("min")
+            c = g.loc[g["pri"] == m]
+            n = c["node"].to_numpy(dtype=np.int64)
+            pe = c["peer"].to_numpy(dtype=np.int64)
+            return pd.DataFrame(
+                {"src": np.minimum(n, pe), "dst": np.maximum(n, pe),
+                 "one": np.ones(len(c), dtype=np.int64)}
+            )
+
+        cands = (
+            edges.map_batches(explode, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(flag, batch_format="pandas")
+            .map_batches(
+                lambda df: pa.Table.from_pandas(df, schema=_CAND_SCHEMA,
+                                                preserve_index=False),
+                batch_format="pandas",
+            )
         )
-        j2 = hash_join(
-            j, mins.map_batches(
-                lambda t: t.rename_columns(["node", "mdst"]),
-                batch_format="pyarrow",
-            ),
-            on=["dst"], right_on=["node"], num_parts=num_parts,
-            left_schema=pa.schema(
-                [("src", pa.int64()), ("dst", pa.int64()),
-                 ("pri", pa.int64()), ("msrc", pa.int64())]
-            ),
-            right_schema=pa.schema([("node", pa.int64()), ("mdst", pa.int64())]),
+        pairs = hash_aggregate(
+            cands, ["src", "dst"], "one", op="sum", num_parts=num_parts
         )
-        matched = j2.filter(expr="pri == msrc and pri == mdst").materialize()
-        mdf = matched.to_pandas()  # answer-sized: one matching's pairs
+        mdf = pairs.to_pandas()  # answer-sized: ≤ 2·V candidate groups
         if "src" not in mdf.columns or not len(mdf):
             break
-        matched_parts.append(mdf[["src", "dst"]].astype(np.int64))
-
-        # deactivate: status per endpoint node (1 = dead), edges keep only
-        # rows whose both endpoints stay 0
-        def dead(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "node": pa.concat_arrays(
-                        [t["src"].combine_chunks(), t["dst"].combine_chunks()]
-                    ),
-                    "f": pa.array(np.ones(2 * len(t), dtype=np.int64)),
-                },
-                schema=pa.schema([("node", pa.int64()), ("f", pa.int64())]),
-            )
-
-        def alive(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {"node": t["node"], "f": pa.array(np.zeros(len(t), np.int64))},
-                schema=pa.schema([("node", pa.int64()), ("f", pa.int64())]),
-            )
-
-        status = hash_aggregate(
-            mins.map_batches(alive, batch_format="pyarrow").union(
-                matched.map_batches(dead, batch_format="pyarrow")
-            ),
-            ["node"], "f", op="max", num_parts=num_parts,
-        ).map_batches(lambda t: t, batch_format="pyarrow")
-        e1 = hash_join(
-            edges, status.map_batches(
-                lambda t: t.rename_columns(["node", "ds_"]),
-                batch_format="pyarrow",
-            ),
-            on=["src"], right_on=["node"], num_parts=num_parts,
-            left_schema=_EDGE_SCHEMA,
-            right_schema=pa.schema([("node", pa.int64()), ("ds_", pa.int64())]),
+        mdf = mdf.loc[mdf["one"] == 2]  # min at BOTH endpoints
+        if not len(mdf):
+            break
+        matched_parts.append(
+            mdf[["src", "dst"]].astype(np.int64).reset_index(drop=True)
         )
-        e2 = hash_join(
-            e1, status.map_batches(
-                lambda t: t.rename_columns(["node", "dd_"]),
-                batch_format="pyarrow",
-            ),
-            on=["dst"], right_on=["node"], num_parts=num_parts,
-            left_schema=pa.schema(
-                [("src", pa.int64()), ("dst", pa.int64()),
-                 ("pri", pa.int64()), ("ds_", pa.int64())]
-            ),
-            right_schema=pa.schema([("node", pa.int64()), ("dd_", pa.int64())]),
-        )
-        edges = materialize_bounded(
-            e2.filter(expr="ds_ == 0 and dd_ == 0").map_batches(
-                lambda t: t.select(["src", "dst", "pri"]),
-                batch_format="pyarrow",
-            ),
-            num_parts,
+        dead = np.concatenate(
+            [dead, mdf["src"].to_numpy(dtype=np.int64),
+             mdf["dst"].to_numpy(dtype=np.int64)]
         )
 
     if matched_parts:
