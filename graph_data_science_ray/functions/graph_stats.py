@@ -395,8 +395,10 @@ def triad_census(
     sum_d2 = int(mom["sum_d2"])
     P2 = int(mom["sum_choose2"])
 
+    # wedge-close partitions scale with the caller's num_parts (capped:
+    # triangle_count's per-partition constant dominates tiny inputs)
     _per_node, T = triangle_count(sym, idmap=None, node_count=V,
-                                  num_partitions=8)
+                                  num_partitions=max(2, min(num_parts, 64)))
     T = int(T)
 
     # directed dyad codes (reciprocity machinery)

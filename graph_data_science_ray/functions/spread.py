@@ -38,12 +38,15 @@ class _SeededSpread(PregelComputation):
     reducer = "sum"
     weighted = False
 
-    def __init__(self, scale: int, modulus: int):
+    def __init__(self, scale: int, modulus: int, seed_mask=None):
         self.scale = float(scale)
         self.modulus = int(modulus)
+        self.mask_fn = seed_mask  # optional callable(dense_ids)->bool mask
 
     def _seed_mask(self, block: dict) -> np.ndarray:
         ids = np.arange(block["start"], block["end"], dtype=np.int64)
+        if self.mask_fn is not None:
+            return np.asarray(self.mask_fn(ids), dtype=bool)
         return ids % self.modulus == 0
 
     def init_state(self, block: dict) -> dict:
@@ -69,17 +72,20 @@ def seeded_propagation(
     rounds: int = 4,
     scale: int = 1 << 20,
     seed_modulus: int = 17,
+    seed_mask=None,
 ) -> pd.DataFrame:
     """Clamped seed-set spreading over an **undirected** ``GraphStore``.
 
-    Seeds are nodes whose dense id is ≡ 0 (mod ``seed_modulus``) —
-    deterministic and mirrorable; pass the id stream through a hash
-    upstream for a random-rate seed set. Returns ``(node, score)`` after
-    exactly ``rounds`` supersteps (int64 scores; seeds score ``scale``).
+    Seeds are nodes whose dense id is ≡ 0 (mod ``seed_modulus``), or —
+    when ``seed_mask`` (a pure ``callable(dense_ids: np.ndarray) ->
+    bool mask``, shipped to every partition) is given — the nodes it
+    selects; keep it deterministic so the run stays mirrorable.
+    Returns ``(node, score)`` after exactly ``rounds`` supersteps
+    (int64 scores; seeds score ``scale``).
     """
     if graph.directed:
         raise ValueError("seeded_propagation requires an undirected projection")
-    engine = Pregel(graph, _SeededSpread(scale, seed_modulus))
+    engine = Pregel(graph, _SeededSpread(scale, seed_modulus, seed_mask))
     states = engine.init_states()
     for _ in range(int(rounds)):
         states, _s = engine.step(states)
@@ -97,12 +103,13 @@ def seeded_propagation_ds(
     rounds: int = 4,
     scale: int = 1 << 20,
     seed_modulus: int = 17,
+    seed_mask=None,
 ):
     """Dataset-returning variant of :func:`seeded_propagation` —
     per-partition ``(node, score)`` blocks, no driver gather."""
     if graph.directed:
         raise ValueError("seeded_propagation requires an undirected projection")
-    engine = Pregel(graph, _SeededSpread(scale, seed_modulus))
+    engine = Pregel(graph, _SeededSpread(scale, seed_modulus, seed_mask))
     states = engine.init_states()
     for _ in range(int(rounds)):
         states, _s = engine.step(states)

@@ -90,7 +90,17 @@ class _WLComputation(PregelComputation):
 
     def apply_messages(self, state, acc, received, block):
         c = state["color"].astype(np.int64)
-        m = acc.astype(np.int64)  # exact integer sums (bound documented)
+        # enforce the documented exactness bound (deg_max·2^36 < 2^53):
+        # beyond it the float64 neighbor-hash sum silently loses bits and
+        # the bit-exact SQL-mirror contract breaks — fail loudly instead
+        if len(acc) and float(np.max(acc)) >= float(1 << 53):
+            raise OverflowError(
+                "WL neighbor-hash sum exceeds 2^53 (a hub has degree "
+                ">= 131072): the float64-carried multiset hash is no "
+                "longer exact — split h(c) into two narrower registers "
+                "(two message channels) as documented in functions/wl.py"
+            )
+        m = acc.astype(np.int64)  # exact integer sums (bound enforced above)
         new = _md5_u("wlc:", [f"{cv}:{mv}" for cv, mv in zip(c, m)], _COLOR_HEX)
         state["color"] = new.astype(np.float64)
         state["h"] = _md5_u("wlh:", new, _ELEM_HEX).astype(np.float64)

@@ -1665,8 +1665,15 @@ def actor_lift(
     n = shared["n"].to_numpy(dtype=np.int64)
     sa = shared["a"].map(nc).to_numpy(dtype=np.int64)
     sb = shared["b"].map(nc).to_numpy(dtype=np.int64)
+    # arbitrary-precision Python ints on the answer-sized table: the
+    # n·total·10^6 numerator wraps int64 once shared and total reach ~1e6
+    tot = int(total)
+    lift = np.array(
+        [ni * tot * 1_000_000 // (sai * sbi)
+         for ni, sai, sbi in zip(n.tolist(), sa.tolist(), sb.tolist())],
+        dtype=np.int64,
+    )
     out = pd.DataFrame(
-        {"a": shared["a"], "b": shared["b"], "shared": n,
-         "lift_ppm": (n * np.int64(total) * 1_000_000) // (sa * sb)}
+        {"a": shared["a"], "b": shared["b"], "shared": n, "lift_ppm": lift}
     )
     return out.sort_values(["a", "b"]).reset_index(drop=True)
