@@ -5703,6 +5703,27 @@ def entry() -> Any:
     return _q_pagerank("/root/testdata/sf0.001")
 
 
+def _q_triangle_stream(sf_dir: str) -> pd.DataFrame:
+    """Per-triangle (a,b,c) emission — the reference's TriangleStream
+    (algo/.../triangle/TriangleStream.java:52): each triangle exactly
+    once, corners ascending (dense-id order == sorted-key order)."""
+    from graph_data_science_ray.functions.triangles import triangle_stream
+
+    b = _bundle(sf_dir)
+    df = triangle_stream(b["sym"], idmap=b["idmap"], num_partitions=8).to_pandas()
+    if "a" not in df.columns or not len(df):
+        return pd.DataFrame({"a": pd.Series([], dtype=object),
+                             "b": pd.Series([], dtype=object),
+                             "c": pd.Series([], dtype=object)})
+    keys = _strip(b["idmap"].keys)
+    out = pd.DataFrame(
+        {"a": keys[df["a"].to_numpy(dtype=np.int64)],
+         "b": keys[df["b"].to_numpy(dtype=np.int64)],
+         "c": keys[df["c"].to_numpy(dtype=np.int64)]}
+    )
+    return out.sort_values(["a", "b", "c"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "edges": _q_edges,
@@ -5954,6 +5975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "actor_lift": _q_actor_lift,
         "graph_fingerprint": _q_graph_fingerprint,
         "transitivity": _q_transitivity,
+        "triangle_stream": _q_triangle_stream,
     }
 
 
@@ -6497,6 +6519,9 @@ cnt AS (SELECT node, count(*) AS c FROM corners GROUP BY node)
         "FROM nodes n LEFT JOIN cnt c USING(node)"
     )
     sqls["triangles_global"] = tri_cte + "SELECT CAST(count(*) AS BIGINT) AS triangles FROM tri"
+    sqls["triangle_stream"] = (
+        tri_cte + "SELECT x AS a, y AS b, z AS c FROM tri ORDER BY 1, 2, 3"
+    )
 
     sqls["lcc"] = f"""
 WITH {_GRAPH_CTE},

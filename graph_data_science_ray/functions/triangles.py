@@ -347,6 +347,79 @@ def _emit_triangles(
     return pd.concat(parts, ignore_index=True) if parts else empty
 
 
+def triangle_stream(
+    sym_edges: rd.Dataset,
+    idmap=None,
+    node_count: int | None = None,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Per-triangle ``(a, b, c)`` emission — each triangle exactly once.
+
+    Reference: algo/src/main/java/org/neo4j/gds/triangle/TriangleStream.java:52
+    (the stream procedure emits node triples, not counts).  Rides the
+    degree-order wedge-close machinery of :func:`triangle_count`
+    (generation in degree order bounds work at O(m^1.5)); rows are then
+    re-canonicalized to ascending dense id, the reference's ``c < b < a``
+    orientation.  Returns a Dataset of int64 ``(a, b, c)`` dense-id rows
+    (a < b < c) — a stream, not a driver list: the triangle set can be
+    orders of magnitude larger than E and never lands on one machine.
+    """
+    if node_count is None:
+        if idmap is None:
+            raise ValueError("need idmap or node_count")
+        node_count = len(idmap)
+    V = int(node_count)
+    P = max(4, int(num_partitions))
+
+    from graph_data_science_ray.functions.degree import degree_centrality
+
+    deg_arr = degree_centrality(sym_edges, node_count=V, weighted=False)[
+        "degree"
+    ].to_numpy(dtype=np.int64)
+    deg_ref = ray.put(deg_arr)
+    fwd = forward_edges(sym_edges, deg_ref=deg_ref).materialize()
+
+    def edge_keys(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"key": pa.array(s * V + d)})
+
+    refs = fwd.map_batches(edge_keys, batch_format="pyarrow").to_numpy_refs(
+        column="key"
+    )
+    ekeys_ref = _sorted_key_array.remote(*refs)
+
+    def tag_src(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (splitmix64(s) % np.uint64(P)).astype(np.int64)
+        return pa.table({"src": t["src"], "dst": t["dst"], "part": pa.array(part)})
+
+    tris = (
+        fwd.map_batches(tag_src, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            functools.partial(_emit_triangles, V=V, deg_ref=deg_ref,
+                              ekeys_ref=ekeys_ref),
+            batch_format="pandas",
+        )
+    )
+
+    def canon_ids(df: pd.DataFrame) -> pd.DataFrame:
+        # degree-ordered corners → ascending dense id per row
+        m = np.sort(
+            np.stack(
+                [df["a"].to_numpy(dtype=np.int64),
+                 df["b"].to_numpy(dtype=np.int64),
+                 df["c"].to_numpy(dtype=np.int64)],
+                axis=1,
+            ),
+            axis=1,
+        )
+        return pd.DataFrame({"a": m[:, 0], "b": m[:, 1], "c": m[:, 2]})
+
+    return tris.map_batches(canon_ids, batch_format="pandas")
+
+
 def four_clique_count(
     sym_edges: rd.Dataset,
     idmap=None,

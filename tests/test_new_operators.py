@@ -632,3 +632,32 @@ def test_bellman_ford_negative_cycle(tmp_path):
     out2 = bellman_ford(g2, source_id=0).set_index("node")
     assert (out2["negative_cycle"] == 0).all()
     assert out2.loc[2, "distance"] == 1.0
+
+
+def test_triangle_stream_matches_brute(graph_from_edges):
+    import itertools
+
+    from graph_data_science_ray.functions.triangles import triangle_stream
+
+    edge_list = list(itertools.combinations(range(5), 2)) + [(5, 6), (6, 7), (7, 5)]
+    _, _, idmap, _, sym = graph_from_edges(edge_list)
+    df = triangle_stream(sym, idmap=idmap, num_partitions=2).to_pandas()
+    keys = idmap.keys
+    got = sorted(
+        (keys[a], keys[b], keys[c])
+        for a, b, c in zip(df["a"], df["b"], df["c"])
+    )
+    # brute force over the undirected edge set
+    adj = set()
+    for u, v in edge_list:
+        adj.add((f"role:n{u:04d}", f"role:n{v:04d}"))
+        adj.add((f"role:n{v:04d}", f"role:n{u:04d}"))
+    nodes = sorted({x for e in adj for x in e})
+    want = sorted(
+        (x, y, z)
+        for x, y, z in itertools.combinations(nodes, 3)
+        if (x, y) in adj and (y, z) in adj and (x, z) in adj
+    )
+    assert got == want
+    # each triangle exactly once, corners ascending
+    assert all(a < b < c for a, b, c in got)
