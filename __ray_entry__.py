@@ -5703,6 +5703,20 @@ def entry() -> Any:
     return _q_pagerank("/root/testdata/sf0.001")
 
 
+def _q_kge(sf_dir: str, score: str) -> pd.DataFrame:
+    """KGE link prediction (ref proc/machine-learning/.../kge/
+    TopKMapComputer.java:40): TransE / DistMult top-5 targets per head
+    (heads = vec_id < 10; relation = 0.1 x embedding of vec 0)."""
+    import ray.data as rd
+
+    from graph_data_science_ray.functions.kge import kge_topk
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    return kge_topk(emb, np.arange(10), rel_id=0, rel_scale=0.1, k=5,
+                    score=score)
+
+
 def _q_triangle_stream(sf_dir: str) -> pd.DataFrame:
     """Per-triangle (a,b,c) emission — the reference's TriangleStream
     (algo/.../triangle/TriangleStream.java:52): each triangle exactly
@@ -5976,6 +5990,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_fingerprint": _q_graph_fingerprint,
         "transitivity": _q_transitivity,
         "triangle_stream": _q_triangle_stream,
+        "kge_transe_topk": lambda sf: _q_kge(sf, "transe"),
+        "kge_distmult_topk": lambda sf: _q_kge(sf, "distmult"),
     }
 
 
@@ -6521,6 +6537,27 @@ cnt AS (SELECT node, count(*) AS c FROM corners GROUP BY node)
     sqls["triangles_global"] = tri_cte + "SELECT CAST(count(*) AS BIGINT) AS triangles FROM tri"
     sqls["triangle_stream"] = (
         tri_cte + "SELECT x AS a, y AS b, z AS c FROM tri ORDER BY 1, 2, 3"
+    )
+
+    _kge_cte = """
+WITH r AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0),
+q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS h,
+      list_transform(list_zip(CAST(embedding AS DOUBLE[]), (SELECT e FROM r)), x -> x[1] + 0.1*x[2]) AS hr
+      FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS target_id, {expr} AS sim
+  FROM q CROSS JOIN c, r WHERE q.vec_id <> c.vec_id
+),
+ranked AS (SELECT query_id, target_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, target_id ASC) AS rank FROM scored)
+SELECT query_id, target_id, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+    sqls["kge_transe_topk"] = _kge_cte.format(
+        expr="round(1.0/(1.0 + list_distance(q.hr, c.e)), 6)"
+    )
+    sqls["kge_distmult_topk"] = _kge_cte.format(
+        expr="round(list_sum(list_transform(list_zip(q.h, r.e, c.e),"
+             " x -> (x[1] * (0.1 * x[2])) * x[3])), 6)"
     )
 
     sqls["lcc"] = f"""

@@ -661,3 +661,29 @@ def test_triangle_stream_matches_brute(graph_from_edges):
     assert got == want
     # each triangle exactly once, corners ascending
     assert all(a < b < c for a, b, c in got)
+
+
+def test_kge_topk_planted():
+    from graph_data_science_ray.functions.kge import kge_topk
+
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(list(range(8)), pa.int64()),
+                "embedding": pa.array(
+                    [[float(i), 0.0] for i in range(8)],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+    # heads {0}, relation = 0.1 * e1 = [0.1, 0]; h + r = [0.1, 0] so
+    # TransE ranks targets by |i - 0.1|: 1 is the nearest non-self hit
+    out = kge_topk(emb, np.array([0]), rel_id=1, rel_scale=0.1, k=3,
+                   score="transe")
+    assert out["target_id"].tolist() == [1, 2, 3]
+    assert out["rank"].tolist() == [1, 2, 3]
+    # DistMult with h = 0-vector scores every target 0 -> id-asc ties
+    out2 = kge_topk(emb, np.array([0]), rel_id=1, rel_scale=0.1, k=3,
+                    score="distmult")
+    assert out2["target_id"].tolist() == [1, 2, 3]
