@@ -179,6 +179,46 @@ class _ShardHolder:
             )
         return out
 
+    def mlp_grads(self, Ws: list, bs: list, cw) -> list:
+        """Full-batch backprop partials for the ReLU-MLP + softmax head
+        (reference ml/ml-algo/.../mlp/MLPClassifier.java forward shape):
+        per block, (gWs, gbs, loss_sum, n) in exact block order."""
+        L = len(Ws)
+        out = []
+        for X, y in self.mats:
+            if len(X) == 0:
+                out.append((
+                    [np.zeros_like(W) for W in Ws],
+                    [np.zeros_like(b) for b in bs], 0.0, 0,
+                ))
+                continue
+            yidx = y.astype(np.int64)
+            acts = [X]
+            a = X
+            for W, b in zip(Ws[:-1], bs[:-1]):
+                a = np.maximum(a @ W + b, 0.0)
+                acts.append(a)
+            z = a @ Ws[-1] + bs[-1]
+            z -= z.max(axis=1, keepdims=True)
+            e = np.exp(z)
+            p = e / e.sum(axis=1, keepdims=True)
+            y1 = np.zeros_like(p)
+            y1[np.arange(len(yidx)), yidx] = 1.0
+            sw = cw[yidx][:, None] if cw is not None else 1.0
+            delta = (p - y1) * sw
+            gWs = [None] * L
+            gbs = [None] * L
+            for layer in reversed(range(L)):
+                gWs[layer] = acts[layer].T @ delta
+                gbs[layer] = delta.sum(axis=0)
+                if layer > 0:
+                    delta = (delta @ Ws[layer].T) * (acts[layer] > 0)
+            ll = -np.log(np.clip(p[np.arange(len(yidx)), yidx], 1e-15, None))
+            if cw is not None:
+                ll = ll * cw[yidx]
+            out.append((gWs, gbs, float(ll.sum()), len(yidx)))
+        return out
+
     def softmax_grads(self, W: np.ndarray, b: np.ndarray, cw) -> list:
         out = []
         for X, y in self.mats:
@@ -321,6 +361,166 @@ def train_logistic_regression(
 
 
 # ---------------------------------------------------------------------------
+# MLP classifier (reference ml/ml-algo/.../mlp/MLPClassifier.java) —
+# ReLU hidden layers + softmax head on the same canonical-shard Adam
+# harness as the logistic / linear trainers
+# ---------------------------------------------------------------------------
+
+
+class MLPClassifierModel:
+    """Trained MLP: weight/bias list per layer + class table."""
+
+    def __init__(self, Ws: list, bs: list, classes: np.ndarray):
+        self.Ws = [np.asarray(W, dtype=np.float64) for W in Ws]
+        self.bs = [np.asarray(b, dtype=np.float64) for b in bs]
+        self.classes = np.asarray(classes)
+
+    def predict_proba_matrix(self, X: np.ndarray) -> np.ndarray:
+        a = X
+        for W, b in zip(self.Ws[:-1], self.bs[:-1]):
+            a = np.maximum(a @ W + b, 0.0)
+        z = a @ self.Ws[-1] + self.bs[-1]
+        z -= z.max(axis=1, keepdims=True)
+        e = np.exp(z)
+        return e / e.sum(axis=1, keepdims=True)
+
+    def predict(
+        self, ds: rd.Dataset, feature_col: str = "features",
+        proba: bool = False,
+    ) -> rd.Dataset:
+        mref = ray.put((self.Ws, self.bs, self.classes))
+
+        def score(df: pd.DataFrame) -> pd.DataFrame:
+            Ws, bs, classes = ray.get(mref)
+            model = MLPClassifierModel(Ws, bs, classes)
+            X = (
+                np.stack([np.asarray(x, dtype=np.float64)
+                          for x in df[feature_col]])
+                if len(df) else np.zeros((0, Ws[0].shape[0]))
+            )
+            out = df.drop(columns=[feature_col])
+            if len(df):
+                p = model.predict_proba_matrix(X)
+                out["predicted"] = classes[p.argmax(axis=1)]
+                if proba:
+                    out["prob"] = p.max(axis=1)
+            else:
+                out["predicted"] = []
+                if proba:
+                    out["prob"] = []
+            return out
+
+        return ds.map_batches(score, batch_format="pandas")
+
+
+def train_mlp_classifier(
+    ds: rd.Dataset,
+    label_col: str = "label",
+    feature_col: str = "features",
+    hidden: tuple = (16,),
+    penalty: float = 0.0,
+    max_epochs: int = 100,
+    learning_rate: float = 0.01,
+    tolerance: float = 1e-4,
+    patience: int = 3,
+    class_weights: dict | None = None,
+    key_col: str | None = None,
+    num_shards: int = 32,
+    seed: int = 42,
+) -> MLPClassifierModel:
+    """MLP classifier via data-parallel full-batch Adam — the reference's
+    third model family (mlp/MLPClassifierTrainer.java: ReLU hidden
+    layers, softmax cross-entropy + L2, trained by the same Training
+    loop).  Same determinism contract as the logistic trainer: canonical
+    key-sorted shards, actor-held blocks, fixed-order gradient combine ⇒
+    byte-identical weights at any parallelism."""
+    classes = np.array(sorted(ds.unique(label_col)), dtype=object)
+    cls_index = {c: i for i, c in enumerate(classes)}
+    K = len(classes)
+    first = ds.take(1)[0]
+    d = len(np.asarray(first[feature_col], dtype=np.float64))
+    cw = None
+    if class_weights is not None:
+        cw = np.array([float(class_weights.get(c, 1.0)) for c in classes])
+
+    def to_xy(df: pd.DataFrame) -> pd.DataFrame:
+        idx = np.array([cls_index[v] for v in df[label_col]], dtype=np.int64)
+        out = pd.DataFrame({"_y": idx})
+        out[feature_col] = list(
+            np.stack([np.asarray(x, dtype=np.float64) for x in df[feature_col]])
+            if len(df) else np.zeros((0, d))
+        )
+        if key_col is not None:
+            out["_k"] = df[key_col].to_numpy()
+        return out
+
+    shards = ds.map_batches(to_xy, batch_format="pandas")
+    if key_col is not None:
+        shards = shards.sort("_k").repartition(num_shards)
+    shards = shards.materialize()
+    n_total = shards.count()
+
+    sizes = [d] + [int(h) for h in hidden] + [K]
+    Ws, bs = [], []
+    off = 0
+    for a, b_ in zip(sizes[:-1], sizes[1:]):
+        w = (
+            (splitmix64(np.arange(a * b_, dtype=np.uint64)
+                        + np.uint64(seed) + np.uint64(off))
+             % np.uint64(10_000)).astype(np.float64) / 10_000.0 - 0.5
+        ) * (2.0 / np.sqrt(a))
+        Ws.append(w.reshape(a, b_))
+        bs.append(np.zeros(b_))
+        off += a * b_
+    mWs = [np.zeros_like(W) for W in Ws]
+    vWs = [np.zeros_like(W) for W in Ws]
+    mbs = [np.zeros_like(b_) for b_ in bs]
+    vbs = [np.zeros_like(b_) for b_ in bs]
+    beta1, beta2, eps = 0.9, 0.999, 1e-8
+    prev_loss = np.inf
+    flat_epochs = 0
+
+    actors = _shard_actors(shards, feature_col, d)
+    for epoch in range(1, max_epochs + 1):
+        nested = ray.get([a.mlp_grads.remote(Ws, bs, cw) for a in actors])
+        gWs = [np.zeros_like(W) for W in Ws]
+        gbs = [np.zeros_like(b_) for b_ in bs]
+        loss = 0.0
+        for group in nested:
+            for gWp, gbp, llp, _n in group:
+                for layer in range(len(Ws)):
+                    gWs[layer] += np.asarray(gWp[layer], dtype=np.float64)
+                    gbs[layer] += np.asarray(gbp[layer], dtype=np.float64)
+                loss += float(llp)
+        loss = loss / n_total
+        c1 = 1 - beta1 ** epoch
+        c2 = 1 - beta2 ** epoch
+        for layer in range(len(Ws)):
+            g = gWs[layer] / n_total + 2.0 * penalty * Ws[layer]
+            loss += penalty * float((Ws[layer] * Ws[layer]).sum())
+            mWs[layer] = beta1 * mWs[layer] + (1 - beta1) * g
+            vWs[layer] = beta2 * vWs[layer] + (1 - beta2) * g * g
+            Ws[layer] = Ws[layer] - learning_rate * (
+                (mWs[layer] / c1) / (np.sqrt(vWs[layer] / c2) + eps)
+            )
+            gb = gbs[layer] / n_total
+            mbs[layer] = beta1 * mbs[layer] + (1 - beta1) * gb
+            vbs[layer] = beta2 * vbs[layer] + (1 - beta2) * gb * gb
+            bs[layer] = bs[layer] - learning_rate * (
+                (mbs[layer] / c1) / (np.sqrt(vbs[layer] / c2) + eps)
+            )
+        if abs(prev_loss - loss) <= tolerance * max(abs(prev_loss), 1e-12):
+            flat_epochs += 1
+            if flat_epochs >= patience:
+                break
+        else:
+            flat_epochs = 0
+        prev_loss = loss
+
+    return MLPClassifierModel(Ws, bs, classes)
+
+
+# ---------------------------------------------------------------------------
 # linear regression (MSE + L2, Adam) — data-parallel
 # ---------------------------------------------------------------------------
 
@@ -445,21 +645,34 @@ def node_regression_pipeline(
     learning_rate: float = 0.1,
     id_col: str = "node_id",
     seed: int = 42,
+    model: str = "linear",
+    model_params: dict | None = None,
 ) -> dict:
     """NodeRegressionTrainingPipeline (reference pipeline/.../nodePipeline/
     regression/NodeRegressionTrain.java): assemble → hash split → train
-    linear regression → evaluate (MSE / MAE / R², the reference's
+    the chosen model family → evaluate (MSE / MAE / R², the reference's
     RegressionMetrics) → predict-all. Returns {model, metrics,
-    predictions}."""
+    predictions}.  ``model``: "linear" (Adam linear regression) or "rf"
+    (RandomForest regressor, reference randomforest/
+    RandomForestRegressorTrainer.java) with ``model_params`` forwarded
+    to :func:`graph_data_science_ray.pipelines.trees.train_random_forest`."""
     ds = features_ds
     if feature_cols is not None:
         ds = assemble_features(ds, feature_cols)
     ds = ds.materialize()
     train, test = hash_split(ds, id_col, test_fraction, seed=seed)
-    model = train_linear_regression(
-        train, label_col=target_col, penalty=penalty, max_epochs=max_epochs,
-        learning_rate=learning_rate, key_col=id_col, seed=seed,
-    )
+    if model == "rf":
+        from graph_data_science_ray.pipelines.trees import train_random_forest
+
+        model = train_random_forest(
+            train, label_col=target_col, regression=True, key_col=id_col,
+            seed=seed, **(model_params or {}),
+        )
+    else:
+        model = train_linear_regression(
+            train, label_col=target_col, penalty=penalty, max_epochs=max_epochs,
+            learning_rate=learning_rate, key_col=id_col, seed=seed,
+        )
     scored = model.predict(test).to_pandas()
     if len(scored):
         y = scored[target_col].to_numpy(dtype=np.float64)
@@ -631,18 +844,38 @@ def node_classification_pipeline(
     learning_rate: float = 0.1,
     id_col: str = "node_id",
     seed: int = 42,
+    model: str = "lr",
+    model_params: dict | None = None,
 ) -> dict:
     """NodeClassificationTrainingPipeline: assemble → split → train →
-    evaluate → predict-all. Returns {model, metrics, predictions}."""
+    evaluate → predict-all. Returns {model, metrics, predictions}.
+    ``model``: "lr" (softmax logistic regression), "rf" (RandomForest,
+    reference randomforest/RandomForestClassifierTrainer.java) or "mlp"
+    (reference mlp/MLPClassifier.java); ``model_params`` forwards to the
+    family's trainer."""
     ds = features_ds
     if feature_cols is not None:
         ds = assemble_features(ds, feature_cols)
     ds = ds.materialize()
     train, test = hash_split(ds, id_col, test_fraction, seed=seed)
-    model = train_logistic_regression(
-        train, label_col=label_col, penalty=penalty, max_epochs=max_epochs,
-        learning_rate=learning_rate, key_col=id_col, seed=seed,
-    )
+    if model == "rf":
+        from graph_data_science_ray.pipelines.trees import train_random_forest
+
+        model = train_random_forest(
+            train, label_col=label_col, regression=False, key_col=id_col,
+            seed=seed, **(model_params or {}),
+        )
+    elif model == "mlp":
+        model = train_mlp_classifier(
+            train, label_col=label_col, penalty=penalty,
+            max_epochs=max_epochs, learning_rate=learning_rate,
+            key_col=id_col, seed=seed, **(model_params or {}),
+        )
+    else:
+        model = train_logistic_regression(
+            train, label_col=label_col, penalty=penalty, max_epochs=max_epochs,
+            learning_rate=learning_rate, key_col=id_col, seed=seed,
+        )
     scored = model.predict(test).to_pandas()
     acc = float((scored["predicted"] == scored[label_col]).mean()) if len(scored) else 0.0
     # macro F1 (nodePipeline classification metrics)
@@ -652,7 +885,10 @@ def node_classification_pipeline(
         fp = int(((scored["predicted"] == c) & (scored[label_col] != c)).sum())
         fn = int(((scored["predicted"] != c) & (scored[label_col] == c)).sum())
         f1s.append(2 * tp / (2 * tp + fp + fn) if (2 * tp + fp + fn) else 0.0)
-    predictions = model.predict(ds, proba=True)
+    try:
+        predictions = model.predict(ds, proba=True)
+    except TypeError:  # forest votes carry no probability column
+        predictions = model.predict(ds)
     return {
         "model": model,
         "metrics": {"accuracy": acc, "f1_macro": float(np.mean(f1s))},

@@ -52,6 +52,7 @@ class TrainingPipeline:
         self.feature_cols: list[str] = []
         self.split = {"test_fraction": 0.25, "seed": 42}
         self.candidates: list[dict] = []
+        self.auto_tuning = {"max_trials": 10}
 
     # -- builder surface (the reference's pipeline-mutation procs) --------
 
@@ -72,8 +73,57 @@ class TrainingPipeline:
         return self
 
     def add_trainer_candidate(self, **params) -> "TrainingPipeline":
+        """A candidate config.  Values may be concrete, or TUNABLE —
+        ``{"range": [lo, hi]}`` (log-uniform, the reference's
+        LogScale TunableTrainerConfig ranges) or ``{"values": [...]}``
+        (categorical) — resolved by the auto-tuning search at train
+        time (reference pipeline/.../AutoTuningConfig.java)."""
         self.candidates.append(dict(params))
         return self
+
+    def configure_auto_tuning(self, max_trials: int = 10) -> "TrainingPipeline":
+        """Reference NodeClassificationPipelineConfigureAutoTuningProc:
+        bound the number of sampled trials per tunable candidate."""
+        self.auto_tuning = {"max_trials": int(max_trials)}
+        return self
+
+    def _materialize_candidates(self) -> list[dict]:
+        """Expand tunable candidates into ≤ max_trials concrete configs
+        via a deterministic splitmix64 low-discrepancy draw (trial × param
+        → u64 → log-uniform point / categorical pick); concrete
+        candidates pass through unchanged, so grid search is simply a
+        list of concrete candidates."""
+        from graph_data_science_ray._util import splitmix64, uniform01
+
+        out = []
+        trials = int(self.auto_tuning.get("max_trials", 10))
+        for ci, cand in enumerate(self.candidates or [{}]):
+            tunable = {
+                k: v for k, v in cand.items()
+                if isinstance(v, dict) and ("range" in v or "values" in v)
+            }
+            if not tunable:
+                out.append(cand)
+                continue
+            for t in range(trials):
+                conc = {k: v for k, v in cand.items() if k not in tunable}
+                for pi, k in enumerate(sorted(tunable)):
+                    spec = tunable[k]
+                    bits = splitmix64(np.asarray(
+                        [ci * 1_000_003 + t * 97 + pi], dtype=np.uint64
+                    ))
+                    u = float(uniform01(bits)[0])
+                    if "range" in spec:
+                        lo, hi = float(spec["range"][0]), float(spec["range"][1])
+                        val = float(np.exp(
+                            np.log(lo) + u * (np.log(hi) - np.log(lo))
+                        ))
+                        conc[k] = int(round(val)) if spec.get("integer") else val
+                    else:
+                        vals = list(spec["values"])
+                        conc[k] = vals[min(int(u * len(vals)), len(vals) - 1)]
+                out.append(conc)
+        return out
 
     # -- persistence ------------------------------------------------------
 
@@ -83,6 +133,7 @@ class TrainingPipeline:
             "node_property_steps": self.node_property_steps,
             "feature_cols": self.feature_cols,
             "split": self.split, "candidates": self.candidates,
+            "auto_tuning": self.auto_tuning,
         }
 
     @classmethod
@@ -92,6 +143,7 @@ class TrainingPipeline:
         p.feature_cols = list(obj.get("feature_cols", []))
         p.split = dict(obj.get("split", {"test_fraction": 0.25, "seed": 42}))
         p.candidates = list(obj.get("candidates", []))
+        p.auto_tuning = dict(obj.get("auto_tuning", {"max_trials": 10}))
         return p
 
     # -- execution --------------------------------------------------------
@@ -153,7 +205,7 @@ class TrainingPipeline:
             )
         ds = self._apply_node_property_steps(features_ds, graph, id_col)
         ds = ds.materialize()
-        cands = self.candidates or [{}]
+        cands = self._materialize_candidates()
         results = []
         for ci, cand in enumerate(cands):
             if self.kind == "node_classification":
@@ -184,12 +236,23 @@ class TrainingPipeline:
         }
         if model_catalog is not None:
             m = best["model"]
-            data = (
-                {"weights": m.weights, "bias": np.asarray([m.bias])}
-                if self.kind == "node_regression"
-                else {"weights": m.weights, "bias": m.bias,
-                      "classes": m.classes}
-            )
+            if hasattr(m, "trees"):  # RandomForest: flat node arrays
+                data = {}
+                for ti, t in enumerate(m.trees):
+                    for k, v in t.items():
+                        data[f"tree{ti}_{k}"] = v
+                if m.classes is not None:
+                    data["classes"] = m.classes
+            elif hasattr(m, "Ws"):  # MLP: per-layer arrays
+                data = {"classes": m.classes}
+                for li in range(len(m.Ws)):
+                    data[f"W{li}"] = m.Ws[li]
+                    data[f"b{li}"] = m.bs[li]
+            elif self.kind == "node_regression":
+                data = {"weights": m.weights, "bias": np.asarray([m.bias])}
+            else:
+                data = {"weights": m.weights, "bias": m.bias,
+                        "classes": m.classes}
             model_catalog.set(
                 model_name or self.name, algo_type=self.kind, data=data,
                 train_config={"pipeline": self.to_json(),

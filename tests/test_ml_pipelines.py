@@ -229,3 +229,85 @@ def test_split_relationships_deterministic_and_fractional():
     assert ((a["split"] == "selected") == (a["label"] == 1)).all()
     share = (a["label"] == 1).mean()
     assert 0.17 < share < 0.23
+
+
+def test_random_forest_separable_and_deterministic():
+    from graph_data_science_ray.pipelines.trees import train_random_forest
+
+    df = _blob_ds()
+    ds = rd.from_pandas(df, override_num_blocks=4)
+    m1 = train_random_forest(ds, key_col="node_id", num_trees=6, max_depth=5)
+    m2 = train_random_forest(
+        ds.repartition(2), key_col="node_id", num_trees=6, max_depth=5
+    )
+    # byte-identical trees at any block layout (canonical matrix contract)
+    for t1, t2 in zip(m1.trees, m2.trees):
+        for k in t1:
+            assert (t1[k] == t2[k]).all()
+    scored = m1.predict(ds).to_pandas()
+    assert (scored["predicted"] == scored["label"]).mean() > 0.95
+
+
+def test_random_forest_regression_fits_piecewise():
+    from graph_data_science_ray.pipelines.trees import train_random_forest
+
+    n = 150
+    x = np.linspace(-2, 2, n)
+    df = pd.DataFrame({"node_id": np.arange(n, dtype=np.int64),
+                       "target": np.where(x > 0, 5.0, -5.0)})
+    df["features"] = [[float(v)] for v in x]
+    ds = rd.from_pandas(df, override_num_blocks=3)
+    m = train_random_forest(ds, label_col="target", regression=True,
+                            key_col="node_id", num_trees=4, max_depth=3)
+    scored = m.predict(ds).to_pandas()
+    err = np.abs(scored["predicted"].to_numpy() - scored["target"].to_numpy())
+    assert err.mean() < 1.0
+
+
+def test_single_decision_tree_exact_split():
+    """num_trees=1 + no bootstrap + all features = a plain DecisionTree
+    (the reference's decisiontree/ trainer): on a 1-d threshold fixture
+    the root split must recover the planted boundary."""
+    from graph_data_science_ray.pipelines.trees import train_random_forest
+
+    df = pd.DataFrame({"node_id": np.arange(20, dtype=np.int64),
+                       "label": np.repeat([0, 1], 10)})
+    df["features"] = [[float(i)] for i in range(20)]
+    ds = rd.from_pandas(df, override_num_blocks=2)
+    m = train_random_forest(ds, key_col="node_id", num_trees=1,
+                            bootstrap=False, max_features_ratio=1.0,
+                            max_depth=2)
+    t = m.trees[0]
+    assert t["feature"][0] == 0 and abs(t["threshold"][0] - 9.5) < 1e-9
+    scored = m.predict(ds).to_pandas()
+    assert (scored["predicted"] == scored["label"]).all()
+
+
+def test_mlp_classifier_separable_and_deterministic():
+    from graph_data_science_ray.pipelines.ml import train_mlp_classifier
+
+    df = _blob_ds()
+    ds = rd.from_pandas(df, override_num_blocks=4)
+    m1 = train_mlp_classifier(ds, key_col="node_id", hidden=(8,),
+                              max_epochs=60, learning_rate=0.05)
+    m2 = train_mlp_classifier(ds.repartition(2), key_col="node_id",
+                              hidden=(8,), max_epochs=60, learning_rate=0.05)
+    for a, b in zip(m1.Ws, m2.Ws):
+        assert a.tobytes() == b.tobytes()
+    scored = m1.predict(ds).to_pandas()
+    assert (scored["predicted"] == scored["label"]).mean() > 0.9
+
+
+def test_pipeline_model_param_routes_families():
+    df = _blob_ds()
+    ds = rd.from_pandas(df, override_num_blocks=4)
+    r = node_classification_pipeline(
+        ds, id_col="node_id", model="rf",
+        model_params={"num_trees": 5, "max_depth": 5},
+    )
+    assert r["metrics"]["accuracy"] > 0.9
+    r2 = node_classification_pipeline(
+        ds, id_col="node_id", model="mlp", max_epochs=60,
+        learning_rate=0.05,
+    )
+    assert r2["metrics"]["accuracy"] > 0.85

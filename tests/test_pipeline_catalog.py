@@ -88,3 +88,42 @@ def test_node_property_step_joins_graph_feature(graph_from_edges, tmp_path):
     )
     res = p.train(rd.from_pandas(df), label_col="target", graph=gu)
     assert res["metrics"]["r2"] > 0.9
+
+
+def test_auto_tuning_deterministic_and_monotone(tmp_path):
+    """AutoTuningConfig surface: tunable ranges expand to max_trials
+    deterministic concrete candidates; the selected winner is stable
+    across runs and at least as good as every sampled trial."""
+    import pandas as pd
+    import ray.data as rd
+
+    from graph_data_science_ray.state.pipeline_catalog import TrainingPipeline
+
+    rng = np.random.default_rng(7)
+    X = np.concatenate([
+        rng.normal(loc=[-2.0, 0.0], scale=0.5, size=(40, 2)),
+        rng.normal(loc=[2.0, 0.0], scale=0.5, size=(40, 2)),
+    ])
+    df = pd.DataFrame({"node_id": np.arange(80, dtype=np.int64),
+                       "label": np.repeat([0, 1], 40)})
+    df["features"] = list(X)
+    ds = rd.from_pandas(df, override_num_blocks=3)
+
+    p = TrainingPipeline("tune", "node_classification")
+    p.add_trainer_candidate(
+        learning_rate={"range": [0.01, 0.5]}, max_epochs=20,
+    )
+    p.configure_auto_tuning(max_trials=3)
+    cands = p._materialize_candidates()
+    assert len(cands) == 3
+    assert cands == p._materialize_candidates()  # deterministic draw
+    assert all(0.01 <= c["learning_rate"] <= 0.5 for c in cands)
+
+    r1 = p.train(ds, label_col="label")
+    r2 = p.train(ds, label_col="label")
+    assert r1["best_candidate"] == r2["best_candidate"]
+    best = max(m["score"] for m in r1["candidate_metrics"])
+    assert r1["metrics"]["accuracy"] == best
+    # persistence round-trips the tuning config
+    obj = TrainingPipeline.from_json(p.to_json())
+    assert obj.auto_tuning == {"max_trials": 3}
