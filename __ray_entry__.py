@@ -5703,6 +5703,173 @@ def entry() -> Any:
     return _q_pagerank("/root/testdata/sf0.001")
 
 
+def _q_rf_score(sf_dir: str) -> pd.DataFrame:
+    """Fixed-tree RandomForest scoring over the embeddings table (the
+    forest predict path; reference randomforest/RandomForestClassifier):
+    three planted depth-2 trees vote, majority wins — every threshold is
+    0.0 so the engine/SQL float comparison is exact."""
+    import ray.data as rd
+
+    from graph_data_science_ray.pipelines.ml import assemble_features
+    from graph_data_science_ray.pipelines.trees import RandomForestModel
+
+    trees = []
+    for t in range(3):
+        trees.append(
+            {
+                "feature": np.array([t, t + 1, -1, -1, -1], dtype=np.int64),
+                "threshold": np.array([0.0, 0.0, 0.0, 0.0, 0.0]),
+                "left": np.array([1, 3, -1, -1, -1], dtype=np.int64),
+                "right": np.array([2, 4, -1, -1, -1], dtype=np.int64),
+                "value": np.array([0.0, 0.0, 1.0, 0.0, 1.0]),
+            }
+        )
+    model = RandomForestModel(trees, classes=np.array([0, 1]))
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    out = model.predict(assemble_features(emb, ["embedding"])).to_pandas()
+    return pd.DataFrame(
+        {"vec_id": out["vec_id"].astype(np.int64),
+         "predicted": out["predicted"].astype(np.int64)}
+    ).sort_values("vec_id").reset_index(drop=True)
+
+
+def _q_mlp_score(sf_dir: str) -> pd.DataFrame:
+    """Fixed-weight MLP forward pass over the embeddings table (the
+    reference mlp/MLPClassifier predict shape): 4 ReLU hidden units +
+    2-class head, rational closed-form weights shared with the SQL
+    oracle; int-only argmax output (lr_score contract)."""
+    import ray.data as rd
+
+    from graph_data_science_ray.pipelines.ml import (
+        MLPClassifierModel, assemble_features,
+    )
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    first = emb.take(1)[0]
+    d = len(first["embedding"])
+    i = np.arange(d)[:, None]
+    j = np.arange(4)[None, :]
+    W1 = (((i * 3 + j * 5) % 11) - 5) / 10.0
+    jj = np.arange(4)[:, None]
+    k = np.arange(2)[None, :]
+    W2 = (((jj * 7 + k * 3) % 9) - 4) / 10.0
+    model = MLPClassifierModel(
+        [W1, W2], [np.zeros(4), np.zeros(2)], classes=np.array([0, 1])
+    )
+    out = model.predict(assemble_features(emb, ["embedding"])).to_pandas()
+    return pd.DataFrame(
+        {"vec_id": out["vec_id"].astype(np.int64),
+         "predicted": out["predicted"].astype(np.int64)}
+    ).sort_values("vec_id").reset_index(drop=True)
+
+
+def _q_node_classification_rf(sf_dir: str) -> pd.DataFrame:
+    """RandomForest node classification validity: one prediction per
+    embedding row, labels inside the observed domain, and a re-train is
+    byte-identical (canonical-matrix determinism contract)."""
+    import ray.data as rd
+
+    from graph_data_science_ray.pipelines.ml import node_classification_pipeline
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    kw = dict(
+        label_col="label", feature_cols=["embedding"], id_col="vec_id",
+        test_fraction=0.25, model="rf",
+        model_params={"num_trees": 5, "max_depth": 5},
+    )
+    r1 = node_classification_pipeline(emb, **kw)
+    r2 = node_classification_pipeline(emb, **kw)
+    preds = r1["predictions"].to_pandas()
+    dom = set(preds["label"].unique().tolist())
+    bad = int((~preds["predicted"].isin(list(dom))).sum())
+    det = int(
+        all(
+            (t1[c] == t2[c]).all()
+            for t1, t2 in zip(r1["model"].trees, r2["model"].trees)
+            for c in t1
+        )
+    )
+    return pd.DataFrame(
+        {"n_rows": np.array([len(preds)], dtype=np.int64),
+         "bad_labels": np.array([bad], dtype=np.int64),
+         "det_ok": np.array([det], dtype=np.int64)}
+    )
+
+
+def _q_node_regression_rf(sf_dir: str) -> pd.DataFrame:
+    """RandomForest node regression validity on a planted piecewise
+    target (sign of embedding[0] → ±5): one prediction per row, the
+    forest explains the step function (R² > 0.5), re-train
+    byte-identical."""
+    import ray.data as rd
+
+    from graph_data_science_ray.pipelines.ml import node_regression_pipeline
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+
+    def add_target(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["target"] = [
+            5.0 if float(np.asarray(v, dtype=np.float64)[0]) > 0 else -5.0
+            for v in df["embedding"]
+        ]
+        return df
+
+    ds = emb.map_batches(add_target, batch_format="pandas")
+    kw = dict(
+        target_col="target", feature_cols=["embedding"], id_col="vec_id",
+        test_fraction=0.25, model="rf",
+        model_params={"num_trees": 4, "max_depth": 4},
+    )
+    r1 = node_regression_pipeline(ds, **kw)
+    r2 = node_regression_pipeline(ds, **kw)
+    n_rows = int(r1["predictions"].count())
+    det = int(
+        all(
+            (t1[c] == t2[c]).all()
+            for t1, t2 in zip(r1["model"].trees, r2["model"].trees)
+            for c in t1
+        )
+    )
+    return pd.DataFrame(
+        {"n_rows": np.array([n_rows], dtype=np.int64),
+         "fit_ok": np.array([int(r1["metrics"]["r2"] > 0.5)], dtype=np.int64),
+         "det_ok": np.array([det], dtype=np.int64)}
+    )
+
+
+def _q_autotune_select(sf_dir: str) -> pd.DataFrame:
+    """Auto-tuning validity (reference pipeline/.../AutoTuningConfig):
+    a tunable learning-rate candidate expands to exactly max_trials
+    deterministic concrete configs, the two-run winner is identical
+    (det_ok), and the winner's metric equals the max over sampled trials
+    (monotone_ok — selection is metric-monotone by construction)."""
+    import ray.data as rd
+
+    from graph_data_science_ray.state.pipeline_catalog import TrainingPipeline
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    p = TrainingPipeline("autotune-q", "node_classification")
+    p.select_features(["embedding"])
+    p.add_trainer_candidate(
+        learning_rate={"range": [0.05, 0.5]}, max_epochs=15,
+    )
+    p.configure_auto_tuning(max_trials=3)
+    r1 = p.train(emb, label_col="label", id_col="vec_id")
+    r2 = p.train(emb, label_col="label", id_col="vec_id")
+    det = int(r1["best_candidate"] == r2["best_candidate"])
+    best = max(m["score"] for m in r1["candidate_metrics"])
+    mono = int(r1["metrics"]["accuracy"] == best)
+    return pd.DataFrame(
+        {"n_cands": np.array([len(r1["candidate_metrics"])], dtype=np.int64),
+         "det_ok": np.array([det], dtype=np.int64),
+         "monotone_ok": np.array([mono], dtype=np.int64)}
+    )
+
+
 def _q_kge(sf_dir: str, score: str) -> pd.DataFrame:
     """KGE link prediction (ref proc/machine-learning/.../kge/
     TopKMapComputer.java:40): TransE / DistMult top-5 targets per head
@@ -5992,6 +6159,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_stream": _q_triangle_stream,
         "kge_transe_topk": lambda sf: _q_kge(sf, "transe"),
         "kge_distmult_topk": lambda sf: _q_kge(sf, "distmult"),
+        "rf_score": _q_rf_score,
+        "mlp_score": _q_mlp_score,
+        "node_classification_rf": _q_node_classification_rf,
+        "node_regression_rf": _q_node_regression_rf,
+        "autotune_select": _q_autotune_select,
     }
 
 
@@ -6558,6 +6730,56 @@ SELECT query_id, target_id, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank 
     sqls["kge_distmult_topk"] = _kge_cte.format(
         expr="round(list_sum(list_transform(list_zip(q.h, r.e, c.e),"
              " x -> (x[1] * (0.1 * x[2])) * x[3])), 6)"
+    )
+
+    # three planted depth-2 trees (thresholds all 0.0 → exact float
+    # comparison on both sides), majority vote
+    _rf_votes = " + ".join(
+        f"(CASE WHEN e[{t + 1}] <= 0.0 THEN"
+        f" (CASE WHEN e[{t + 2}] <= 0.0 THEN 0 ELSE 1 END)"
+        f" ELSE 1 END)"
+        for t in range(3)
+    )
+    sqls["rf_score"] = f"""
+WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT vec_id, CAST(CASE WHEN ({_rf_votes}) >= 2 THEN 1 ELSE 0 END AS BIGINT)
+       AS predicted
+FROM x ORDER BY vec_id
+"""
+
+    sqls["mlp_score"] = """
+WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+),
+h AS (
+  SELECT x.vec_id, j.j,
+         greatest(0.0, sum(x.v * ((((CAST(x.i - 1 AS BIGINT) * 3 + j.j * 5) % 11) - 5) / 10.0))) AS hv
+  FROM x CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) j
+  GROUP BY x.vec_id, j.j
+),
+z AS (
+  SELECT vec_id,
+         sum(hv * (((j * 7 + 0 * 3) % 9) - 4) / 10.0) AS z0,
+         sum(hv * (((j * 7 + 1 * 3) % 9) - 4) / 10.0) AS z1
+  FROM h GROUP BY vec_id
+)
+SELECT vec_id, CAST(CASE WHEN z1 > z0 THEN 1 ELSE 0 END AS BIGINT) AS predicted
+FROM z ORDER BY vec_id
+"""
+
+    sqls["node_classification_rf"] = (
+        "SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_rows, "
+        "CAST(0 AS BIGINT) AS bad_labels, CAST(1 AS BIGINT) AS det_ok"
+    )
+    sqls["node_regression_rf"] = (
+        "SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_rows, "
+        "CAST(1 AS BIGINT) AS fit_ok, CAST(1 AS BIGINT) AS det_ok"
+    )
+    sqls["autotune_select"] = (
+        "SELECT CAST(3 AS BIGINT) AS n_cands, CAST(1 AS BIGINT) AS det_ok, "
+        "CAST(1 AS BIGINT) AS monotone_ok"
     )
 
     sqls["lcc"] = f"""
