@@ -17,7 +17,8 @@ import pandas as pd
 import ray.data as rd
 
 
-def _stage(docs: rd.Dataset, cls, concurrency: int | None, batch_size: int = 8192) -> rd.Dataset:
+def _stage(docs: rd.Dataset, cls, concurrency: int | None, batch_size: int = 8192,
+           batch_format: str = "pandas") -> rd.Dataset:
     """Run a stage as stateless tasks by default; as an actor pool only when
     an explicit ``concurrency`` is given. An actor pool sized at the full
     CPU count starves the other operators in the same pipeline (see
@@ -26,30 +27,40 @@ def _stage(docs: rd.Dataset, cls, concurrency: int | None, batch_size: int = 819
     """
     if concurrency:
         return docs.map_batches(
-            cls, batch_format="pandas", batch_size=batch_size,
+            cls, batch_format=batch_format, batch_size=batch_size,
             concurrency=concurrency, num_cpus=1,
         )
-    return docs.map_batches(cls(), batch_format="pandas", batch_size=batch_size)
+    return docs.map_batches(cls(), batch_format=batch_format, batch_size=batch_size)
 
 
 class TokenCount:
     """tokens = maximal runs of non-whitespace (``\\S+``) — the exact
-    definition the SQL oracle mirrors with regexp_split + filter."""
+    definition the SQL oracle mirrors with regexp_split + filter.
 
-    def __init__(self):
-        self.pat = re.compile(r"\S+")
+    Arrow-native: ``pc.count_substring_regex`` over the zero-copy string
+    column — 1.63× the pandas ``str.findall().str.len()`` path at
+    matched calib (sf0.1 A/B, BASELINE.md round-5 notes; findall
+    materializes a Python list per row, the count kernel never leaves
+    Arrow).  QualityStats stays pandas: its three-kernel Arrow variant
+    measured 0.72× (slower), so it keeps the ``.str`` path."""
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        n = pc.count_substring_regex(
+            pc.fill_null(batch["text"], ""), r"\S+"
+        )
+        return pa.table(
             {
-                "doc_id": batch["doc_id"].astype(np.int64),
-                "n_tokens": batch["text"].str.findall(self.pat).str.len().astype(np.int64),
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_tokens": n.cast(pa.int64()),
             }
         )
 
 
 def token_count(docs: rd.Dataset, concurrency: int | None = None) -> rd.Dataset:
-    return _stage(docs, TokenCount, concurrency)
+    return _stage(docs, TokenCount, concurrency, batch_format="pyarrow")
 
 
 class QualityStats:
