@@ -3070,6 +3070,28 @@ def _q_astar(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"total_cost": np.array([cost], dtype=np.float64)})
 
 
+def _q_astar_haversine(sf_dir: str) -> pd.DataFrame:
+    """A* with the reference's haversine lat/long heuristic (algo/.../
+    paths/astar/AStar.java): deterministic synthetic coordinates per
+    actor (uid-derived), scaled far below the minimum edge weight so
+    admissibility is structural — the target cost must equal the plain
+    SSSP distance (shared oracle shape with `astar`)."""
+    from graph_data_science_ray.functions.paths import (
+        astar_route, haversine_heuristic,
+    )
+
+    b = _bundle(sf_dir)
+    uids = _strip(b["idmap"].keys).astype(np.int64)
+    lat = (uids * 37 % 17000) / 100.0 - 85.0
+    lon = (uids * 101 % 35000) / 100.0 - 175.0
+    target = len(b["idmap"]) - 1
+    # max haversine ~2e4 km x 1e-9 = 2e-5 << min weight 1 => admissible
+    h = haversine_heuristic(lat, lon, target_id=target, scale=1e-9)
+    route = astar_route(b["gd"], 0, target, heuristic=h, weighted=True)
+    cost = float(route["distance"].iloc[-1]) if len(route) else -1.0
+    return pd.DataFrame({"total_cost": np.array([cost], dtype=np.float64)})
+
+
 def _q_dfs(sf_dir: str) -> pd.DataFrame:
     from graph_data_science_ray.functions.paths import dfs_preorder
 
@@ -6159,6 +6181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_stream": _q_triangle_stream,
         "kge_transe_topk": lambda sf: _q_kge(sf, "transe"),
         "kge_distmult_topk": lambda sf: _q_kge(sf, "distmult"),
+        "astar_haversine": _q_astar_haversine,
         "rf_score": _q_rf_score,
         "mlp_score": _q_mlp_score,
         "node_classification_rf": _q_node_classification_rf,
@@ -8704,6 +8727,8 @@ dist AS (
 SELECT d AS total_cost FROM dist
 WHERE it = {_SSSP_ROUNDS} AND node = (SELECT max(node) FROM nodes)
 """
+
+    sqls["astar_haversine"] = sqls["astar"]
 
     sqls["scale_l2"] = """
 SELECT doc_id,

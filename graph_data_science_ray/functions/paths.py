@@ -247,6 +247,28 @@ class _AStarComputation(SsspComputation):
         return state["dist"], active
 
 
+def haversine_heuristic(
+    lat: np.ndarray, lon: np.ndarray, target_id: int,
+    scale: float = 1.0,
+) -> np.ndarray:
+    """The reference's lat/long A* heuristic (algo/src/main/java/org/
+    neo4j/gds/paths/astar/AStar.java: great-circle distance to the
+    target, admissible when edge weights are ≥ ``scale`` × distance).
+
+    ``lat``/``lon`` are per-dense-id degree arrays; returns the
+    heuristic array for :func:`astar_route` in kilometres × ``scale``
+    (mean Earth radius 6371.0088 km, the reference's constant)."""
+    lat = np.radians(np.asarray(lat, dtype=np.float64))
+    lon = np.radians(np.asarray(lon, dtype=np.float64))
+    dlat = lat - lat[target_id]
+    dlon = lon - lon[target_id]
+    a = (
+        np.sin(dlat / 2.0) ** 2
+        + np.cos(lat) * np.cos(lat[target_id]) * np.sin(dlon / 2.0) ** 2
+    )
+    return scale * 2.0 * 6371.0088 * np.arcsin(np.minimum(np.sqrt(a), 1.0))
+
+
 def astar_route(
     graph,
     source_id: int,

@@ -115,3 +115,15 @@ def test_rwr_sample_deterministic_and_connected(graph_from_edges):
     assert a.equals(b)
     assert len(a) == 10
     assert 0 in set(a["node_id"])  # start node always sampled
+
+
+def test_haversine_heuristic_admissible_zero_at_target():
+    from graph_data_science_ray.functions.paths import haversine_heuristic
+
+    lat = np.array([48.8566, 51.5074, 40.7128])   # Paris, London, NYC
+    lon = np.array([2.3522, -0.1278, -74.0060])
+    h = haversine_heuristic(lat, lon, target_id=1)
+    assert h[1] == 0.0
+    assert 340 < h[0] < 350          # Paris-London ~344 km
+    assert 5550 < h[2] < 5600        # NYC-London ~5570 km
+    assert (h >= 0).all()
