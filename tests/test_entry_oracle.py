@@ -162,6 +162,13 @@ _ORACLE_CHECKED = [
     "conversation_dedup",
     "tool_latency",
     "monologue_runs",
+    # round-5 batch
+    "triangle_stream",
+    "kge_transe_topk",
+    "kge_distmult_topk",
+    "rf_score",
+    "mlp_score",
+    "astar_haversine",
 ]
 
 
