@@ -245,6 +245,8 @@ class RandomForestModel:
             return votes.mean(axis=0)  # fixed tree order → deterministic
         K = len(self.classes)
         counts = np.zeros((X.shape[0], K), dtype=np.int64)
+        # loop is over TREES (a handful); each step is a vectorized
+        # scatter across the whole batch
         for row in votes.astype(np.int64):
             counts[np.arange(X.shape[0]), row] += 1
         return self.classes[counts.argmax(axis=1)]  # tie → smallest class
