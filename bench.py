@@ -129,11 +129,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         at["_ranks"] = ranks
         return at
 
-    # best-of-2 headline (a 3rd attempt when the two disagree > 1.3x):
-    # the pipeline is deterministic — the spread between attempts is
-    # hypervisor steal, which single-sample records kept mistaking for
-    # code regressions (round-4 verdict item 1)
-    attempts = [_headline_attempt(), _headline_attempt()]
+    # best-of-3 headline (a 4th attempt when the best two disagree
+    # > 1.3x): the pipeline is deterministic — the spread between
+    # attempts is hypervisor steal, which single-sample records kept
+    # mistaking for code regressions (round-4 verdict item 1; a round-5
+    # A/B saw 30 s vs 9 s for identical work at near-identical
+    # single-thread calib — steal hits 32-core-parallel throughput the
+    # matmul probe cannot see)
+    attempts = [_headline_attempt(), _headline_attempt(), _headline_attempt()]
     tots = sorted(a["_total"] for a in attempts)
     if tots[1] > 1.3 * tots[0]:
         attempts.append(_headline_attempt())
