@@ -311,3 +311,33 @@ def test_pipeline_model_param_routes_families():
         learning_rate=0.05,
     )
     assert r2["metrics"]["accuracy"] > 0.85
+
+
+def test_random_forest_constant_feature_and_single_class():
+    """Degenerate inputs: a constant feature column must yield a leaf-only
+    tree (no crash, no split), and a single-class dataset predicts that
+    class everywhere."""
+    from graph_data_science_ray.pipelines.trees import train_random_forest
+
+    df = pd.DataFrame({"node_id": np.arange(30, dtype=np.int64),
+                       "label": np.zeros(30, dtype=np.int64)})
+    df["features"] = [[1.5, 1.5] for _ in range(30)]
+    ds = rd.from_pandas(df, override_num_blocks=2)
+    m = train_random_forest(ds, key_col="node_id", num_trees=2, max_depth=3)
+    scored = m.predict(ds).to_pandas()
+    assert (scored["predicted"] == 0).all()
+    for t in m.trees:
+        assert (t["feature"] == -1).all()  # constant X -> no split found
+
+
+def test_mlp_multiclass_labels_roundtrip():
+    from graph_data_science_ray.pipelines.ml import train_mlp_classifier
+
+    df = _blob_ds()
+    ds = rd.from_pandas(df, override_num_blocks=3)
+    m = train_mlp_classifier(ds, key_col="node_id", hidden=(6, 4),
+                             max_epochs=40, learning_rate=0.05)
+    assert len(m.Ws) == 3  # two hidden layers + head
+    scored = m.predict(ds, proba=True).to_pandas()
+    assert set(scored["predicted"].unique()) <= {0, 1, 2}
+    assert (scored["prob"] > 0).all() and (scored["prob"] <= 1.0).all()
