@@ -751,9 +751,20 @@ def semantic_dedup(
         order = np.argsort(ids)
         ids = ids[order]
         m = _normalize(_stack(g["embedding"].to_numpy()[order]))
-        sims = np.round(m @ m.T, 6)
-        hit = np.triu(sims >= threshold, k=1)
-        a, b = np.where(hit)
+        # blockwise upper-triangle scan: peak memory is chunk x n, not
+        # n x n (an n=100k cluster would need an 80 GB dense sims matrix)
+        chunk = 2048
+        outs_a, outs_b = [], []
+        for s in range(0, len(m), chunk):
+            e = min(s + chunk, len(m))
+            sims = np.round(m[s:e] @ m.T, 6)
+            # keep strictly-upper pairs only: global col > global row
+            ra, rb = np.where(sims >= threshold)
+            keep = rb > (ra + s)
+            outs_a.append(ra[keep] + s)
+            outs_b.append(rb[keep])
+        a = np.concatenate(outs_a) if outs_a else np.zeros(0, dtype=np.int64)
+        b = np.concatenate(outs_b) if outs_b else np.zeros(0, dtype=np.int64)
         if not len(a):
             return empty
         return pd.DataFrame(
