@@ -1026,11 +1026,15 @@ def link_prediction_pipeline(
     id_col: str = "node_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    model: str = "lr",
+    model_params: dict | None = None,
 ) -> dict:
     """LinkPredictionTrainingPipeline: positives = observed edges,
     negatives = seeded rejection-sampled non-edges (negativeSamplingRatio,
     LinkPredictionSplitConfig.java), features via the combiner stack,
-    binary LR, AUC-style accuracy on the held-out split.
+    binary LR (or ``model="rf"``/``"mlp"`` — the reference trains
+    RandomForest and MLP candidates for link prediction too), AUC-style
+    accuracy on the held-out split.
 
     Negative sampling is fully distributed: candidate draws are pure
     functions of their global index, rejection is a hash-partitioned
@@ -1097,10 +1101,24 @@ def link_prediction_pipeline(
         batch_format="pandas",
     ).materialize()
     train, test = hash_split(labeled, "_k", test_fraction, seed=seed)
-    model = train_logistic_regression(
-        train, label_col="label", penalty=penalty, max_epochs=max_epochs,
-        learning_rate=learning_rate, key_col="_k", seed=seed,
-    )
+    if model == "rf":
+        from graph_data_science_ray.pipelines.trees import train_random_forest
+
+        model = train_random_forest(
+            train, label_col="label", regression=False, key_col="_k",
+            seed=seed, **(model_params or {}),
+        )
+    elif model == "mlp":
+        model = train_mlp_classifier(
+            train, label_col="label", penalty=penalty,
+            max_epochs=max_epochs, learning_rate=learning_rate,
+            key_col="_k", seed=seed, **(model_params or {}),
+        )
+    else:
+        model = train_logistic_regression(
+            train, label_col="label", penalty=penalty, max_epochs=max_epochs,
+            learning_rate=learning_rate, key_col="_k", seed=seed,
+        )
     scored = model.predict(test).to_pandas()
     acc = float((scored["predicted"] == scored["label"]).mean()) if len(scored) else 0.0
     return {"model": model, "metrics": {"accuracy": acc},

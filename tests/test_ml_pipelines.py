@@ -341,3 +341,29 @@ def test_mlp_multiclass_labels_roundtrip():
     scored = m.predict(ds, proba=True).to_pandas()
     assert set(scored["predicted"].unique()) <= {0, 1, 2}
     assert (scored["prob"] > 0).all() and (scored["prob"] <= 1.0).all()
+
+
+def test_link_prediction_rf_and_mlp_models(graph_from_edges):
+    """The reference trains RF/MLP candidates for link prediction too —
+    both families must route through the pipeline and beat chance on
+    the two-cluster fixture."""
+    import itertools
+
+    edges = (
+        list(itertools.combinations(range(6), 2))
+        + [(u + 6, v + 6) for u, v in itertools.combinations(range(6), 2)]
+    )
+    _, _, idmap, enc, _ = graph_from_edges(edges)
+    rng = np.random.default_rng(5)
+    vec = pd.DataFrame({"node_id": np.arange(12, dtype=np.int64)})
+    base = rng.normal(size=(2, 6))
+    vec["embedding"] = [
+        list(base[i // 6] + 0.1 * rng.normal(size=6)) for i in range(12)
+    ]
+    vecs = rd.from_pandas(vec)
+    for fam, params in (("rf", {"num_trees": 4, "max_depth": 4}), ("mlp", {})):
+        res = link_prediction_pipeline(
+            enc, vecs, node_count=12, negative_ratio=1.0,
+            model=fam, model_params=params, max_epochs=40,
+        )
+        assert res["metrics"]["accuracy"] > 0.6, fam
