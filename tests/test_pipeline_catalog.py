@@ -127,3 +127,34 @@ def test_auto_tuning_deterministic_and_monotone(tmp_path):
     # persistence round-trips the tuning config
     obj = TrainingPipeline.from_json(p.to_json())
     assert obj.auto_tuning == {"max_trials": 3}
+
+
+def test_candidate_families_mix_lr_rf_mlp(tmp_path):
+    """Candidate list can mix model families (the reference's
+    addLogisticRegression / addRandomForest / addMLP procs); the winner
+    is picked by the held-out metric across families."""
+    import pandas as pd
+    import ray.data as rd
+
+    from graph_data_science_ray.state.pipeline_catalog import TrainingPipeline
+
+    rng = np.random.default_rng(3)
+    X = np.concatenate([
+        rng.normal(loc=[-2.0, 0.0], scale=0.5, size=(40, 2)),
+        rng.normal(loc=[2.0, 0.0], scale=0.5, size=(40, 2)),
+    ])
+    df = pd.DataFrame({"node_id": np.arange(80, dtype=np.int64),
+                       "label": np.repeat([0, 1], 40)})
+    df["features"] = list(X)
+    ds = rd.from_pandas(df, override_num_blocks=3)
+
+    p = TrainingPipeline("families", "node_classification")
+    p.add_trainer_candidate(max_epochs=15)
+    p.add_trainer_candidate(model="rf",
+                            model_params={"num_trees": 3, "max_depth": 4})
+    p.add_trainer_candidate(model="mlp", max_epochs=25, learning_rate=0.05)
+    r = p.train(ds, label_col="label")
+    assert len(r["candidate_metrics"]) == 3
+    assert r["metrics"]["accuracy"] >= max(
+        m["score"] for m in r["candidate_metrics"]
+    ) - 1e-12
