@@ -63,6 +63,12 @@ _ESTIMATES = {
     "knn_descent": (0.0, 0.0),  # dominated by dim * f64 + k candidates
     "all_shortest_paths": (0.0, 0.0),  # dominated by wave width (see below)
     "betweenness": (4 * _F64, 0.0),  # sigma + delta + dist + partial scores
+    # round-5 families (node_count = training rows for the ML entries)
+    "maximal_matching": (2 * _I64, 3 * _I64),  # dead set + (node,peer,pri) explode
+    "triangle_stream": (_I64, 5 * _I64),  # forward adjacency + (a,b,c) rows
+    "kge_topk": (0.0, 0.0),  # dominated by dim + k per head (see below)
+    "random_forest": (0.0, 0.0),  # dominated by dim * f64 per row (see below)
+    "mlp": (0.0, 0.0),  # dominated by (dim + hidden) * f64 per row
 }
 
 # algorithms whose per-node state scales with a dimension-like parameter
@@ -75,6 +81,12 @@ _DIM_SCALED = {
     # unweighted wave: uint64 seen/frontier + (wave<=64) int32 hop matrix;
     # weighted wave: (wave) f64 distance matrix
     "all_shortest_paths": ("wave", 64, lambda w: 2 * _I64 + w * _I32),
+    # kge: per candidate row one f64 vector + Q*k partial rows amortized
+    "kge_topk": ("dim", 64, lambda d: (d + 4) * _F64),
+    # rf: canonical matrix (dim f64) + bootstrap index per tree task
+    "random_forest": ("dim", 64, lambda d: (d + 2) * _F64),
+    # mlp: shard-held X row + widest activation per row
+    "mlp": ("dim", 64, lambda d: (d + 32) * _F64),
 }
 
 
